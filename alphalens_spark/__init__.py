@@ -1,0 +1,28 @@
+"""alphalens_spark — a PySpark-native alpha-factor analytics engine.
+
+A from-scratch re-expression of the capabilities of quantopian/alphalens
+(reference at /root/reference, pandas single-node) as idiomatic Spark:
+
+- ONE canonical long DataFrame keyed by (date, asset) replaces the
+  reference's MultiIndex frames (reference utils.py:559-589).
+- A broadcast trading-calendar dimension table (date, day_idx) replaces
+  index-freq side-channel calendar arithmetic (reference utils.py:173-213,
+  971-1039); every "shift by N trading periods" becomes integer arithmetic
+  on day_idx (lead/lag windows or equi-joins).
+- Window functions + equi/broadcast joins replace pandas index alignment.
+- Catalyst/AQE supply pruning, pushdown and physical planning the
+  reference never had.
+
+Modules:
+  calendar_     trading-calendar dim table + day_idx attachment
+  utils         ingestion: forward returns, quantization, cleaning
+  performance   metrics: IC, factor returns, alpha/beta, turnover, events
+  tears         batch drivers mirroring the reference tear sheets
+  datasets      derived factor/prices panels from the driver's TPC-H data
+  scale         LLM-data-pipeline extensions: dedup, similarity, text
+"""
+
+from alphalens_spark import calendar_ as calendar  # noqa: F401
+from alphalens_spark import performance, utils  # noqa: F401
+
+__version__ = "0.1.0"

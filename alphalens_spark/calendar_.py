@@ -1,0 +1,66 @@
+"""Trading-calendar dimension table.
+
+The reference stores the trading calendar as a pandas CustomBusinessDay
+offset on the MultiIndex (reference utils.py:173-213 infer_trading_calendar;
+utils.py:340 attaches it; utils.py:971-1039 does offset arithmetic with it).
+Spark DataFrames carry no index metadata, so the calendar becomes a proper
+**dimension table** ``(date, day_idx)`` where ``day_idx`` densely numbers
+the distinct trading timestamps in order. Every row-positional operation in
+the reference (``shift``, ``pct_change(periods=k)``) becomes integer
+arithmetic on ``day_idx``:
+
+    lead-by-k  ==  join on day_idx + k   ==  lag window over day_idx order
+
+The table is tiny (one row per distinct timestamp: thousands of rows even
+for decades of intraday data), so it is always broadcast; attaching
+``day_idx`` to a fact table is a map-side broadcast-hash join — no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DAY_IDX = "day_idx"
+
+
+def trading_calendar(df: DataFrame, date_col: str = "date") -> DataFrame:
+    """Build the calendar dim table from observed timestamps.
+
+    Returns a DataFrame ``(date, day_idx int)`` with day_idx = 1..N in
+    timestamp order. Replaces reference infer_trading_calendar
+    (utils.py:173-213): instead of materializing a CustomBusinessDay freq,
+    downstream ops consume day_idx directly, which makes holidays /
+    business-day / intraday calendars all fall out of the same design.
+
+    The global row_number runs over a single partition, which is fine —
+    the input here is ``distinct(date)``, a few thousand rows at most.
+    """
+    distinct_dates = df.select(F.col(date_col).alias("date")).distinct()
+    w = Window.orderBy("date")
+    return distinct_dates.select(
+        "date", F.row_number().over(w).cast("int").alias(DAY_IDX)
+    )
+
+
+def with_day_idx(df: DataFrame, cal: DataFrame, date_col: str = "date") -> DataFrame:
+    """Attach day_idx via a broadcast join on the calendar dim."""
+    return df.join(
+        F.broadcast(cal.withColumnRenamed("date", date_col)), on=date_col, how="inner"
+    )
+
+
+def infer_holidays(cal_dates: DataFrame, date_col: str = "date") -> DataFrame:
+    """Weekday gaps in the observed calendar = holidays.
+
+    Mirrors reference utils.py:196-210: generate the full daily range
+    between min and max observed date, keep weekdays whose day-of-week is
+    ever observed, anti-join the observed dates. Returns (holiday date).
+    """
+    days = cal_dates.select(F.to_date(date_col).alias("d")).distinct()
+    observed_dows = days.select(F.dayofweek("d").alias("dow")).distinct()
+    bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    full = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    ).join(F.broadcast(observed_dows), F.dayofweek("d") == F.col("dow"), "left_semi")
+    return full.join(days, "d", "left_anti").select(F.col("d").alias("holiday"))

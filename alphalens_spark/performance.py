@@ -1,0 +1,540 @@
+"""Metric operators over the canonical ``factor_data`` DataFrame.
+
+Re-expresses alphalens/performance.py on Spark. Every operator here is a
+pure DataFrame transformation (lazy logical plan) built from native Column
+expressions — no Python UDFs in the hot path, no driver-side loops; the
+reference's groupby().apply closures (SURVEY §2.10) become window
+expressions and grouped aggregates that Catalyst fuses into whole-stage
+codegen. ``date`` is the universal partition key (every cross-sectional
+op); per-date groups are small cross-sections, so exact percentile / rank
+work is cheap within a shuffle partition and AQE coalesces the small
+shuffle outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from alphalens_spark.calendar_ import DAY_IDX
+from alphalens_spark.utils import demean_forward_returns
+
+ANNUALIZATION_PERIODS = 252  # trading periods per year for a daily calendar
+
+
+def _avg_rank(value: str, part: Sequence[str]) -> Column:
+    """Average-tie rank (pandas ``rank(method='average')``) as windows.
+
+    Spark's ``rank()`` is a min-rank; pandas/scipy Spearman uses average
+    ranks (SURVEY §2.5). avg_rank = min_rank + (tie_count - 1)/2 using a
+    second window keyed by (partition, value).
+    """
+    w_order = Window.partitionBy(*part).orderBy(value)
+    w_ties = Window.partitionBy(*part, value)
+    return F.rank().over(w_order) + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0
+
+
+def factor_information_coefficient(
+    factor_data: DataFrame,
+    period_cols: Sequence[str],
+    group_adjust: bool = False,
+    by_group: bool = False,
+) -> DataFrame:
+    """Per-date Spearman rank IC between factor and each forward return.
+
+    Reference performance.py:28-75 (scipy ``stats.spearmanr`` per date
+    group). Spearman(x, y) == Pearson(avg_rank(x), avg_rank(y)), so this
+    is rank windows + ``corr`` per date — one shuffle, JVM-side, no scipy.
+
+    group_adjust (ref performance.py:65-67): demean returns by
+    (date, group) first. by_group (ref performance.py:68-70): compute IC
+    per (date, group).
+    """
+    df = factor_data
+    if group_adjust:
+        df = demean_forward_returns(df, period_cols, ("date", "group"))
+    keys = ["date"] + (["group"] if by_group else [])
+    rf = _avg_rank("factor", keys)
+    ranked = df.select(
+        *keys,
+        rf.alias("_rf"),
+        *[_avg_rank(c, keys).alias(f"_rr_{c}") for c in period_cols],
+    )
+    aggs = [F.corr("_rf", f"_rr_{c}").alias(f"ic_{c}") for c in period_cols]
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
+def mean_information_coefficient(
+    factor_data: DataFrame,
+    period_cols: Sequence[str],
+    group_adjust: bool = False,
+    by_group: bool = False,
+    by_time: str | None = None,
+) -> DataFrame:
+    """Mean IC, optionally bucketed by calendar period and/or group.
+
+    Reference performance.py:77-126 (pd.Grouper(freq=by_time)). by_time is
+    a ``date_trunc`` unit: 'month', 'week', 'year', ...
+    """
+    ic = factor_information_coefficient(factor_data, period_cols, group_adjust, by_group)
+    keys = []
+    if by_time is not None:
+        ic = ic.withColumn("time_bucket", F.date_trunc(by_time, "date"))
+        keys.append("time_bucket")
+    if by_group:
+        keys.append("group")
+    aggs = [F.avg(f"ic_{c}").alias(f"ic_{c}") for c in period_cols]
+    if not keys:
+        return ic.agg(*aggs)
+    return ic.groupBy(*keys).agg(*aggs)
+
+
+def ic_summary(ic: DataFrame, period_cols: Sequence[str]) -> DataFrame:
+    """IC summary table: mean, std, IR, t-stat, skew, kurtosis, n.
+
+    Reference plotting.py:166-179 (scipy ttest_1samp / skew / kurtosis).
+    All are native Spark aggregates; t = mean/(std/sqrt(n)). p-values (a
+    scipy Student-t survival function over a scalar) belong to the display
+    layer, computed driver-side on this tiny output.
+    """
+    aggs = []
+    for c in period_cols:
+        col = f"ic_{c}"
+        aggs += [
+            F.avg(col).alias(f"mean_{c}"),
+            F.stddev_samp(col).alias(f"std_{c}"),
+            (F.avg(col) / F.stddev_samp(col)).alias(f"ir_{c}"),
+            (
+                F.avg(col) / (F.stddev_samp(col) / F.sqrt(F.count(col)))
+            ).alias(f"tstat_{c}"),
+            F.skewness(col).alias(f"skew_{c}"),
+            F.kurtosis(col).alias(f"kurtosis_{c}"),
+            F.count(col).alias(f"n_{c}"),
+        ]
+    return ic.agg(*aggs)
+
+
+def factor_weights(
+    factor_data: DataFrame,
+    demeaned: bool = True,
+    group_adjust: bool = False,
+    equal_weight: bool = False,
+    weight_col: str = "weights",
+) -> DataFrame:
+    """Per-date factor-proportional (or equal) long/short weights.
+
+    Reference to_weights (performance.py:129-205):
+      demeaned       subtract the per-date mean so longs/shorts balance
+      equal_weight   ±1 by sign about the per-date MEDIAN (exact
+                     percentile 0.5 — pandas median is exact,
+                     performance.py:174; never approx here)
+      group_adjust   weights renormalized within (date, group), then
+                     scaled by 1/#groups per date (performance.py:202-204)
+    Final normalization divides by the per-date sum of |w| so gross
+    exposure is 1 (performance.py:193).
+    """
+    grouper = ["date"] + (["group"] if group_adjust else [])
+    w = Window.partitionBy(*grouper)
+    f = F.col("factor")
+    if equal_weight:
+        center = F.percentile(f, F.lit(0.5)).over(w) if demeaned else F.lit(0.0)
+        raw = F.when(f > center, F.lit(1.0)).when(f < center, F.lit(-1.0)).otherwise(F.lit(0.0))
+    else:
+        raw = f - F.avg(f).over(w) if demeaned else f
+    out = factor_data.withColumn("_raw_w", raw)
+    norm = F.sum(F.abs(F.col("_raw_w"))).over(w)
+    out = out.withColumn(weight_col, F.col("_raw_w") / norm).drop("_raw_w")
+    if group_adjust:
+        wd = Window.partitionBy("date")
+        n_groups = F.size(F.collect_set("group").over(wd))
+        out = out.withColumn(weight_col, F.col(weight_col) / n_groups)
+    return out
+
+
+def factor_returns(
+    factor_data: DataFrame,
+    period_cols: Sequence[str],
+    demeaned: bool = True,
+    group_adjust: bool = False,
+    equal_weight: bool = False,
+    by_asset: bool = False,
+) -> DataFrame:
+    """Per-date return of the factor-weighted portfolio, per horizon.
+
+    Reference performance.py:208-255: weights ⊙ forward returns, summed
+    per date. One window pass for weights + one groupBy(date) — two
+    shuffles on the same key (Catalyst reuses the exchange).
+    """
+    weighted = factor_weights(factor_data, demeaned, group_adjust, equal_weight)
+    prods = [
+        (F.col(c) * F.col("weights")).alias(f"_p_{c}") for c in period_cols
+    ]
+    weighted = weighted.select("date", "asset", *prods)
+    if by_asset:
+        return weighted.select(
+            "date", "asset", *[F.col(f"_p_{c}").alias(f"ret_{c}") for c in period_cols]
+        )
+    return weighted.groupBy("date").agg(
+        *[F.sum(f"_p_{c}").alias(f"ret_{c}") for c in period_cols]
+    )
+
+
+def factor_alpha_beta(
+    factor_data: DataFrame,
+    period_cols: Sequence[str],
+    periods: Sequence[int] | None = None,
+    demeaned: bool = True,
+    group_adjust: bool = False,
+    equal_weight: bool = False,
+    returns: DataFrame | None = None,
+    annualize: bool = True,
+) -> DataFrame:
+    """Closed-form univariate OLS of factor returns on the universe mean.
+
+    Reference performance.py:258-330 runs statsmodels OLS per horizon:
+    y = factor return, x = per-date universe mean forward return. The OLS
+    is univariate, so it collapses to aggregates (SURVEY §2.4):
+        beta  = covar_samp(x, y) / var_samp(x)
+        alpha = avg(y) - beta * avg(x), annualized
+        (1 + alpha)^(252/k) - 1          (performance.py:324-327)
+    Single-row output; one aggregation over the per-date joined series.
+    """
+    if returns is None:
+        returns = factor_returns(factor_data, period_cols, demeaned, group_adjust, equal_weight)
+    universe = factor_data.groupBy("date").agg(
+        *[F.avg(c).alias(f"u_{c}") for c in period_cols]
+    )
+    joined = returns.join(universe, "date")
+    if periods is None:
+        periods = [int("".join(ch for ch in c if ch.isdigit())) for c in period_cols]
+    aggs = []
+    for c, k in zip(period_cols, periods):
+        x, y = F.col(f"u_{c}"), F.col(f"ret_{c}")
+        beta = F.covar_samp(x, y) / F.var_samp(x)
+        alpha = F.avg(y) - beta * F.avg(x)
+        if annualize:
+            alpha = F.pow(alpha + F.lit(1.0), F.lit(ANNUALIZATION_PERIODS / k)) - F.lit(1.0)
+        aggs += [alpha.alias(f"alpha_{c}"), beta.alias(f"beta_{c}")]
+    return joined.agg(*aggs)
+
+
+def mean_return_by_quantile(
+    factor_data: DataFrame,
+    period_cols: Sequence[str],
+    by_date: bool = False,
+    by_group: bool = False,
+    demeaned: bool = True,
+    group_adjust: bool = False,
+) -> DataFrame:
+    """Mean/std-error of forward returns per factor quantile.
+
+    Reference performance.py:453-517. Demeaning first (universe- or
+    group-relative). When not by_date, the reference aggregates per
+    (quantile, date) then averages over dates (two-level agg = partial +
+    final); we reproduce that exactly — map-side combine makes the first
+    level cheap.
+    Output columns per horizon: ``mean_<c>``, ``std_<c>``, ``count_<c>``,
+    ``stderr_<c>`` (std error = std / sqrt(count), performance.py:514-515).
+    """
+    df = factor_data
+    if group_adjust:
+        df = demean_forward_returns(df, period_cols, ("date", "group"))
+    elif demeaned:
+        df = demean_forward_returns(df, period_cols, ("date",))
+
+    keys = ["factor_quantile"] + (["group"] if by_group else [])
+    level1 = df.groupBy(*keys, "date").agg(
+        *[F.avg(c).alias(f"mean_{c}") for c in period_cols],
+        *[F.stddev_samp(c).alias(f"std_{c}") for c in period_cols],
+        *[F.count(c).alias(f"count_{c}") for c in period_cols],
+    )
+    if by_date:
+        out = level1.select(
+            *keys,
+            "date",
+            *[
+                col
+                for c in period_cols
+                for col in (
+                    F.col(f"mean_{c}"),
+                    F.col(f"std_{c}"),
+                    F.col(f"count_{c}"),
+                    (F.col(f"std_{c}") / F.sqrt(F.col(f"count_{c}"))).alias(f"stderr_{c}"),
+                )
+            ],
+        )
+        return out
+    final = level1.groupBy(*keys).agg(
+        *[F.avg(f"mean_{c}").alias(f"mean_{c}") for c in period_cols],
+        *[F.stddev_samp(f"mean_{c}").alias(f"std_{c}") for c in period_cols],
+        *[F.count(f"mean_{c}").alias(f"count_{c}") for c in period_cols],
+    )
+    return final.select(
+        *keys,
+        *[
+            col
+            for c in period_cols
+            for col in (
+                F.col(f"mean_{c}"),
+                F.col(f"std_{c}"),
+                F.col(f"count_{c}"),
+                (F.col(f"std_{c}") / F.sqrt(F.col(f"count_{c}"))).alias(f"stderr_{c}"),
+            )
+        ],
+    )
+
+
+def compute_mean_returns_spread(
+    mean_returns_by_date: DataFrame,
+    upper_quant: int,
+    lower_quant: int,
+    period_cols: Sequence[str],
+) -> DataFrame:
+    """Top-minus-bottom quantile return spread per date.
+
+    Reference performance.py:520-565: ``xs(upper) - xs(lower)`` aligned by
+    date = filter + self equi-join on date; joint std err =
+    sqrt(s1² + s2²) (performance.py:563).
+    """
+    up = mean_returns_by_date.where(F.col("factor_quantile") == upper_quant).select(
+        "date",
+        *[F.col(f"mean_{c}").alias(f"_u_m_{c}") for c in period_cols],
+        *[F.col(f"stderr_{c}").alias(f"_u_s_{c}") for c in period_cols],
+    )
+    lo = mean_returns_by_date.where(F.col("factor_quantile") == lower_quant).select(
+        "date",
+        *[F.col(f"mean_{c}").alias(f"_l_m_{c}") for c in period_cols],
+        *[F.col(f"stderr_{c}").alias(f"_l_s_{c}") for c in period_cols],
+    )
+    joined = up.join(lo, "date")
+    return joined.select(
+        "date",
+        *[
+            col
+            for c in period_cols
+            for col in (
+                (F.col(f"_u_m_{c}") - F.col(f"_l_m_{c}")).alias(f"spread_{c}"),
+                F.sqrt(
+                    F.col(f"_u_s_{c}") * F.col(f"_u_s_{c}")
+                    + F.col(f"_l_s_{c}") * F.col(f"_l_s_{c}")
+                ).alias(f"spread_stderr_{c}"),
+            )
+        ],
+    )
+
+
+def _factor_dates_idx(factor_data: DataFrame) -> DataFrame:
+    """Dense 1..N index over the distinct dates present in factor_data.
+
+    The reference's positional ``shift(p)`` runs over the factor date axis
+    (performance.py:592, 635-637); this dim table makes it an equi-join.
+    Tiny (one row per date) → always broadcast.
+    """
+    w = Window.orderBy("date")
+    return (
+        factor_data.select("date")
+        .distinct()
+        .select("date", F.row_number().over(w).cast("int").alias("_didx"))
+    )
+
+
+def quantile_turnover(
+    factor_data: DataFrame,
+    periods: Sequence[int] = (1,),
+    quantile: int | None = None,
+) -> DataFrame:
+    """Fraction of names new to each quantile vs ``p`` factor dates ago.
+
+    Reference performance.py:568-598 computes one (quantile, period) pair
+    per call, looped O(Q·P) times by tears.py:443-452. Here ALL pairs come
+    out of one grouped query per period: membership self-join on
+    (asset, date_pos - p) with a left-anti "new name" test expressed as a
+    null-match count.
+
+    Output: (factor_quantile, period, date, turnover).
+    """
+    didx = _factor_dates_idx(factor_data)
+    mem = (
+        factor_data.select("date", "asset", "factor_quantile")
+        .join(F.broadcast(didx), "date")
+    )
+    if quantile is not None:
+        mem = mem.where(F.col("factor_quantile") == quantile)
+    outs = []
+    for p in periods:
+        prev = mem.select(
+            F.col("factor_quantile").alias("_q"),
+            F.col("asset").alias("_a"),
+            (F.col("_didx") + p).alias("_t"),
+        )
+        cur = mem.join(
+            prev,
+            (F.col("factor_quantile") == F.col("_q"))
+            & (F.col("asset") == F.col("_a"))
+            & (F.col("_didx") == F.col("_t")),
+            "left",
+        )
+        t = (
+            cur.where(F.col("_didx") > p)
+            .groupBy("factor_quantile", "date")
+            .agg(
+                (F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0)) / F.count(F.lit(1)))
+                .alias("turnover")
+            )
+            .withColumn("period", F.lit(p))
+        )
+        outs.append(t.select("factor_quantile", "period", "date", "turnover"))
+    result = outs[0]
+    for t in outs[1:]:
+        result = result.unionByName(t)
+    return result
+
+
+def factor_rank_autocorrelation(
+    factor_data: DataFrame, period: int = 1
+) -> DataFrame:
+    """Autocorrelation of per-date factor ranks across a ``period`` lag.
+
+    Reference performance.py:601-639: pivot wide, ``corrwith(shift(p))``.
+    Spark: avg-rank window per date → self-join on (asset, date_pos - p)
+    → per-date Pearson corr of the two rank vectors. No pivot.
+    """
+    didx = _factor_dates_idx(factor_data)
+    ranked = (
+        factor_data.select(
+            "date", "asset", _avg_rank("factor", ["date"]).alias("_rank")
+        )
+        .join(F.broadcast(didx), "date")
+    )
+    prev = ranked.select(
+        F.col("asset").alias("_a"),
+        (F.col("_didx") + period).alias("_t"),
+        F.col("_rank").alias("_prev_rank"),
+    )
+    joined = ranked.join(
+        prev, (F.col("asset") == F.col("_a")) & (F.col("_didx") == F.col("_t")), "inner"
+    )
+    return (
+        joined.groupBy("date")
+        .agg(F.corr("_rank", "_prev_rank").alias("autocorr"))
+        .withColumn("period", F.lit(period))
+    )
+
+
+def cumulative_returns(
+    returns: DataFrame, ret_col: str, keys: Sequence[str] = ()
+) -> DataFrame:
+    """Running compounded return ``cumprod(1 + r) - 1`` per key.
+
+    Reference performance.py:333-352 (empyrical cum_returns). Spark has no
+    product aggregate → ``exp(sum(log1p(r)))`` over an expanding window
+    (SURVEY §2.5). Returns ≤ -100% would need sign bookkeeping; factor
+    portfolio returns never reach -1 in practice and the reference's
+    behavior there (silent zeros) is not meaningful — we propagate null.
+    """
+    w = Window.partitionBy(*keys).orderBy("date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.exp(F.sum(F.log1p(F.col(ret_col))).over(w)) - F.lit(1.0)
+    return returns.withColumn(f"cum_{ret_col}", cum)
+
+
+def average_cumulative_return_by_quantile(
+    factor_data: DataFrame,
+    prices: DataFrame,
+    periods_before: int = 10,
+    periods_after: int = 15,
+    demeaned: bool = True,
+    calendar: DataFrame | None = None,
+) -> DataFrame:
+    """Event-study: average cumulative return path around factor dates.
+
+    Reference performance.py:642-863 (common_start_returns +
+    average_cumulative_return_by_quantile): for every (date, asset) row
+    grab the return window [-before, +after] in trading periods, compound,
+    then average per (quantile, offset).
+
+    Spark plan (SURVEY §2.3 event-window row): NO range join — explode a
+    ``sequence(-before, after)`` on the event side, equi-join prices on
+    (asset, day_idx + offset), normalize by the offset-0 price. The
+    explode keeps the join an equi hash/sort-merge join instead of a
+    BroadcastNestedLoopJoin — the one place a naive port goes quadratic
+    (SURVEY §4.2).
+
+    demeaned: subtract the per-(date, offset) universe average path
+    (reference demean_forward_returns analogue for event windows).
+
+    Output: (factor_quantile, offset, mean_ret, std_ret, count_ret).
+    """
+    from alphalens_spark.calendar_ import trading_calendar, with_day_idx
+
+    cal = calendar if calendar is not None else trading_calendar(prices)
+    px = with_day_idx(prices, cal)
+    events = with_day_idx(
+        factor_data.select("date", "asset", "factor_quantile"), cal
+    ).select(
+        "asset",
+        "factor_quantile",
+        F.col("date").alias("event_date"),
+        F.col(DAY_IDX).alias("_eidx"),
+    )
+    exploded = events.select(
+        "*", F.explode(F.sequence(F.lit(-periods_before), F.lit(periods_after))).alias("offset")
+    )
+    base = px.select(
+        F.col("asset"), F.col(DAY_IDX).alias("_eidx"), F.col("price").alias("_p0")
+    )
+    at_offset = px.select(
+        F.col("asset"), F.col(DAY_IDX).alias("_oidx"), F.col("price").alias("_pt")
+    )
+    joined = (
+        exploded.join(base, ["asset", "_eidx"])
+        .withColumn("_oidx", F.col("_eidx") + F.col("offset"))
+        .join(at_offset, ["asset", "_oidx"])
+        .withColumn("cum_ret", F.col("_pt") / F.col("_p0") - 1)
+    )
+    if demeaned:
+        w = Window.partitionBy("event_date", "offset")
+        joined = joined.withColumn("cum_ret", F.col("cum_ret") - F.avg("cum_ret").over(w))
+    return (
+        joined.groupBy("factor_quantile", "offset")
+        .agg(
+            F.avg("cum_ret").alias("mean_ret"),
+            F.stddev_samp("cum_ret").alias("std_ret"),
+            F.count("cum_ret").alias("count_ret"),
+        )
+    )
+
+
+def positions(
+    weights: DataFrame,
+    period: int,
+    calendar: DataFrame,
+    weight_col: str = "weights",
+) -> DataFrame:
+    """Portfolio holdings over time from per-date trade weights.
+
+    Reference performance.py:355-450 walks timestamps with an imperative
+    queue of open trades (each weight held for ``period`` trading
+    timestamps, overlapping holdings averaged by 1/period). Spark: the
+    stateful loop is an **interval join in disguise** — explode each trade
+    into the ``period`` timestamps it is held for (equi-join on day_idx),
+    then sum per (timestamp, asset) (SURVEY §2.3 positions row). Fully
+    declarative, no sequential dependency.
+
+    Output: (date, asset, position).
+    """
+    from alphalens_spark.calendar_ import with_day_idx
+
+    w = with_day_idx(weights, calendar)
+    held = w.select(
+        "asset",
+        (F.col(weight_col) / period).alias("_w"),
+        F.explode(
+            F.sequence(F.col(DAY_IDX), F.col(DAY_IDX) + F.lit(period - 1))
+        ).alias(DAY_IDX),
+    )
+    out = held.groupBy(DAY_IDX, "asset").agg(F.sum("_w").alias("position"))
+    return out.join(F.broadcast(calendar), DAY_IDX).select("date", "asset", "position")

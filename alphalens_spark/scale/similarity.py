@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the corpus, dot products via zip_with/aggregate (JVM-side,
+codegen), per-query top-k via window row_number.
+
+Scale path: LSH bucketing (random-hyperplane signs) so each query only
+scans its bucket — the corpus side shuffles once on the bucket key and the
+candidate set shrinks by ~2^bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries: (query_id, qv array<float>) — assumed small → broadcast, so
+    the corpus streams through map-side with no shuffle until the final
+    per-query top-k (rows = |queries|·k after the window filter; AQE
+    coalesces). Ranking ties broken by (rounded cosine desc, neighbor id)
+    for determinism across engines.
+    """
+    pairs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("_v")) / (_norm(F.col("qv")) * _norm(F.col("_v")))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cs"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cs"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: ``bits`` random hyperplanes.
+
+    Hyperplane matrix is generated deterministically on the driver (tiny:
+    bits × dim literals) and folded into the plan as array literals —
+    each executor evaluates sign(v·h_j) with built-in expressions.
+    Output: (id, bucket int).
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    bucket = F.lit(0)
+    for j, h in enumerate(planes):
+        lit_h = F.array(*[F.lit(x) for x in h])
+        dp = _dot(F.col(vec_col), lit_h)
+        bucket = bucket + F.when(dp >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: compare only within the query's LSH bucket.
+
+    Equi-join on bucket replaces the all-pairs cross join; with b bits the
+    candidate set shrinks ~2^b×. Recall can be traded up by multi-probe
+    (flipping low-confidence bits) — out of scope for the baseline.
+    """
+    cb = corpus.join(random_hyperplane_buckets(corpus, bits, dim, id_col=id_col, vec_col=vec_col), id_col)
+    qb = queries.join(
+        random_hyperplane_buckets(
+            queries.select(F.col("query_id").alias(id_col), F.col("qv").alias(vec_col)),
+            bits,
+            dim,
+        ).select(F.col(id_col).alias("query_id"), "bucket"),
+        "query_id",
+    )
+    pairs = cb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "bucket"
+    ).join(F.broadcast(qb), ["bucket"]).where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("_v")) / (_norm(F.col("qv")) * _norm(F.col("_v")))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cs"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cs"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), F.round("cs", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators: token stats, language ID, quality, fingerprint.
+
+Everything here is built-in string/array expressions (whole-stage codegen);
+no Python in the hot path. Inputs: the driver ``documents`` table
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character/token/distinct-token counts per document."""
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def stopword_language_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    threshold: float = 0.10,
+) -> DataFrame:
+    """Stopword-ratio language heuristic.
+
+    Counts token occurrences that are English stopwords; ratio above
+    ``threshold`` → 'en'. (A production n-gram profile model slots in the
+    same shape: per-language hit counts → argmax.)
+    """
+    sw = stopwords or STOPWORDS_EN
+    toks = _tokens(text_col)
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    n_tok = F.size(toks)
+    ratio = n_stop.cast("double") / F.nullif(n_tok.cast("double"), F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    length, mean token length, distinct-token ratio, stopword ratio,
+    non-alphanumeric ratio — the standard cheap pre-filter features of an
+    LLM data pipeline (cf. C4/Gopher-style rules), all as one projection.
+    """
+    toks = _tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.nullif(n_tok, F.lit(0.0))
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+        / F.nullif(n_tok, F.lit(0.0))
+    )
+    non_alnum = (
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+        / F.nullif(n_chars, F.lit(0.0))
+    )
+    mean_tok_len = (n_chars - (n_tok - 1)) / F.nullif(n_tok, F.lit(0.0))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0)
+        + F.when(non_alnum <= 0.3, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        non_alnum.alias("non_alnum_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_count_bpe_ish(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Approximate BPE token count: word pieces + digit/punct splits.
+
+    A GPT-style tokenizer averages ~4 chars/token on English; the standard
+    cheap estimator splits on the word/digit/punctuation boundary regex
+    and adds a length-based correction for long words.
+    """
+    pieces = F.split(F.col(text_col), r"(?<=\W)|(?=\W)")
+    words = F.filter(pieces, lambda p: F.trim(p) != "")
+    extra = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, wd: acc + F.floor(F.length(wd) / F.lit(8)).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col),
+        (F.size(words) + extra).alias("est_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 16) -> DataFrame:
+    """Winnowing-style document fingerprint: min xxhash64 over char windows.
+
+    The minimum of a rolling window hash is a robust content fingerprint
+    (same idea as MOSS winnowing with w = chunk size).
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    n = F.greatest(F.length(t) - (window - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(window)))
+    )
+    return docs.select(F.col(id_col), F.array_min(hashes).alias("fingerprint"))

@@ -1,0 +1,381 @@
+"""Ingestion operators: forward returns, quantization, cleaning.
+
+Re-expresses the data-prep half of the reference (alphalens/utils.py) on
+Spark DataFrames. Input shapes (long format throughout — the reference's
+wide frames are pivots it needed for vectorized pandas; Spark windows make
+them unnecessary, see SURVEY.md §1.3):
+
+  prices : (date timestamp, asset, price double)        [ref utils.py:707-739, wide]
+  factor : (date timestamp, asset, factor double)       [ref utils.py:473-489, MultiIndex]
+  groupby: (asset, group)  or  (date, asset, group)     [ref utils.py:741-746]
+
+Output: the canonical ``factor_data`` long DataFrame
+  (date, asset, <one double col per period>, factor, group?, factor_quantile)
+mirroring ref utils.py:559-589.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from alphalens_spark.calendar_ import DAY_IDX, trading_calendar
+
+
+class MaxLossExceededError(Exception):
+    """Mirrors reference utils.py:30-31."""
+
+
+def period_label(k: int, freq: str = "D") -> str:
+    """'1D'-style horizon column label (ref utils.py:921-951 timedelta_to_string).
+
+    We label by trading-period count on the observed calendar; the
+    reference infers wall-clock labels by taking the mode of timestamp
+    diffs (utils.py:301-321) — same labels for regular calendars.
+    """
+    return f"{k}{freq}"
+
+
+def compute_forward_returns(
+    prices: DataFrame,
+    periods: Sequence[int] = (1, 5, 10),
+    cumulative_returns: bool = True,
+    calendar: DataFrame | None = None,
+    label_freq: str = "D",
+    date_col: str = "date",
+    asset_col: str = "asset",
+    price_col: str = "price",
+) -> DataFrame:
+    """k-period forward returns, row-positional on the price calendar.
+
+    Reference semantics (utils.py:286-293): on the WIDE price frame,
+    ``prices.pct_change(k).shift(-k)`` = ``p[t+k]/p[t] - 1`` where t+k is
+    the k-th next timestamp of the GLOBAL price date axis (missing asset
+    observations stay NaN — they are NOT skipped). Non-cumulative mode
+    (utils.py:290-293): ``p[t+k]/p[t+k-1] - 1``.
+
+    Spark plan: densify onto the (asset × calendar) grid, then one window
+    ``lead(price, k) over (partition by asset order by day_idx)`` per
+    period — a single shuffle by asset covers every horizon, vs one
+    self-join shuffle per horizon. The calendar dim is broadcast; the grid
+    is bounded by |assets|·|dates| (the reference materializes exactly this
+    grid as its wide frame).
+
+    Returns (date, asset, <label per period>) with rows only where the
+    base price exists (the reference reindexes back to factor dates later;
+    we keep the full price-date coverage and let the factor join prune).
+    """
+    cal = calendar if calendar is not None else trading_calendar(prices, date_col)
+    assets = prices.select(F.col(asset_col).alias("asset")).distinct()
+    grid = assets.crossJoin(
+        F.broadcast(cal.select(F.col("date").alias(date_col), DAY_IDX))
+    )
+    dense = grid.join(
+        prices.select(
+            F.col(date_col),
+            F.col(asset_col).alias("asset"),
+            F.col(price_col).alias("price"),
+        ),
+        on=[date_col, "asset"],
+        how="left",
+    )
+    w = Window.partitionBy("asset").orderBy(DAY_IDX)
+    cols = [F.col(date_col).alias("date"), F.col("asset"), F.col("price")]
+    for k in sorted(periods):
+        if cumulative_returns:
+            ret = F.lead("price", k).over(w) / F.col("price") - F.lit(1.0)
+        else:
+            ret = F.lead("price", k).over(w) / F.lead("price", k - 1).over(w) - F.lit(1.0)
+        cols.append(ret.alias(period_label(k, label_freq)))
+    return dense.select(*cols).where(F.col("price").isNotNull()).drop("price")
+
+
+def filter_returns_zscore(
+    fwd: DataFrame,
+    period_cols: Sequence[str],
+    zscore: float = 20.0,
+    asset_col: str = "asset",
+) -> DataFrame:
+    """Null-out per-asset outlier returns beyond ``zscore`` standard devs.
+
+    Reference utils.py:295-299: per asset over the FULL history (mean/std
+    of the whole column of the wide frame — docstring itself flags the
+    lookahead bias). Spark: unbounded window per asset, conditional null.
+    """
+    w = Window.partitionBy(asset_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = fwd
+    for c in period_cols:
+        mask = F.abs(F.col(c) - F.avg(c).over(w)) > F.lit(zscore) * F.stddev_samp(c).over(w)
+        out = out.withColumn(c, F.when(mask, F.lit(None)).otherwise(F.col(c)))
+    return out
+
+
+def _edge_based_labels(value: Column, edges: Column, n_bins: int) -> Column:
+    """Label 1..n assigned by comparing value to interpolated bin edges.
+
+    qcut/cut semantics: bins are right-closed, (e[j-1], e[j]], with the
+    first bin including its left edge. label = 1 + #{ j in 1..n-1 : x > e[j] }.
+    """
+    lab = F.lit(1)
+    for j in range(1, n_bins):
+        lab = lab + F.when(value > edges[j], 1).otherwise(0)
+    return F.when(value.isNotNull(), lab.cast("int"))
+
+
+def quantize_factor(
+    factor_data: DataFrame,
+    quantiles: int | Sequence[float] | None = 5,
+    bins: int | Sequence[float] | None = None,
+    by_group: bool = False,
+    zero_aware: bool = False,
+    date_col: str = "date",
+    group_col: str = "group",
+    factor_col: str = "factor",
+    out_col: str = "factor_quantile",
+    method: str = "edges",
+    tiebreak_col: str = "asset",
+    tiebreak_dp: int = 6,
+) -> DataFrame:
+    """Per-date (and optionally per-group) factor bucketing, labels 1..Q.
+
+    method='edges' (default) follows pandas qcut/cut semantics below.
+    method='ntile' (integer quantiles only) is the scale/cross-engine
+    path: ``ntile(Q) over (partition by date order by round(factor, dp),
+    tiebreak)`` — equal-count buckets decided by pure integer row
+    numbering over a deterministic total order, immune to the 1-ulp
+    percentile-interpolation differences that flip edge-comparison labels
+    between engines (and between runs at different parallelism).
+
+    Mirrors reference quantize_factor (utils.py:84-170), four modes:
+      quantiles=int       equal-frequency buckets (pd.qcut) — per-partition
+                          exact percentile edges, right-closed assignment
+      quantiles=sequence  explicit quantile fractions (utils.py:104-107)
+      bins=int            equal-width over per-partition min/max (pd.cut)
+      bins=sequence       explicit literal edges (utils.py:110-113)
+    zero_aware (utils.py:143-156): bucket positives into the top half and
+    negatives into the bottom half, each with its own quantile grid.
+    by_group (utils.py:162-167): adds ``group`` to the partition key.
+
+    All modes are pure window expressions — exact ``percentile`` (not
+    approx; qcut parity requires exact, SURVEY §4.3) over the per-date
+    partition, then arithmetic label assignment. Per-date partitions are
+    cross-sections (≤ #assets rows), so exact percentile is cheap and the
+    whole operator is one shuffle on the partition keys.
+
+    Ties that collapse edges: pandas raises 'Bin edges must be unique'
+    (utils.py:49-81) unless no_raise; here identical values simply share
+    the label of their bin — documented semantic delta (SQL-friendly,
+    deterministic, no driver round-trip).
+    """
+    if (quantiles is not None) == (bins is not None):
+        raise ValueError("exactly one of quantiles or bins must be provided")
+
+    keys = [date_col] + ([group_col] if by_group else [])
+    value = F.col(factor_col)
+
+    if method == "ntile":
+        if not isinstance(quantiles, int) or zero_aware:
+            raise ValueError("method='ntile' supports plain integer quantiles")
+        w = Window.partitionBy(*keys).orderBy(
+            F.round(value, tiebreak_dp), F.col(tiebreak_col)
+        )
+        label = F.when(value.isNotNull(), F.ntile(quantiles).over(w))
+        return factor_data.withColumn(out_col, label.cast("int"))
+
+    def edges_for(part_keys: list, fracs: Sequence[float]) -> Column:
+        w = Window.partitionBy(*part_keys)
+        return F.percentile(value, F.array(*[F.lit(float(x)) for x in fracs])).over(w)
+
+    if zero_aware:
+        if not isinstance(quantiles, int) and not isinstance(bins, int):
+            raise ValueError("zero_aware requires integer quantiles or bins")
+        n = quantiles if quantiles is not None else bins
+        if n % 2:
+            raise ValueError("zero_aware requires an even number of buckets")
+        half = n // 2
+        sign = F.when(value >= 0, F.lit(1)).otherwise(F.lit(0))
+        part = keys + [sign]
+        if quantiles is not None:
+            fracs = [i / half for i in range(half + 1)]
+            edges = F.percentile(value, F.array(*[F.lit(x) for x in fracs])).over(
+                Window.partitionBy(*part)
+            )
+            lab = _edge_based_labels(value, edges, half)
+        else:
+            w = Window.partitionBy(*part)
+            lab = _equal_width_labels(value, F.min(value).over(w), F.max(value).over(w), half)
+        label = F.when(value >= 0, lab + half).otherwise(lab)
+        return factor_data.withColumn(out_col, label.cast("int"))
+
+    if isinstance(quantiles, int):
+        fracs = [i / quantiles for i in range(quantiles + 1)]
+        label = _edge_based_labels(value, edges_for(keys, fracs), quantiles)
+    elif quantiles is not None:  # explicit fraction sequence
+        fracs = list(quantiles)
+        edges = edges_for(keys, fracs)
+        n = len(fracs) - 1
+        inside = (value >= edges[0]) & (value <= edges[n])
+        label = F.when(inside, _edge_based_labels(value, edges, n))
+    elif isinstance(bins, int):
+        w = Window.partitionBy(*keys)
+        label = _equal_width_labels(value, F.min(value).over(w), F.max(value).over(w), bins)
+    else:  # explicit edge sequence — out-of-range → null (ref tests test_utils.py:166-167)
+        edges_l = [float(x) for x in bins]
+        n = len(edges_l) - 1
+        lab = F.lit(1)
+        for j in range(1, n):
+            lab = lab + F.when(value > F.lit(edges_l[j]), 1).otherwise(0)
+        inside = (value > F.lit(edges_l[0])) & (value <= F.lit(edges_l[n]))
+        label = F.when(inside, lab.cast("int"))
+    return factor_data.withColumn(out_col, label.cast("int"))
+
+
+def _equal_width_labels(value: Column, vmin: Column, vmax: Column, b: int) -> Column:
+    """pd.cut(x, b) parity: b equal-width right-closed bins over [min, max].
+
+    pandas pads the range by 0.1% on the left so the minimum lands in bin 1
+    (ref utils.py:150 uses pd.cut defaults). With right-closed bins,
+    label = b - floor((max - x) / width * b) computed symmetrically:
+    we use ceil on the left-distance, clamping x==min into bin 1.
+    """
+    width = vmax - vmin
+    raw = F.ceil((value - vmin) / width * b)
+    lab = F.when(value.isNull() | width.isNull(), F.lit(None)).otherwise(
+        F.greatest(F.least(raw, F.lit(b)), F.lit(1))
+    )
+    # degenerate all-equal partition: width == 0 → single bin 1 (pandas cut
+    # errors here; we bucket to 1, deterministic and join-safe)
+    lab = F.when(width == 0, F.lit(1)).otherwise(lab)
+    return F.when(value.isNotNull(), lab.cast("int"))
+
+
+def demean_forward_returns(
+    factor_data: DataFrame,
+    period_cols: Sequence[str],
+    grouper: Sequence[str] = ("date",),
+) -> DataFrame:
+    """Cross-sectional demean of each returns column (ref utils.py:379-416).
+
+    ``x - avg(x) over (partition by date [, group])`` — one window, no
+    aggregation round-trip.
+    """
+    w = Window.partitionBy(*grouper)
+    out = factor_data
+    for c in period_cols:
+        out = out.withColumn(c, F.col(c) - F.avg(c).over(w))
+    return out
+
+
+def get_clean_factor(
+    factor: DataFrame,
+    forward_returns: DataFrame,
+    period_cols: Sequence[str],
+    groupby: DataFrame | None = None,
+    binning_by_group: bool = False,
+    quantiles: int | Sequence[float] | None = 5,
+    bins: int | Sequence[float] | None = None,
+    max_loss: float | None = 0.35,
+    zero_aware: bool = False,
+    quantize_method: str = "edges",
+) -> DataFrame:
+    """Join factor onto forward returns, attach groups, quantize, clean.
+
+    Mirrors reference get_clean_factor (utils.py:453-663):
+      1. finite-factor filter (utils.py:595)
+      2. inner join factor ⋈ forward_returns on (date, asset)
+         (the reference's index alignment + dropna, utils.py:597-627)
+      3. group attach: static (asset→group) via broadcast hash join,
+         time-varying via (date, asset) equi-join (utils.py:600-612)
+      4. quantize (utils.py:632-639) and drop unlabeled rows
+      5. loss accounting: three counts → MaxLossExceededError beyond
+         ``max_loss`` (utils.py:645-661). Counts are Spark actions; pass
+         max_loss=None to keep the pipeline fully lazy (no job until the
+         caller acts).
+    """
+    fac = factor.where(
+        F.col("factor").isNotNull() & ~F.isnan("factor") & ~F.col("factor").isin(
+            float("inf"), float("-inf")
+        )
+    )
+    initial = fac.count() if max_loss is not None else None
+
+    merged = forward_returns.join(fac, on=["date", "asset"], how="inner")
+
+    if groupby is not None:
+        if "date" in groupby.columns:
+            merged = merged.join(groupby, on=["date", "asset"], how="inner")
+        else:
+            merged = merged.join(F.broadcast(groupby), on="asset", how="inner")
+
+    merged = merged.na.drop(subset=list(period_cols))
+    after_fwd = merged.count() if max_loss is not None else None
+
+    quantized = quantize_factor(
+        merged,
+        quantiles=quantiles,
+        bins=bins,
+        by_group=binning_by_group,
+        zero_aware=zero_aware,
+        method=quantize_method,
+    ).where(F.col("factor_quantile").isNotNull())
+    if max_loss is not None:
+        final = quantized.count()
+        fwd_loss = 1.0 - after_fwd / initial if initial else 0.0
+        bin_loss = (after_fwd - final) / initial if initial else 0.0
+        total = fwd_loss + bin_loss
+        if total > max_loss:
+            raise MaxLossExceededError(
+                f"max_loss ({max_loss:.1%}) exceeded {total:.1%}, consider increasing it."
+            )
+    return quantized
+
+
+def get_clean_factor_and_forward_returns(
+    factor: DataFrame,
+    prices: DataFrame,
+    groupby: DataFrame | None = None,
+    binning_by_group: bool = False,
+    quantiles: int | Sequence[float] | None = 5,
+    bins: int | Sequence[float] | None = None,
+    periods: Sequence[int] = (1, 5, 10),
+    filter_zscore: float | None = 20.0,
+    max_loss: float | None = 0.35,
+    zero_aware: bool = False,
+    cumulative_returns: bool = True,
+    quantize_method: str = "edges",
+) -> DataFrame:
+    """The reference's single ingestion entry point (utils.py:666-841).
+
+    One lazy logical plan: forward returns (lead over the broadcast
+    calendar grid) → optional z-filter → inner join with factor →
+    group attach → quantize. Cache the result — every downstream metric
+    in :mod:`alphalens_spark.performance` consumes it (SURVEY §3.1).
+    """
+    period_cols = [period_label(k) for k in sorted(periods)]
+    fwd = compute_forward_returns(prices, periods, cumulative_returns)
+    if filter_zscore is not None:
+        fwd = filter_returns_zscore(fwd, period_cols, filter_zscore)
+    return get_clean_factor(
+        factor,
+        fwd,
+        period_cols,
+        groupby=groupby,
+        binning_by_group=binning_by_group,
+        quantiles=quantiles,
+        bins=bins,
+        max_loss=max_loss,
+        zero_aware=zero_aware,
+        quantize_method=quantize_method,
+    )
+
+
+def get_forward_returns_columns(columns: Sequence[str]) -> list[str]:
+    """Regex discovery of horizon columns (ref utils.py:898-918)."""
+    import re
+
+    pat = re.compile(r"^(\d+([Dhms]|ms|us|ns))+$")
+    return [c for c in columns if pat.match(c)]

@@ -1,0 +1,105 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs every __spark_entry__ query at the given SF, runs the matching oracle
+SQL in DuckDB over the same parquet, and compares row count, column names,
+and order-insensitive values (NaN≡NULL, floats to 6 dp).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return round(v, 6)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from alphalens_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:35s} rows-only: {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"{name:35s} ORACLE SQL ERROR: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            a = norm_rows(scols, srows)
+            b = norm_rows(ocols, orows)
+            if a != b:
+                n_bad = sum(1 for x, y in zip(a, b) if x != y)
+                problems.append(f"values differ in {n_bad}/{len(a)} rows")
+                for x, y in list(zip(a, b))[:2000]:
+                    if x != y:
+                        problems.append(f"  spark : {x}")
+                        problems.append(f"  oracle: {y}")
+                        break
+        if problems:
+            print(f"{name:35s} FAIL  " + "; ".join(problems[:3]))
+            failures.append(name)
+        else:
+            print(f"{name:35s} OK    ({len(srows)} rows)")
+    print()
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
