@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Mirrors the real usage pattern (SURVEY §3): ingestion builds the canonical
+factor_data once (cached — every tear-sheet metric reuses it, like the
+reference's single cleaned frame), then each metric query runs against the
+cache. Scale ops (dedup/similarity/text) run on their own tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pyspark.sql import functions as F
+
+    from alphalens_spark import datasets, performance as perf
+    from alphalens_spark.entry_queries import PERIOD_COLS
+    from alphalens_spark.scale import dedup, similarity, text
+    from alphalens_spark.session import get_spark
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # --- ingestion: build + materialize the canonical factor_data ---
+    fd = datasets.factor_data(spark, sf_dir)
+    fd = fd.persist()
+    timed("ingestion_factor_data", lambda: fd.count())
+
+    # --- metric queries over the cached factor_data ---
+    timed("mean_return_by_quantile",
+          lambda: perf.mean_return_by_quantile(fd, PERIOD_COLS).collect())
+    timed("factor_ic",
+          lambda: perf.factor_information_coefficient(fd, PERIOD_COLS).collect())
+    timed("factor_returns",
+          lambda: perf.factor_returns(fd, PERIOD_COLS).collect())
+    timed("factor_alpha_beta",
+          lambda: perf.factor_alpha_beta(fd, PERIOD_COLS).collect())
+    timed("quantile_turnover",
+          lambda: perf.quantile_turnover(fd, periods=(1, 5)).collect())
+    timed("rank_autocorr",
+          lambda: perf.factor_rank_autocorrelation(fd, 1).collect())
+    timed("event_study",
+          lambda: perf.average_cumulative_return_by_quantile(
+              fd, datasets.prices(spark, sf_dir), 2, 4, demeaned=False
+          ).collect())
+
+    # --- scale ops ---
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+    timed("minhash_lsh", lambda: dedup.minhash_lsh_duplicates(docs).count())
+    timed("doc_token_stats", lambda: text.token_stats(docs).count())
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    timed("embedding_topk", lambda: similarity.brute_force_topk(emb, queries, 5).count())
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "alphalens_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

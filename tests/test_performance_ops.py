@@ -1,0 +1,188 @@
+"""Golden-value tests for the performance metrics (hand-computed expected
+values following the reference test strategy, SURVEY §5 — e.g. scipy
+spearmanr tie semantics, demean/normalize weight algebra, positional
+turnover/autocorrelation alignment)."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphalens_spark import performance as perf
+from alphalens_spark.calendar_ import trading_calendar
+
+D = lambda i: dt.datetime(2020, 1, 1) + dt.timedelta(days=i)
+
+
+def _fd(spark, rows, extra=""):
+    """(date, asset, 1D, factor, factor_quantile) frame."""
+    schema = (
+        "date timestamp, asset string, `1D` double, factor double, factor_quantile int"
+        + extra
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ic_perfect_and_inverse(spark):
+    rows = [(D(0), a, r, f, 1) for a, f, r in
+            zip("ABCD", [1.0, 2.0, 3.0, 4.0], [0.1, 0.2, 0.3, 0.4])]
+    rows += [(D(1), a, r, f, 1) for a, f, r in
+             zip("ABCD", [1.0, 2.0, 3.0, 4.0], [0.4, 0.3, 0.2, 0.1])]
+    ic = {r["date"]: r["ic_1D"] for r in
+          perf.factor_information_coefficient(_fd(spark, rows), ["1D"]).collect()}
+    assert math.isclose(ic[D(0)], 1.0)
+    assert math.isclose(ic[D(1)], -1.0)
+
+
+def test_ic_average_tie_ranks_match_scipy(spark):
+    # scipy.stats.spearmanr([1,1,2,2],[1,2,3,4]) = 0.894427...
+    rows = [(D(0), a, r, f, 1) for a, f, r in
+            zip("ABCD", [1.0, 1.0, 2.0, 2.0], [1.0, 2.0, 3.0, 4.0])]
+    ic = perf.factor_information_coefficient(_fd(spark, rows), ["1D"]).collect()
+    assert math.isclose(ic[0]["ic_1D"], 2 / math.sqrt(5), rel_tol=1e-12)
+
+
+def test_factor_weights_demeaned(spark):
+    rows = [(D(0), a, 0.0, f, 1) for a, f in zip("ABCD", [1.0, 2.0, 3.0, 4.0])]
+    w = {r["asset"]: r["weights"] for r in
+         perf.factor_weights(_fd(spark, rows)).collect()}
+    assert w == {"A": -0.375, "B": -0.125, "C": 0.125, "D": 0.375}
+
+
+def test_factor_weights_equal_weight(spark):
+    rows = [(D(0), a, 0.0, f, 1) for a, f in zip("ABCD", [1.0, 2.0, 3.0, 4.0])]
+    w = {r["asset"]: r["weights"] for r in
+         perf.factor_weights(_fd(spark, rows), equal_weight=True).collect()}
+    assert w == {"A": -0.25, "B": -0.25, "C": 0.25, "D": 0.25}
+
+
+def test_factor_returns_golden(spark):
+    rows = [(D(0), a, r, f, 1) for a, f, r in
+            zip("ABCD", [1.0, 2.0, 3.0, 4.0], [0.1, 0.2, 0.3, 0.4])]
+    out = perf.factor_returns(_fd(spark, rows), ["1D"]).collect()
+    assert math.isclose(out[0]["ret_1D"], 0.125, rel_tol=1e-12)
+
+
+def test_factor_alpha_beta_closed_form(spark):
+    # universe mean return x_d; portfolio return y_d = 2·x_d + 0.01 exactly
+    xs = [0.01, 0.02, 0.03, 0.04]
+    rows = [(D(d), a, x, float(ord(a)), 1) for d, x in enumerate(xs) for a in "AB"]
+    rets = spark.createDataFrame(
+        [(D(d), 2 * x + 0.01) for d, x in enumerate(xs)],
+        "date timestamp, ret_1D double",
+    )
+    out = perf.factor_alpha_beta(
+        _fd(spark, rows), ["1D"], returns=rets, annualize=False
+    ).collect()[0]
+    assert math.isclose(out["beta_1D"], 2.0, rel_tol=1e-9)
+    assert math.isclose(out["alpha_1D"], 0.01, rel_tol=1e-9)
+
+
+def test_mean_return_by_quantile_two_level(spark):
+    rows = []
+    for d in range(2):
+        rows += [(D(d), a, r, 0.0, q) for a, r, q in
+                 zip("ABCD", [0.1, 0.2, 0.3, 0.4], [1, 1, 2, 2])]
+    out = {r["factor_quantile"]: r for r in
+           perf.mean_return_by_quantile(_fd(spark, rows), ["1D"], demeaned=False).collect()}
+    assert math.isclose(out[1]["mean_1D"], 0.15, rel_tol=1e-12)
+    assert math.isclose(out[2]["mean_1D"], 0.35, rel_tol=1e-12)
+    assert out[1]["count_1D"] == 2          # two dates
+    assert out[1]["std_1D"] == 0.0          # identical per-date means
+
+
+def test_mean_return_spread(spark):
+    rows = []
+    for d in range(2):
+        rows += [(D(d), a, r, 0.0, q) for a, r, q in
+                 zip("ABCD", [0.1, 0.2, 0.3, 0.4], [1, 1, 2, 2])]
+    by_date = perf.mean_return_by_quantile(
+        _fd(spark, rows), ["1D"], by_date=True, demeaned=False
+    )
+    out = perf.compute_mean_returns_spread(by_date, 2, 1, ["1D"]).collect()
+    assert len(out) == 2
+    for r in out:
+        assert math.isclose(r["spread_1D"], 0.2, rel_tol=1e-12)
+
+
+def test_quantile_turnover(spark):
+    # q1: {A,B} → {B,C}: one new name of two → 0.5
+    rows = [(D(0), "A", 0.0, 0.0, 1), (D(0), "B", 0.0, 0.0, 1),
+            (D(0), "C", 0.0, 0.0, 2), (D(0), "D", 0.0, 0.0, 2),
+            (D(1), "B", 0.0, 0.0, 1), (D(1), "C", 0.0, 0.0, 1),
+            (D(1), "A", 0.0, 0.0, 2), (D(1), "D", 0.0, 0.0, 2)]
+    out = {(r["factor_quantile"], r["date"]): r["turnover"] for r in
+           perf.quantile_turnover(_fd(spark, rows), periods=(1,)).collect()}
+    assert out == {(1, D(1)): 0.5, (2, D(1)): 0.5}
+
+
+def test_rank_autocorrelation_perfect(spark):
+    rows = [(D(d), a, 0.0, f, 1) for d in range(3)
+            for a, f in zip("ABCD", [1.0, 2.0, 3.0, 4.0])]
+    out = perf.factor_rank_autocorrelation(_fd(spark, rows), 1).collect()
+    assert len(out) == 2
+    for r in out:
+        assert math.isclose(r["autocorr"], 1.0, rel_tol=1e-12)
+
+
+def test_cumulative_returns(spark):
+    df = spark.createDataFrame(
+        [(D(0), 0.1), (D(1), -0.5), (D(2), 0.2)], "date timestamp, r double"
+    )
+    out = {r["date"]: r["cum_r"] for r in perf.cumulative_returns(df, "r").collect()}
+    assert math.isclose(out[D(0)], 0.1, rel_tol=1e-12)
+    assert math.isclose(out[D(1)], -0.45, rel_tol=1e-12)
+    assert math.isclose(out[D(2)], -0.34, rel_tol=1e-12)
+
+
+def test_average_cumulative_return_by_quantile(spark):
+    prices = spark.createDataFrame(
+        [(D(i), "A", float(2**i)) for i in range(5)],
+        "date timestamp, asset string, price double",
+    )
+    fd = _fd(spark, [(D(2), "A", 0.0, 0.0, 1)])
+    out = {r["offset"]: r["mean_ret"] for r in
+           perf.average_cumulative_return_by_quantile(
+               fd, prices, periods_before=1, periods_after=1, demeaned=False
+           ).collect()}
+    assert math.isclose(out[-1], -0.5)   # p1/p2 − 1
+    assert out[0] == 0.0
+    assert math.isclose(out[1], 1.0)     # p3/p2 − 1
+
+
+def test_positions_interval_join(spark):
+    weights = spark.createDataFrame(
+        [(D(0), "A", 1.0), (D(1), "A", 1.0)],
+        "date timestamp, asset string, weights double",
+    )
+    cal_src = spark.createDataFrame([(D(i),) for i in range(3)], "date timestamp")
+    cal = trading_calendar(cal_src)
+    out = {r["date"]: r["position"] for r in
+           perf.positions(weights, period=2, calendar=cal).collect()}
+    # D0 trade held D0,D1 at 1/2; D1 trade held D1,D2 at 1/2
+    assert out == {D(0): 0.5, D(1): 1.0, D(2): 0.5}
+
+
+def test_ic_by_group_and_group_adjust(spark):
+    rows = [(D(0), a, r, f, 1, g) for a, f, r, g in
+            zip("ABCD", [1.0, 2.0, 3.0, 4.0], [0.1, 0.2, 0.4, 0.3],
+                ["g1", "g1", "g2", "g2"])]
+    fd = _fd(spark, rows, extra=", group string")
+    out = {r["group"]: r["ic_1D"] for r in
+           perf.factor_information_coefficient(fd, ["1D"], by_group=True).collect()}
+    assert math.isclose(out["g1"], 1.0)
+    assert math.isclose(out["g2"], -1.0)
+
+
+def test_mean_ic_bucketing(spark):
+    rows = []
+    for d in range(40):  # spans two months
+        rows += [(D(d), a, r * (1 if d % 2 == 0 else -1), f, 1) for a, f, r in
+                 zip("ABCD", [1.0, 2.0, 3.0, 4.0], [0.1, 0.2, 0.3, 0.4])]
+    out = perf.mean_information_coefficient(
+        _fd(spark, rows), ["1D"], by_time="month"
+    ).collect()
+    assert len(out) == 2  # Jan + Feb buckets
+    for r in out:
+        assert abs(r["ic_1D"]) <= 1.0

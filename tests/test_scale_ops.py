@@ -1,0 +1,119 @@
+"""Tests for the scale extensions (dedup / similarity / text)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from alphalens_spark.scale import dedup, similarity, text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_duplicates(spark):
+    docs = _docs(spark, ["hello world", "goodbye", "hello world", "hello world"])
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_duplicates(docs).collect()}
+    assert out == {0: 3, 1: 1}
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    docs = _docs(spark, [base, base, "completely different text about spark engines " * 10])
+    out = dedup.minhash_lsh_duplicates(docs, threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["id_a"] == 0 and out[0]["id_b"] == 1
+    assert out[0]["est_jaccard"] == 1.0
+
+
+def test_minhash_near_duplicates_detected(spark):
+    words = ["w%d" % i for i in range(200)]
+    a = " ".join(words)
+    b = " ".join(words[:190] + ["x%d" % i for i in range(10)])  # ~90% overlap
+    docs = _docs(spark, [a, b])
+    out = dedup.minhash_lsh_duplicates(docs, threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["est_jaccard"] > 0.6
+
+
+def test_simhash_identical_equal_and_different_differ(spark):
+    docs = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta",
+                         "zeta eta theta iota kappa"])
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_ngram_jaccard_pairs(spark):
+    docs = _docs(spark, ["a b c d e", "a b c d e", "v w x y z"])
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_brute_force_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = similarity.brute_force_topk(corpus, queries, k=2).collect()
+    got = [(r["rnk"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rnk"])]
+    assert got == [(1, 3), (2, 1)]  # closest direction first, self excluded
+
+
+def test_lsh_topk_finds_same_bucket_neighbors(spark):
+    vecs = [(i, [1.0 + 0.01 * i] + [0.0] * 63) for i in range(5)]
+    vecs += [(100, [-1.0] + [0.0] * 63)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = similarity.lsh_topk(corpus, queries, k=3, bits=4, dim=64).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert ids <= {1, 2, 3, 4}  # opposite-direction vector lands elsewhere
+    assert len(ids) == 3
+
+
+def test_token_stats(spark):
+    docs = _docs(spark, ["a b b c", "xyz"])
+    out = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 4 and out[0]["n_distinct_tokens"] == 3
+    assert out[1]["n_tokens"] == 1
+
+
+def test_stopword_language_id(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog of the house", "en"),
+         (1, "xyzzy plugh foobar quux", "zz")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in text.stopword_language_id(docs).collect()}
+    assert out[0]["lang_guess"] == "en" and out[0]["n_stopwords"] == 5
+    assert out[1]["lang_guess"] == "other" and out[1]["n_stopwords"] == 0
+
+
+def test_quality_score_range(spark):
+    docs = _docs(spark, ["the quick brown fox jumps over a lazy dog again and again",
+                         "x"])
+    out = {r["doc_id"]: r["quality_score"] for r in text.quality_score(docs).collect()}
+    assert out[0] > out[1]
+    assert 0.0 <= out[1] <= out[0] <= 1.0
+
+
+def test_rolling_fingerprint_stable(spark):
+    docs = _docs(spark, ["some stable content here", "some stable content here",
+                         "other content"])
+    out = {r["doc_id"]: r["fingerprint"] for r in text.rolling_fingerprint(docs).collect()}
+    assert out[0] == out[1] != out[2]
+
+
+def test_token_count_bpe_ish(spark):
+    docs = _docs(spark, ["hello world", "pneumonoultramicroscopicsilicovolcanoconiosis"])
+    out = {r["doc_id"]: r["est_bpe_tokens"] for r in text.token_count_bpe_ish(docs).collect()}
+    assert out[0] == 2
+    assert out[1] > 1  # long word split by length correction

@@ -1,0 +1,195 @@
+"""Golden-value tests for calendar, forward returns, quantization.
+
+Fixtures follow the reference test strategy (SURVEY §5 / FIXTURES.md):
+geometric price series make every forward return closed-form
+(reference tests/test_performance.py:227-229), small integer factor
+patterns make quantile labels hand-checkable
+(reference tests/test_utils.py:122-186).
+"""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from alphalens_spark.calendar_ import infer_holidays, trading_calendar
+from alphalens_spark.utils import (
+    compute_forward_returns,
+    demean_forward_returns,
+    get_clean_factor_and_forward_returns,
+    get_forward_returns_columns,
+    quantize_factor,
+)
+
+D = lambda i: dt.datetime(2020, 1, 1) + dt.timedelta(days=i)
+
+
+def _prices_df(spark, n_days=10, ratios=None):
+    """price(asset, i) = ratio_asset ** i → k-period fwd ret = r**k − 1."""
+    ratios = ratios or {"A": 1.25, "B": 1.5, "C": 1.0, "D": 0.5}
+    rows = [
+        (D(i), a, float(r**i)) for i in range(n_days) for a, r in ratios.items()
+    ]
+    return spark.createDataFrame(rows, "date timestamp, asset string, price double")
+
+
+def test_trading_calendar_dense_numbering(spark):
+    df = spark.createDataFrame(
+        [(D(0),), (D(3),), (D(7),), (D(3),)], "date timestamp"
+    )
+    cal = {r["date"]: r["day_idx"] for r in trading_calendar(df).collect()}
+    assert cal == {D(0): 1, D(3): 2, D(7): 3}
+
+
+def test_infer_holidays(spark):
+    # two Mon-Fri weeks, first Wednesday missing → holiday; weekends are
+    # never-observed weekdays → NOT holidays (ref utils.py:196-210)
+    days = [dt.datetime(2020, 1, d) for d in (6, 7, 9, 10, 13, 14, 15, 16, 17)]
+    df = spark.createDataFrame([(d,) for d in days], "date timestamp")
+    hol = [r["holiday"] for r in infer_holidays(df).collect()]
+    assert hol == [dt.date(2020, 1, 8)]
+
+
+def test_forward_returns_geometric(spark):
+    fwd = compute_forward_returns(_prices_df(spark), periods=(1, 5)).collect()
+    for r in fwd:
+        i = (r["date"] - D(0)).days
+        ratio = {"A": 1.25, "B": 1.5, "C": 1.0, "D": 0.5}[r["asset"]]
+        for k, col in ((1, "1D"), (5, "5D")):
+            if i + k <= 9:
+                assert math.isclose(r[col], ratio**k - 1, rel_tol=1e-12), (r, col)
+            else:
+                assert r[col] is None  # beyond price history → null
+
+
+def test_forward_returns_missing_dates_not_skipped(spark):
+    # asset X has no price on D1: 1-period return from D0 must be NULL
+    # (row-positional on the global calendar, ref utils.py:286-293),
+    # NOT the D0→D2 return an order-by-existing-rows lead would give.
+    rows = [(D(0), "X", 100.0), (D(2), "X", 121.0), (D(0), "Y", 1.0),
+            (D(1), "Y", 2.0), (D(2), "Y", 3.0)]
+    df = spark.createDataFrame(rows, "date timestamp, asset string, price double")
+    fwd = {(r["date"], r["asset"]): r["1D"] for r in
+           compute_forward_returns(df, periods=(1,)).collect()}
+    assert fwd[(D(0), "X")] is None
+    assert math.isclose(fwd[(D(0), "Y")], 1.0)
+
+
+def test_forward_returns_non_cumulative(spark):
+    # ref utils.py:290-293 + golden tests/test_utils.py:105-120:
+    # p[t+k]/p[t+k-1] - 1; geometric series → always r - 1
+    fwd = compute_forward_returns(
+        _prices_df(spark), periods=(2,), cumulative_returns=False
+    ).collect()
+    for r in fwd:
+        i = (r["date"] - D(0)).days
+        if i + 2 <= 9:
+            ratio = {"A": 1.25, "B": 1.5, "C": 1.0, "D": 0.5}[r["asset"]]
+            assert math.isclose(r["2D"], ratio - 1, rel_tol=1e-12)
+
+
+def _factor_df(spark, values, dates=1, group=None):
+    rows = []
+    for d in range(dates):
+        for j, v in enumerate(values):
+            a = chr(ord("A") + j)
+            if group:
+                rows.append((D(d), a, float(v), group[j]))
+            else:
+                rows.append((D(d), a, float(v)))
+    schema = "date timestamp, asset string, factor double" + (
+        ", group string" if group else ""
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_quantize_qcut_parity(spark):
+    # pd.qcut([1..8], 4, labels=False)+1 == [1,1,2,2,3,3,4,4]
+    df = _factor_df(spark, [1, 2, 3, 4, 5, 6, 7, 8])
+    out = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(df, quantiles=4).collect()}
+    assert out == {"A": 1, "B": 1, "C": 2, "D": 2, "E": 3, "F": 3, "G": 4, "H": 4}
+
+
+def test_quantize_fraction_sequence(spark):
+    # qcut with edges [0,.25,.5,.75,1]: same as quantiles=4
+    df = _factor_df(spark, [10, 20, 30, 40])
+    out = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(df, quantiles=[0.0, 0.25, 0.5, 0.75, 1.0]).collect()}
+    assert out == {"A": 1, "B": 2, "C": 3, "D": 4}
+
+
+def test_quantize_equal_width_bins(spark):
+    # pd.cut([0,1,2,9], 3) → widths of 3: [1,1,1,3]
+    df = _factor_df(spark, [0, 1, 2, 9])
+    out = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(df, quantiles=None, bins=3).collect()}
+    assert out == {"A": 1, "B": 1, "C": 1, "D": 3}
+
+
+def test_quantize_explicit_edges_out_of_range_null(spark):
+    # ref tests/test_utils.py:166-167: values outside the edges → NaN
+    df = _factor_df(spark, [1, 5, 15, 100])
+    out = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(df, quantiles=None, bins=[0, 10, 20]).collect()}
+    assert out == {"A": 1, "B": 1, "C": 2, "D": None}
+
+
+def test_quantize_by_group(spark):
+    # per-group median split (ref tests/test_utils.py:127,174-175)
+    df = _factor_df(spark, [1, 2, 3, 4], group=["g1", "g1", "g2", "g2"])
+    out = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(df, quantiles=2, by_group=True).collect()}
+    assert out == {"A": 1, "B": 2, "C": 1, "D": 2}
+
+
+def test_quantize_zero_aware(spark):
+    # negatives → bottom half, positives → top half (ref utils.py:143-156)
+    df = _factor_df(spark, [-4, -3, -2, -1, 1, 2, 3, 4])
+    out = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(df, quantiles=4, zero_aware=True).collect()}
+    assert out == {"A": 1, "B": 1, "C": 2, "D": 2, "E": 3, "F": 3, "G": 4, "H": 4}
+
+
+def test_quantize_ntile_deterministic(spark):
+    df = _factor_df(spark, [5, 5, 5, 5])  # all tied → broken by asset
+    out = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(df, quantiles=4, method="ntile").collect()}
+    assert out == {"A": 1, "B": 2, "C": 3, "D": 4}
+
+
+def test_demean_forward_returns(spark):
+    df = spark.createDataFrame(
+        [(D(0), "A", 1.0), (D(0), "B", 3.0), (D(1), "A", 10.0), (D(1), "B", 30.0)],
+        "date timestamp, asset string, r double",
+    )
+    out = {(r["date"], r["asset"]): r["r"]
+           for r in demean_forward_returns(df, ["r"]).collect()}
+    assert out == {(D(0), "A"): -1.0, (D(0), "B"): 1.0,
+                   (D(1), "A"): -10.0, (D(1), "B"): 10.0}
+
+
+def test_get_clean_factor_and_forward_returns_end_to_end(spark):
+    prices = _prices_df(spark, n_days=8)
+    # factor = rank pattern per date over 4 assets, 6 factor dates
+    rows = [(D(d), a, float(v)) for d in range(6)
+            for a, v in zip("ABCD", [3, 4, 2, 1])]
+    factor = spark.createDataFrame(rows, "date timestamp, asset string, factor double")
+    groups = spark.createDataFrame(
+        [("A", "g1"), ("B", "g2"), ("C", "g1"), ("D", "g2")], "asset string, group string"
+    )
+    fd = get_clean_factor_and_forward_returns(
+        factor, prices, groupby=groups, quantiles=2, periods=(1,), max_loss=None
+    )
+    got = fd.orderBy("date", "asset").collect()
+    assert len(got) == 24  # 6 dates × 4 assets, nothing lost
+    assert set(fd.columns) == {"date", "asset", "1D", "factor", "group", "factor_quantile"}
+    r0 = {r["asset"]: r for r in got if r["date"] == D(0)}
+    assert r0["A"]["factor_quantile"] == 2 and r0["D"]["factor_quantile"] == 1
+    assert r0["A"]["group"] == "g1"
+    assert math.isclose(r0["B"]["1D"], 0.5)  # ratio 1.5 − 1
+
+
+def test_get_forward_returns_columns():
+    cols = ["1D", "5D", "1h", "3h", "factor", "group", "22ns", "D1"]
+    assert get_forward_returns_columns(cols) == ["1D", "5D", "1h", "3h", "22ns"]
