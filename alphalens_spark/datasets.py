@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # nano-precision timestamps arrive as long (see session.py nanosAsLong);
+    # truncate to microseconds — same as DuckDB's ns→µs cast
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
 
 
 def price_factor_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

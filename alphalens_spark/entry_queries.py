@@ -206,6 +206,117 @@ def q_cumulative_benchmark_log_return(spark: SparkSession, sf_dir: str) -> DataF
     return _finalize(out)
 
 
+def q_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average cumulative return path around factor observations."""
+    fd = _fd(spark, sf_dir)
+    out = perf.average_cumulative_return_by_quantile(
+        fd, datasets.prices(spark, sf_dir), periods_before=2, periods_after=4,
+        demeaned=False,
+    )
+    return _finalize(out.select("factor_quantile", "offset", "mean_ret", "std_ret", "count_ret"))
+
+
+def _fd_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fd = _fd(spark, sf_dir)
+    return fd.join(F.broadcast(datasets.groups(spark, sf_dir)), "asset")
+
+
+def q_mean_return_by_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fd = _fd_grouped(spark, sf_dir)
+    out = perf.mean_return_by_quantile(fd, PERIOD_COLS, by_group=True, demeaned=True)
+    return _finalize(
+        out.select(
+            "factor_quantile",
+            F.col("group").alias("group_name"),
+            F.col("mean_1D").alias("mean_1p"),
+            F.col("count_1D").alias("count_1p"),
+            F.col("mean_5D").alias("mean_5p"),
+            F.col("count_5D").alias("count_5p"),
+        )
+    )
+
+
+def q_ic_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fd = _fd_grouped(spark, sf_dir)
+    out = perf.mean_information_coefficient(fd, PERIOD_COLS, by_group=True)
+    return _finalize(
+        out.select(
+            F.col("group").alias("group_name"),
+            *[F.col(f"ic_{c}").alias(f"ic_{ALIAS[c]}") for c in PERIOD_COLS],
+        )
+    )
+
+
+def q_turnover_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean turnover per (quantile, period) — ref plotting.py:150-163."""
+    fd = _fd(spark, sf_dir)
+    t = perf.quantile_turnover(fd, periods=(1, 5))
+    out = t.groupBy("factor_quantile", "period").agg(
+        F.avg("turnover").alias("mean_turnover")
+    )
+    return _finalize(out)
+
+
+def q_forward_returns_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward returns with the per-asset z-score outlier filter applied."""
+    from alphalens_spark.utils import compute_forward_returns, filter_returns_zscore
+
+    fwd = compute_forward_returns(datasets.prices(spark, sf_dir), datasets.PERIODS)
+    fwd = filter_returns_zscore(fwd, PERIOD_COLS, zscore=1.0)
+    return _finalize(
+        fwd.select(
+            "date", "asset",
+            F.col("1D").alias("fwd_1p"), F.col("5D").alias("fwd_5p"),
+        )
+    )
+
+
+def q_quantize_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 4-bin labels (pd.cut mode) over the rounded factor."""
+    from alphalens_spark.utils import quantize_factor
+
+    fd = _fd(spark, sf_dir).withColumn("factor_r", F.round("factor", 6))
+    out = quantize_factor(
+        fd, quantiles=None, bins=4, factor_col="factor_r", out_col="bin_label"
+    )
+    return out.select("date", "asset", "bin_label")
+
+
+def q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portfolio holdings: each weight held 5 trading periods, overlaps
+    averaged (ref performance.py:355-450 rewritten as an interval join)."""
+    from alphalens_spark.calendar_ import trading_calendar
+
+    fd = _fd(spark, sf_dir)
+    weights = perf.factor_weights(fd).select("date", "asset", "weights")
+    cal = trading_calendar(datasets.prices(spark, sf_dir))
+    out = perf.positions(weights, period=5, calendar=cal)
+    return _finalize(out.select("date", "asset", F.col("position")))
+
+
+# ---- events-table ops ------------------------------------------------------
+
+def q_event_counts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event distribution (ref plotting.py:903-933)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+    return _finalize(out)
+
+
+def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + bucket aggregate over the events stream."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    out = (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+    )
+    return _finalize(out)
+
+
 # ---- scale extensions (documents / embeddings) ----------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +338,45 @@ def q_lang_stopword_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     return _finalize(stopword_language_id(docs))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alphalens_spark.scale.text import quality_score
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(quality_score(docs))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alphalens_spark.scale.dedup import ngram_jaccard_pairs
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.8, hash_grams=False)
+    return _finalize(out)
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alphalens_spark.scale.similarity import label_centroids
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return _finalize(label_centroids(emb))
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (no SQL oracle: xxhash64 signatures are
+    Spark-specific → driver records the weaker rows-only check)."""
+    from alphalens_spark.scale.dedup import minhash_lsh_duplicates
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(minhash_lsh_duplicates(docs, threshold=0.5))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: xxhash64 is Spark-specific)."""
+    from alphalens_spark.scale.dedup import simhash
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return simhash(docs)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,6 +568,185 @@ SELECT date,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
          AS cum_log_ret_1p
 FROM bench""",
+    "event_study_car": f"""{_P}
+SELECT f.factor_quantile, p2.day_idx - c.day_idx AS offset,
+       round(avg(p2.price / p0.price - 1), 6) AS mean_ret,
+       round(stddev_samp(p2.price / p0.price - 1), 6) AS std_ret,
+       count(*) AS count_ret
+FROM fd f
+JOIN cal c ON f.date = c.date
+JOIN px p0 ON p0.asset = f.asset AND p0.day_idx = c.day_idx
+JOIN px p2 ON p2.asset = f.asset
+          AND p2.day_idx BETWEEN c.day_idx - 2 AND c.day_idx + 4
+GROUP BY 1, 2""",
+    "mean_return_by_quantile_by_group": f"""{_P},
+grp AS (
+  SELECT s_suppkey AS asset, n_name AS group_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+dmg AS (
+  SELECT f.factor_quantile, g.group_name, f.date,
+         f.fwd_1p - avg(f.fwd_1p) OVER (PARTITION BY f.date) AS d1,
+         f.fwd_5p - avg(f.fwd_5p) OVER (PARTITION BY f.date) AS d5
+  FROM fd f JOIN grp g ON f.asset = g.asset
+),
+l1g AS (
+  SELECT factor_quantile, group_name, date, avg(d1) AS m1, avg(d5) AS m5
+  FROM dmg GROUP BY 1, 2, 3
+)
+SELECT factor_quantile, group_name,
+       round(avg(m1), 6) AS mean_1p, count(m1) AS count_1p,
+       round(avg(m5), 6) AS mean_5p, count(m5) AS count_5p
+FROM l1g GROUP BY 1, 2""",
+    "ic_by_group": f"""{_P},
+grp AS (
+  SELECT s_suppkey AS asset, n_name AS group_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+rkg AS (
+  SELECT f.date, g.group_name,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.factor)
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.factor) - 1) / 2.0 AS rf,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.fwd_1p)
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.fwd_1p) - 1) / 2.0 AS r1,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.fwd_5p)
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.fwd_5p) - 1) / 2.0 AS r5
+  FROM fd f JOIN grp g ON f.asset = g.asset
+),
+icg AS (
+  SELECT date, group_name, corr(rf, r1) AS ic_1p, corr(rf, r5) AS ic_5p
+  FROM rkg GROUP BY 1, 2
+)
+SELECT group_name, round(avg(ic_1p), 6) AS ic_1p, round(avg(ic_5p), 6) AS ic_5p
+FROM icg GROUP BY 1""",
+    "turnover_summary": f"""{_P},
+didx AS (
+  SELECT date, CAST(row_number() OVER (ORDER BY date) AS INT) AS di
+  FROM (SELECT DISTINCT date FROM fd) t
+),
+mem AS (
+  SELECT f.factor_quantile AS q, f.asset AS a, d.di, f.date
+  FROM fd f JOIN didx d ON f.date = d.date
+),
+t AS (
+  SELECT c.q, 1 AS period, c.date,
+         sum(CASE WHEN p.a IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS turnover
+  FROM mem c LEFT JOIN mem p ON p.q = c.q AND p.a = c.a AND p.di = c.di - 1
+  WHERE c.di > 1 GROUP BY c.q, c.date
+  UNION ALL
+  SELECT c.q, 5 AS period, c.date,
+         sum(CASE WHEN p.a IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS turnover
+  FROM mem c LEFT JOIN mem p ON p.q = c.q AND p.a = c.a AND p.di = c.di - 5
+  WHERE c.di > 5 GROUP BY c.q, c.date
+)
+SELECT q AS factor_quantile, period, round(avg(turnover), 6) AS mean_turnover
+FROM t GROUP BY 1, 2""",
+    "forward_returns_zscore": f"""{_P},
+zs AS (
+  SELECT date, asset, fwd_1p, fwd_5p,
+         avg(fwd_1p) OVER (PARTITION BY asset) AS m1,
+         stddev_samp(fwd_1p) OVER (PARTITION BY asset) AS s1,
+         avg(fwd_5p) OVER (PARTITION BY asset) AS m5,
+         stddev_samp(fwd_5p) OVER (PARTITION BY asset) AS s5
+  FROM fwd
+)
+SELECT date, asset,
+       round(CASE WHEN abs(fwd_1p - m1) > 1.0 * s1 THEN NULL ELSE fwd_1p END, 6) AS fwd_1p,
+       round(CASE WHEN abs(fwd_5p - m5) > 1.0 * s5 THEN NULL ELSE fwd_5p END, 6) AS fwd_5p
+FROM zs""",
+    "quantize_bins": f"""{_P},
+fr AS (SELECT date, asset, round(factor, 6) AS factor_r FROM clean),
+mm AS (
+  SELECT date, asset, factor_r,
+         min(factor_r) OVER (PARTITION BY date) AS mn,
+         max(factor_r) OVER (PARTITION BY date) AS mx
+  FROM fr
+)
+SELECT date, asset,
+       CAST(CASE WHEN mx = mn THEN 1
+            ELSE greatest(least(ceil((factor_r - mn) / (mx - mn) * 4), 4), 1)
+            END AS INT) AS bin_label
+FROM mm""",
+    "positions": f"""{_P},
+wts AS (
+  SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS fdm
+  FROM fd
+),
+wn AS (
+  SELECT date, asset,
+         fdm / NULLIF(sum(abs(fdm)) OVER (PARTITION BY date), 0) AS wt
+  FROM wts
+)
+SELECT h.date, w.asset, round(sum(w.wt / 5.0), 6) AS position
+FROM wn w
+JOIN cal c ON w.date = c.date
+JOIN cal h ON h.day_idx BETWEEN c.day_idx AND c.day_idx + 4
+GROUP BY 1, 2""",
+    "event_counts_daily": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2""",
+    "event_props_extract": """
+SELECT CAST(props->>'k' AS INT) % 10 AS k_bucket,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1""",
+    "quality_score": r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         len(list_distinct(toks)) / NULLIF(CAST(len(toks) AS DOUBLE), 0)
+           AS distinct_ratio,
+         len(list_filter(toks,
+             t -> list_contains(['the','a','and','of','to','in','is'], t)))
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0) AS stop_ratio,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           / NULLIF(n_chars, 0) AS non_alnum,
+         (n_chars - (CAST(len(toks) AS DOUBLE) - 1))
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0) AS mean_tok_len
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(mean_tok_len, 6) AS mean_token_len,
+       round(distinct_ratio, 6) AS distinct_token_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(non_alnum, 6) AS non_alnum_ratio,
+       round(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.25 ELSE 0 END
+           + CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 0.25 ELSE 0 END
+           + CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0 END
+           + CASE WHEN non_alnum <= 0.3 THEN 0.25 ELSE 0 END, 6) AS quality_score
+FROM feat""",
+    "ngram_jaccard": r"""
+WITH tok AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM tok
+),
+gx AS (SELECT id, len(grams) AS n, unnest(grams) AS gram FROM g),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+  FROM gx a JOIN gx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+FROM shared WHERE inter / (n_a + n_b - inter) >= 0.8""",
+    "embedding_centroids": """
+SELECT label, CAST(i AS INT) AS dim_idx,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY 1, 2""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY 1""",
@@ -489,8 +818,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_turnover": q_quantile_turnover,
     "rank_autocorr": q_rank_autocorr,
     "cumulative_benchmark_log_return": q_cumulative_benchmark_log_return,
+    "event_study_car": q_event_study_car,
+    "mean_return_by_quantile_by_group": q_mean_return_by_quantile_by_group,
+    "ic_by_group": q_ic_by_group,
+    "turnover_summary": q_turnover_summary,
+    "forward_returns_zscore": q_forward_returns_zscore,
+    "quantize_bins": q_quantize_bins,
+    "positions": q_positions,
+    "event_counts_daily": q_event_counts_daily,
+    "event_props_extract": q_event_props_extract,
     "dedup_exact": q_dedup_exact,
     "doc_token_stats": q_doc_token_stats,
     "lang_stopword_id": q_lang_stopword_id,
+    "quality_score": q_quality_score,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_centroids": q_embedding_centroids,
     "embedding_topk": q_embedding_topk,
+    # rows-only checks (Spark-specific hashing, no ANSI-SQL oracle)
+    "minhash_lsh_dups": q_minhash_lsh_dups,
+    "simhash": q_simhash,
 }

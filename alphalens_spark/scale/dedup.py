@@ -180,6 +180,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact token n-gram Jaccard for candidate pairs sharing ≥1 n-gram.
 
@@ -191,10 +192,14 @@ def ngram_jaccard_pairs(
     by a document-frequency cap at scale).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    gram = (
+        (lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+        if hash_grams  # 8-byte postings at scale; plain strings for oracles
+        else (lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))), gram
         )
     )
     g = docs.select(F.col(id_col).alias("id"), grams.alias("_g"), F.size(grams).alias("_n"))

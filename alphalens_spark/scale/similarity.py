@@ -68,6 +68,26 @@ def brute_force_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid in long format (label, dim_idx 1-based, centroid).
+
+    posexplode → groupBy(label, dim) avg: one shuffle keyed by
+    (label, dim) — uniform fan-out of |rows|·dim, the scalable shape for
+    wide vectors (no giant array aggregation on a single reducer).
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+    )
+    return (
+        ex.groupBy("label", (F.col("_pos") + 1).alias("dim_idx"))
+        .agg(F.avg(F.col("_x").cast("double")).alias("centroid"))
+    )
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     bits: int = 8,

@@ -26,6 +26,9 @@ def get_spark(app_name: str = "alphalens_spark", shuffle_partitions: int | None 
         # NULL (not error) on div-by-zero / overflow — matches both the
         # pandas reference (NaN propagation) and the DuckDB oracle
         .config("spark.sql.ansi.enabled", "false")
+        # driver testdata stores event timestamps as TIMESTAMP(NANOS);
+        # Spark has no nanos type — read as long, convert at the source
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
