@@ -1,0 +1,87 @@
+"""Streaming operators over an event-time factor / event stream.
+
+Each function takes a *streaming* DataFrame (``spark.readStream...``) and
+returns the transformed streaming DataFrame; the caller picks the sink
+(``writeStream``). All are also valid on batch DataFrames — the logical
+plans are identical, which is how the tests validate semantics
+(Trigger.AvailableNow vs batch equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_factor_stats(
+    factor_stream: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    date_col: str = "date",
+) -> DataFrame:
+    """Per-event-time-window cross-sectional factor statistics.
+
+    Tumbling window + watermark for late data: the streaming analogue of
+    the per-date groupBy that dominates the batch engine (SURVEY §2.4).
+    Output: (window, n, mean_factor, std_factor, min_factor, max_factor).
+    """
+    return (
+        factor_stream.withWatermark(date_col, watermark)
+        .groupBy(F.window(date_col, window).alias("win"))
+        .agg(
+            F.count("factor").alias("n"),
+            F.avg("factor").alias("mean_factor"),
+            F.stddev_samp("factor").alias("std_factor"),
+            F.min("factor").alias("min_factor"),
+            F.max("factor").alias("max_factor"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n", "mean_factor", "std_factor", "min_factor", "max_factor",
+        )
+    )
+
+
+def stream_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Windowed event distribution (streaming form of plotting.py:903-933)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), type_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(type_col),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def stream_running_quantile_counts(
+    quantized_stream: DataFrame,
+    watermark: str = "2 days",
+    window: str = "1 day",
+    date_col: str = "date",
+) -> DataFrame:
+    """Per-window membership counts per factor_quantile — the incremental
+    feed for turnover-style monitoring (batch engine recomputes membership
+    joins; the stream maintains the per-window counts as managed state)."""
+    return (
+        quantized_stream.withWatermark(date_col, watermark)
+        .groupBy(F.window(date_col, window).alias("win"), "factor_quantile")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.approx_count_distinct("asset").alias("n_assets"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"), "factor_quantile",
+            "n_members", "n_assets",
+        )
+    )

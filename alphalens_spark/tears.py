@@ -1,0 +1,141 @@
+"""Tear-sheet batch drivers — the reference's orchestration layer.
+
+Mirrors alphalens/tears.py: each "tear sheet" is a fixed DAG of metric
+queries over one cached factor_data (ref tears.py:488-526 fans out to the
+returns / information / turnover sub-sheets). Our sheets build every
+metric as a lazy DataFrame, then collect the (tiny) aggregate tables to
+pandas in one pass — the matplotlib layer of the reference could consume
+these verbatim (SURVEY §3.2: final tables are small → toPandas()).
+
+The reference's O(Q·P) loop of separate turnover passes (tears.py:443-452)
+is replaced by the single grouped query of
+:func:`alphalens_spark.performance.quantile_turnover`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+from alphalens_spark import performance as perf
+from alphalens_spark.utils import get_forward_returns_columns
+
+
+def _period_cols(factor_data: DataFrame) -> list[str]:
+    return get_forward_returns_columns(factor_data.columns)
+
+
+def create_returns_tear_sheet(
+    factor_data: DataFrame,
+    demeaned: bool = True,
+    group_adjust: bool = False,
+    collect: bool = True,
+) -> dict:
+    """Returns analysis (ref tears.py:178-344): factor returns, quantile
+    means (aggregate + by-date), alpha/beta, top-bottom spread."""
+    cols = _period_cols(factor_data)
+    quants = factor_data.agg(
+        perf.F.max("factor_quantile").alias("hi"), perf.F.min("factor_quantile").alias("lo")
+    ).first()
+    by_date = perf.mean_return_by_quantile(
+        factor_data, cols, by_date=True, demeaned=demeaned, group_adjust=group_adjust
+    )
+    out = {
+        "factor_returns": perf.factor_returns(factor_data, cols, demeaned, group_adjust),
+        "mean_return_by_quantile": perf.mean_return_by_quantile(
+            factor_data, cols, demeaned=demeaned, group_adjust=group_adjust
+        ),
+        "mean_return_by_quantile_by_date": by_date,
+        "alpha_beta": perf.factor_alpha_beta(
+            factor_data, cols, demeaned=demeaned, group_adjust=group_adjust
+        ),
+        "mean_returns_spread": perf.compute_mean_returns_spread(
+            by_date, quants["hi"], quants["lo"], cols
+        ),
+    }
+    return {k: v.toPandas() for k, v in out.items()} if collect else out
+
+
+def create_information_tear_sheet(
+    factor_data: DataFrame,
+    group_adjust: bool = False,
+    by_group: bool = False,
+    collect: bool = True,
+) -> dict:
+    """Information analysis (ref tears.py:347-406): daily IC, IC summary
+    stats, monthly mean IC heatmap table."""
+    cols = _period_cols(factor_data)
+    ic = perf.factor_information_coefficient(factor_data, cols, group_adjust, by_group=False)
+    out = {
+        "ic": ic,
+        "ic_summary": perf.ic_summary(ic, cols),
+        "mean_ic_monthly": perf.mean_information_coefficient(
+            factor_data, cols, group_adjust, by_group=False, by_time="month"
+        ),
+    }
+    if by_group:
+        out["ic_by_group"] = perf.mean_information_coefficient(
+            factor_data, cols, group_adjust, by_group=True
+        )
+    return {k: v.toPandas() for k, v in out.items()} if collect else out
+
+
+def create_turnover_tear_sheet(
+    factor_data: DataFrame,
+    periods: Sequence[int] | None = None,
+    collect: bool = True,
+) -> dict:
+    """Turnover analysis (ref tears.py:409-485): per-quantile turnover and
+    factor rank autocorrelation for every horizon."""
+    if periods is None:
+        periods = [
+            int("".join(ch for ch in c if ch.isdigit()))
+            for c in _period_cols(factor_data)
+        ]
+    turnover = perf.quantile_turnover(factor_data, periods=periods)
+    autocorr = None
+    for p in periods:
+        ac = perf.factor_rank_autocorrelation(factor_data, p)
+        autocorr = ac if autocorr is None else autocorr.unionByName(ac)
+    out = {
+        "quantile_turnover": turnover,
+        "turnover_summary": turnover.groupBy("factor_quantile", "period").agg(
+            perf.F.avg("turnover").alias("mean_turnover")
+        ),
+        "rank_autocorrelation": autocorr,
+    }
+    return {k: v.toPandas() for k, v in out.items()} if collect else out
+
+
+def create_full_tear_sheet(
+    factor_data: DataFrame,
+    demeaned: bool = True,
+    group_adjust: bool = False,
+    by_group: bool = False,
+    collect: bool = True,
+) -> dict:
+    """Everything (ref tears.py:488-526). factor_data should be cached by
+    the caller — every sub-sheet reuses it (SURVEY §3.1)."""
+    out = {}
+    out.update(create_returns_tear_sheet(factor_data, demeaned, group_adjust, collect))
+    out.update(create_information_tear_sheet(factor_data, group_adjust, by_group, collect))
+    out.update(create_turnover_tear_sheet(factor_data, collect=collect))
+    return out
+
+
+def create_event_returns_tear_sheet(
+    factor_data: DataFrame,
+    prices: DataFrame,
+    avgretplot: tuple[int, int] = (5, 15),
+    demeaned: bool = True,
+    collect: bool = True,
+) -> dict:
+    """Event-study sheet (ref tears.py:529-632)."""
+    before, after = avgretplot
+    out = {
+        "avg_cumulative_returns": perf.average_cumulative_return_by_quantile(
+            factor_data, prices, before, after, demeaned=demeaned
+        )
+    }
+    return {k: v.toPandas() for k, v in out.items()} if collect else out

@@ -1,0 +1,108 @@
+"""Streaming ops (AvailableNow trigger over file source) and multimodal
+column plumbing (mapInPandas feature extraction over binary payloads)."""
+
+import datetime as dt
+import tempfile
+
+from pyspark.sql import functions as F
+
+from alphalens_spark.scale import multimodal
+from alphalens_spark.streaming import stream_event_counts, stream_factor_stats
+
+D = lambda i: dt.datetime(2020, 1, 1) + dt.timedelta(days=i)
+
+
+def test_stream_factor_stats_matches_batch(spark):
+    rows = [(D(d), a, float(d * 10 + j)) for d in range(3)
+            for j, a in enumerate("ABCD")]
+    batch = spark.createDataFrame(rows, "date timestamp, asset string, factor double")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out_q = (
+            stream_factor_stats(stream, window="1 day", watermark="2 days")
+            .writeStream.format("memory")
+            .queryName("fstats")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        out_q.awaitTermination(120)
+        got = {
+            r["window_start"]: r
+            for r in spark.sql("SELECT * FROM fstats").collect()
+        }
+    assert len(got) == 3
+    d0 = got[D(0)]
+    assert d0["n"] == 4 and d0["mean_factor"] == 1.5
+    assert d0["min_factor"] == 0.0 and d0["max_factor"] == 3.0
+
+
+def test_stream_event_counts(spark):
+    rows = [(dt.datetime(2020, 1, 1, h, 15), "click" if h % 2 else "view", 1.0)
+            for h in range(6)]
+    batch = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            stream_event_counts(stream, window="1 hour")
+            .writeStream.format("memory")
+            .queryName("evc")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM evc").collect()
+    assert len(got) == 6  # one bucket per hour
+    assert all(r["n"] == 1 for r in got)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, "aaaa bbbb"), (1, "aaaa bbbb"), (2, "zzzzzzzz" * 300)],
+        "doc_id long, text string",
+    )
+
+
+def test_documents_as_media_schema(spark):
+    media = multimodal.documents_as_media(_docs(spark))
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[0]["n_bytes"] == 9 and rows[0]["mime"] == "text/plain"
+    assert bytes(rows[0]["payload"]).decode() == "aaaa bbbb"
+
+
+def test_decode_and_featurize_deterministic(spark):
+    media = multimodal.documents_as_media(_docs(spark))
+    feats = {r["media_id"]: list(r["feature"])
+             for r in multimodal.decode_and_featurize(media).collect()}
+    assert feats[0] == feats[1] != feats[2]     # same payload → same feature
+    assert len(feats[0]) == 16
+    assert abs(sum(feats[0]) - 1.0) < 1e-6      # L1-normalized histogram
+
+
+def test_decode_real_decoder_is_stubbed(spark):
+    media = multimodal.documents_as_media(_docs(spark))
+    try:
+        multimodal.decode_and_featurize(media, decoder="pil")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_sample_frames(spark):
+    media = multimodal.documents_as_media(_docs(spark))
+    frames = multimodal.sample_frames(media, every_n_bytes=1024, max_frames=4)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["media_id"], []).append(r)
+    assert len(got[0]) == 1          # small doc → single chunk
+    assert len(got[2]) == 2          # 2400 bytes → 2 sampled chunks
+    assert got[2][0]["offset"] == 0 and got[2][1]["offset"] == 1024
+    assert len(bytes(got[2][0]["chunk"])) == 1024

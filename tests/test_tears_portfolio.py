@@ -1,0 +1,86 @@
+"""Smoke + golden tests for the tear-sheet layer and pyfolio export
+(mirrors the reference's smoke-test strategy, tests/test_tears.py)."""
+
+import datetime as dt
+import math
+
+from alphalens_spark import portfolio, tears
+from alphalens_spark.calendar_ import trading_calendar
+from alphalens_spark.utils import get_clean_factor_and_forward_returns
+
+D = lambda i: dt.datetime(2020, 1, 1) + dt.timedelta(days=i)
+RATIOS = {"A": 1.25, "B": 1.5, "C": 1.0, "D": 0.5}
+
+
+def _factor_data(spark, n_days=12):
+    prices = spark.createDataFrame(
+        [(D(i), a, float(r**i)) for i in range(n_days) for a, r in RATIOS.items()],
+        "date timestamp, asset string, price double",
+    )
+    factor = spark.createDataFrame(
+        [(D(d), a, float(v)) for d in range(n_days - 2)
+         for a, v in zip("ABCD", [3, 4, 2, 1])],
+        "date timestamp, asset string, factor double",
+    )
+    groups = spark.createDataFrame(
+        [("A", "g1"), ("B", "g2"), ("C", "g1"), ("D", "g2")],
+        "asset string, group string",
+    )
+    fd = get_clean_factor_and_forward_returns(
+        factor, prices, groupby=groups, quantiles=2, periods=(1,), max_loss=None
+    )
+    return fd, prices
+
+
+def test_full_tear_sheet_smoke(spark):
+    fd, _ = _factor_data(spark)
+    fd = fd.persist()
+    sheets = tears.create_full_tear_sheet(fd, by_group=True)
+    expected = {
+        "factor_returns", "mean_return_by_quantile",
+        "mean_return_by_quantile_by_date", "alpha_beta", "mean_returns_spread",
+        "ic", "ic_summary", "mean_ic_monthly", "ic_by_group",
+        "quantile_turnover", "turnover_summary", "rank_autocorrelation",
+    }
+    assert expected <= set(sheets)
+    for name, pdf in sheets.items():
+        assert len(pdf) > 0, name
+    # constant factor pattern → rank autocorrelation exactly 1
+    assert all(abs(v - 1.0) < 1e-9 for v in sheets["rank_autocorrelation"]["autocorr"])
+
+
+def test_event_returns_tear_sheet_smoke(spark):
+    fd, prices = _factor_data(spark)
+    out = tears.create_event_returns_tear_sheet(fd, prices, avgretplot=(2, 3))
+    acr = out["avg_cumulative_returns"]
+    assert set(acr["offset"]) == set(range(-2, 4))
+
+
+def test_pyfolio_input(spark):
+    fd, prices = _factor_data(spark)
+    cal = trading_calendar(prices)
+    rets, positions, benchmark = portfolio.create_pyfolio_input(fd, cal)
+    r = rets.orderBy("date").collect()
+    assert len(r) == 10
+    p = positions.collect()
+    by_date = {}
+    for row in p:
+        by_date.setdefault(row["date"], {})[row["asset"]] = row["position"]
+    for d, holdings in by_date.items():
+        assert "cash" in holdings
+        # gross exposure + cash accounting: Σ|pos| = 1, cash = 1 − Σ|pos| = 0
+        gross = sum(abs(v) for a, v in holdings.items() if a != "cash")
+        assert math.isclose(gross, 1.0, rel_tol=1e-9)
+        assert abs(holdings["cash"]) < 1e-9
+    b = benchmark.collect()
+    assert len(b) == 10
+
+
+def test_factor_cumulative_returns_compounds(spark):
+    fd, _ = _factor_data(spark)
+    out = portfolio.factor_cumulative_returns(fd).orderBy("date").collect()
+    # cum_ret compounds the per-period returns
+    acc = 1.0
+    for row in out:
+        acc *= 1.0 + row["ret"]
+        assert math.isclose(row["cum_ret"], acc - 1.0, rel_tol=1e-9)
