@@ -156,15 +156,31 @@ def factor_data(spark: SparkSession, sf_dir: str, max_loss: float | None = None)
     Lazy end-to-end (max_loss=None skips the reference's loss-accounting
     counts, which are driver actions).
     """
-    from alphalens_spark.utils import get_clean_factor_and_forward_returns
+    from alphalens_spark.utils import (
+        compute_forward_returns,
+        get_clean_factor_and_forward_returns,
+        period_label,
+        quantize_factor,
+    )
 
     panel = price_factor_panel(spark, sf_dir)
-    return get_clean_factor_and_forward_returns(
-        factor=panel.select("date", "asset", "factor"),
-        prices=panel.select("date", "asset", "price"),
-        quantiles=5,
-        periods=PERIODS,
-        filter_zscore=None,
-        max_loss=max_loss,
-        quantize_method="ntile",
+    if max_loss is not None:
+        # reference-faithful path with loss accounting (driver actions)
+        return get_clean_factor_and_forward_returns(
+            factor=panel.select("date", "asset", "factor"),
+            prices=panel.select("date", "asset", "price"),
+            quantiles=5,
+            periods=PERIODS,
+            filter_zscore=None,
+            max_loss=max_loss,
+            quantize_method="ntile",
+        )
+    # fused fast path: factor rides through the forward-return grid
+    # (carry_cols) — one lineitem scan, one window shuffle, no
+    # factor⋈returns join; identical output to the general path
+    period_cols = [period_label(k) for k in sorted(PERIODS)]
+    fwd = compute_forward_returns(panel, PERIODS, carry_cols=["factor"])
+    clean = fwd.na.drop(subset=[*period_cols, "factor"])
+    return quantize_factor(clean, quantiles=5, method="ntile").where(
+        F.col("factor_quantile").isNotNull()
     )

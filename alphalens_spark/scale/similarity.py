@@ -48,10 +48,21 @@ def brute_force_topk(
     coalesces). Ranking ties broken by (rounded cosine desc, neighbor id)
     for determinism across engines.
     """
-    pairs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
-    ).join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("qv"), F.col("_v")) / (_norm(F.col("qv")) * _norm(F.col("_v")))
+    # hoist the norms: ||v|| once per corpus row and ||q|| once per query,
+    # instead of once per (query, neighbor) pair — the dot product is the
+    # only per-pair work left
+    corpus_n = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    queries_n = queries.select(
+        "query_id", "qv", _norm(F.col("qv")).alias("_qn")
+    )
+    pairs = corpus_n.join(
+        F.broadcast(queries_n), F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
     scored = pairs.select("query_id", "neighbor_id", cos.alias("cs"))
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cs"), 6).desc(), F.col("neighbor_id")

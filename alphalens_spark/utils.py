@@ -47,8 +47,15 @@ def compute_forward_returns(
     date_col: str = "date",
     asset_col: str = "asset",
     price_col: str = "price",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """k-period forward returns, row-positional on the price calendar.
+
+    carry_cols: extra columns of ``prices`` to carry through to the output
+    (e.g. a factor observed on the same panel row). When factor and price
+    come from one source, carrying fuses the whole ingestion into a single
+    scan + one window shuffle and removes the later (date, asset)
+    factor⋈returns join entirely.
 
     Reference semantics (utils.py:286-293): on the WIDE price frame,
     ``prices.pct_change(k).shift(-k)`` = ``p[t+k]/p[t] - 1`` where t+k is
@@ -77,12 +84,14 @@ def compute_forward_returns(
             F.col(date_col),
             F.col(asset_col).alias("asset"),
             F.col(price_col).alias("price"),
+            *[F.col(c) for c in carry_cols],
         ),
         on=[date_col, "asset"],
         how="left",
     )
     w = Window.partitionBy("asset").orderBy(DAY_IDX)
     cols = [F.col(date_col).alias("date"), F.col("asset"), F.col("price")]
+    cols += [F.col(c) for c in carry_cols]
     for k in sorted(periods):
         if cumulative_returns:
             ret = F.lead("price", k).over(w) / F.col("price") - F.lit(1.0)
