@@ -294,6 +294,90 @@ def q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out.select("date", "asset", F.col("position")))
 
 
+def q_forward_returns_noncumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-cumulative mode: p[t+k]/p[t+k−1] − 1 (ref utils.py:290-293)."""
+    from alphalens_spark.utils import compute_forward_returns
+
+    fwd = compute_forward_returns(
+        datasets.prices(spark, sf_dir), datasets.PERIODS, cumulative_returns=False
+    )
+    return _finalize(
+        fwd.select(
+            "date", "asset",
+            F.col("1D").alias("fwd_1p"), F.col("5D").alias("fwd_5p"),
+        )
+    )
+
+
+def q_quantize_zero_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zero_aware bucketing on the per-date demeaned factor
+    (ref utils.py:143-156): negatives → bottom half, positives → top half.
+
+    Runs on the ROUNDED demeaned factor so the sign and the per-sign
+    percentile edges are bit-identical across engines; within-sign edges
+    come from interpolation of identical rounded doubles.
+    """
+    from pyspark.sql import Window
+
+    from alphalens_spark.utils import quantize_factor
+
+    fd = _fd(spark, sf_dir)
+    wd = Window.partitionBy("date")
+    fd = fd.withColumn("factor_dm", F.round(F.col("factor") - F.avg("factor").over(wd), 6))
+    out = quantize_factor(
+        fd, quantiles=4, zero_aware=True, factor_col="factor_dm", out_col="za_quantile"
+    )
+    return out.select("date", "asset", "za_quantile")
+
+
+def q_cumulative_return_by_quantile_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (log-space) compounded mean 1-period return per quantile
+    (ref plotting.py:792-794 cumulates per-quantile daily mean returns)."""
+    from pyspark.sql import Window
+
+    fd = _fd(spark, sf_dir)
+    daily = fd.groupBy("factor_quantile", "date").agg(F.avg("1D").alias("qret"))
+    w = Window.partitionBy("factor_quantile").orderBy("date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = daily.select(
+        "factor_quantile", "date",
+        F.sum(F.log1p("qret")).over(w).alias("cum_log_ret_1p"),
+    )
+    return _finalize(out)
+
+
+def q_returns_table_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns summary in basis points (ref plotting.py:134-147: top/bottom
+    quantile mean returns ×10⁴, DECIMAL_TO_BPS plotting.py:31)."""
+    fd = _fd(spark, sf_dir)
+    from alphalens_spark.utils import demean_forward_returns
+
+    dm = demean_forward_returns(fd, PERIOD_COLS)
+    agg = dm.groupBy("factor_quantile").agg(
+        *[F.avg(c).alias(f"m_{c}") for c in PERIOD_COLS]
+    )
+    hi_lo = agg.agg(
+        F.max("factor_quantile").alias("hi"), F.min("factor_quantile").alias("lo")
+    )
+    j = agg.crossJoin(F.broadcast(hi_lo))
+    out = j.where(
+        (F.col("factor_quantile") == F.col("hi")) | (F.col("factor_quantile") == F.col("lo"))
+    ).select(
+        "factor_quantile",
+        *[(F.col(f"m_{c}") * 10000).alias(f"bps_{ALIAS[c]}") for c in PERIOD_COLS],
+    )
+    return _finalize(out)
+
+
+def q_infer_holidays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-gap inference over ship dates (ref utils.py:173-213)."""
+    from alphalens_spark.calendar_ import infer_holidays
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return infer_holidays(li.select(F.col("l_shipdate").alias("date")))
+
+
 # ---- events-table ops ------------------------------------------------------
 
 def q_event_counts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,6 +766,63 @@ FROM wn w
 JOIN cal c ON w.date = c.date
 JOIN cal h ON h.day_idx BETWEEN c.day_idx AND c.day_idx + 4
 GROUP BY 1, 2""",
+    "forward_returns_noncumulative": f"""{_P}
+SELECT b.date, b.asset,
+       round(f1.price / b.price - 1, 6) AS fwd_1p,
+       round(f5.price / f4.price - 1, 6) AS fwd_5p
+FROM px b
+LEFT JOIN px f1 ON f1.asset = b.asset AND f1.day_idx = b.day_idx + 1
+LEFT JOIN px f4 ON f4.asset = b.asset AND f4.day_idx = b.day_idx + 4
+LEFT JOIN px f5 ON f5.asset = b.asset AND f5.day_idx = b.day_idx + 5""",
+    "quantize_zero_aware": f"""{_P},
+za AS (
+  SELECT date, asset,
+         round(factor - avg(factor) OVER (PARTITION BY date), 6) AS fdm
+  FROM fd
+),
+ed AS (
+  SELECT date, asset, fdm,
+         quantile_cont(fdm, 0.5) OVER (
+             PARTITION BY date, CASE WHEN fdm >= 0 THEN 1 ELSE 0 END) AS med
+  FROM za
+)
+SELECT date, asset,
+       CAST(CASE WHEN fdm >= 0
+                 THEN 3 + (CASE WHEN fdm > med THEN 1 ELSE 0 END)
+                 ELSE 1 + (CASE WHEN fdm > med THEN 1 ELSE 0 END)
+            END AS INT) AS za_quantile
+FROM ed""",
+    "cumulative_return_by_quantile_log": f"""{_P},
+qd AS (SELECT factor_quantile, date, avg(fwd_1p) AS qret FROM fd GROUP BY 1, 2)
+SELECT factor_quantile, date,
+       round(sum(ln(1 + qret)) OVER (PARTITION BY factor_quantile ORDER BY date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_log_ret_1p
+FROM qd""",
+    "returns_table_bps": f"""{_P},
+dmx AS (
+  SELECT factor_quantile,
+         fwd_1p - avg(fwd_1p) OVER (PARTITION BY date) AS d1,
+         fwd_5p - avg(fwd_5p) OVER (PARTITION BY date) AS d5
+  FROM fd
+),
+aggq AS (SELECT factor_quantile, avg(d1) AS m1, avg(d5) AS m5 FROM dmx GROUP BY 1)
+SELECT factor_quantile,
+       round(m1 * 10000, 6) AS bps_1p, round(m5 * 10000, 6) AS bps_5p
+FROM aggq
+WHERE factor_quantile = (SELECT max(factor_quantile) FROM aggq)
+   OR factor_quantile = (SELECT min(factor_quantile) FROM aggq)""",
+    "infer_holidays": """
+WITH days AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem),
+dows AS (SELECT DISTINCT dayofweek(d) AS dow FROM days),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM days),
+allday AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+cand AS (SELECT a.d FROM allday a JOIN dows w ON dayofweek(a.d) = w.dow)
+SELECT c.d AS holiday FROM cand c LEFT JOIN days x ON c.d = x.d
+WHERE x.d IS NULL""",
     "event_counts_daily": """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(*) AS n, round(avg(value), 6) AS avg_value
@@ -825,6 +966,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forward_returns_zscore": q_forward_returns_zscore,
     "quantize_bins": q_quantize_bins,
     "positions": q_positions,
+    "forward_returns_noncumulative": q_forward_returns_noncumulative,
+    "quantize_zero_aware": q_quantize_zero_aware,
+    "cumulative_return_by_quantile_log": q_cumulative_return_by_quantile_log,
+    "returns_table_bps": q_returns_table_bps,
+    "infer_holidays": q_infer_holidays,
     "event_counts_daily": q_event_counts_daily,
     "event_props_extract": q_event_props_extract,
     "dedup_exact": q_dedup_exact,
