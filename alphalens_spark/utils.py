@@ -382,6 +382,56 @@ def get_clean_factor_and_forward_returns(
     )
 
 
+def rate_of_return(df: DataFrame, period_cols: Sequence[str], base_period: int = 1) -> DataFrame:
+    """Convert multi-period returns to one-period rates:
+    ``(1 + r)^(base/k) − 1`` (ref utils.py:844-871, applied tears.py:93-95).
+    """
+    out_cols = []
+    for f in df.schema.fields:
+        if f.name in period_cols:
+            k = int("".join(ch for ch in f.name if ch.isdigit()))
+            conv = F.pow(F.lit(1.0) + F.col(f.name), F.lit(base_period / k)) - F.lit(1.0)
+            out_cols.append(conv.alias(f.name))
+        else:
+            out_cols.append(F.col(f.name))
+    return df.select(*out_cols)
+
+
+def std_conversion(df: DataFrame, period_cols: Sequence[str], base_period: int = 1) -> DataFrame:
+    """Scale multi-period standard errors to one-period:
+    ``std / sqrt(k / base)`` (ref utils.py:874-895, applied tears.py:105-113).
+    """
+    out_cols = []
+    for f in df.schema.fields:
+        if f.name in period_cols:
+            k = int("".join(ch for ch in f.name if ch.isdigit()))
+            out_cols.append((F.col(f.name) / F.sqrt(F.lit(k / base_period))).alias(f.name))
+        else:
+            out_cols.append(F.col(f.name))
+    return df.select(*out_cols)
+
+
+def backshift_returns_series(
+    returns: DataFrame, n: int, calendar: DataFrame, ret_cols: Sequence[str]
+) -> DataFrame:
+    """Shift a (date, asset)-keyed frame back N trading dates
+    (ref utils.py:346-376): equi-join on ``day_idx + N`` over the calendar
+    dim — the day_idx form of the reference's positional reindex."""
+    from alphalens_spark.calendar_ import with_day_idx
+
+    r = with_day_idx(returns, calendar)
+    shifted = r.select(
+        "asset",
+        (F.col(DAY_IDX) + n).alias(DAY_IDX),
+        *[F.col(c).alias(f"{c}_shifted") for c in ret_cols],
+    )
+    cal = calendar.select("date", DAY_IDX)
+    return (
+        shifted.join(F.broadcast(cal), DAY_IDX)
+        .select("date", "asset", *[f"{c}_shifted" for c in ret_cols])
+    )
+
+
 def get_forward_returns_columns(columns: Sequence[str]) -> list[str]:
     """Regex discovery of horizon columns (ref utils.py:898-918)."""
     import re

@@ -47,6 +47,9 @@ def main() -> int:
 
     spark = get_spark("oracle_check")
     con = duckdb.connect()
+    # keep DuckDB spill out of the repo cwd (defaults to ./.tmp) and bounded
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
