@@ -362,34 +362,34 @@ def quantile_turnover(
     )
     if quantile is not None:
         mem = mem.where(F.col("factor_quantile") == quantile)
-    outs = []
-    for p in periods:
-        prev = mem.select(
-            F.col("factor_quantile").alias("_q"),
-            F.col("asset").alias("_a"),
-            (F.col("_didx") + p).alias("_t"),
+    # ONE join for every period: replicate the current side per period
+    # (explode of a tiny literal array), probe membership at didx - p.
+    # O(P) separate passes (the reference's loop shape) become a single
+    # shuffle join + one grouped aggregation.
+    per = F.explode(F.array(*[F.lit(int(p)) for p in periods])).alias("period")
+    cur = mem.select("factor_quantile", "asset", "date", "_didx", per).where(
+        F.col("_didx") > F.col("period")
+    )
+    prev = mem.select(
+        F.col("factor_quantile").alias("_q"),
+        F.col("asset").alias("_a"),
+        F.col("_didx").alias("_pidx"),
+    )
+    joined = cur.join(
+        prev,
+        (F.col("factor_quantile") == F.col("_q"))
+        & (F.col("asset") == F.col("_a"))
+        & (F.col("_didx") - F.col("period") == F.col("_pidx")),
+        "left",
+    )
+    return (
+        joined.groupBy("factor_quantile", "period", "date")
+        .agg(
+            (F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0)) / F.count(F.lit(1)))
+            .alias("turnover")
         )
-        cur = mem.join(
-            prev,
-            (F.col("factor_quantile") == F.col("_q"))
-            & (F.col("asset") == F.col("_a"))
-            & (F.col("_didx") == F.col("_t")),
-            "left",
-        )
-        t = (
-            cur.where(F.col("_didx") > p)
-            .groupBy("factor_quantile", "date")
-            .agg(
-                (F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0)) / F.count(F.lit(1)))
-                .alias("turnover")
-            )
-            .withColumn("period", F.lit(p))
-        )
-        outs.append(t.select("factor_quantile", "period", "date", "turnover"))
-    result = outs[0]
-    for t in outs[1:]:
-        result = result.unionByName(t)
-    return result
+        .select("factor_quantile", "period", "date", "turnover")
+    )
 
 
 def factor_rank_autocorrelation(

@@ -124,6 +124,63 @@ def create_full_tear_sheet(
     return out
 
 
+def create_summary_tear_sheet(factor_data: DataFrame, collect: bool = True) -> dict:
+    """Cheaper subset (ref tears.py:61-175): quantile stats, aggregate
+    quantile returns, IC summary, turnover summary."""
+    from pyspark.sql import Window
+
+    cols = _period_cols(factor_data)
+    qstats = factor_data.groupBy("factor_quantile").agg(
+        perf.F.min("factor").alias("min_factor"),
+        perf.F.max("factor").alias("max_factor"),
+        perf.F.avg("factor").alias("mean_factor"),
+        perf.F.stddev_samp("factor").alias("std_factor"),
+        perf.F.count("factor").alias("count_factor"),
+    ).withColumn(
+        "count_pct",
+        perf.F.col("count_factor")
+        / perf.F.sum("count_factor").over(Window.partitionBy()) * 100.0,
+    )
+    ic = perf.factor_information_coefficient(factor_data, cols)
+    out = {
+        "quantile_stats": qstats,
+        "mean_return_by_quantile": perf.mean_return_by_quantile(factor_data, cols),
+        "ic_summary": perf.ic_summary(ic, cols),
+        "turnover_summary": perf.quantile_turnover(factor_data, periods=(1,))
+        .groupBy("factor_quantile", "period")
+        .agg(perf.F.avg("turnover").alias("mean_turnover")),
+    }
+    return {k: v.toPandas() for k, v in out.items()} if collect else out
+
+
+def create_event_study_tear_sheet(
+    factor_data: DataFrame,
+    prices: DataFrame,
+    avgretplot: tuple[int, int] = (5, 15),
+    collect: bool = True,
+) -> dict:
+    """Event-study sheet (ref tears.py:635-732): event distribution per
+    time bucket + unweighted (demeaned=False / equal-weight) returns
+    analysis + average cumulative return paths."""
+    cols = _period_cols(factor_data)
+    dist = factor_data.groupBy(perf.F.date_trunc("month", "date").alias("month")).agg(
+        perf.F.count(perf.F.lit(1)).alias("n_events")
+    )
+    out = {
+        "event_distribution": dist,
+        "avg_cumulative_returns": perf.average_cumulative_return_by_quantile(
+            factor_data, prices, avgretplot[0], avgretplot[1], demeaned=False
+        ),
+        "mean_return_by_quantile": perf.mean_return_by_quantile(
+            factor_data, cols, demeaned=False
+        ),
+        "factor_returns_equal_weight": perf.factor_returns(
+            factor_data, cols, demeaned=False, equal_weight=True
+        ),
+    }
+    return {k: v.toPandas() for k, v in out.items()} if collect else out
+
+
 def create_event_returns_tear_sheet(
     factor_data: DataFrame,
     prices: DataFrame,

@@ -32,6 +32,9 @@ def main() -> None:
     from alphalens_spark.session import get_spark
 
     spark = get_spark("bench")
+    # warm the JVM/codegen path once so timings measure queries, not
+    # executor startup (the pandas baseline pays no analogous cost)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
 
     def timed(name, fn):
