@@ -45,8 +45,22 @@ def _finalize(df: DataFrame, dp: int = ROUND_DP) -> DataFrame:
     return df.select(*cols)
 
 
+_FD_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _fd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return datasets.factor_data(spark, sf_dir)
+    """Canonical factor_data, persisted per (session, sf_dir).
+
+    Self-referencing operators (turnover membership join, autocorr lag
+    join, the date-index dim) would otherwise re-derive the whole
+    ingestion pipeline once per plan branch — the cache collapses those
+    branches into one materialization (~20 MB at sf0.1), mirroring the
+    reference's single cleaned frame (SURVEY §3.1 "cache factor_data").
+    """
+    key = (id(spark), sf_dir)
+    if key not in _FD_CACHE:
+        _FD_CACHE[key] = datasets.factor_data(spark, sf_dir).persist()
+    return _FD_CACHE[key]
 
 
 # --------------------------------------------------------------------------
