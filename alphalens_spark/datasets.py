@@ -29,9 +29,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # truncate to microseconds — same as DuckDB's ns→µs cast
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer DIV, not `/`: ns epochs exceed 2^53, double division
+            # would round the microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

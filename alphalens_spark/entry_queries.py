@@ -415,6 +415,56 @@ def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out)
 
 
+def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user: lag window →
+    boundary flag → running sum = session id → per-session stats. The
+    classic event-stream operator the batch engine shares with the
+    streaming path (applyInPandasWithState would maintain the same state
+    incrementally)."""
+    from pyspark.sql import Window
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+    new_s = F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
+    s = ev.withColumn("_new", new_s).withColumn(
+        "session_id", F.sum("_new").over(wu).cast("long")
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def q_event_type_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregation per event type."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(
+        ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+def q_ic_group_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-neutral IC: demean returns within (date, group) before
+    ranking (ref performance.py:65-67 group_adjust)."""
+    fd = _fd_grouped(spark, sf_dir)
+    ic = perf.factor_information_coefficient(fd, PERIOD_COLS, group_adjust=True)
+    return _finalize(
+        ic.select(
+            "date",
+            *[F.col(f"ic_{c}").alias(f"ic_{ALIAS[c]}") for c in PERIOD_COLS],
+        )
+    )
+
+
 # ---- scale extensions (documents / embeddings) ----------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,6 +887,54 @@ allday AS (
 cand AS (SELECT a.d FROM allday a JOIN dows w ON dayofweek(a.d) = w.dow)
 SELECT c.d AS holiday FROM cand c LEFT JOIN days x ON c.d = x.d
 WHERE x.d IS NULL""",
+    "event_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id))
+                  > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM e
+),
+s2 AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s2 GROUP BY 1, 2""",
+    "event_type_user_stats": """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1""",
+    "ic_group_adjusted": f"""{_P},
+grp AS (
+  SELECT s_suppkey AS asset, n_name AS group_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+ga AS (
+  SELECT f.date, f.factor,
+         f.fwd_1p - avg(f.fwd_1p) OVER (PARTITION BY f.date, g.group_name) AS a1,
+         f.fwd_5p - avg(f.fwd_5p) OVER (PARTITION BY f.date, g.group_name) AS a5
+  FROM fd f JOIN grp g ON f.asset = g.asset
+),
+rka AS (
+  SELECT date,
+         rank() OVER (PARTITION BY date ORDER BY factor)
+           + (count(*) OVER (PARTITION BY date, factor) - 1) / 2.0 AS rf,
+         rank() OVER (PARTITION BY date ORDER BY a1)
+           + (count(*) OVER (PARTITION BY date, a1) - 1) / 2.0 AS r1,
+         rank() OVER (PARTITION BY date ORDER BY a5)
+           + (count(*) OVER (PARTITION BY date, a5) - 1) / 2.0 AS r5
+  FROM ga
+)
+SELECT date, round(corr(rf, r1), 6) AS ic_1p, round(corr(rf, r5), 6) AS ic_5p
+FROM rka GROUP BY date""",
     "event_counts_daily": """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(*) AS n, round(avg(value), 6) AS avg_value
@@ -987,6 +1085,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "infer_holidays": q_infer_holidays,
     "event_counts_daily": q_event_counts_daily,
     "event_props_extract": q_event_props_extract,
+    "event_sessionize": q_event_sessionize,
+    "event_type_user_stats": q_event_type_user_stats,
+    "ic_group_adjusted": q_ic_group_adjusted,
     "dedup_exact": q_dedup_exact,
     "doc_token_stats": q_doc_token_stats,
     "lang_stopword_id": q_lang_stopword_id,
