@@ -95,6 +95,7 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
@@ -134,7 +135,11 @@ def minhash_lsh_duplicates(
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
-    pairs = cand.join(sa, "id_a").join(sb, "id_b")
+    # candidate pairs ≈ actual near-dups ≪ corpus — broadcast them into the
+    # signature lookups so the big side never shuffles. Disable for corpora
+    # where the candidate set itself is huge (then AQE picks SMJ/SHJ).
+    cand_side = F.broadcast(cand) if broadcast_candidates else cand
+    pairs = sa.join(cand_side, "id_a").join(sb, "id_b")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )

@@ -13,4 +13,5 @@ from alphalens_spark.streaming.ops import (  # noqa: F401
     stream_event_counts,
     stream_factor_stats,
     stream_running_quantile_counts,
+    stream_sessionize,
 )

@@ -64,6 +64,77 @@ def stream_event_counts(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Stateful gap-based sessionization with ``applyInPandasWithState``.
+
+    The custom-stateful-operator escape hatch (SURVEY steering): per-user
+    state holds the open session (start, end, count); each micro-batch
+    merges its events in timestamp order, EMITS sessions closed by a
+    ``gap_minutes`` silence, and keeps the still-open session in state
+    for the next batch. Batch-mode equivalent: the window/running-sum
+    plan of ``entry_queries.q_event_sessionize`` — the state here computes
+    the same partition incrementally.
+
+    Output (append mode): (user_id, session_start, session_end, n_events)
+    for CLOSED sessions only.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "session_start long, session_end long, n_events long"
+
+    def fn(key, pdfs, state: GroupState):
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col]))
+        ts_us.sort()
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        closed = []
+        for t in ts_us:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end > gap_us:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end = t
+                n += 1
+        if start is not None:
+            state.update((start, end, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_running_quantile_counts(
     quantized_stream: DataFrame,
     watermark: str = "2 days",

@@ -106,3 +106,36 @@ def test_sample_frames(spark):
     assert len(got[2]) == 2          # 2400 bytes → 2 sampled chunks
     assert got[2][0]["offset"] == 0 and got[2][1]["offset"] == 1024
     assert len(bytes(got[2][0]["chunk"])) == 1024
+
+
+def test_stream_sessionize_stateful(spark):
+    from alphalens_spark.streaming import stream_sessionize
+
+    base = dt.datetime(2020, 1, 1, 9, 0)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=5)),            # session 1
+        (1, base + dt.timedelta(hours=2)),                          # closes s1
+        (1, base + dt.timedelta(hours=5)),                          # closes s2
+        (2, base),                                                  # stays open
+    ]
+    batch = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts timestamp"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("sess")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sess ORDER BY session_start").collect()
+    # two closed sessions for user 1; user 2's and user 1's last stay open
+    assert [(r["user_id"], r["n_events"]) for r in got] == [(1, 2), (1, 1)]
+    assert got[0]["session_start"] == base
+    assert got[0]["session_end"] == base + dt.timedelta(minutes=5)
