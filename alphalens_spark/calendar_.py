@@ -50,6 +50,38 @@ def with_day_idx(df: DataFrame, cal: DataFrame, date_col: str = "date") -> DataF
     )
 
 
+def add_trading_periods(
+    df: DataFrame, n: int, cal: DataFrame, date_col: str = "date"
+) -> DataFrame:
+    """Shift each row's date by N trading periods on the calendar.
+
+    Replaces reference add_custom_calendar_timedelta (utils.py:971-991):
+    two broadcast joins (date→day_idx, day_idx+n→date); rows shifted past
+    the calendar edge drop (the reference would raise past its range).
+    Output: original columns with ``date`` replaced by the shifted date.
+    """
+    others = [c for c in df.columns if c != date_col]
+    shifted = with_day_idx(df, cal, date_col).withColumn(
+        DAY_IDX, F.col(DAY_IDX) + F.lit(n)
+    )
+    return (
+        shifted.drop(date_col)
+        .join(F.broadcast(cal.withColumnRenamed("date", date_col)), DAY_IDX)
+        .select(date_col, *others)
+    )
+
+
+def diff_trading_periods(
+    cal: DataFrame, start_col: F.Column, end_col: F.Column
+) -> F.Column:
+    """Number of trading periods between two date columns — meant to be
+    used after joining day_idx for both sides; the reference's
+    diff_custom_calendar_timedeltas (utils.py:994-1039) becomes plain
+    integer subtraction of day_idx values. Provided for API parity; the
+    idiomatic form is ``end.day_idx - start.day_idx``."""
+    return end_col - start_col
+
+
 def infer_holidays(cal_dates: DataFrame, date_col: str = "date") -> DataFrame:
     """Weekday gaps in the observed calendar = holidays.
 

@@ -296,6 +296,23 @@ def q_quantize_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("date", "asset", "bin_label")
 
 
+def q_quantize_fraction_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-uniform quantile fractions [0, .1, .5, .9, 1] (ref
+    utils.py:104-107), evaluated on the rounded factor so the per-date
+    interpolated edges are computed from identical doubles in both
+    engines."""
+    from alphalens_spark.utils import quantize_factor
+
+    fd = _fd(spark, sf_dir).withColumn("factor_r", F.round("factor", 6))
+    out = quantize_factor(
+        fd,
+        quantiles=[0.0, 0.1, 0.5, 0.9, 1.0],
+        factor_col="factor_r",
+        out_col="fq_label",
+    )
+    return out.select("date", "asset", "fq_label")
+
+
 def q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portfolio holdings: each weight held 5 trading periods, overlaps
     averaged (ref performance.py:355-450 rewritten as an interval join)."""
@@ -815,6 +832,20 @@ SELECT date, asset,
             ELSE greatest(least(ceil((factor_r - mn) / (mx - mn) * 4), 4), 1)
             END AS INT) AS bin_label
 FROM mm""",
+    "quantize_fraction_seq": f"""{_P},
+fr AS (SELECT date, asset, round(factor, 6) AS factor_r FROM clean),
+ed AS (
+  SELECT date, asset, factor_r,
+         quantile_cont(factor_r, 0.1) OVER (PARTITION BY date) AS e1,
+         quantile_cont(factor_r, 0.5) OVER (PARTITION BY date) AS e2,
+         quantile_cont(factor_r, 0.9) OVER (PARTITION BY date) AS e3
+  FROM fr
+)
+SELECT date, asset,
+       CAST(1 + (CASE WHEN factor_r > e1 THEN 1 ELSE 0 END)
+              + (CASE WHEN factor_r > e2 THEN 1 ELSE 0 END)
+              + (CASE WHEN factor_r > e3 THEN 1 ELSE 0 END) AS INT) AS fq_label
+FROM ed""",
     "positions": f"""{_P},
 wts AS (
   SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS fdm
@@ -1077,6 +1108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turnover_summary": q_turnover_summary,
     "forward_returns_zscore": q_forward_returns_zscore,
     "quantize_bins": q_quantize_bins,
+    "quantize_fraction_seq": q_quantize_fraction_seq,
     "positions": q_positions,
     "forward_returns_noncumulative": q_forward_returns_noncumulative,
     "quantize_zero_aware": q_quantize_zero_aware,

@@ -45,6 +45,33 @@ def wide_prices_to_long(
     )
 
 
+def read_wide_prices_csv(
+    spark: SparkSession,
+    path: str,
+    date_col: str = "date",
+    asset_col: str = "asset",
+    price_col: str = "price",
+) -> DataFrame:
+    """Wide prices CSV (first column timestamps, one column per asset) →
+    long DataFrame. Header-driven schema; the melt is the built-in
+    ``melt`` so the plan scales to arbitrarily wide files."""
+    sdf = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    idx_name = sdf.columns[0]
+    assets = [c for c in sdf.columns if c != idx_name]
+    return (
+        sdf.melt(
+            ids=[idx_name], values=assets,
+            variableColumnName=asset_col, valueColumnName=price_col,
+        )
+        .select(
+            F.col(idx_name).cast("timestamp").alias(date_col),
+            F.col(asset_col),
+            F.col(price_col).cast("double"),
+        )
+        .where(F.col(price_col).isNotNull())
+    )
+
+
 def factor_series_to_long(
     spark: SparkSession,
     factor_series,

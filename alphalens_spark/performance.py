@@ -441,6 +441,49 @@ def cumulative_returns(
     return returns.withColumn(f"cum_{ret_col}", cum)
 
 
+def common_start_returns(
+    events: DataFrame,
+    prices: DataFrame,
+    periods_before: int,
+    periods_after: int,
+    calendar: DataFrame | None = None,
+) -> DataFrame:
+    """Per-event return windows aligned to a common offset axis.
+
+    Reference common_start_returns (performance.py:642-727): for each
+    (date, asset) event, the cumulative return path over
+    ``[-before, +after]`` trading periods, normalized to the event date.
+    This is the building block of
+    :func:`average_cumulative_return_by_quantile`; exposed standalone for
+    parity. Same explode→equi-join plan (SURVEY §4.2 — never a nested
+    loop join).
+
+    Output: (asset, event_date, offset, cum_ret).
+    """
+    from alphalens_spark.calendar_ import trading_calendar, with_day_idx
+
+    cal = calendar if calendar is not None else trading_calendar(prices)
+    px = with_day_idx(prices, cal)
+    ev = with_day_idx(events.select("date", "asset"), cal).select(
+        "asset", F.col("date").alias("event_date"), F.col(DAY_IDX).alias("_eidx")
+    )
+    exploded = ev.select(
+        "*",
+        F.explode(F.sequence(F.lit(-periods_before), F.lit(periods_after))).alias("offset"),
+    )
+    base = px.select(F.col("asset"), F.col(DAY_IDX).alias("_eidx"), F.col("price").alias("_p0"))
+    at_off = px.select(F.col("asset"), F.col(DAY_IDX).alias("_oidx"), F.col("price").alias("_pt"))
+    return (
+        exploded.join(base, ["asset", "_eidx"])
+        .withColumn("_oidx", F.col("_eidx") + F.col("offset"))
+        .join(at_off, ["asset", "_oidx"])
+        .select(
+            "asset", "event_date", "offset",
+            (F.col("_pt") / F.col("_p0") - 1).alias("cum_ret"),
+        )
+    )
+
+
 def average_cumulative_return_by_quantile(
     factor_data: DataFrame,
     prices: DataFrame,

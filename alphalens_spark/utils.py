@@ -438,3 +438,46 @@ def get_forward_returns_columns(columns: Sequence[str]) -> list[str]:
 
     pat = re.compile(r"^(\d+([Dhms]|ms|us|ns))+$")
     return [c for c in columns if pat.match(c)]
+
+
+def timedelta_strings_to_integers(labels: Sequence[str]) -> list[int]:
+    """'1D'/'5D'-style labels → trading-period integers
+    (ref utils.py:954-968)."""
+    return [int("".join(ch for ch in s if ch.isdigit())) for s in labels]
+
+
+def print_table(df: DataFrame, n: int = 20, float_format: str = "%.6f") -> None:
+    """Render a (small) result table — the reference's display sink
+    (utils.py:419-450). Collects at most ``n`` rows to pandas; use only on
+    aggregate outputs."""
+    pdf = df.limit(n).toPandas()
+    try:
+        from IPython.display import display
+
+        display(pdf.style.format(precision=6))
+    except Exception:
+        print(pdf.to_string(float_format=lambda x: float_format % x))
+
+
+def detect_non_unique_bin_edges(
+    factor_data: DataFrame,
+    quantiles: int,
+    by_group: bool = False,
+    date_col: str = "date",
+    group_col: str = "group",
+    factor_col: str = "factor",
+) -> DataFrame:
+    """Partitions whose qcut edges would collapse (duplicate percentile
+    edges from heavy ties) — the condition behind the reference's
+    'Bin edges must be unique' ValueError and its long help message
+    (utils.py:49-81 rethrow/non_unique_bin_edges_error). Returns the
+    offending (date[, group]) keys; callers wanting the reference's
+    eager-raise behavior count this and raise. Our quantize assigns
+    shared labels instead (documented delta in quantize_factor)."""
+    keys = [date_col] + ([group_col] if by_group else [])
+    fracs = F.array(*[F.lit(i / quantiles) for i in range(quantiles + 1)])
+    edges = factor_data.groupBy(*keys).agg(
+        F.percentile(F.col(factor_col), fracs).alias("_edges")
+    )
+    has_dup = F.size(F.array_distinct("_edges")) < F.size("_edges")
+    return edges.where(has_dup).select(*keys)

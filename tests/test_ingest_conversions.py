@@ -59,3 +59,11 @@ def test_backshift_returns_series(spark):
     out = {r["date"]: r["r_shifted"]
            for r in backshift_returns_series(rets, 1, cal, ["r"]).collect()}
     assert out == {D(1): 0.0, D(2): 1.0}  # each date sees the prior value
+
+
+def test_read_wide_prices_csv(spark, tmp_path):
+    csv = tmp_path / "prices.csv"
+    csv.write_text("date,A,B\n2020-01-01,1.0,10.0\n2020-01-02,2.0,\n")
+    out = {(r["date"], r["asset"]): r["price"]
+           for r in ingest.read_wide_prices_csv(spark, str(csv)).collect()}
+    assert out == {(D(0), "A"): 1.0, (D(1), "A"): 2.0, (D(0), "B"): 10.0}

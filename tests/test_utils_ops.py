@@ -193,3 +193,44 @@ def test_get_clean_factor_and_forward_returns_end_to_end(spark):
 def test_get_forward_returns_columns():
     cols = ["1D", "5D", "1h", "3h", "factor", "group", "22ns", "D1"]
     assert get_forward_returns_columns(cols) == ["1D", "5D", "1h", "3h", "22ns"]
+
+
+def test_timedelta_strings_to_integers():
+    from alphalens_spark.utils import timedelta_strings_to_integers
+
+    assert timedelta_strings_to_integers(["1D", "5D", "10D"]) == [1, 5, 10]
+
+
+def test_detect_non_unique_bin_edges(spark):
+    from alphalens_spark.utils import detect_non_unique_bin_edges
+
+    # date 0: heavy ties (edges collapse); date 1: distinct values (clean)
+    rows = [(D(0), a, 1.0) for a in "ABCDEFGH"]
+    rows += [(D(1), a, float(i)) for i, a in enumerate("ABCDEFGH")]
+    df = spark.createDataFrame(rows, "date timestamp, asset string, factor double")
+    bad = [r["date"] for r in detect_non_unique_bin_edges(df, 4).collect()]
+    assert bad == [D(0)]
+
+
+def test_add_trading_periods(spark):
+    from alphalens_spark.calendar_ import add_trading_periods, trading_calendar
+
+    df = spark.createDataFrame(
+        [(D(i), float(i)) for i in range(3)], "date timestamp, v double"
+    )
+    cal = trading_calendar(df)
+    out = {r["v"]: r["date"] for r in add_trading_periods(df, 1, cal).collect()}
+    assert out == {0.0: D(1), 1.0: D(2)}  # last row shifts off the calendar
+
+
+def test_common_start_returns_standalone(spark):
+    from alphalens_spark.performance import common_start_returns
+
+    prices = spark.createDataFrame(
+        [(D(i), "A", float(2**i)) for i in range(5)],
+        "date timestamp, asset string, price double",
+    )
+    events = spark.createDataFrame([(D(2), "A")], "date timestamp, asset string")
+    out = {r["offset"]: r["cum_ret"]
+           for r in common_start_returns(events, prices, 1, 2).collect()}
+    assert out == {-1: -0.5, 0: 0.0, 1: 1.0, 2: 3.0}
