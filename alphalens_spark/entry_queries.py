@@ -536,6 +536,18 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(minhash_lsh_duplicates(docs, threshold=0.5))
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (rows-only: centroids come from distributed float
+    means — no bit-stable SQL oracle)."""
+    from alphalens_spark.scale.similarity import ivf_topk
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return _finalize(ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only: xxhash64 is Spark-specific)."""
     from alphalens_spark.scale.dedup import simhash
@@ -1127,7 +1139,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_centroids": q_embedding_centroids,
     "embedding_topk": q_embedding_topk,
-    # rows-only checks (Spark-specific hashing, no ANSI-SQL oracle)
+    # rows-only checks (Spark-specific hashing/float-iteration, no oracle)
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash": q_simhash,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
 }

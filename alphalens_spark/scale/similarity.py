@@ -126,6 +126,110 @@ def random_hyperplane_buckets(
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def kmeans_lite_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations for IVF coarse centroids.
+
+    Init = the ``n_cells`` lowest-id vectors (deterministic, no RNG on
+    data); each iteration is one distributed pass: assign via argmin over
+    centroid literals (broadcast into the plan), then per-cell per-dim
+    means via posexplode + groupBy. Only the tiny (n_cells × dim) centroid
+    table ever reaches the driver — the same driver/executor split as
+    MLlib's KMeans.
+    """
+    init = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.orderBy(id_col).limit(n_cells).collect()
+    ]
+    cents = init
+    for _ in range(iters):
+        cell = _nearest_cell(F.col(vec_col), cents)
+        assigned = corpus.select(cell.alias("cell"), F.posexplode(vec_col).alias("pos", "x"))
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            [new[c][p] for p in sorted(new[c])] if c in new else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def _nearest_cell(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+    """0-based argmin of squared L2 distance to each centroid literal."""
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        diff = F.zip_with(vec, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means cells + nprobe cell search.
+
+    The corpus is partitioned once by nearest-centroid cell; each query
+    probes its ``nprobe`` nearest cells, so the scored candidate set is
+    ~(nprobe/n_cells) of the corpus. The cell join is a plain equi-join on
+    the cell id — at 100 TB the corpus side is hash-partitioned by cell
+    and only the (tiny, broadcast) query set replicates.
+    """
+    cents = kmeans_lite_centroids(corpus, n_cells, iters, id_col, vec_col)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_vn"),
+        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    probe_dists = []
+    for c in cents:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        diff = F.zip_with(F.col("qv"), lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+        probe_dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.arrays_zip(F.array(*probe_dists), F.array(*[F.lit(i) for i in range(len(cents))]))
+        ),
+        lambda s: s["1"],
+    )
+    qb = queries.select(
+        "query_id", "qv", _norm(F.col("qv")).alias("_qn"),
+        F.explode(F.slice(ranked_cells, 1, nprobe)).alias("cell"),
+    )
+    pairs = cb.join(F.broadcast(qb), "cell").where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cs"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cs"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"),
+                F.round("cs", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -117,3 +117,32 @@ def test_token_count_bpe_ish(spark):
     out = {r["doc_id"]: r["est_bpe_tokens"] for r in text.token_count_bpe_ish(docs).collect()}
     assert out[0] == 2
     assert out[1] > 1  # long word split by length correction
+
+
+def test_ivf_topk_recovers_clusters(spark):
+    # two tight clusters around +e1 and +e2; query near +e1 must retrieve
+    # its own cluster, not the orthogonal one
+    vecs = [(i, [1.0 + 0.01 * i, 0.01 * i] + [0.0] * 62) for i in range(8)]
+    vecs += [(100 + i, [0.01 * i, 1.0 + 0.01 * i] + [0.0] * 62) for i in range(8)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = similarity.ivf_topk(corpus, queries, k=3, n_cells=2, nprobe=1, iters=2).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert len(ids) == 3
+    assert all(i < 100 for i in ids)
+
+
+def test_ivf_matches_brute_force_with_full_probe(spark):
+    vecs = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)]) for i in range(30)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {(r["rnk"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(corpus, queries, k=5).collect()}
+    ivf = {(r["rnk"], r["neighbor_id"])
+           for r in similarity.ivf_topk(corpus, queries, k=5, n_cells=4,
+                                        nprobe=4, iters=1).collect()}
+    assert ivf == exact  # probing every cell ≡ exact search
