@@ -78,6 +78,27 @@ def groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_factor_data_partitioned(
+    fd: DataFrame, path: str, partition_col: str = "date_month"
+) -> None:
+    """Persist factor_data as month-partitioned parquet.
+
+    The 100 TB layout (SURVEY §4 partition pruning): partitioning by
+    month keeps directory counts sane at decades of history while making
+    every per-date / date-range query prune at the source — the
+    reference's "reload only what changed" has no analogue; here it's
+    free. Day-level keys would explode the small-file count at high SF;
+    month × downstream AQE coalescing is the standard compromise.
+    """
+    (
+        fd.withColumn(partition_col, F.date_format("date", "yyyy-MM"))
+        .repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared ANSI-SQL derivation for the DuckDB oracle. The driver pre-registers
 # the parquet tables as views named lineitem/supplier/nation/...

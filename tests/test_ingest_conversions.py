@@ -67,3 +67,21 @@ def test_read_wide_prices_csv(spark, tmp_path):
     out = {(r["date"], r["asset"]): r["price"]
            for r in ingest.read_wide_prices_csv(spark, str(csv)).collect()}
     assert out == {(D(0), "A"): 1.0, (D(1), "A"): 2.0, (D(0), "B"): 10.0}
+
+
+def test_write_factor_data_partitioned_prunes(spark, tmp_path):
+    from alphalens_spark import datasets
+
+    fd = datasets.factor_data(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "fd")
+    datasets.write_factor_data_partitioned(fd, out)
+    back = spark.read.parquet(out)
+    assert back.count() == fd.count()
+    pruned = back.where(F.col("date_month") == "1995-03")
+    # partition filter must reach the scan, not a post-scan filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() < back.count()
+    assert pruned.count() > 0
+
+
+from pyspark.sql import functions as F  # noqa: E402
