@@ -309,6 +309,7 @@ def q_quantize_fraction_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantiles=[0.0, 0.1, 0.5, 0.9, 1.0],
         factor_col="factor_r",
         out_col="fq_label",
+        method="edges_sql",
     )
     return out.select("date", "asset", "fq_label")
 
@@ -356,7 +357,8 @@ def q_quantize_zero_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.partitionBy("date")
     fd = fd.withColumn("factor_dm", F.round(F.col("factor") - F.avg("factor").over(wd), 6))
     out = quantize_factor(
-        fd, quantiles=4, zero_aware=True, factor_col="factor_dm", out_col="za_quantile"
+        fd, quantiles=4, zero_aware=True, factor_col="factor_dm",
+        out_col="za_quantile", method="edges_sql",
     )
     return out.select("date", "asset", "za_quantile")
 

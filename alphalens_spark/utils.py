@@ -63,42 +63,56 @@ def compute_forward_returns(
     observations stay NaN — they are NOT skipped). Non-cumulative mode
     (utils.py:290-293): ``p[t+k]/p[t+k-1] - 1``.
 
-    Spark plan: densify onto the (asset × calendar) grid, then one window
-    ``lead(price, k) over (partition by asset order by day_idx)`` per
-    period — a single shuffle by asset covers every horizon, vs one
-    self-join shuffle per horizon. The calendar dim is broadcast; the grid
-    is bounded by |assets|·|dates| (the reference materializes exactly this
-    grid as its wide frame).
+    Spark plan: attach ``day_idx`` via the broadcast calendar dim, then
+    resolve ``price@(day_idx+k)`` with a CASE over the next ≤k present
+    rows — ``lead(price, j)`` taken where ``lead(day_idx, j) == day_idx +
+    k`` (day_idx is strictly increasing over present rows, so only
+    j ≤ k can match; no match ⇒ that calendar slot is absent for the
+    asset ⇒ NULL, exactly the wide frame's NaN). ONE hash exchange on
+    ``asset`` covers every horizon — no dense (asset × calendar) grid is
+    ever materialized (the reference's wide frame IS that grid; at scale
+    a sparse universe would make the grid far larger than the data) and
+    no (date, asset) sort-merge join runs. Verified single-Exchange in
+    tests/test_plans.py.
 
     Returns (date, asset, <label per period>) with rows only where the
     base price exists (the reference reindexes back to factor dates later;
     we keep the full price-date coverage and let the factor join prune).
     """
     cal = calendar if calendar is not None else trading_calendar(prices, date_col)
-    assets = prices.select(F.col(asset_col).alias("asset")).distinct()
-    grid = assets.crossJoin(
-        F.broadcast(cal.select(F.col("date").alias(date_col), DAY_IDX))
-    )
-    dense = grid.join(
-        prices.select(
-            F.col(date_col),
-            F.col(asset_col).alias("asset"),
-            F.col(price_col).alias("price"),
-            *[F.col(c) for c in carry_cols],
-        ),
-        on=[date_col, "asset"],
-        how="left",
-    )
+    px = prices.select(
+        F.col(date_col),
+        F.col(asset_col).alias("asset"),
+        F.col(price_col).alias("price"),
+        *[F.col(c) for c in carry_cols],
+    ).join(F.broadcast(cal.withColumnRenamed("date", date_col)), date_col)
     w = Window.partitionBy("asset").orderBy(DAY_IDX)
-    cols = [F.col(date_col).alias("date"), F.col("asset"), F.col("price")]
+    max_k = max(periods)
+    # name each lead once so the Window operator evaluates one buffer
+    # lookup per (col, offset), not one per CASE branch referencing it
+    px = px.where(F.col("price").isNotNull()).select(
+        "*",
+        *[F.lead(DAY_IDX, j).over(w).alias(f"_ld{j}") for j in range(1, max_k + 1)],
+        *[F.lead("price", j).over(w).alias(f"_lp{j}") for j in range(1, max_k + 1)],
+    )
+
+    def price_at(k: int) -> Column:
+        """Price at calendar slot day_idx + k; NULL when absent."""
+        expr = F.when(F.col("_ld1") == F.col(DAY_IDX) + k, F.col("_lp1"))
+        for j in range(2, k + 1):
+            expr = expr.when(F.col(f"_ld{j}") == F.col(DAY_IDX) + k, F.col(f"_lp{j}"))
+        return expr
+
+    cols = [F.col(date_col).alias("date"), F.col("asset")]
     cols += [F.col(c) for c in carry_cols]
     for k in sorted(periods):
         if cumulative_returns:
-            ret = F.lead("price", k).over(w) / F.col("price") - F.lit(1.0)
+            ret = price_at(k) / F.col("price") - F.lit(1.0)
         else:
-            ret = F.lead("price", k).over(w) / F.lead("price", k - 1).over(w) - F.lit(1.0)
+            base = F.col("price") if k == 1 else price_at(k - 1)
+            ret = price_at(k) / base - F.lit(1.0)
         cols.append(ret.alias(period_label(k, label_freq)))
-    return dense.select(*cols).where(F.col("price").isNotNull()).drop("price")
+    return px.select(*cols)
 
 
 def filter_returns_zscore(
@@ -121,6 +135,49 @@ def filter_returns_zscore(
         mask = F.abs(F.col(c) - F.avg(c).over(w)) > F.lit(zscore) * F.stddev_samp(c).over(w)
         out = out.withColumn(c, F.when(mask, F.lit(None)).otherwise(F.col(c)))
     return out
+
+
+def _pandas_quantile_edges(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    fracs: Sequence[float],
+    value_col: str,
+    out_col: str = "_edges",
+) -> DataFrame:
+    """Per-partition quantile edges with numpy/pandas bit-parity.
+
+    pandas qcut edges go Series.quantile → np.percentile(values, qs*100)
+    (pandas/core/array_algos/quantile.py quantile_with_mask scales ×100,
+    np.percentile divides back by 100 — a float round-trip that CHANGES
+    the fraction: 2/3 → 0.6666666666666665). numpy's 'linear' method then
+    uses virtual index ``(n−1)·q`` and a lerp that switches direction at
+    t ≥ 0.5 (``hi − (hi−lo)·(1−t)``, numpy _lerp). Spark's builtin
+    ``percentile`` takes none of these paths, so edge-exact values can
+    flip bins vs pandas (observed: pandas e=0.9999999999999998 vs Spark
+    1.0 on the same data). This reproduces the pandas arithmetic exactly:
+    the ×100/÷100 round-trip driver-side, the index/lerp per partition on
+    a sorted ``collect_list`` (cross-sections are bounded by the asset
+    universe — the same frame the reference materializes). Java doubles
+    are IEEE-754, so executor-side ops bit-match numpy's.
+
+    Returns one row per partition: part_cols + ``out_col`` (edge array).
+    """
+    vals = F.sort_array(F.collect_list(F.col(value_col)))
+    agg = df.groupBy(*part_cols).agg(
+        vals.alias("_vals"), F.count(value_col).cast("int").alias("_n")
+    )
+    n1 = (F.col("_n") - 1).cast("double")
+    edges = []
+    for p in fracs:
+        p = (float(p) * 100.0) / 100.0  # pandas percentile-scaling round-trip
+        pos = F.lit(p) * n1
+        lo_i = F.floor(pos).cast("int")
+        t = pos - F.floor(pos)
+        lo = F.element_at("_vals", lo_i + 1)
+        hi = F.element_at("_vals", F.least(lo_i + 2, F.col("_n")))
+        d = hi - lo
+        edges.append(F.when(t < 0.5, lo + d * t).otherwise(hi - d * (F.lit(1.0) - t)))
+    return agg.select(*part_cols, F.array(*edges).alias(out_col))
 
 
 def _edge_based_labels(value: Column, edges: Column, n_bins: int) -> Column:
@@ -151,17 +208,24 @@ def quantize_factor(
 ) -> DataFrame:
     """Per-date (and optionally per-group) factor bucketing, labels 1..Q.
 
-    method='edges' (default) follows pandas qcut/cut semantics below.
-    method='ntile' (integer quantiles only) is the scale/cross-engine
-    path: ``ntile(Q) over (partition by date order by round(factor, dp),
-    tiebreak)`` — equal-count buckets decided by pure integer row
-    numbering over a deterministic total order, immune to the 1-ulp
-    percentile-interpolation differences that flip edge-comparison labels
-    between engines (and between runs at different parallelism).
+    Three methods:
+      'edges' (default)  pandas qcut/cut parity: per-partition quantile
+                         edges with numpy-identical interpolation
+                         arithmetic (see _pandas_quantile_edges), then
+                         right-closed edge comparison. Bit-matches
+                         pd.qcut on tie-free data (property-tested).
+      'edges_sql'        same shape but Spark's builtin exact
+                         ``percentile`` windows — matches SQL engines'
+                         quantile_cont (used by the DuckDB-oracle
+                         queries); can differ from pandas by 1 ulp at
+                         edge-exact values.
+      'ntile'            scale/cross-engine path: ``ntile(Q) over
+                         (order by round(factor, dp), tiebreak)`` — pure
+                         integer bucketing over a deterministic total
+                         order, reproducible at any parallelism.
 
     Mirrors reference quantize_factor (utils.py:84-170), four modes:
-      quantiles=int       equal-frequency buckets (pd.qcut) — per-partition
-                          exact percentile edges, right-closed assignment
+      quantiles=int       equal-frequency buckets (pd.qcut)
       quantiles=sequence  explicit quantile fractions (utils.py:104-107)
       bins=int            equal-width over per-partition min/max (pd.cut)
       bins=sequence       explicit literal edges (utils.py:110-113)
@@ -169,16 +233,15 @@ def quantize_factor(
     negatives into the bottom half, each with its own quantile grid.
     by_group (utils.py:162-167): adds ``group`` to the partition key.
 
-    All modes are pure window expressions — exact ``percentile`` (not
-    approx; qcut parity requires exact, SURVEY §4.3) over the per-date
-    partition, then arithmetic label assignment. Per-date partitions are
-    cross-sections (≤ #assets rows), so exact percentile is cheap and the
-    whole operator is one shuffle on the partition keys.
+    Always exact percentiles (never approx — qcut parity, SURVEY §4.3);
+    per-date partitions are cross-sections (≤ #assets rows), so the edge
+    aggregation is cheap and the operator costs one shuffle on the
+    partition keys (+ a same-key broadcast-able edge join for 'edges').
 
     Ties that collapse edges: pandas raises 'Bin edges must be unique'
     (utils.py:49-81) unless no_raise; here identical values simply share
-    the label of their bin — documented semantic delta (SQL-friendly,
-    deterministic, no driver round-trip).
+    the label of their bin — documented semantic delta (use
+    detect_non_unique_bin_edges for the reference's eager-raise check).
     """
     if (quantiles is not None) == (bins is not None):
         raise ValueError("exactly one of quantiles or bins must be provided")
@@ -195,9 +258,16 @@ def quantize_factor(
         label = F.when(value.isNotNull(), F.ntile(quantiles).over(w))
         return factor_data.withColumn(out_col, label.cast("int"))
 
-    def edges_for(part_keys: list, fracs: Sequence[float]) -> Column:
-        w = Window.partitionBy(*part_keys)
-        return F.percentile(value, F.array(*[F.lit(float(x)) for x in fracs])).over(w)
+    def with_edges(df: DataFrame, part_cols: list[str], fracs: Sequence[float]) -> DataFrame:
+        """Attach an ``_edges`` array column per ``part_cols`` partition."""
+        if method == "edges_sql":
+            w = Window.partitionBy(*part_cols)
+            arr = F.percentile(value, F.array(*[F.lit(float(x)) for x in fracs])).over(w)
+            return df.withColumn("_edges", arr)
+        edges_df = _pandas_quantile_edges(df, part_cols, fracs, factor_col)
+        return df.join(edges_df, part_cols)
+
+    edges = F.col("_edges")
 
     if zero_aware:
         if not isinstance(quantiles, int) and not isinstance(bins, int):
@@ -206,32 +276,35 @@ def quantize_factor(
         if n % 2:
             raise ValueError("zero_aware requires an even number of buckets")
         half = n // 2
-        sign = F.when(value >= 0, F.lit(1)).otherwise(F.lit(0))
-        part = keys + [sign]
+        df = factor_data.withColumn("_sign", F.when(value >= 0, 1).otherwise(0))
+        part = keys + ["_sign"]
         if quantiles is not None:
-            fracs = [i / half for i in range(half + 1)]
-            edges = F.percentile(value, F.array(*[F.lit(x) for x in fracs])).over(
-                Window.partitionBy(*part)
-            )
+            fracs = _linspace_fracs(half)
+            df = with_edges(df, part, fracs)
             lab = _edge_based_labels(value, edges, half)
         else:
             w = Window.partitionBy(*part)
-            lab = _equal_width_labels(value, F.min(value).over(w), F.max(value).over(w), half)
+            cut = _pandas_cut_labels if method == "edges" else _equal_width_labels
+            lab = cut(value, F.min(value).over(w), F.max(value).over(w), half)
         label = F.when(value >= 0, lab + half).otherwise(lab)
-        return factor_data.withColumn(out_col, label.cast("int"))
+        return df.withColumn(out_col, label.cast("int")).drop("_sign", "_edges")
 
     if isinstance(quantiles, int):
-        fracs = [i / quantiles for i in range(quantiles + 1)]
-        label = _edge_based_labels(value, edges_for(keys, fracs), quantiles)
-    elif quantiles is not None:  # explicit fraction sequence
+        fracs = _linspace_fracs(quantiles)
+        df = with_edges(factor_data, keys, fracs)
+        label = _edge_based_labels(value, edges, quantiles)
+        return df.withColumn(out_col, label.cast("int")).drop("_edges")
+    if quantiles is not None:  # explicit fraction sequence
         fracs = list(quantiles)
-        edges = edges_for(keys, fracs)
         n = len(fracs) - 1
+        df = with_edges(factor_data, keys, fracs)
         inside = (value >= edges[0]) & (value <= edges[n])
         label = F.when(inside, _edge_based_labels(value, edges, n))
-    elif isinstance(bins, int):
+        return df.withColumn(out_col, label.cast("int")).drop("_edges")
+    if isinstance(bins, int):
         w = Window.partitionBy(*keys)
-        label = _equal_width_labels(value, F.min(value).over(w), F.max(value).over(w), bins)
+        cut = _pandas_cut_labels if method == "edges" else _equal_width_labels
+        label = cut(value, F.min(value).over(w), F.max(value).over(w), bins)
     else:  # explicit edge sequence — out-of-range → null (ref tests test_utils.py:166-167)
         edges_l = [float(x) for x in bins]
         n = len(edges_l) - 1
@@ -241,6 +314,37 @@ def quantize_factor(
         inside = (value > F.lit(edges_l[0])) & (value <= F.lit(edges_l[n]))
         label = F.when(inside, lab.cast("int"))
     return factor_data.withColumn(out_col, label.cast("int"))
+
+
+def _linspace_fracs(q: int) -> list[float]:
+    """qcut's quantile grid: np.linspace(0, 1, q+1) = i·(1/q), NOT i/q.
+
+    The two differ by 1 ulp for some (i, q) pairs; qcut parity needs the
+    linspace arithmetic (numpy computes arange(num)·step + start).
+    """
+    step = 1.0 / q
+    out = [i * step for i in range(q + 1)]
+    out[-1] = 1.0
+    return out
+
+
+def _pandas_cut_labels(value: Column, vmin: Column, vmax: Column, b: int) -> Column:
+    """pd.cut(x, b) bit-parity: numpy-linspace edges, right-closed.
+
+    pandas cut builds ``np.linspace(mn, mx, b+1)`` (edge_j = j·((mx−mn)/b)
+    + mn in IEEE doubles), lowers the first edge by 0.1 % of the range,
+    and labels by ``searchsorted(edges, x, side='left')`` — i.e. label =
+    1 + #{inner edges < x}. A ceil((x−mn)/width·b) formula is NOT
+    equivalent under FP rounding (a denormal positive above an exact-zero
+    edge flips bins), so parity requires the same edge comparison.
+    All x lie in [mn, mx], so the padded first edge never excludes a row.
+    """
+    delta = (vmax - vmin) / F.lit(float(b))
+    lab = F.lit(1)
+    for j in range(1, b):
+        edge = F.lit(float(j)) * delta + vmin
+        lab = lab + F.when(edge < value, 1).otherwise(0)
+    return F.when(value.isNull() | vmin.isNull(), F.lit(None)).otherwise(lab)
 
 
 def _equal_width_labels(value: Column, vmin: Column, vmax: Column, b: int) -> Column:

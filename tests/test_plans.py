@@ -1,0 +1,155 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+Correctness tests prove the operators' values; these prove the PLANS are
+the ones that survive a 1000-executor scale-up (SURVEY §4): broadcast
+joins where a side is small, no nested-loop/cartesian fallbacks in the
+range-join rewrites, column pruning + predicate pushdown reaching the
+parquet scan, and no redundant shuffles in the single-shuffle operators.
+A regression here can keep every value-test green while turning a linear
+plan quadratic — exactly the failure .explain() catches and collect()
+cannot.
+
+The one BroadcastNestedLoopJoin we DO allow (and assert nowhere appears
+in these operator plans) is the dense-grid build in
+compute_forward_returns: ``assets.crossJoin(broadcast(calendar))`` — a
+cross join whose build side is the kB-scale calendar dim streams linearly
+over the asset list, which is the optimal physical plan for materializing
+the panel the reference holds as its wide frame.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphalens_spark import performance as perf
+from alphalens_spark import utils
+from alphalens_spark.calendar_ import trading_calendar
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    """Executed (pre-execution AQE) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _D(i: int) -> dt.datetime:
+    return dt.datetime(2020, 1, 1) + dt.timedelta(days=i)
+
+
+@pytest.fixture(scope="module")
+def prices_df(spark):
+    rows = [
+        (_D(d), f"A{a}", 100.0 + d + a) for d in range(30) for a in range(8)
+    ]
+    return spark.createDataFrame(rows, "date timestamp, asset string, price double")
+
+
+@pytest.fixture(scope="module")
+def fd(spark, prices_df):
+    factor = prices_df.select(
+        "date", "asset", (F.col("price") % 7).alias("factor")
+    )
+    return utils.get_clean_factor_and_forward_returns(
+        factor, prices_df, periods=(1, 5), quantiles=3,
+        filter_zscore=None, max_loss=None, quantize_method="ntile",
+    ).persist()
+
+
+def test_static_group_join_is_broadcast(spark, prices_df, fd):
+    """asset→group dim joins must broadcast (ref utils.py:600-612 dict
+    lookup ⇒ SURVEY §2.3 broadcast hash join) — a shuffled join would
+    move the whole fact table for a kB-sized dim."""
+    groups = spark.createDataFrame(
+        [(f"A{i}", f"G{i % 2}") for i in range(8)], "asset string, group string"
+    )
+    out = utils.get_clean_factor(
+        fd.select("date", "asset", "factor"),
+        fd.select("date", "asset", "1P", "5P")
+        if "1P" in fd.columns
+        else fd.drop("factor", "factor_quantile"),
+        [c for c in fd.columns if c not in ("date", "asset", "factor", "factor_quantile")],
+        groupby=groups,
+        max_loss=None,
+        quantize_method="ntile",
+    )
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_event_study_join_is_equi_not_nested_loop(fd, prices_df):
+    """The explode(sequence)-to-equi-join rewrite (SURVEY §4.2) must keep
+    the event window join out of BroadcastNestedLoopJoin/CartesianProduct
+    — the quadratic physical plan a naive BETWEEN join produces."""
+    out = perf.average_cumulative_return_by_quantile(
+        fd, prices_df, 2, 3, demeaned=False
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_positions_join_is_equi_not_nested_loop(fd):
+    """positions' interval join (ref performance.py:407-448 loop) is
+    rewritten to explode+equi-join — never a nested-loop plan."""
+    w = perf.factor_weights(fd)
+    cal = trading_calendar(fd)
+    out = perf.positions(w, period=3, calendar=cal)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
+    """A 2-column projection with a date predicate must reach the scan as
+    ReadSchema pruning + PushedFilters — reading all 16 lineitem columns
+    for it is wrong at any scale (SURVEY §4 table)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = li.where(F.col("l_shipdate") >= dt.date(1995, 1, 1)).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(out)
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 400]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema  # widest column stays unread
+    assert "PushedFilters: [" in scan
+    assert "IsNotNull(l_shipdate)" in scan or "GreaterThanOrEqual(l_shipdate" in scan
+
+
+def test_quantize_ntile_is_single_shuffle(spark):
+    """method='ntile' quantization = ONE hash exchange on the date key;
+    a second exchange would double the shuffle volume of the hot path."""
+    fact = spark.createDataFrame(
+        [(_D(i % 5), f"A{i}", float(i * 37 % 101)) for i in range(200)],
+        "date timestamp, asset string, factor double",
+    )
+    out = utils.quantize_factor(fact, quantiles=5, method="ntile")
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_forward_returns_single_window_shuffle(prices_df):
+    """Forward returns = lead windows over one per-asset ordering: ONE
+    big-data exchange (on asset) and no sort-merge join — the calendar
+    build's tiny distinct/single-partition exchanges are the only others.
+    Guards against regressing to the dense-grid + (date,asset) SMJ plan,
+    which cost 3 full-table shuffles."""
+    out = utils.compute_forward_returns(prices_df, periods=(1, 5))
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning(asset") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_metrics_broadcast_not_shuffle_dim(fd, spark):
+    """mean IC by group: the (asset, group) dim side must broadcast
+    through the whole metric query — no exchange keyed on the dim."""
+    groups = spark.createDataFrame(
+        [(f"A{i}", f"G{i % 2}") for i in range(8)], "asset string, group string"
+    )
+    joined = fd.join(F.broadcast(groups), "asset")
+    out = perf.factor_information_coefficient(joined, ["1D", "5D"], by_group=True)
+    assert "BroadcastHashJoin" in _plan(out)

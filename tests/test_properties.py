@@ -105,3 +105,49 @@ def test_turnover_bounded(spark, rows):
     out = perf.quantile_turnover(fd, periods=(1,)).collect()
     for r in out:
         assert 0.0 <= r["turnover"] <= 1.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=8, max_size=40, unique=True,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_edges_quantize_matches_pandas_qcut(spark, values, q):
+    """method='edges' reproduces pd.qcut labels exactly (tie-free input)."""
+    import pandas as pd
+
+    fd = spark.createDataFrame(
+        [(D(0), f"A{i}", float(v)) for i, v in enumerate(values)],
+        "date timestamp, asset string, factor double",
+    )
+    got = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(fd, quantiles=q).collect()}
+    expected = pd.qcut(pd.Series(values), q, labels=False) + 1
+    for i, v in enumerate(values):
+        assert got[f"A{i}"] == expected[i], (v, q)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=8, max_size=40, unique=True,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_bins_quantize_matches_pandas_cut(spark, values, b):
+    """bins=int reproduces pd.cut labels (equal-width, right-closed)."""
+    import pandas as pd
+
+    fd = spark.createDataFrame(
+        [(D(0), f"A{i}", float(v)) for i, v in enumerate(values)],
+        "date timestamp, asset string, factor double",
+    )
+    got = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(fd, quantiles=None, bins=b).collect()}
+    expected = pd.cut(pd.Series(values), b, labels=False) + 1
+    for i, v in enumerate(values):
+        assert got[f"A{i}"] == expected[i], (v, b)
