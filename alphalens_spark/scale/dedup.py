@@ -8,12 +8,35 @@ simhash prefixes) and only comparing within buckets.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic MinHash parameters: h_i(x) = (a_i * x + b_i) mod P, the
-# classic universal-hash family; P is a Mersenne prime > 2^32.
-_MINHASH_PRIME = (1 << 61) - 1
+# classic universal-hash family. P = 2^31 − 1 (Mersenne) with inputs
+# reduced to 31 bits keeps every a·x + b product < 2^62 — exact in
+# uint64, so the vectorized numpy evaluation is overflow-free universal
+# hashing (not wrap-around pseudo-hashing).
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the source is
+    under-partitioned.
+
+    CPU-bound text stages (shingling, hashing, tokenizing) inherit the
+    scan's split count; a small/compacted parquet source can arrive as
+    ONE partition and serialize the whole stage onto one core (measured
+    4.9 s single-threaded vs ~0.2 s spread, sf0.1 documents). At real
+    scale the scan has plenty of splits and this is a no-op — the
+    repartition only fires when parallelism would otherwise be wasted.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_duplicates(
@@ -56,35 +79,52 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (array of num_hashes longs).
 
-    Shingle → xxhash64 → for each of the ``num_hashes`` universal hashes
-    take the min over shingles. All computed with built-in higher-order
-    array functions (transform / aggregate) — JVM-side, one pass, no
-    shuffle until a downstream groupBy.
+    Shingle → xxhash64 (JVM, one higher-order-function pass, reduced to
+    31 bits) → the ``num_hashes`` universal-hash minima in ONE
+    Arrow-batched pandas UDF. The permutation stage deliberately leaves
+    the JVM: Spark's higher-order array functions are interpreted per
+    element outside whole-stage codegen, so 64 separate
+    ``array_min(transform(...))`` passes cost ~2 µs/element (measured
+    7 s for 15 M hash evaluations at sf0.1); the numpy form is one
+    vectorized (|shingles| × num_hashes) modmul per batch — ~50 ms for
+    the same work. This is the SURVEY §2.10 escape-hatch policy applied
+    in reverse: built-ins first UNLESS the built-in is an interpreted
+    HOF on the hot path. No shuffle until a downstream groupBy.
     """
     import random
 
+    from pyspark.sql.functions import pandas_udf
+
     rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, _MINHASH_PRIME), rng.randrange(0, _MINHASH_PRIME))
-        for _ in range(num_hashes)
-    ]
-    sh = _shingles(text_col, shingle_k)
-    base = docs.select(
-        F.col(id_col),
-        F.transform(sh, lambda s: F.abs(F.xxhash64(s))).alias("_shash"),
+    a_co = np.array(
+        [rng.randrange(1, _MINHASH_PRIME) for _ in range(num_hashes)], dtype=np.uint64
     )
-    sig_cols = []
-    for i, (a, b) in enumerate(coeffs):
-        sig_cols.append(
-            F.array_min(
-                F.transform(
-                    "_shash",
-                    lambda x: (x % F.lit(_MINHASH_PRIME) * F.lit(a) + F.lit(b))
-                    % F.lit(_MINHASH_PRIME),
-                )
-            ).alias(f"_h{i}")
-        )
-    return base.select(id_col, F.array(*sig_cols).alias("minhash"))
+    b_co = np.array(
+        [rng.randrange(0, _MINHASH_PRIME) for _ in range(num_hashes)], dtype=np.uint64
+    )
+    prime = np.uint64(_MINHASH_PRIME)
+    empty_sig = [int(x) for x in ((a_co * 0 + b_co) % prime)]
+
+    @pandas_udf("array<long>")
+    def _perm_mins(shash: pd.Series) -> pd.Series:
+        out = []
+        for arr in shash:
+            if arr is None or len(arr) == 0:
+                out.append(empty_sig)
+                continue
+            x = np.asarray(arr, dtype=np.uint64)[:, None]  # (n_shingles, 1)
+            mins = ((x * a_co[None, :] + b_co[None, :]) % prime).min(axis=0)
+            out.append(mins.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    sh = _shingles(text_col, shingle_k)
+    base = spread_for_compute(docs).select(
+        F.col(id_col),
+        F.transform(
+            sh, lambda s: F.abs(F.xxhash64(s)) % F.lit(_MINHASH_PRIME)
+        ).alias("_shash"),
+    )
+    return base.select(id_col, _perm_mins("_shash").alias("minhash"))
 
 
 def minhash_lsh_duplicates(
@@ -160,7 +200,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Output: (id, simhash long).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashed = docs.select(
+    hashed = spread_for_compute(docs).select(
         F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("_th")
     )
     def _vote(i: int) -> F.Column:
@@ -207,7 +247,7 @@ def ngram_jaccard_pairs(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))), gram
         )
     )
-    g = docs.select(F.col(id_col).alias("id"), grams.alias("_g"), F.size(grams).alias("_n"))
+    g = spread_for_compute(docs).select(F.col(id_col).alias("id"), grams.alias("_g"), F.size(grams).alias("_n"))
     ex = g.select("id", "_n", F.explode("_g").alias("gram"))
     a = ex.select(F.col("id").alias("id_a"), F.col("_n").alias("n_a"), "gram")
     b = ex.select(F.col("id").alias("id_b"), F.col("_n").alias("n_b"), "gram")

@@ -99,6 +99,33 @@ def label_centroids(
     )
 
 
+def _hyperplanes(bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic driver-side random hyperplane matrix (tiny)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def _plane_margins(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Array of v·h_j for each hyperplane — the signed bucket margins."""
+    dots = []
+    for h in planes:
+        lit_h = F.array(*[F.lit(x) for x in h])
+        dots.append(_dot(F.col(vec_col), lit_h))
+    return F.array(*dots)
+
+
+def _margins_to_bucket(margins: F.Column, bits: int) -> F.Column:
+    """Fold margin signs into the integer bucket id."""
+    bucket = F.lit(0)
+    for j in range(bits):
+        bucket = bucket + F.when(
+            F.element_at(margins, j + 1) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     bits: int = 8,
@@ -114,16 +141,9 @@ def random_hyperplane_buckets(
     each executor evaluates sign(v·h_j) with built-in expressions.
     Output: (id, bucket int).
     """
-    import random
-
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
-    bucket = F.lit(0)
-    for j, h in enumerate(planes):
-        lit_h = F.array(*[F.lit(x) for x in h])
-        dp = _dot(F.col(vec_col), lit_h)
-        bucket = bucket + F.when(dp >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    planes = _hyperplanes(bits, dim, seed)
+    margins = _plane_margins(vec_col, planes)
+    return df.select(F.col(id_col), _margins_to_bucket(margins, bits).alias("bucket"))
 
 
 def kmeans_lite_centroids(
@@ -236,24 +256,64 @@ def lsh_topk(
     k: int = 5,
     bits: int = 8,
     dim: int = 64,
+    nprobe: int = 1,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: compare only within the query's LSH bucket.
+    """Approximate cosine top-k: compare only within the query's LSH
+    bucket(s).
 
     Equi-join on bucket replaces the all-pairs cross join; with b bits the
-    candidate set shrinks ~2^b×. Recall can be traded up by multi-probe
-    (flipping low-confidence bits) — out of scope for the baseline.
+    candidate set shrinks ~2^b×. ``nprobe > 1`` enables **multi-probe**
+    (Lv et al., VLDB 2007): each query also probes the nprobe−1 buckets
+    obtained by flipping its lowest-|margin| hyperplane bits — the
+    buckets a true neighbor most likely fell into — trading candidate
+    volume for recall WITHOUT more hash tables (memory-free vs the
+    classic L-tables scheme). Each probe is a distinct bucket, so a
+    neighbor is scored at most once; the join stays a plain equi-join on
+    the bucket key and the query side stays broadcast-small
+    (|queries| × nprobe rows).
     """
-    cb = corpus.join(random_hyperplane_buckets(corpus, bits, dim, id_col=id_col, vec_col=vec_col), id_col)
-    qb = queries.join(
-        random_hyperplane_buckets(
-            queries.select(F.col("query_id").alias(id_col), F.col("qv").alias(vec_col)),
-            bits,
-            dim,
-        ).select(F.col(id_col).alias("query_id"), "bucket"),
-        "query_id",
+    planes = _hyperplanes(bits, dim, seed)
+    cb = corpus.join(
+        random_hyperplane_buckets(corpus, bits, dim, seed, id_col=id_col, vec_col=vec_col),
+        id_col,
     )
+    margins = _plane_margins("qv", planes)
+    base_bucket = _margins_to_bucket(margins, bits)
+    if nprobe <= 1:
+        qb = queries.select("query_id", "qv", base_bucket.alias("bucket"))
+    else:
+        # perturbation masks enumerated driver-side in increasing popcount
+        # (just enough to serve nprobe−1 probes); per query each mask is
+        # scored by the summed |margin| of its flipped planes — the
+        # probability-ordered probe sequence of Lv et al. — then the
+        # cheapest nprobe−1 masks XOR onto the base bucket
+        all_masks = sorted(range(1, 1 << bits), key=lambda m: bin(m).count("1"))
+        # pool ≥ all 1- and 2-bit flips so the per-query cost sort has
+        # real choices; grows to cover large nprobe up to exhaustive
+        pool = max(nprobe - 1, bits + bits * (bits - 1) // 2)
+        masks = all_masks[:pool]
+        scored_masks = F.array(
+            *[
+                F.struct(
+                    sum(
+                        F.abs(F.element_at(margins, j + 1))
+                        for j in range(bits)
+                        if m & (1 << j)
+                    ).alias("cost"),
+                    F.lit(m).alias("mask"),
+                )
+                for m in masks
+            ]
+        )
+        flips = F.transform(
+            F.slice(F.array_sort(scored_masks), 1, nprobe - 1),
+            lambda s: base_bucket.bitwiseXOR(s["mask"]),
+        )
+        probes = F.concat(F.array(base_bucket), flips)
+        qb = queries.select("query_id", "qv", F.explode(probes).alias("bucket"))
     pairs = cb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "bucket"
     ).join(F.broadcast(qb), ["bucket"]).where(F.col("neighbor_id") != F.col("query_id"))

@@ -146,3 +146,29 @@ def test_ivf_matches_brute_force_with_full_probe(spark):
            for r in similarity.ivf_topk(corpus, queries, k=5, n_cells=4,
                                         nprobe=4, iters=1).collect()}
     assert ivf == exact  # probing every cell ≡ exact search
+
+
+def test_lsh_multiprobe_recall_improves(spark):
+    """Multi-probe (flip lowest-|margin| bits) must recover at least the
+    single-bucket recall vs brute force, and probing all 2^bits buckets
+    must match brute force exactly (every candidate scored)."""
+    rng_vecs = [
+        (i, [float((i * 13 + j * 7) % 17 - 8) / 8.0 for j in range(16)])
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rng_vecs, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(corpus, queries, k=3).collect()}
+
+    def recall(nprobe):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.lsh_topk(corpus, queries, k=3, bits=4,
+                                            dim=16, nprobe=nprobe).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r4, rall = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= rall
+    assert rall == 1.0  # probing every bucket ≡ exact search
