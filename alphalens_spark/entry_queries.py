@@ -568,6 +568,27 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(brute_force_topk(emb, queries, k=5))
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the all-pairs baseline the
+    LSH variant verifies against)."""
+    from alphalens_spark.scale.dedup import embedding_cosine_duplicates
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return _finalize(embedding_cosine_duplicates(emb, threshold=0.4))
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified hyperplane-LSH near-dup (rows-only: bucket membership
+    depends on the seeded hyperplane draw, no SQL oracle; exact-cosine
+    verification makes every emitted pair ⊆ embedding_near_dup)."""
+    from alphalens_spark.scale.dedup import embedding_cosine_duplicates_lsh
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return _finalize(
+        embedding_cosine_duplicates_lsh(emb, threshold=0.4, n_tables=8, bits=6)
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
@@ -1096,6 +1117,18 @@ r AS (
 )
 SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 6) AS cos_sim
 FROM r WHERE rnk <= 5""",
+    "embedding_near_dup": """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cs
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cs, 6) AS cos_sim
+FROM p WHERE round(cs, 6) >= 0.4""",
 }
 
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
@@ -1141,8 +1174,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_centroids": q_embedding_centroids,
     "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     # rows-only checks (Spark-specific hashing/float-iteration, no oracle)
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash": q_simhash,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
 }

@@ -263,3 +263,115 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_cosine_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (all-pairs baseline).
+
+    Theta self-join (``id_a < id_b``) with the norms hoisted to one pass
+    per row, so the per-pair work is a single codegen'd dot product.
+    Inherently quadratic — this is the verification baseline and the
+    oracle-facing form; at scale use
+    :func:`embedding_cosine_duplicates_lsh`, which generates candidates
+    with banded hyperplane tables and verifies with this same exact
+    cosine.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded 6dp.
+    """
+    from alphalens_spark.scale.similarity import _dot, _norm
+
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.lit(0.0) + F.round(cos, 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_cosine_duplicates_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup via OR-amplified hyperplane LSH.
+
+    Candidate generation: ``n_tables`` independent random-hyperplane
+    tables of ``bits`` bits each (banding = OR-amplification: a pair is a
+    candidate if ANY table buckets it together — recall for pairs at
+    cosine c is 1 − (1 − p^bits)^n_tables with p = 1 − acos(c)/π, e.g.
+    ≈0.9999 at c=0.99 and ≈0.98 at c=0.9 with the defaults). All
+    L·bits·dim plane dot products evaluate in ONE codegen projection per
+    row; the explode emits L (table, bucket) keys per vector so the
+    self-join stays a plain equi-join — linear shuffle on a uniform key,
+    never the all-pairs cross join. Verification re-scores every
+    candidate with the exact cosine, so precision is 1.0 by construction
+    (output ⊆ the exact operator's output at the same threshold).
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded 6dp.
+    """
+    from alphalens_spark.scale.similarity import (
+        _dot,
+        _hyperplanes,
+        _margins_to_bucket,
+        _norm,
+        _plane_margins,
+    )
+
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _margins_to_bucket(
+                    _plane_margins(vec_col, _hyperplanes(bits, dim, seed + t)), bits
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    tagged = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+        F.explode(keys).alias("_k"),
+    ).select("_id", "_v", "_n", F.col("_k.tbl").alias("tbl"), F.col("_k.bucket").alias("bucket"))
+    a = tagged.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "tbl", "bucket",
+    )
+    b = tagged.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "tbl", "bucket",
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.withColumn("cos_sim", F.lit(0.0) + F.round(cos, 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -172,3 +172,40 @@ def test_lsh_multiprobe_recall_improves(spark):
     r1, r4, rall = recall(1), recall(4), recall(16)
     assert r1 <= r4 <= rall
     assert rall == 1.0  # probing every bucket ≡ exact search
+
+
+def test_embedding_cosine_duplicates_exact_and_lsh(spark):
+    """Exact all-pairs finds planted duplicates at cos=1; LSH output is a
+    subset of exact at the same threshold (precision 1 by construction)
+    and always recovers identical vectors (they share every bucket)."""
+    base = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)]) for i in range(30)
+    ]
+    # plant exact duplicates of vectors 0..4 as ids 100..104
+    planted = [(100 + i, vec) for i, vec in [(i, base[i][1]) for i in range(5)]]
+    emb = spark.createDataFrame(base + planted, "vec_id long, embedding array<float>")
+
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in dedup.embedding_cosine_duplicates(emb, threshold=0.99).collect()}
+    assert {(i, 100 + i) for i in range(5)} <= set(exact)
+    assert all(abs(v - 1.0) < 1e-6 for k, v in exact.items()
+               if k in {(i, 100 + i) for i in range(5)})
+
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_cosine_duplicates_lsh(
+               emb, threshold=0.99, n_tables=4, bits=4, dim=16).collect()}
+    assert lsh <= set(exact)
+    assert {(i, 100 + i) for i in range(5)} <= lsh  # identical ⇒ same buckets always
+
+
+def test_embedding_lsh_zero_bits_degenerates_to_exact(spark):
+    """bits=0 puts every vector in one bucket per table — the candidate set
+    is all pairs, so the LSH result must equal the exact result."""
+    vecs = [(i, [float((i * 13 + j) % 7 - 3) for j in range(8)]) for i in range(25)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_cosine_duplicates(emb, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_cosine_duplicates_lsh(
+               emb, threshold=0.5, n_tables=1, bits=0, dim=8).collect()}
+    assert lsh == exact
