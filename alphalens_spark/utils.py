@@ -28,6 +28,78 @@ class MaxLossExceededError(Exception):
     """Mirrors reference utils.py:30-31."""
 
 
+class NonMatchingTimezoneError(Exception):
+    """Mirrors reference utils.py:26-27."""
+
+
+def check_timezones(
+    factor: DataFrame, prices: DataFrame, date_col: str = "date"
+) -> None:
+    """Raise when factor and prices disagree on timestamp awareness.
+
+    The reference compares pandas index ``tz`` attributes
+    (utils.py:262-267). Spark's analogue is the TimestampType (session-tz
+    aware) vs TimestampNTZType (naive) distinction — a mixed pair would
+    silently misalign the (date, asset) join across the tz boundary, the
+    exact bug the reference guards against.
+    """
+    from pyspark.sql import types as T
+
+    def kind(df: DataFrame) -> str | None:
+        for f in df.schema.fields:
+            if f.name == date_col:
+                if isinstance(f.dataType, T.TimestampNTZType):
+                    return "ntz"
+                if isinstance(f.dataType, T.TimestampType):
+                    return "tz"
+        return None
+
+    fk, pk = kind(factor), kind(prices)
+    if fk is not None and pk is not None and fk != pk:
+        raise NonMatchingTimezoneError(
+            "The timezone of 'factor' is not the same as the timezone of "
+            "'prices'. (factor: %s, prices: %s)" % (fk, pk)
+        )
+
+
+def infer_period_labels(
+    calendar: DataFrame, periods: Sequence[int], date_col: str = "date"
+) -> dict[int, str]:
+    """Wall-clock horizon labels from the calendar's modal timestamp step.
+
+    Mirrors the reference's label inference (utils.py:301-321 +
+    timedelta_to_string utils.py:921-951): the mode of consecutive
+    timestamp diffs × k, rendered as '1D' / '1h' / '30min' / '15s'.
+    Driver-side on the (tiny) calendar dim — one collect of the modal
+    diff, never a scan of the data. Opt-in: the engine's default labels
+    count trading periods ('1D' = next trading timestamp) which is what
+    every oracle uses; wall-clock labels matter for intraday parity with
+    the reference's column names.
+    """
+    w = Window.orderBy(date_col)
+    diffs = calendar.select(
+        (
+            F.unix_timestamp(date_col)
+            - F.unix_timestamp(F.lag(date_col, 1).over(w))
+        ).alias("step")
+    ).where(F.col("step").isNotNull())
+    mode_row = (
+        diffs.groupBy("step").count().orderBy(F.desc("count"), F.asc("step")).first()
+    )
+    step = int(mode_row["step"]) if mode_row else 86400
+
+    def fmt(total_s: int) -> str:
+        if total_s % 86400 == 0:
+            return f"{total_s // 86400}D"
+        if total_s % 3600 == 0:
+            return f"{total_s // 3600}h"
+        if total_s % 60 == 0:
+            return f"{total_s // 60}min"
+        return f"{total_s}s"
+
+    return {k: fmt(k * step) for k in periods}
+
+
 def period_label(k: int, freq: str = "D") -> str:
     """'1D'-style horizon column label (ref utils.py:921-951 timedelta_to_string).
 
@@ -48,6 +120,7 @@ def compute_forward_returns(
     asset_col: str = "asset",
     price_col: str = "price",
     carry_cols: Sequence[str] = (),
+    labels: dict[int, str] | None = None,
 ) -> DataFrame:
     """k-period forward returns, row-positional on the price calendar.
 
@@ -111,7 +184,8 @@ def compute_forward_returns(
         else:
             base = F.col("price") if k == 1 else price_at(k - 1)
             ret = price_at(k) / base - F.lit(1.0)
-        cols.append(ret.alias(period_label(k, label_freq)))
+        label = labels[k] if labels else period_label(k, label_freq)
+        cols.append(ret.alias(label))
     return px.select(*cols)
 
 
@@ -460,6 +534,7 @@ def get_clean_factor_and_forward_returns(
     zero_aware: bool = False,
     cumulative_returns: bool = True,
     quantize_method: str = "edges",
+    label_freq: str = "D",
 ) -> DataFrame:
     """The reference's single ingestion entry point (utils.py:666-841).
 
@@ -467,9 +542,24 @@ def get_clean_factor_and_forward_returns(
     calendar grid) → optional z-filter → inner join with factor →
     group attach → quantize. Cache the result — every downstream metric
     in :mod:`alphalens_spark.performance` consumes it (SURVEY §3.1).
+
+    ``label_freq="infer"`` reproduces the reference's wall-clock column
+    labels (utils.py:301-321): '1h'/'3h'/'1D' on intraday calendars, from
+    the modal timestamp step of the calendar dim.
     """
-    period_cols = [period_label(k) for k in sorted(periods)]
-    fwd = compute_forward_returns(prices, periods, cumulative_returns)
+    check_timezones(factor, prices)
+    cal = trading_calendar(prices)
+    if label_freq == "infer":
+        labels = infer_period_labels(cal, periods)
+        period_cols = [labels[k] for k in sorted(periods)]
+        fwd = compute_forward_returns(
+            prices, periods, cumulative_returns, calendar=cal, labels=labels
+        )
+    else:
+        period_cols = [period_label(k, label_freq) for k in sorted(periods)]
+        fwd = compute_forward_returns(
+            prices, periods, cumulative_returns, calendar=cal, label_freq=label_freq
+        )
     if filter_zscore is not None:
         fwd = filter_returns_zscore(fwd, period_cols, filter_zscore)
     return get_clean_factor(

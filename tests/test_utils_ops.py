@@ -234,3 +234,82 @@ def test_common_start_returns_standalone(spark):
     out = {r["offset"]: r["cum_ret"]
            for r in common_start_returns(events, prices, 1, 2).collect()}
     assert out == {-1: -0.5, 0: 0.0, 1: 1.0, 2: 3.0}
+
+
+def test_intraday_calendar_inferred_labels(spark):
+    """Intraday (hourly) timestamps: day_idx numbers every bar, labels
+    infer to wall-clock '1h'/'3h'/'1D' (reference tests/test_utils.py:344
+    proves columns come out ['1h','3h','1D'] on intraday input). Forward
+    returns stay row-positional across the day boundary."""
+    import datetime as dtm
+
+    from alphalens_spark.utils import infer_period_labels
+
+    # 4 days x 8 hourly bars (09:00-16:00); the clean join keeps only rows
+    # where every horizon incl. '1D' (+24 bars) resolves — day 1's bars
+    ts = [
+        dtm.datetime(2020, 1, 1 + d, 9 + h) for d in range(4) for h in range(8)
+    ]
+    rows = [(t, "A", float(1.25 ** i)) for i, t in enumerate(ts)]
+    prices = spark.createDataFrame(rows, "date timestamp, asset string, price double")
+
+    cal = trading_calendar(prices)
+    labels = infer_period_labels(cal, (1, 3, 24))
+    assert labels == {1: "1h", 3: "3h", 24: "1D"}
+
+    fd = get_clean_factor_and_forward_returns(
+        factor=prices.select("date", "asset", F.col("price").alias("factor")),
+        prices=prices,
+        quantiles=None,
+        bins=1,
+        periods=(1, 3, 24),
+        filter_zscore=None,
+        max_loss=None,
+        label_freq="infer",
+    )
+    assert {"1h", "3h", "1D"} <= set(fd.columns)
+    got = {r["date"]: r for r in fd.collect()}
+    # row-positional: +1 bar across the 16:00 -> next-day 09:00 boundary
+    last_bar_day1 = dtm.datetime(2020, 1, 1, 16)
+    assert abs(got[last_bar_day1]["1h"] - 0.25) < 1e-9
+    # '1D' = 24 bars ahead: only the first 24-bar window has a value
+    assert abs(got[dtm.datetime(2020, 1, 1, 9)]["1D"] - (1.25**24 - 1)) < 1e-6
+
+
+def test_non_matching_timezone_error(spark):
+    import pytest
+
+    from alphalens_spark.utils import NonMatchingTimezoneError
+
+    aware = spark.createDataFrame(
+        [(D(0), "A", 1.0)], "date timestamp, asset string, price double"
+    )
+    naive = spark.createDataFrame(
+        [(D(0), "A", 1.0)], "date timestamp_ntz, asset string, factor double"
+    )
+    with pytest.raises(NonMatchingTimezoneError):
+        get_clean_factor_and_forward_returns(
+            factor=naive, prices=aware, periods=(1,), filter_zscore=None, max_loss=None
+        )
+
+
+def test_max_loss_exceeded(spark):
+    """Factor mostly NaN → fwd-return join loses > max_loss → raise
+    (reference utils.py:645-661)."""
+    import pytest
+
+    from alphalens_spark.utils import MaxLossExceededError
+
+    prices = _prices_df(spark)  # 10 dates
+    # factor on every date, but the 5-period horizon has no future price
+    # for the last 5 dates → fwd loss 50% > max_loss 10%
+    factor = prices.select("date", "asset", F.col("price").alias("factor"))
+    with pytest.raises(MaxLossExceededError):
+        get_clean_factor_and_forward_returns(
+            factor=factor,
+            prices=prices,
+            quantiles=2,
+            periods=(1, 5),
+            filter_zscore=None,
+            max_loss=0.1,
+        )
