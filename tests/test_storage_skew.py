@@ -1,0 +1,78 @@
+"""Bucketed-layout shuffle elimination + skew-salting equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphalens_spark import storage
+from alphalens_spark.scale import skew
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("asset"), (F.col("id") * 2.0).alias("price")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("asset"), (F.col("id") % 7).alias("grp")
+    )
+    storage.write_bucketed(left, "t_px", ["asset"], n_buckets=8, sort_cols=["asset"])
+    storage.write_bucketed(right, "t_grp", ["asset"], n_buckets=8, sort_cols=["asset"])
+
+    a = storage.read_table(spark, "t_px")
+    b = storage.read_table(spark, "t_grp")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "asset")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan  # bucketing co-locates both sides
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_px")
+        spark.sql("DROP TABLE IF EXISTS t_grp")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of big side lands on key 0
+    big = spark.range(0, 5_000).select(
+        (F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+    )
+    plain = big.join(small, "k").select("k", "payload", "dim")
+    salted = skew.salted_join(big, small, ["k"], n_salts=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.select("k", "payload", "dim").collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.range(0, 1_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    salted = skew.with_salt(big, 8, cols=["v"])
+    n_salts_used = salted.select("_salt").distinct().count()
+    assert n_salts_used == 8  # the single hot key fans out across tasks
+
+
+def test_salted_collect_set_matches_plain(spark):
+    df = spark.range(0, 2_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 101).alias("v")
+    )
+    plain = {
+        r["k"]: set(r["s"])
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    salted = {
+        r["k"]: set(r["v_set"])
+        for r in skew.salted_collect_set(df, ["k"], "v", n_salts=8).collect()
+    }
+    assert plain == salted
