@@ -18,8 +18,10 @@ Modules:
   utils         ingestion: forward returns, quantization, cleaning
   performance   metrics: IC, factor returns, alpha/beta, turnover, events
   tears         batch drivers mirroring the reference tear sheets
+  plotting      the reference's plot_* API, compute-first (render optional)
+  storage       bucketed-table layouts for shuffle-free co-located joins
   datasets      derived factor/prices panels from the driver's TPC-H data
-  scale         LLM-data-pipeline extensions: dedup, similarity, text
+  scale         LLM-data-pipeline extensions: dedup, similarity, text, skew
 """
 
 from alphalens_spark import calendar_ as calendar  # noqa: F401
