@@ -141,15 +141,34 @@ def factor_weights(
     if equal_weight:
         center = F.percentile(f, F.lit(0.5)).over(w) if demeaned else F.lit(0.0)
         raw = F.when(f > center, F.lit(1.0)).when(f < center, F.lit(-1.0)).otherwise(F.lit(0.0))
+        if demeaned:
+            # ref performance.py:185-190: positive dollars must equal
+            # negative dollars, so each side is divided by its own COUNT
+            # before the gross normalization — the two differ whenever
+            # median ties skew the split (e.g. [1,2,2,2,2,4,5])
+            n_pos = F.sum(F.when(raw > 0, 1).otherwise(0)).over(w)
+            n_neg = F.sum(F.when(raw < 0, 1).otherwise(0)).over(w)
+            raw = (
+                F.when(raw > 0, raw / n_pos)
+                .when(raw < 0, raw / n_neg)
+                .otherwise(F.lit(0.0))
+            )
     else:
         raw = f - F.avg(f).over(w) if demeaned else f
     out = factor_data.withColumn("_raw_w", raw)
     norm = F.sum(F.abs(F.col("_raw_w"))).over(w)
     out = out.withColumn(weight_col, F.col("_raw_w") / norm).drop("_raw_w")
     if group_adjust:
+        # ref performance.py:202-204: a SECOND to_weights pass at date
+        # level = renormalize by the per-date sum of |w|. NOT a divide by
+        # group count: a group whose weights degenerate to NaN (single
+        # asset demeaned) or 0 contributes nothing to the sum, so the
+        # remaining groups still split the whole book (golden case 4/8 of
+        # reference tests/test_performance.py:437-554)
         wd = Window.partitionBy("date")
-        n_groups = F.size(F.collect_set("group").over(wd))
-        out = out.withColumn(weight_col, F.col(weight_col) / n_groups)
+        out = out.withColumn(
+            weight_col, F.col(weight_col) / F.sum(F.abs(F.col(weight_col))).over(wd)
+        )
     return out
 
 

