@@ -514,6 +514,7 @@ def average_cumulative_return_by_quantile(
     periods_after: int = 15,
     demeaned: bool = True,
     calendar: DataFrame | None = None,
+    by_date_mean: bool = False,
 ) -> DataFrame:
     """Event-study: average cumulative return path around factor dates.
 
@@ -521,6 +522,25 @@ def average_cumulative_return_by_quantile(
     average_cumulative_return_by_quantile): for every (date, asset) row
     grab the return window [-before, +after] in trading periods, compound,
     then average per (quantile, offset).
+
+    Semantics note (documented delta): the reference snapshot's goldens
+    for this operator are internally inconsistent — its
+    tests/test_performance.py:872-935 case (1,2,False,4) expects RAW
+    slices of the passed cumulative series (performance.py:688-727 with
+    cumulative=True never renormalizes), while case (3,0,False,4) of the
+    same parameterized test expects event-date-normalized ratios
+    (p[o]/p[0] − 1), the semantics of the pre-v0.4 prices-based API. The
+    two cannot both pass against one implementation. We implement the
+    normalized form (the economically meaningful event-study definition,
+    matching case 3) and verify it against the DuckDB oracle
+    (event_study_car).
+
+    by_date_mean=True reproduces the reference's two-stage aggregation
+    (mean_by_date=True at performance.py:725: average across assets
+    within each event date first, then mean/std across event dates);
+    default False aggregates over all (event, asset) observations — the
+    two agree on the mean when each date has equal universe size, and
+    differ on std.
 
     Spark plan (SURVEY §2.3 event-window row): NO range join — explode a
     ``sequence(-before, after)`` on the event side, equi-join prices on
@@ -569,6 +589,15 @@ def average_cumulative_return_by_quantile(
     if demeaned:
         w = Window.partitionBy("event_date", "offset")
         joined = joined.withColumn("cum_ret", F.col("cum_ret") - F.avg("cum_ret").over(w))
+    if by_date_mean:
+        per_date = joined.groupBy("factor_quantile", "offset", "event_date").agg(
+            F.avg("cum_ret").alias("_date_mean")
+        )
+        return per_date.groupBy("factor_quantile", "offset").agg(
+            F.avg("_date_mean").alias("mean_ret"),
+            F.stddev_samp("_date_mean").alias("std_ret"),
+            F.count("_date_mean").alias("count_ret"),
+        )
     return (
         joined.groupBy("factor_quantile", "offset")
         .agg(

@@ -253,3 +253,38 @@ def test_factor_weights_reference_golden_matrix(spark, grid, flags, expected):
             assert act is None or math.isnan(act), (key, act)
         else:
             assert act is not None and abs(act - exp) < 1e-9, (key, act, exp)
+
+
+def test_avg_cumulative_return_reference_case3_normalized(spark):
+    """Reference golden (tests/test_performance.py:898-907, the
+    (3,0,False,4) case): geometric levels r**i per asset, events on 6
+    dates, window [-3, 0] — normalized path p[o]/p[0]-1 is constant
+    across events, so mean hits the golden exactly and std is 0."""
+    ratios = {"A": 1.25, "B": 1.5, "C": 1.0, "D": 0.5}
+    prices = spark.createDataFrame(
+        [(D(i), a, float(r ** (i + 1))) for i in range(18) for a, r in ratios.items()],
+        "date timestamp, asset string, price double",
+    )
+    # events: dates 6..11, quantile by factor [3,4,2,1] → D=1, C=2, A=3, B=4
+    quant = {"A": 3, "B": 4, "C": 2, "D": 1}
+    fd = spark.createDataFrame(
+        [(D(i), a, q) for i in range(6, 12) for a, q in quant.items()],
+        "date timestamp, asset string, factor_quantile int",
+    )
+    got = {
+        (r["factor_quantile"], r["offset"]): (r["mean_ret"], r["std_ret"])
+        for r in perf.average_cumulative_return_by_quantile(
+            fd, prices, 3, 0, demeaned=False, by_date_mean=True
+        ).collect()
+    }
+    expected = {
+        1: [7.0, 3.0, 1.0, 0.0],            # D: 0.5**-o - 1
+        2: [0.0, 0.0, 0.0, 0.0],            # C: flat
+        3: [-0.488, -0.36, -0.2, 0.0],      # A: 1.25**o - 1
+        4: [-0.703704, -0.555556, -0.333333, 0.0],  # B: 1.5**o - 1
+    }
+    for q, row in expected.items():
+        for off, exp in zip(range(-3, 1), row):
+            mean, std = got[(q, off)]
+            assert abs(mean - exp) < 1e-5, (q, off, mean, exp)
+            assert std == 0.0 or std is None or abs(std) < 1e-12
