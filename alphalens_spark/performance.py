@@ -443,20 +443,24 @@ def factor_rank_autocorrelation(
 
 
 def cumulative_returns(
-    returns: DataFrame, ret_col: str, keys: Sequence[str] = ()
+    returns: DataFrame, ret_col: str, keys: Sequence[str] = (),
+    starting_value: float = 1.0,
 ) -> DataFrame:
-    """Running compounded return ``cumprod(1 + r) - 1`` per key.
+    """Running compounded level ``starting_value · cumprod(1 + r)`` per key.
 
-    Reference performance.py:333-352 (empyrical cum_returns). Spark has no
-    product aggregate → ``exp(sum(log1p(r)))`` over an expanding window
-    (SURVEY §2.5). Returns ≤ -100% would need sign bookkeeping; factor
-    portfolio returns never reach -1 in practice and the reference's
-    behavior there (silent zeros) is not meaningful — we propagate null.
+    Reference performance.py:333-352 = empyrical cum_returns with
+    starting_value=1, i.e. the 1-BASED level — its golden
+    (tests/test_performance.py:615-692) maps returns [1,.5,1,.5,.5] to
+    [2,3,6,9,13.5]. Spark has no product aggregate →
+    ``exp(sum(log1p(r)))`` over an expanding window (SURVEY §2.5).
+    Returns ≤ -100% would need sign bookkeeping; factor portfolio returns
+    never reach -1 in practice and the reference's behavior there (silent
+    zeros) is not meaningful — we propagate null.
     """
     w = Window.partitionBy(*keys).orderBy("date").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = F.exp(F.sum(F.log1p(F.col(ret_col))).over(w)) - F.lit(1.0)
+    cum = F.exp(F.sum(F.log1p(F.col(ret_col))).over(w)) * F.lit(starting_value)
     return returns.withColumn(f"cum_{ret_col}", cum)
 
 

@@ -131,9 +131,10 @@ def test_cumulative_returns(spark):
         [(D(0), 0.1), (D(1), -0.5), (D(2), 0.2)], "date timestamp, r double"
     )
     out = {r["date"]: r["cum_r"] for r in perf.cumulative_returns(df, "r").collect()}
-    assert math.isclose(out[D(0)], 0.1, rel_tol=1e-12)
-    assert math.isclose(out[D(1)], -0.45, rel_tol=1e-12)
-    assert math.isclose(out[D(2)], -0.34, rel_tol=1e-12)
+    # 1-based level, matching ep.cum_returns(starting_value=1)
+    assert math.isclose(out[D(0)], 1.1, rel_tol=1e-12)
+    assert math.isclose(out[D(1)], 0.55, rel_tol=1e-12)
+    assert math.isclose(out[D(2)], 0.66, rel_tol=1e-12)
 
 
 def test_average_cumulative_return_by_quantile(spark):
@@ -288,3 +289,68 @@ def test_avg_cumulative_return_reference_case3_normalized(spark):
             mean, std = got[(q, off)]
             assert abs(mean - exp) < 1e-5, (q, off, mean, exp)
             assert std == 0.0 or std is None or abs(std) < 1e-12
+
+
+def test_quantile_turnover_reference_multi_period_bday(spark):
+    """Reference golden (tests/test_performance.py:265-435): alternating
+    factor ranks over a business-day calendar with a weekend hole —
+    positional day_idx alignment makes '1B' and '1D' calendars identical,
+    which the reference needed special freq handling for. Periods 1/2/3,
+    top quantile: membership D,A,D,D →
+    p=1: [1, 1, 0], p=2: [0, 1], p=3: [0]."""
+    # Thu Jan 2, Fri Jan 3, (weekend), Mon Jan 6, Tue Jan 7 2020
+    bdays = [dt.datetime(2020, 1, d) for d in (2, 3, 6, 7)]
+    grids = [[1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0],
+             [1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]]
+    rows = [
+        (bdays[i], a, 0.0, v, int(v))  # 4 quantiles = rank itself
+        for i, vals in enumerate(grids)
+        for a, v in zip("ABCD", vals)
+    ]
+    fd = _fd(spark, rows)
+    for period, expected in [
+        ((1,), {bdays[1]: 1.0, bdays[2]: 1.0, bdays[3]: 0.0}),
+        ((2,), {bdays[2]: 0.0, bdays[3]: 1.0}),
+        ((3,), {bdays[3]: 0.0}),
+    ]:
+        got = {
+            r["date"]: r["turnover"]
+            for r in perf.quantile_turnover(fd, periods=period)
+            .where(F.col("factor_quantile") == 4)
+            .collect()
+        }
+        assert got == expected, (period, got)
+
+
+def test_rank_autocorrelation_reference_period3_golden(spark):
+    """Reference golden (tests/test_performance.py:694-773, the 12-date
+    period-3 case): permuted rank grids over a business calendar; expected
+    autocorr [1, 1, 1, 0.6, -0.6, -1, 1, -0.6, -1] from date 4 on."""
+    grids = [[1.0, 2.0, 3.0, 4.0], [2.0, 1.0, 4.0, 3.0], [4.0, 3.0, 2.0, 1.0],
+             [1.0, 2.0, 3.0, 4.0], [2.0, 1.0, 4.0, 3.0], [4.0, 3.0, 2.0, 1.0],
+             [2.0, 1.0, 4.0, 3.0], [4.0, 3.0, 2.0, 1.0], [1.0, 2.0, 3.0, 4.0],
+             [2.0, 1.0, 4.0, 3.0], [2.0, 1.0, 4.0, 3.0], [4.0, 3.0, 2.0, 1.0]]
+    # business days: Jan 2,3 then Mon-Fri weeks of Jan 2020
+    bd = [dt.datetime(2020, 1, d) for d in (2, 3, 6, 7, 8, 9, 10, 13, 14, 15, 16, 17)]
+    rows = [(bd[i], a, 0.0, v, 1) for i, vals in enumerate(grids)
+            for a, v in zip("ABCD", vals)]
+    got = {r["date"]: r["autocorr"] for r in
+           perf.factor_rank_autocorrelation(_fd(spark, rows), 3).collect()}
+    expected = [1.0, 1.0, 1.0, 0.6, -0.6, -1.0, 1.0, -0.6, -1.0]
+    assert len(got) == 9
+    for d, exp in zip(bd[3:], expected):
+        assert abs(got[d] - exp) < 1e-9, (d, got[d], exp)
+
+
+def test_cumulative_returns_reference_golden(spark):
+    """Reference golden (tests/test_performance.py:615-692): identical
+    values across Day/BDay/CustomBDay calendars — positional compounding,
+    so the calendar never enters; [1,.5,1,.5,.5] → [2,3,6,9,13.5]."""
+    rets = [1.0, 0.5, 1.0, 0.5, 0.5]
+    expected = [2.0, 3.0, 6.0, 9.0, 13.5]
+    # business-day calendar with a weekend hole (Jan 2,3,6,7,8 2020)
+    days = [dt.datetime(2020, 1, d) for d in (2, 3, 6, 7, 8)]
+    df = spark.createDataFrame(list(zip(days, rets)), "date timestamp, r double")
+    out = {r["date"]: r["cum_r"] for r in perf.cumulative_returns(df, "r").collect()}
+    for d, exp in zip(days, expected):
+        assert math.isclose(out[d], exp, rel_tol=1e-12)

@@ -83,4 +83,4 @@ def test_factor_cumulative_returns_compounds(spark):
     acc = 1.0
     for row in out:
         acc *= 1.0 + row["ret"]
-        assert math.isclose(row["cum_ret"], acc - 1.0, rel_tol=1e-9)
+        assert math.isclose(row["cum_ret"], acc, rel_tol=1e-9)
