@@ -470,6 +470,8 @@ def common_start_returns(
     periods_before: int,
     periods_after: int,
     calendar: DataFrame | None = None,
+    mean_by_date: bool = False,
+    demean_by: DataFrame | None = None,
 ) -> DataFrame:
     """Per-event return windows aligned to a common offset axis.
 
@@ -481,34 +483,65 @@ def common_start_returns(
     parity. Same explode→equi-join plan (SURVEY §4.2 — never a nested
     loop join).
 
-    Output: (asset, event_date, offset, cum_ret).
+    mean_by_date (ref performance.py:722-723): collapse each event date's
+    window paths to their cross-asset mean. demean_by (ref
+    performance.py:708-720): a (date, asset) universe whose per-(event
+    date, offset) mean path is subtracted — the long-short event-study
+    adjustment.
+
+    Output: (asset, event_date, offset, cum_ret), or
+    (event_date, offset, cum_ret) when mean_by_date.
     """
     from alphalens_spark.calendar_ import trading_calendar, with_day_idx
 
     cal = calendar if calendar is not None else trading_calendar(prices)
     px = with_day_idx(prices, cal)
-    ev = with_day_idx(events.select("date", "asset"), cal).select(
-        "asset", F.col("date").alias("event_date"), F.col(DAY_IDX).alias("_eidx")
-    )
-    base = px.select(F.col("asset"), F.col(DAY_IDX).alias("_eidx"), F.col("price").alias("_p0"))
-    at_off = px.select(F.col("asset"), F.col(DAY_IDX).alias("_oidx"), F.col("price").alias("_pt"))
-    # join the offset-0 price BEFORE exploding: _p0 is offset-independent,
-    # so the first join probes |events| rows, not |events|·|offsets|
-    return (
-        ev.join(base, ["asset", "_eidx"])
-        .select(
-            "*",
-            F.explode(
-                F.sequence(F.lit(-periods_before), F.lit(periods_after))
-            ).alias("offset"),
+
+    def window_paths(ev_df: DataFrame) -> DataFrame:
+        ev = with_day_idx(ev_df.select("date", "asset"), cal).select(
+            "asset", F.col("date").alias("event_date"), F.col(DAY_IDX).alias("_eidx")
         )
-        .withColumn("_oidx", F.col("_eidx") + F.col("offset"))
-        .join(at_off, ["asset", "_oidx"])
-        .select(
+        base = px.select(
+            F.col("asset"), F.col(DAY_IDX).alias("_eidx"), F.col("price").alias("_p0")
+        )
+        at_off = px.select(
+            F.col("asset"), F.col(DAY_IDX).alias("_oidx"), F.col("price").alias("_pt")
+        )
+        # join the offset-0 price BEFORE exploding: _p0 is offset-
+        # independent, so the first join probes |events| rows, not
+        # |events|·|offsets|
+        return (
+            ev.join(base, ["asset", "_eidx"])
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(-periods_before), F.lit(periods_after))
+                ).alias("offset"),
+            )
+            .withColumn("_oidx", F.col("_eidx") + F.col("offset"))
+            .join(at_off, ["asset", "_oidx"])
+            .select(
+                "asset", "event_date", "offset",
+                (F.col("_pt") / F.col("_p0") - 1).alias("cum_ret"),
+            )
+        )
+
+    out = window_paths(events)
+    if demean_by is not None:
+        univ_mean = (
+            window_paths(demean_by)
+            .groupBy("event_date", "offset")
+            .agg(F.avg("cum_ret").alias("_univ_mean"))
+        )
+        out = out.join(univ_mean, ["event_date", "offset"]).select(
             "asset", "event_date", "offset",
-            (F.col("_pt") / F.col("_p0") - 1).alias("cum_ret"),
+            (F.col("cum_ret") - F.col("_univ_mean")).alias("cum_ret"),
         )
-    )
+    if mean_by_date:
+        out = out.groupBy("event_date", "offset").agg(
+            F.avg("cum_ret").alias("cum_ret")
+        )
+    return out
 
 
 def average_cumulative_return_by_quantile(

@@ -354,3 +354,66 @@ def test_cumulative_returns_reference_golden(spark):
     out = {r["date"]: r["cum_r"] for r in perf.cumulative_returns(df, "r").collect()}
     for d, exp in zip(days, expected):
         assert math.isclose(out[d], exp, rel_tol=1e-12)
+
+
+def test_ic_reference_four_case_golden(spark):
+    """Reference golden (tests/test_performance.py:66-107): factor
+    [1,2,3,4] per date over two group halves; the four
+    (group_adjust, by_group) combinations all give IC ±1."""
+    # factor 1..4 on assets A..D; groups: A,B -> 1, C,D -> 2
+    grp = {"A": "1", "B": "1", "C": "2", "D": "2"}
+    def fd_with_returns(ret_pattern):
+        rows = [
+            (D(d), a, float(ret_pattern[i]), float(i + 1), i + 1, grp[a])
+            for d in range(2)
+            for i, a in enumerate("ABCD")
+        ]
+        return spark.createDataFrame(
+            rows,
+            "date timestamp, asset string, `1D` double, factor double,"
+            " factor_quantile int, group string",
+        )
+
+    # inverse returns → IC -1; aligned returns → IC +1
+    inv = fd_with_returns([4, 3, 2, 1])
+    got = perf.factor_information_coefficient(inv, ["1D"]).collect()
+    assert all(abs(r["ic_1D"] + 1.0) < 1e-12 for r in got) and len(got) == 2
+
+    aligned = fd_with_returns([1, 2, 3, 4])
+    got = perf.factor_information_coefficient(aligned, ["1D"]).collect()
+    assert all(abs(r["ic_1D"] - 1.0) < 1e-12 for r in got)
+
+    # by_group: within each group the 2-point rank corr is still 1
+    got = perf.factor_information_coefficient(aligned, ["1D"], by_group=True).collect()
+    assert len(got) == 4 and all(abs(r["ic_1D"] - 1.0) < 1e-12 for r in got)
+
+    # group_adjust + by_group: demeaning within group preserves order
+    got = perf.factor_information_coefficient(
+        aligned, ["1D"], group_adjust=True, by_group=True
+    ).collect()
+    assert len(got) == 4 and all(abs(r["ic_1D"] - 1.0) < 1e-12 for r in got)
+
+
+def test_common_start_returns_mean_by_date_and_demean(spark):
+    """mean_by_date collapses to per-(event date, offset) means;
+    demean_by subtracts the universe's mean path (a self-demean must be
+    identically zero)."""
+    ratios = {"A": 1.25, "B": 0.8}
+    prices = spark.createDataFrame(
+        [(D(i), a, float(r ** i)) for i in range(8) for a, r in ratios.items()],
+        "date timestamp, asset string, price double",
+    )
+    events = spark.createDataFrame(
+        [(D(3), "A"), (D(3), "B")], "date timestamp, asset string"
+    )
+    md = perf.common_start_returns(events, prices, 1, 1, mean_by_date=True)
+    got = {r["offset"]: r["cum_ret"] for r in md.collect()}
+    # mean over A,B of r**o - 1 at each offset
+    for o in (-1, 0, 1):
+        exp = (1.25 ** o - 1 + 0.8 ** o - 1) / 2
+        assert abs(got[o] - exp) < 1e-12
+
+    self_demeaned = perf.common_start_returns(
+        events, prices, 1, 1, demean_by=events, mean_by_date=True
+    )
+    assert all(abs(r["cum_ret"]) < 1e-12 for r in self_demeaned.collect())
