@@ -296,6 +296,20 @@ def q_quantize_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("date", "asset", "bin_label")
 
 
+def q_quantize_bins_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit literal bin edges (pd.cut sequence mode, ref
+    utils.py:110-113): right-closed (10,20],(20,50],(50,100],(100,200];
+    out-of-range factors → NULL (ref tests/test_utils.py:166-167)."""
+    from alphalens_spark.utils import quantize_factor
+
+    fd = _fd(spark, sf_dir).withColumn("factor_r", F.round("factor", 6))
+    out = quantize_factor(
+        fd, quantiles=None, bins=[10.0, 20.0, 50.0, 100.0, 200.0],
+        factor_col="factor_r", out_col="bin_label",
+    )
+    return out.select("date", "asset", "bin_label")
+
+
 def q_quantize_fraction_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-uniform quantile fractions [0, .1, .5, .9, 1] (ref
     utils.py:104-107), evaluated on the rounded factor so the per-date
@@ -869,6 +883,15 @@ SELECT date, asset,
             ELSE greatest(least(ceil((factor_r - mn) / (mx - mn) * 4), 4), 1)
             END AS INT) AS bin_label
 FROM mm""",
+    "quantize_bins_seq": f"""{_P},
+fr AS (SELECT date, asset, round(factor, 6) AS factor_r FROM clean)
+SELECT date, asset,
+       CAST(CASE WHEN factor_r <= 10 OR factor_r > 200 THEN NULL
+                 WHEN factor_r <= 20 THEN 1
+                 WHEN factor_r <= 50 THEN 2
+                 WHEN factor_r <= 100 THEN 3
+                 ELSE 4 END AS INT) AS bin_label
+FROM fr""",
     "quantize_fraction_seq": f"""{_P},
 fr AS (SELECT date, asset, round(factor, 6) AS factor_r FROM clean),
 ed AS (
@@ -1157,6 +1180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turnover_summary": q_turnover_summary,
     "forward_returns_zscore": q_forward_returns_zscore,
     "quantize_bins": q_quantize_bins,
+    "quantize_bins_seq": q_quantize_bins_seq,
     "quantize_fraction_seq": q_quantize_fraction_seq,
     "positions": q_positions,
     "forward_returns_noncumulative": q_forward_returns_noncumulative,

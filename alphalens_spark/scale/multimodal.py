@@ -130,3 +130,66 @@ def sample_frames(
     return ex.select(
         "media_id", "frame_idx", offset.alias("offset"), chunk.alias("chunk")
     )
+
+
+def resize_media(
+    media: DataFrame,
+    target_width: int = 32,
+    target_height: int = 32,
+    resizer: str = "fake",
+) -> DataFrame:
+    """Resize plumbing: payload → fixed-size payload + updated metadata.
+
+    Same Arrow-batched ``mapInPandas`` shape a real image resize uses
+    (PIL/cv2 per batch); ``resizer='fake'`` nearest-neighbor-samples the
+    BYTE stream to exactly ``target_width*target_height`` bytes — a
+    deterministic stand-in with the real operator's schema, batch shape
+    and output-size invariant. A real backend raises until its library
+    exists, marking the stubbed boundary.
+
+    Output: (media_id, payload binary, width int, height int, n_bytes long).
+    """
+    if resizer != "fake":
+        raise NotImplementedError(
+            f"resizer={resizer!r}: real image resizing needs PIL/cv2, not "
+            "available in this environment; 'fake' exercises the identical "
+            "Spark plumbing"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+    n_out = target_width * target_height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    payloads.append(None)
+                    sizes.append(None)
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                # nearest-neighbor index sampling to the target size
+                idx = np.linspace(0, len(arr) - 1, n_out).round().astype(int)
+                resized = arr[idx].tobytes()
+                payloads.append(resized)
+                sizes.append(len(resized))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": target_width,
+                    "height": target_height,
+                    "n_bytes": pd.array(sizes, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_resize, out_schema)

@@ -176,3 +176,21 @@ def test_stream_dedup_exact_first_arrival(spark):
     # is engine-chosen, so assert the invariant (count + distinctness)
     assert len(got_stream) == 3
     assert len({r["text"] for r in got_stream}) == 3
+
+
+def test_resize_media_fixed_output_size(spark):
+    from alphalens_spark.scale.multimodal import documents_as_media, resize_media
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "hello world " * 100), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    out = resize_media(documents_as_media(docs), 8, 4).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_bytes"] == 8 * 4 and len(r["payload"]) == 32
+        assert (r["width"], r["height"]) == (8, 4)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        resize_media(documents_as_media(docs), resizer="pil").collect()
