@@ -584,6 +584,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(brute_force_topk_vectorized(emb, queries, k=5))
 
 
+def q_doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: RE2-shared tokenization + long-word
+    correction, identical pattern on both engines."""
+    from alphalens_spark.scale.text import token_count_bpe_ish
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return token_count_bpe_ish(docs)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint (rows-only: xxhash64 is
+    Spark-specific)."""
+    from alphalens_spark.scale.text import rolling_fingerprint
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (the all-pairs baseline the
     LSH variant verifies against)."""
@@ -1142,6 +1160,16 @@ r AS (
 )
 SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 6) AS cos_sim
 FROM r WHERE rnk <= 5""",
+    "doc_bpe_token_count": r"""
+WITH p AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces)
+            + list_sum(list_transform(pieces, w -> CAST(floor(length(w) / 8) AS BIGINT)))
+         AS BIGINT) AS est_bpe_tokens
+FROM p""",
     "embedding_near_dup": """
 WITH p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1201,9 +1229,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "doc_bpe_token_count": q_doc_bpe_token_count,
     # rows-only checks (Spark-specific hashing/float-iteration, no oracle)
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash": q_simhash,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "doc_fingerprint": q_doc_fingerprint,
 }

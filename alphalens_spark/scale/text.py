@@ -102,16 +102,17 @@ def token_count_bpe_ish(docs: DataFrame, text_col: str = "text", id_col: str = "
     cheap estimator splits on the word/digit/punctuation boundary regex
     and adds a length-based correction for long words.
     """
-    pieces = F.split(F.col(text_col), r"(?<=\W)|(?=\W)")
-    words = F.filter(pieces, lambda p: F.trim(p) != "")
+    # \w+|[^\w\s]: word runs or single punctuation — RE2-compatible (no
+    # lookaround), so the DuckDB oracle can evaluate the identical pattern
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0)
     extra = F.aggregate(
-        words,
+        pieces,
         F.lit(0),
         lambda acc, wd: acc + F.floor(F.length(wd) / F.lit(8)).cast("int"),
     )
     return docs.select(
         F.col(id_col),
-        (F.size(words) + extra).alias("est_bpe_tokens"),
+        (F.size(pieces) + extra).alias("est_bpe_tokens"),
     )
 
 
