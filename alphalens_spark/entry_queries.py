@@ -310,6 +310,21 @@ def q_quantize_bins_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("date", "asset", "bin_label")
 
 
+def q_quantize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile labels computed within (date, group) partitions (ref
+    utils.py:162-164 by_group=True): supplier nation as the group via the
+    broadcast dim join."""
+    from alphalens_spark.utils import quantize_factor
+
+    fd = _fd_grouped(spark, sf_dir)
+    out = quantize_factor(
+        fd, quantiles=5, by_group=True, method="ntile", out_col="group_quantile"
+    )
+    return out.select(
+        "date", "asset", F.col("group").alias("group_name"), "group_quantile"
+    )
+
+
 def q_quantize_fraction_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-uniform quantile fractions [0, .1, .5, .9, 1] (ref
     utils.py:104-107), evaluated on the rounded factor so the per-date
@@ -813,6 +828,16 @@ JOIN px p0 ON p0.asset = f.asset AND p0.day_idx = c.day_idx
 JOIN px p2 ON p2.asset = f.asset
           AND p2.day_idx BETWEEN c.day_idx - 2 AND c.day_idx + 4
 GROUP BY 1, 2""",
+    "quantize_by_group": f"""{_P},
+grp AS (
+  SELECT s_suppkey AS asset, n_name AS group_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT c.date, c.asset, g.group_name,
+       CAST(ntile(5) OVER (PARTITION BY c.date, g.group_name
+                           ORDER BY round(c.factor, 6), c.asset) AS INT)
+         AS group_quantile
+FROM clean c JOIN grp g ON c.asset = g.asset""",
     "mean_return_by_quantile_by_group": f"""{_P},
 grp AS (
   SELECT s_suppkey AS asset, n_name AS group_name
@@ -1209,6 +1234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forward_returns_zscore": q_forward_returns_zscore,
     "quantize_bins": q_quantize_bins,
     "quantize_bins_seq": q_quantize_bins_seq,
+    "quantize_by_group": q_quantize_by_group,
     "quantize_fraction_seq": q_quantize_fraction_seq,
     "positions": q_positions,
     "forward_returns_noncumulative": q_forward_returns_noncumulative,
