@@ -468,6 +468,7 @@ def get_clean_factor(
     max_loss: float | None = 0.35,
     zero_aware: bool = False,
     quantize_method: str = "edges",
+    groupby_labels: dict | None = None,
 ) -> DataFrame:
     """Join factor onto forward returns, attach groups, quantize, clean.
 
@@ -497,6 +498,25 @@ def get_clean_factor(
             merged = merged.join(groupby, on=["date", "asset"], how="inner")
         else:
             merged = merged.join(F.broadcast(groupby), on="asset", how="inner")
+        if groupby_labels is not None:
+            # ref utils.py:614-623: remap group codes to display names; a
+            # code missing from the map raises (the reference's KeyError)
+            mapping = F.create_map(
+                *[F.lit(x) for kv in groupby_labels.items() for x in kv]
+            )
+            known = F.col("group").isin(list(groupby_labels))
+            merged = merged.withColumn(
+                "group",
+                F.when(known, mapping[F.col("group")]).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("group code "),
+                            F.col("group").cast("string"),
+                            F.lit(" not in groupby_labels"),
+                        )
+                    )
+                ),
+            )
 
     merged = merged.na.drop(subset=list(period_cols))
     after_fwd = merged.count() if max_loss is not None else None
@@ -535,6 +555,7 @@ def get_clean_factor_and_forward_returns(
     cumulative_returns: bool = True,
     quantize_method: str = "edges",
     label_freq: str = "D",
+    groupby_labels: dict | None = None,
 ) -> DataFrame:
     """The reference's single ingestion entry point (utils.py:666-841).
 
@@ -573,6 +594,7 @@ def get_clean_factor_and_forward_returns(
         max_loss=max_loss,
         zero_aware=zero_aware,
         quantize_method=quantize_method,
+        groupby_labels=groupby_labels,
     )
 
 

@@ -313,3 +313,32 @@ def test_max_loss_exceeded(spark):
             filter_zscore=None,
             max_loss=0.1,
         )
+
+
+def test_groupby_labels_remap(spark):
+    """Reference utils.py:614-623: group codes remapped to display names
+    via the labels dict; a missing code errors at evaluation."""
+    import pytest
+
+    from alphalens_spark.utils import get_clean_factor, period_label
+
+    prices = _prices_df(spark)
+    fwd = compute_forward_returns(prices, (1,))
+    factor = prices.select("date", "asset", F.col("price").alias("factor"))
+    groupby = spark.createDataFrame(
+        [("A", 1), ("B", 1), ("C", 2), ("D", 2)], "asset string, group int"
+    )
+    fd = get_clean_factor(
+        factor, fwd, [period_label(1)], groupby=groupby,
+        quantiles=2, max_loss=None, quantize_method="ntile",
+        groupby_labels={1: "tech", 2: "energy"},
+    )
+    got = {r["asset"]: r["group"] for r in fd.collect()}
+    assert got == {"A": "tech", "B": "tech", "C": "energy", "D": "energy"}
+
+    with pytest.raises(Exception, match="not in groupby_labels"):
+        get_clean_factor(
+            factor, fwd, [period_label(1)], groupby=groupby,
+            quantiles=2, max_loss=None, quantize_method="ntile",
+            groupby_labels={1: "tech"},  # code 2 missing
+        ).collect()
