@@ -587,6 +587,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming near-dup pairs (rows-only: fingerprints are
+    xxhash64-based)."""
+    from alphalens_spark.scale.dedup import simhash_duplicates
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return simhash_duplicates(docs, max_hamming=3, bands=4)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectorized mapInPandas matrix-product path; proven output-identical
     # to the expression-join form (tests/test_scale_ops.py)
@@ -1259,6 +1268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only checks (Spark-specific hashing/float-iteration, no oracle)
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash": q_simhash,
+    "simhash_dups": q_simhash_dups,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "doc_fingerprint": q_doc_fingerprint,

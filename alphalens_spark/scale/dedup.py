@@ -375,3 +375,64 @@ def embedding_cosine_duplicates_lsh(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def simhash_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash banding + Hamming verification.
+
+    Pigeonhole banding (Manku et al., WWW'07 simhash dedup): split the
+    63-bit fingerprint into ``bands`` contiguous blocks — any pair within
+    Hamming distance < ``bands`` must agree exactly on ≥1 block, so an
+    equi-join on (band_id, block_bits) finds every such pair without the
+    all-pairs comparison (require ``max_hamming < bands`` for a lossless
+    candidate set). Verification counts differing bits via
+    bit_count(xor) — pure JVM bit arithmetic, no UDF anywhere.
+
+    Output: (id_a, id_b, hamming int), id_a < id_b, hamming ≤ max_hamming.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(pigeonhole guarantee); got bands={bands}"
+        )
+    width = 64 // bands
+    sh = simhash(docs, text_col, id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
+    )
+    mask = (1 << width) - 1
+    # shift counts must be plan-time literals; bands is small so unroll
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned(F.col("sig"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sh.select("id", "sig", F.explode(blocks).alias("bb")).select(
+        "id", "sig", F.col("bb.band_id").alias("band_id"), F.col("bb.block").alias("block")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "block"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "block"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band_id", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

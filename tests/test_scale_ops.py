@@ -223,3 +223,25 @@ def test_brute_force_vectorized_matches_expression_form(spark):
     a = sorted(map(tuple, similarity.brute_force_topk(corpus, queries, 4).collect()))
     b = sorted(map(tuple, similarity.brute_force_topk_vectorized(corpus, queries, 4).collect()))
     assert a == b
+
+
+def test_simhash_duplicates_banding(spark):
+    """Identical docs → hamming 0, always found (every block agrees);
+    banding guarantee: every emitted pair verified ≤ max_hamming; disjoint
+    texts don't pair."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 5),
+         (2, "the quick brown fox jumps over the lazy dog " * 5),
+         (3, "an entirely different document about spark physical plans"),
+         (4, "lorem ipsum dolor sit amet consectetur adipiscing elit sed")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_duplicates(docs, max_hamming=3).collect()}
+    assert got.get((1, 2)) == 0
+    assert all(h <= 3 for h in got.values())
+    assert (3, 4) not in got
+
+    import pytest
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_duplicates(docs, max_hamming=4, bands=4)
