@@ -559,12 +559,15 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (no SQL oracle: xxhash64 signatures are
-    Spark-specific → driver records the weaker rows-only check)."""
+    """MinHash-LSH near-dup pairs, md5 shingle-hash variant: the whole
+    pipeline (shingle → 31-bit hash → 64 universal-hash minima → 16-band
+    LSH join → signature-agreement Jaccard estimate) is reproduced
+    literally in the DuckDB oracle; the xxhash64 default stays the fast
+    path in bench.py."""
     from alphalens_spark.scale.dedup import minhash_lsh_duplicates
 
     docs = datasets.load_table(spark, sf_dir, "documents")
-    return _finalize(minhash_lsh_duplicates(docs, threshold=0.5))
+    return _finalize(minhash_lsh_duplicates(docs, threshold=0.5, shingle_hash="md5"))
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,20 +583,22 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: xxhash64 is Spark-specific)."""
+    """60-bit SimHash fingerprints, md5 token-hash variant (bit-identical
+    to the DuckDB oracle's per-bit ±1 vote SQL; xxhash64 default remains
+    the fast path)."""
     from alphalens_spark.scale.dedup import simhash
 
     docs = datasets.load_table(spark, sf_dir, "documents")
-    return simhash(docs)
+    return simhash(docs, token_hash="md5")
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded Hamming near-dup pairs (rows-only: fingerprints are
-    xxhash64-based)."""
+    """SimHash banded Hamming near-dup pairs (Manku pigeonhole bands +
+    bit_count(xor) verify), md5 variant → full SQL oracle."""
     from alphalens_spark.scale.dedup import simhash_duplicates
 
     docs = datasets.load_table(spark, sf_dir, "documents")
-    return simhash_duplicates(docs, max_hamming=3, bands=4)
+    return simhash_duplicates(docs, max_hamming=3, bands=4, token_hash="md5")
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,12 +623,12 @@ def q_doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling fingerprint (rows-only: xxhash64 is
-    Spark-specific)."""
+    """Winnowing-style rolling fingerprint (min 60-bit md5 hash over
+    16-char windows) — md5 variant → full SQL oracle."""
     from alphalens_spark.scale.text import rolling_fingerprint
 
     docs = datasets.load_table(spark, sf_dir, "documents")
-    return rolling_fingerprint(docs)
+    return rolling_fingerprint(docs, hash_fn="md5")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,6 +1223,141 @@ SELECT id_a, id_b, round(cs, 6) AS cos_sim
 FROM p WHERE round(cs, 6) >= 0.4""",
 }
 
+
+# --------------------------------------------------------------------------
+# Generated oracles for the md5-hash dedup/fingerprint variants: the SQL
+# reproduces the Spark pipeline literally (same md5 bit reductions, same
+# universal-hash coefficients), so the driver gets a full value-hash check
+# instead of the weaker rows-only one.
+# --------------------------------------------------------------------------
+
+
+def _simhash_core_sql(n_bits: int = 60) -> str:
+    """CTE chain ending in sh(doc_id, simhash): per-bit ±1 token votes
+    over the 60-bit md5 token hash — mirrors scale.dedup.simhash(md5)."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n_bits)
+    )
+    bits = "\n       + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    return rf"""
+simtok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+simth AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM simtok
+),
+simvotes AS (
+  SELECT doc_id, {votes}
+  FROM simth GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         CAST({bits} AS BIGINT) AS simhash
+  FROM simvotes
+)"""
+
+
+def _minhash_lsh_sql(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """Full MinHash-LSH pipeline in SQL: md5-31-bit shingle hashes, the
+    engine's exact (a_i, b_i) coefficients, 16-band tuple-equality LSH
+    join, signature-agreement Jaccard — mirrors
+    scale.dedup.minhash_lsh_duplicates(shingle_hash='md5')."""
+    from alphalens_spark.scale.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({a[i]} * x + {b[i]}) % 2147483647) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_or = "\n     OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{j} = b.mh{j}" for j in range(bi * rows, (bi + 1) * rows)
+        )
+        + ")"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return rf"""
+WITH mtok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+mshg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM mtok
+),
+msx AS (SELECT doc_id, unnest(shingles) AS s FROM mshg),
+mxh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x
+  FROM msx
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM mxh GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {agree} AS agree
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_or}
+)
+SELECT id_a, id_b, round(agree / {num_hashes}.0, 6) AS est_jaccard
+FROM cand WHERE agree / {num_hashes}.0 >= {threshold}"""
+
+
+ORACLES["simhash"] = f"WITH {_simhash_core_sql().lstrip()}\nSELECT doc_id, simhash FROM sh"
+
+ORACLES["simhash_dups"] = f"""WITH {_simhash_core_sql().lstrip()},
+banded AS (
+  SELECT doc_id AS id, simhash AS sig, band_id,
+         (simhash >> (band_id * 15)) & 32767 AS block
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_id) bs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.block = b.block AND a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3"""
+
+ORACLES["minhash_lsh_dups"] = _minhash_lsh_sql()
+
+ORACLES["doc_fingerprint"] = r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS txt FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(length(txt) - 15, 1) + 1)) AS i, txt
+  FROM t
+)
+SELECT doc_id,
+       min(('0x' || substr(md5(substr(txt, i, 16)), 1, 15))::BIGINT)
+         AS fingerprint
+FROM w GROUP BY doc_id"""
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -1265,11 +1405,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_bpe_token_count": q_doc_bpe_token_count,
-    # rows-only checks (Spark-specific hashing/float-iteration, no oracle)
+    # md5-hash variants with generated full SQL oracles (the xxhash64
+    # defaults stay the fast path in bench.py)
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash": q_simhash,
     "simhash_dups": q_simhash_dups,
+    "doc_fingerprint": q_doc_fingerprint,
+    # rows-only checks (seeded float draws / iterative k-means — no
+    # bit-stable SQL oracle exists)
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "doc_fingerprint": q_doc_fingerprint,
 }

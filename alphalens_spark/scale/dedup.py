@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 _MINHASH_PRIME = (1 << 31) - 1
 
 
+def md5_long(col: F.Column, hexchars: int = 15) -> F.Column:
+    """First ``hexchars`` hex digits of md5 as a non-negative long.
+
+    md5 is the one hash both Spark and DuckDB compute identically, so
+    operators parameterized on it get a full SQL oracle instead of the
+    weaker rows-only check (DuckDB side: ``('0x' || substr(md5(x),1,n))
+    ::BIGINT``). 15 hex chars = 60 bits keeps the value signed-positive.
+    """
+    return F.conv(F.substring(F.md5(col), 1, hexchars), 16, 10).cast("long")
+
+
 def spread_for_compute(df: DataFrame) -> DataFrame:
     """Repartition up to default parallelism when the source is
     under-partitioned.
@@ -76,6 +87,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature (array of num_hashes longs).
 
@@ -90,18 +102,16 @@ def minhash_signatures(
     the same work. This is the SURVEY §2.10 escape-hatch policy applied
     in reverse: built-ins first UNLESS the built-in is an interpreted
     HOF on the hot path. No shuffle until a downstream groupBy.
-    """
-    import random
 
+    ``shingle_hash="md5"`` swaps the Spark-only xxhash64 shingle hash for
+    the cross-engine md5 reduction (first 8 hex digits mod P) so the whole
+    signature is reproducible in ANSI SQL — the DuckDB-oracle path.
+    """
     from pyspark.sql.functions import pandas_udf
 
-    rng = random.Random(seed)
-    a_co = np.array(
-        [rng.randrange(1, _MINHASH_PRIME) for _ in range(num_hashes)], dtype=np.uint64
-    )
-    b_co = np.array(
-        [rng.randrange(0, _MINHASH_PRIME) for _ in range(num_hashes)], dtype=np.uint64
-    )
+    a_li, b_li = minhash_coeffs(num_hashes, seed)
+    a_co = np.array(a_li, dtype=np.uint64)
+    b_co = np.array(b_li, dtype=np.uint64)
     prime = np.uint64(_MINHASH_PRIME)
     empty_sig = [int(x) for x in ((a_co * 0 + b_co) % prime)]
 
@@ -117,14 +127,30 @@ def minhash_signatures(
             out.append(mins.astype(np.int64).tolist())
         return pd.Series(out)
 
+    if shingle_hash == "md5":
+        reduce31 = lambda s: md5_long(s, 8) % F.lit(_MINHASH_PRIME)  # noqa: E731
+    elif shingle_hash == "xxhash64":
+        reduce31 = lambda s: F.abs(F.xxhash64(s)) % F.lit(_MINHASH_PRIME)  # noqa: E731
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
     sh = _shingles(text_col, shingle_k)
     base = spread_for_compute(docs).select(
         F.col(id_col),
-        F.transform(
-            sh, lambda s: F.abs(F.xxhash64(s)) % F.lit(_MINHASH_PRIME)
-        ).alias("_shash"),
+        F.transform(sh, reduce31).alias("_shash"),
     )
     return base.select(id_col, _perm_mins("_shash").alias("minhash"))
+
+
+def minhash_coeffs(num_hashes: int = 64, seed: int = 42) -> tuple[list[int], list[int]]:
+    """The (a_i, b_i) universal-hash coefficients used by
+    :func:`minhash_signatures` — exposed so a SQL oracle can embed the
+    identical literals."""
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _MINHASH_PRIME) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MINHASH_PRIME) for _ in range(num_hashes)]
+    return a, b
 
 
 def minhash_lsh_duplicates(
@@ -136,6 +162,7 @@ def minhash_lsh_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.7,
     broadcast_candidates: bool = True,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
@@ -152,7 +179,9 @@ def minhash_lsh_duplicates(
     # persist: the signature projection feeds the band join (twice) and the
     # verification joins — without the cache Spark re-derives the whole
     # shingle→hash pipeline once per reference (measured 3× slower)
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k).persist()
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k, shingle_hash=shingle_hash
+    ).persist()
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
@@ -191,17 +220,39 @@ def minhash_lsh_duplicates(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """63-bit SimHash over whitespace tokens.
+def simhash_bits(token_hash: str) -> int:
+    """Fingerprint width per token-hash family: 63 usable bits of
+    xxhash64 (sign bit excluded), 60 bits of the md5 reduction."""
+    if token_hash == "xxhash64":
+        return 63
+    if token_hash == "md5":
+        return 60
+    raise ValueError(f"unknown token_hash {token_hash!r}")
 
-    For each bit position, sum ±1 votes from each token's xxhash64 bit;
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over whitespace tokens (63-bit xxhash64 / 60-bit md5).
+
+    For each bit position, sum ±1 votes from each token's hash bit;
     expressed as aggregate-of-array expressions fused in one projection
-    (63 bits keeps every mask/accumulation inside a signed long).
-    Output: (id, simhash long).
+    (both widths keep every mask/accumulation inside a signed long).
+    ``token_hash="md5"`` makes the fingerprint reproducible in ANSI SQL
+    (the DuckDB-oracle path). Output: (id, simhash long).
     """
+    n_bits = simhash_bits(token_hash)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    th = (
+        (lambda t: md5_long(t, 15))
+        if token_hash == "md5"
+        else (lambda t: F.xxhash64(t))
+    )
     hashed = spread_for_compute(docs).select(
-        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("_th")
+        F.col(id_col), F.transform(toks, th).alias("_th")
     )
     def _vote(i: int) -> F.Column:
         mask = F.shiftleft(F.lit(1).cast("long"), i)
@@ -212,7 +263,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         )
 
     sim = F.lit(0).cast("long")
-    for i in range(63):
+    for i in range(n_bits):
         sim = sim + F.when(_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
@@ -383,6 +434,7 @@ def simhash_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via SimHash banding + Hamming verification.
 
@@ -401,8 +453,11 @@ def simhash_duplicates(
             f"max_hamming={max_hamming} needs bands > max_hamming "
             f"(pigeonhole guarantee); got bands={bands}"
         )
-    width = 64 // bands
-    sh = simhash(docs, text_col, id_col).select(
+    # ceil-divide so the blocks cover every fingerprint bit (64-bit family
+    # → width 16 over bits 0..63; 60-bit md5 family → width 15 over 0..59)
+    n_bits = simhash_bits(token_hash) + (1 if token_hash == "xxhash64" else 0)
+    width = -(-n_bits // bands)
+    sh = simhash(docs, text_col, id_col, token_hash=token_hash).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig")
     )
     mask = (1 << width) - 1

@@ -116,15 +116,29 @@ def token_count_bpe_ish(docs: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 16) -> DataFrame:
-    """Winnowing-style document fingerprint: min xxhash64 over char windows.
+def rolling_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over char windows.
 
     The minimum of a rolling window hash is a robust content fingerprint
-    (same idea as MOSS winnowing with w = chunk size).
+    (same idea as MOSS winnowing with w = chunk size). ``hash_fn="md5"``
+    (60-bit md5 reduction) is cross-engine reproducible — the
+    DuckDB-oracle path; xxhash64 is the fast JVM default.
     """
+    from alphalens_spark.scale.dedup import md5_long
+
     t = F.lower(F.trim(F.col(text_col)))
     n = F.greatest(F.length(t) - (window - 1), F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(window)))
-    )
+    if hash_fn == "md5":
+        h = lambda i: md5_long(t.substr(i, F.lit(window)), 15)  # noqa: E731
+    elif hash_fn == "xxhash64":
+        h = lambda i: F.xxhash64(t.substr(i, F.lit(window)))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    hashes = F.transform(F.sequence(F.lit(1), n), h)
     return docs.select(F.col(id_col), F.array_min(hashes).alias("fingerprint"))
