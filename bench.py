@@ -35,6 +35,15 @@ def main() -> None:
     # warm the JVM/codegen path once so timings measure queries, not
     # executor startup (the pandas baseline pays no analogous cost)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ...and fork the Arrow/Python worker pool (one python process per task
+    # slot, reused for every later pandas UDF — at scale this amortizes to
+    # zero; unwarmed it bills ~2 s of interpreter forks to the first
+    # pandas-UDF query)
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(0, 10_000, 1, cpus).select(_warm("id")).count()
     timings: dict[str, float] = {}
 
     def timed(name, fn):
