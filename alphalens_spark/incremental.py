@@ -1,0 +1,120 @@
+"""Incremental factor_data maintenance (the 100 TB operational path).
+
+The reference recomputes its whole in-memory pipeline on every run — it
+has no persistence layer at all (inputs are caller-built pandas frames,
+SURVEY §2.1; reference utils.py:666-841 rebuilds everything eagerly). At
+100 TB that's the difference between a nightly job over ~max(periods)
+trading days of new data and a full re-scan of history.
+
+The design exploits two structural facts of the factor_data DAG
+(SURVEY §3):
+
+1. Every cross-sectional stage (quantize, per-date metrics) depends only
+   on rows of its own date.
+2. Forward returns for date t read prices STRICTLY FORWARD
+   (t+1 .. t+max(periods) trading periods, reference utils.py:286-293),
+   so a date's cleaned row is immutable once max(periods) future trading
+   dates exist in the data.
+
+Therefore the cleaned store is append-only with a bounded "pending tail":
+dates within max(periods) of the data's edge are not in the store yet
+(their forward returns are incomplete, so cleaning drops them), and an
+update only needs panel rows strictly AFTER the last stored date — their
+forward prices are also after it. Work scales with the tail, never with
+history.
+
+Store layout: parquet partitioned by ``date_key`` (one partition per
+trading date) written with dynamic partition overwrite — re-running the
+same update rewrites exactly the same partitions, so the operation is
+idempotent. Day-level partitions keep the overwrite unit = the recompute
+unit; cold months can be compacted/re-bucketed offline without touching
+this path (see storage.write_bucketed).
+
+Limits: per-asset full-history operators break the immutability argument;
+incremental mode therefore requires ``filter_zscore=None`` (the z-score
+outlier filter, reference utils.py:295-299, reads each asset's whole
+series — run it in the batch path instead).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DATE_KEY = "date_key"
+
+
+def store_last_date(spark: SparkSession, store_path: str):
+    """Max stored date, or None when the store doesn't exist yet.
+
+    One partition-pruned aggregate over the store's partition column —
+    reads directory names, not data files.
+    """
+    try:
+        stored = spark.read.parquet(store_path)
+    except Exception:
+        return None
+    row = stored.select(F.max(DATE_KEY).alias("mx")).first()
+    if row is None or row["mx"] is None:
+        return None
+    return row["mx"]
+
+
+def incremental_update(
+    spark: SparkSession,
+    panel: DataFrame,
+    store_path: str,
+    periods: Sequence[int] = (1, 5),
+    quantiles: int = 5,
+) -> dict:
+    """Bring a partitioned factor_data store up to date with ``panel``.
+
+    ``panel`` is the (date, asset, price, factor) long panel (same input
+    as datasets.factor_data). Only panel dates strictly after the last
+    stored date are read; the resulting complete rows are written into
+    per-date partitions with dynamic overwrite.
+
+    Returns {"since": last stored date key or None,
+             "rows_written": int, "dates_written": int}.
+    """
+    from alphalens_spark.utils import (
+        compute_forward_returns,
+        period_label,
+        quantize_factor,
+    )
+
+    last = store_last_date(spark, store_path)
+    src = panel
+    if last is not None:
+        src = panel.where(F.date_format("date", "yyyy-MM-dd") > F.lit(last))
+
+    period_cols = [period_label(k) for k in sorted(periods)]
+    fwd = compute_forward_returns(src, tuple(sorted(periods)), carry_cols=["factor"])
+    clean = fwd.na.drop(subset=[*period_cols, "factor"])
+    fd = quantize_factor(clean, quantiles=quantiles, method="ntile").where(
+        F.col("factor_quantile").isNotNull()
+    )
+    out = fd.withColumn(DATE_KEY, F.date_format("date", "yyyy-MM-dd")).persist()
+    rows = out.count()
+    dates = out.select(DATE_KEY).distinct().count()
+    if rows > 0:
+        (
+            out.repartition(DATE_KEY)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(DATE_KEY)
+            .parquet(store_path)
+        )
+    out.unpersist()
+    return {"since": last, "rows_written": rows, "dates_written": dates}
+
+
+def read_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The maintained factor_data table (partition column dropped).
+
+    Any date-range predicate prunes to the matching ``date_key``
+    directories at the source.
+    """
+    return spark.read.parquet(store_path).drop(DATE_KEY)
