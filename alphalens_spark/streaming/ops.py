@@ -158,6 +158,67 @@ def stream_running_quantile_counts(
     )
 
 
+def stream_factor_data_maintenance(
+    panel_stream: DataFrame,
+    store_path: str,
+    raw_path: str,
+    checkpoint_path: str,
+    periods=(1, 5),
+    quantiles: int = 5,
+):
+    """Streaming maintenance of the canonical factor_data store.
+
+    factor_data is not expressible as a pure streaming aggregation: the
+    forward-looking lead means the output row for date t only finalizes
+    at t+max(periods) (SURVEY §2.9, reference utils.py:286-293). The
+    Spark-idiomatic resolution is micro-batch incremental view
+    maintenance via ``foreachBatch``: each batch of newly-arrived panel
+    rows is appended to a date-partitioned raw (bronze) table, then
+    ``incremental.incremental_update`` recomputes exactly the
+    newly-completable dates into the cleaned store. Work per batch scales
+    with the pending tail (≤ max(periods) trading dates), not history —
+    the raw re-read is partition-pruned to dates after the store's
+    watermark. The update is idempotent (dynamic per-date partition
+    overwrite) and the raw re-read drops duplicate (date, asset) rows, so
+    checkpoint-replayed batches are safe.
+
+    REQUIREMENT: arrivals must be date-monotonic across micro-batches.
+    Rows for dates at or before the store's watermark are ignored — this
+    is forced by the row-positional forward-return semantics (reference
+    utils.py:286-293): inserting a missing PAST trading date would shift
+    every day_idx after it and invalidate already-stored rows. Historical
+    backfills therefore go through a windowed batch rebuild
+    (incremental_update on a truncated store), not this stream.
+
+    Returns the configured ``DataStreamWriter`` (AvailableNow trigger);
+    caller calls ``.start()``.
+    """
+    from alphalens_spark.incremental import DATE_KEY, incremental_update
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        (
+            batch_df.withColumn(DATE_KEY, F.date_format("date", "yyyy-MM-dd"))
+            .write.mode("append")
+            .partitionBy(DATE_KEY)
+            .parquet(raw_path)
+        )
+        panel = (
+            spark.read.parquet(raw_path)
+            .drop(DATE_KEY)
+            .dropDuplicates(["date", "asset"])
+        )
+        incremental_update(spark, panel, store_path, periods, quantiles)
+
+    return (
+        panel_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_dedup_exact(
     doc_stream: DataFrame,
     watermark: str = "1 hour",
