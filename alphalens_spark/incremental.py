@@ -111,10 +111,24 @@ def incremental_update(
     return {"since": last, "rows_written": rows, "dates_written": dates}
 
 
-def read_store(spark: SparkSession, store_path: str) -> DataFrame:
+def read_store(
+    spark: SparkSession, store_path: str, since=None, until=None
+) -> DataFrame:
     """The maintained factor_data table (partition column dropped).
 
-    Any date-range predicate prunes to the matching ``date_key``
-    directories at the source.
+    ``since``/``until`` (dates, timestamps, or 'yyyy-MM-dd' strings,
+    inclusive) are applied to the PARTITION column, so they prune to the
+    matching ``date_key`` directories at the source — a predicate on the
+    ``date`` data column alone would only reach parquet row-group
+    filters, not directory pruning (verified by plan assertion in
+    tests/test_incremental.py).
     """
-    return spark.read.parquet(store_path).drop(DATE_KEY)
+    def _key(v) -> str:
+        return v if isinstance(v, str) else v.strftime("%Y-%m-%d")
+
+    df = spark.read.parquet(store_path)
+    if since is not None:
+        df = df.where(F.col(DATE_KEY) >= _key(since))
+    if until is not None:
+        df = df.where(F.col(DATE_KEY) <= _key(until))
+    return df.drop(DATE_KEY)

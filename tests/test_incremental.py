@@ -48,4 +48,14 @@ def test_incremental_store_matches_full_recompute(spark, tmp_path):
     r3 = incremental_update(spark, panel, store)
     assert r3["rows_written"] == 0
     assert _collect_sorted(read_store(spark, store)) == want
+
+    # since= must prune to the matching date_key directories at the
+    # source (the 100 TB read path) — a NON-empty PartitionFilters list
+    import re
+
+    pruned = read_store(spark, store, since=dates[-12])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m is not None and "date_key" in m.group(1), plan
+    assert pruned.count() < read_store(spark, store).count()
     panel.unpersist()
