@@ -176,12 +176,17 @@ def minhash_lsh_duplicates(
     id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    # persist: the signature projection feeds the band join (twice) and the
-    # verification joins — without the cache Spark re-derives the whole
-    # shingle→hash pipeline once per reference (measured 3× slower)
+    # persist + eager materialize: the signature projection feeds the band
+    # join (twice) and the verification joins. persist() alone is lazy —
+    # the self-join's two scan stages then race to fill the cache and each
+    # recomputes the whole shingle→hash→UDF pipeline before the first
+    # partition lands (measured ~1 s duplicated work at sf0.1; at 100 TB
+    # it's the full signature job run twice). One count() action pins the
+    # cache before any consumer fans out.
     sigs = minhash_signatures(
         docs, text_col, id_col, num_hashes, shingle_k, shingle_hash=shingle_hash
     ).persist()
+    sigs.count()
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),

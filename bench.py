@@ -44,6 +44,14 @@ def main() -> None:
     _warm = pandas_udf(lambda s: s, "long")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(0, 10_000, 1, cpus).select(_warm("id")).count()
+    # ...and the Arrow ARRAY codec (ArrowColumnVector list writers/readers
+    # compile lazily on first use — ~2-3 s billed to whichever query first
+    # ships an array<long> through a pandas UDF; generic infra, not the
+    # query, so warm it like the scalar path above)
+    _warm_arr = pandas_udf(lambda s: s, "array<long>")
+    spark.range(0, 1_000, 1, cpus).select(
+        F.sum(F.element_at(_warm_arr(F.array("id")), 1))
+    ).collect()
     timings: dict[str, float] = {}
 
     def timed(name, fn):
