@@ -62,42 +62,94 @@ def check_timezones(
         )
 
 
+def _format_period_seconds(total_s: float) -> str:
+    """Render a horizon length as the reference's Timedelta-string
+    components (timedelta_to_string, utils.py:921-951): '1D', '3h',
+    '1D21h', '2h30m'."""
+    total = int(round(total_s))
+    days, rest = divmod(total, 86400)
+    hours, rest = divmod(rest, 3600)
+    minutes, seconds = divmod(rest, 60)
+    out = ""
+    if days:
+        out += f"{days}D"
+    if hours:
+        out += f"{hours}h"
+    if minutes:
+        out += f"{minutes}m"
+    if seconds:
+        out += f"{seconds}s"
+    return out or "0s"
+
+
 def infer_period_labels(
-    calendar: DataFrame, periods: Sequence[int], date_col: str = "date"
+    calendar: DataFrame,
+    periods: Sequence[int],
+    date_col: str = "date",
+    anchors: DataFrame | None = None,
 ) -> dict[int, str]:
-    """Wall-clock horizon labels from the calendar's modal timestamp step.
+    """Wall-clock horizon labels, the reference's algorithm exactly
+    (utils.py:301-321): for each period p, walk the first ≤30 anchor
+    timestamps (the factor dates — NOT every calendar bar), measure the
+    wall-clock span to the bar p positions later, replace its day
+    component with the calendar-aware trading-day count
+    (diff_custom_calendar_timedeltas, utils.py:994-1039: busday-style —
+    weekends/holidays between the endpoints don't count), then snap the
+    final span's day component to the mode across anchors. On a
+    3-bar intraday day (09:30/10:30/12:30) this labels p=2 as '3h'
+    (09:30→12:30), where a naive modal-step×p would say '2h'.
 
-    Mirrors the reference's label inference (utils.py:301-321 +
-    timedelta_to_string utils.py:921-951): the mode of consecutive
-    timestamp diffs × k, rendered as '1D' / '1h' / '30min' / '15s'.
-    Driver-side on the (tiny) calendar dim — one collect of the modal
-    diff, never a scan of the data. Opt-in: the engine's default labels
-    count trading periods ('1D' = next trading timestamp) which is what
-    every oracle uses; wall-clock labels matter for intraday parity with
-    the reference's column names.
+    Driver-side on the (tiny) calendar dim plus ≤30 anchor rows — two
+    bounded collects, never a scan of the data. Opt-in: the engine's
+    default labels count trading periods ('1D' = next trading timestamp)
+    which is what every oracle uses; wall-clock labels matter for
+    intraday parity with the reference's column names.
     """
-    w = Window.orderBy(date_col)
-    diffs = calendar.select(
-        (
-            F.unix_timestamp(date_col)
-            - F.unix_timestamp(F.lag(date_col, 1).over(w))
-        ).alias("step")
-    ).where(F.col("step").isNotNull())
-    mode_row = (
-        diffs.groupBy("step").count().orderBy(F.desc("count"), F.asc("step")).first()
-    )
-    step = int(mode_row["step"]) if mode_row else 86400
+    ts = [r[0] for r in calendar.select(date_col).orderBy(date_col).collect()]
+    pos = {t: i for i, t in enumerate(ts)}
+    dord = {d: i for i, d in enumerate(sorted({t.date() for t in ts}))}
+    if anchors is None:
+        anchor_ts = ts[:30]
+    else:
+        anchor_ts = sorted(
+            r[0]
+            for r in anchors.select(date_col)
+            .distinct()
+            .orderBy(date_col)
+            .limit(30)
+            .collect()
+        )
 
-    def fmt(total_s: int) -> str:
-        if total_s % 86400 == 0:
-            return f"{total_s // 86400}D"
-        if total_s % 3600 == 0:
-            return f"{total_s // 3600}h"
-        if total_s % 60 == 0:
-            return f"{total_s // 60}min"
-        return f"{total_s}s"
+    def fallback_step() -> int:
+        steps = [int((b - a).total_seconds()) for a, b in zip(ts, ts[1:])]
+        if not steps:
+            return 86400
+        return sorted(set(steps), key=lambda v: (-steps.count(v), v))[0]
 
-    return {k: fmt(k * step) for k in periods}
+    out: dict[int, str] = {}
+    for p in periods:
+        days_diffs: list[int] = []
+        last_adj: float | None = None
+        for a in anchor_ts:
+            i = pos.get(a)
+            if i is None or i + p >= len(ts):
+                continue
+            e = ts[i + p]
+            wall = (e - a).total_seconds()
+            days_comp = int(wall // 86400)
+            trading_days = dord[e.date()] - dord[a.date()]
+            adj = wall - (days_comp - trading_days) * 86400.0
+            days_diffs.append(int(adj // 86400))
+            last_adj = adj
+        if last_adj is None:
+            # horizon beyond the calendar for every anchor — the reference
+            # would die on an unbound local; label by modal step × p instead
+            out[p] = _format_period_seconds(p * fallback_step())
+            continue
+        mode_days = sorted(set(days_diffs), key=lambda v: (-days_diffs.count(v), v))[0]
+        final = last_adj - (int(last_adj // 86400) - mode_days) * 86400.0
+        out[p] = _format_period_seconds(final)
+    return out
 
 
 def period_label(k: int, freq: str = "D") -> str:
@@ -571,7 +623,7 @@ def get_clean_factor_and_forward_returns(
     check_timezones(factor, prices)
     cal = trading_calendar(prices)
     if label_freq == "infer":
-        labels = infer_period_labels(cal, periods)
+        labels = infer_period_labels(cal, periods, anchors=factor)
         period_cols = [labels[k] for k in sorted(periods)]
         fwd = compute_forward_returns(
             prices, periods, cumulative_returns, calendar=cal, labels=labels

@@ -10,6 +10,8 @@ patterns make quantile labels hand-checkable
 import datetime as dt
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from alphalens_spark.calendar_ import infer_holidays, trading_calendar
@@ -238,9 +240,9 @@ def test_common_start_returns_standalone(spark):
 
 def test_intraday_calendar_inferred_labels(spark):
     """Intraday (hourly) timestamps: day_idx numbers every bar, labels
-    infer to wall-clock '1h'/'3h'/'1D' (reference tests/test_utils.py:344
-    proves columns come out ['1h','3h','1D'] on intraday input). Forward
-    returns stay row-positional across the day boundary."""
+    infer to wall-clock spans (reference tests/test_utils.py:344 proves
+    intraday columns come out as Timedelta strings like '1h'/'3h'/'1D').
+    Forward returns stay row-positional across the day boundary."""
     import datetime as dtm
 
     from alphalens_spark.utils import infer_period_labels
@@ -254,8 +256,11 @@ def test_intraday_calendar_inferred_labels(spark):
     prices = spark.createDataFrame(rows, "date timestamp, asset string, price double")
 
     cal = trading_calendar(prices)
+    # 8 bars/day: +24 bars = 3 trading days later, and the reference's
+    # calendar-aware day count (utils.py:994-1039) labels it '3D' — the
+    # wall-clock span day component is replaced by the trading-day diff
     labels = infer_period_labels(cal, (1, 3, 24))
-    assert labels == {1: "1h", 3: "3h", 24: "1D"}
+    assert labels == {1: "1h", 3: "3h", 24: "3D"}
 
     fd = get_clean_factor_and_forward_returns(
         factor=prices.select("date", "asset", F.col("price").alias("factor")),
@@ -267,13 +272,13 @@ def test_intraday_calendar_inferred_labels(spark):
         max_loss=None,
         label_freq="infer",
     )
-    assert {"1h", "3h", "1D"} <= set(fd.columns)
+    assert {"1h", "3h", "3D"} <= set(fd.columns)
     got = {r["date"]: r for r in fd.collect()}
     # row-positional: +1 bar across the 16:00 -> next-day 09:00 boundary
     last_bar_day1 = dtm.datetime(2020, 1, 1, 16)
     assert abs(got[last_bar_day1]["1h"] - 0.25) < 1e-9
-    # '1D' = 24 bars ahead: only the first 24-bar window has a value
-    assert abs(got[dtm.datetime(2020, 1, 1, 9)]["1D"] - (1.25**24 - 1)) < 1e-6
+    # +24 bars (3 trading days): only the first 24-bar window has a value
+    assert abs(got[dtm.datetime(2020, 1, 1, 9)]["3D"] - (1.25**24 - 1)) < 1e-6
 
 
 def test_non_matching_timezone_error(spark):
@@ -342,3 +347,78 @@ def test_groupby_labels_remap(spark):
             quantiles=2, max_loss=None, quantize_method="ntile",
             groupby_labels={1: "tech"},  # code 2 missing
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Reference quantize_factor golden matrix — literal port of all 27
+# parameterized cases from reference tests/test_utils.py:122-186.
+# Two fixtures (tests/test_utils.py:39-66): a 4-asset 2-date frame with
+# factor [1,2,3,4]/[4,3,2,1] and group [1,1,2,2]; an 8-asset "biased"
+# frame mixing signs for the zero_aware modes. Expected label vectors are
+# in stacked (date, asset) order; NaN = reference drops the row, our
+# engine carries a NULL label.
+# ---------------------------------------------------------------------------
+
+_QF_VALS = [[1, 2, 3, 4], [4, 3, 2, 1]]
+_QF_GROUPS = ["1", "1", "2", "2"]
+_QB_VALS = [[-1, 3, -2, 4, -5, 7, -6, 8], [-4, 2, -3, 1, -8, 6, -7, 5]]
+_QB_GROUPS = ["1", "1", "2", "2", "1", "1", "2", "2"]
+_N = None
+
+_QUANTIZE_MATRIX = [
+    # (biased?, quantiles, bins, by_group, zero_aware, expected stacked labels)
+    (False, 4, _N, False, False, [1, 2, 3, 4, 4, 3, 2, 1]),
+    (False, 2, _N, False, False, [1, 1, 2, 2, 2, 2, 1, 1]),
+    (False, 2, _N, True, False, [1, 2, 1, 2, 2, 1, 2, 1]),
+    (True, 4, _N, False, True, [2, 3, 2, 3, 1, 4, 1, 4, 2, 3, 2, 3, 1, 4, 1, 4]),
+    (True, 2, _N, False, True, [1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2]),
+    (True, 2, _N, True, True, [1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2]),
+    (True, _N, 4, False, True, [2, 3, 2, 3, 1, 4, 1, 4, 2, 3, 2, 3, 1, 4, 1, 4]),
+    (True, _N, 2, False, True, [1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2]),
+    (True, _N, 2, True, True, [1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2]),
+    (False, [0, .25, .5, .75, 1.], _N, False, False, [1, 2, 3, 4, 4, 3, 2, 1]),
+    (False, [0, .5, .75, 1.], _N, False, False, [1, 1, 2, 3, 3, 2, 1, 1]),
+    (False, [0, .25, .5, 1.], _N, False, False, [1, 2, 3, 3, 3, 3, 2, 1]),
+    (False, [0, .5, 1.], _N, False, False, [1, 1, 2, 2, 2, 2, 1, 1]),
+    (False, [.25, .5, .75], _N, False, False, [_N, 1, 2, _N, _N, 2, 1, _N]),
+    (False, [0, .5, 1.], _N, True, False, [1, 2, 1, 2, 2, 1, 2, 1]),
+    (False, [.5, 1.], _N, True, False, [_N, 1, _N, 1, 1, _N, 1, _N]),
+    (False, [0, 1.], _N, True, False, [1, 1, 1, 1, 1, 1, 1, 1]),
+    (False, _N, 4, False, False, [1, 2, 3, 4, 4, 3, 2, 1]),
+    (False, _N, 2, False, False, [1, 1, 2, 2, 2, 2, 1, 1]),
+    (False, _N, 3, False, False, [1, 1, 2, 3, 3, 2, 1, 1]),
+    (False, _N, 8, False, False, [1, 3, 6, 8, 8, 6, 3, 1]),
+    (False, _N, [0, 1, 2, 3, 5], False, False, [1, 2, 3, 4, 4, 3, 2, 1]),
+    (False, _N, [1, 2, 3], False, False, [_N, 1, 2, _N, _N, 2, 1, _N]),
+    (False, _N, [0, 2, 5], False, False, [1, 1, 2, 2, 2, 2, 1, 1]),
+    (False, _N, [0.5, 2.5, 4.5], False, False, [1, 1, 2, 2, 2, 2, 1, 1]),
+    (False, _N, [0.5, 2.5], True, False, [1, 1, _N, _N, _N, _N, 1, 1]),
+    (False, _N, 2, True, False, [1, 2, 1, 2, 2, 1, 2, 1]),
+]
+
+
+@pytest.mark.parametrize("biased,quantiles,bins,by_group,zero_aware,expected",
+                         _QUANTIZE_MATRIX)
+def test_quantize_reference_golden_matrix(
+    spark, biased, quantiles, bins, by_group, zero_aware, expected
+):
+    vals, grps = (_QB_VALS, _QB_GROUPS) if biased else (_QF_VALS, _QF_GROUPS)
+    rows = [
+        (D(d), chr(ord("A") + j), float(v), grps[j])
+        for d, day in enumerate(vals)
+        for j, v in enumerate(day)
+    ]
+    df = spark.createDataFrame(
+        rows, "date timestamp, asset string, factor double, group string"
+    )
+    out = quantize_factor(
+        df, quantiles=quantiles, bins=bins, by_group=by_group,
+        zero_aware=zero_aware,
+    )
+    got = {(r["date"], r["asset"]): r["factor_quantile"] for r in out.collect()}
+    want = {
+        (D(d), chr(ord("A") + j)): expected[d * len(vals[0]) + j]
+        for d in range(len(vals))
+        for j in range(len(vals[0]))
+    }
+    assert got == want
