@@ -472,16 +472,21 @@ def common_start_returns(
     calendar: DataFrame | None = None,
     mean_by_date: bool = False,
     demean_by: DataFrame | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Per-event return windows aligned to a common offset axis.
 
     Reference common_start_returns (performance.py:642-727): for each
     (date, asset) event, the cumulative return path over
-    ``[-before, +after]`` trading periods, normalized to the event date.
-    This is the building block of
-    :func:`average_cumulative_return_by_quantile`; exposed standalone for
-    parity. Same explode→equi-join plan (SURVEY §4.2 — never a nested
-    loop join).
+    ``[-before, +after]`` trading periods. With ``normalize=True`` (the
+    default) each path is re-based to the event date (p_t/p_0 − 1) — the
+    building block of :func:`average_cumulative_return_by_quantile`.
+    ``normalize=False`` reproduces the reference's standalone convention
+    exactly: the raw cumulative-series slice (performance.py:713-715
+    slices ``returns`` without re-basing; its golden matrix
+    tests/test_performance.py:775-870 asserts raw levels). Same
+    explode→equi-join plan either way (SURVEY §4.2 — never a nested
+    loop join); the raw form skips the offset-0 join entirely.
 
     mean_by_date (ref performance.py:722-723): collapse each event date's
     window paths to their cross-asset mean. demean_by (ref
@@ -507,12 +512,20 @@ def common_start_returns(
         at_off = px.select(
             F.col("asset"), F.col(DAY_IDX).alias("_oidx"), F.col("price").alias("_pt")
         )
-        # join the offset-0 price BEFORE exploding: _p0 is offset-
-        # independent, so the first join probes |events| rows, not
-        # |events|·|offsets|
+        if normalize:
+            # join the offset-0 price BEFORE exploding: _p0 is offset-
+            # independent, so the first join probes |events| rows, not
+            # |events|·|offsets|
+            ev = ev.join(base, ["asset", "_eidx"])
+            val = F.col("_pt") / F.col("_p0") - 1
+        else:
+            # raw cumulative level at each offset; offsets whose price row
+            # is missing (window clamped at the axis boundary) drop out of
+            # the inner join, matching the reference's index clamp at
+            # performance.py:702-704
+            val = F.col("_pt")
         return (
-            ev.join(base, ["asset", "_eidx"])
-            .select(
+            ev.select(
                 "*",
                 F.explode(
                     F.sequence(F.lit(-periods_before), F.lit(periods_after))
@@ -520,10 +533,7 @@ def common_start_returns(
             )
             .withColumn("_oidx", F.col("_eidx") + F.col("offset"))
             .join(at_off, ["asset", "_oidx"])
-            .select(
-                "asset", "event_date", "offset",
-                (F.col("_pt") / F.col("_p0") - 1).alias("cum_ret"),
-            )
+            .select("asset", "event_date", "offset", val.alias("cum_ret"))
         )
 
     out = window_paths(events)

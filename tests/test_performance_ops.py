@@ -394,6 +394,109 @@ def test_ic_reference_four_case_golden(spark):
     assert len(got) == 4 and all(abs(r["ic_1D"] - 1.0) < 1e-12 for r in got)
 
 
+CSR_GOLDEN = [
+    # (before, after, mean_by_date, demeaned, [[mean, std] per offset])
+    (
+        2, 3, False, False,
+        [[4.93048307, 8.68843922], [6.60404312, 12.22369139],
+         [8.92068367, 17.1794088], [12.1275523, 24.12861778],
+         [16.5694159, 33.8740100], [22.7273233, 47.53995233]],
+    ),
+    (
+        3, 2, False, True,
+        [[0.0, 5.63219176], [0.0, 7.96515233],
+         [0.0, 11.2420646], [0.0, 15.8458720],
+         [0.0, 22.3134160], [0.0, 31.3970961]],
+    ),
+    (
+        3, 5, True, False,
+        [[3.7228318, 2.6210478], [4.9304831, 3.6296796],
+         [6.6040431, 5.0193734], [8.9206837, 6.9404046],
+         [12.127552, 9.6023405], [16.569416, 13.297652],
+         [22.727323, 18.434747], [31.272682, 25.584180],
+         [34.358565, 25.497254]],
+    ),
+    (
+        1, 4, True, True,
+        [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0],
+         [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]],
+    ),
+    (
+        6, 6, False, False,
+        [[2.02679565, 2.38468223], [2.38769454, 3.22602748],
+         [2.85413029, 4.36044469], [3.72283181, 6.16462715],
+         [4.93048307, 8.68843922], [6.60404312, 12.2236914],
+         [8.92068367, 17.1794088], [12.1275523, 24.1286178],
+         [16.5694159, 33.8740100], [22.7273233, 47.5399523],
+         [31.2726821, 66.7013483], [34.3585654, 70.1828776],
+         [37.9964585, 74.3294620]],
+    ),
+    (
+        6, 6, False, True,
+        [[0.0, 2.20770299], [0.0, 2.95942924], [0.0, 3.97022414],
+         [0.0, 5.63219176], [0.0, 7.96515233], [0.0, 11.2420646],
+         [0.0, 15.8458720], [0.0, 22.3134160], [0.0, 31.3970962],
+         [0.0, 44.1512888], [0.0, 62.0533954], [0.0, 65.8668371],
+         [0.0, 70.4306483]],
+    ),
+    (
+        6, 6, True, False,
+        [[2.0267957, 0.9562173], [2.3876945, 1.3511898],
+         [2.8541303, 1.8856194], [3.7228318, 2.6210478],
+         [4.9304831, 3.6296796], [6.6040431, 5.0193734],
+         [8.9206837, 6.9404046], [12.127552, 9.6023405],
+         [16.569416, 13.297652], [22.727323, 18.434747],
+         [31.272682, 25.584180], [34.358565, 25.497254],
+         [37.996459, 25.198051]],
+    ),
+    (
+        6, 6, True, True,
+        [[0.0, 0.0]] * 13,
+    ),
+]
+
+
+@pytest.mark.parametrize("before,after,mean_by_date,demeaned,expected", CSR_GOLDEN)
+def test_common_start_returns_reference_golden(
+    spark, before, after, mean_by_date, demeaned, expected
+):
+    """The reference's full common_start_returns golden matrix
+    (tests/test_performance.py:775-870): cumulative levels r**i for four
+    assets, events on the middle 9 dates, raw (normalize=False) window
+    slices — per-offset mean/std across all window series must reproduce
+    the hand-recorded values, including the boundary-clamped windows at
+    the edges of the price axis."""
+    base = dt.datetime(2015, 1, 17)
+    rates = {"A": 1.20, "B": 1.40, "C": 0.90, "D": 0.80}
+    prices = spark.createDataFrame(
+        [(base + dt.timedelta(days=i), a, float(r ** (i + 1)))
+         for i in range(17) for a, r in rates.items()],
+        "date timestamp, asset string, price double",
+    )
+    events = spark.createDataFrame(
+        [(base + dt.timedelta(days=4 + i), a) for i in range(9) for a in "ABCD"],
+        "date timestamp, asset string",
+    )
+    got = (
+        perf.common_start_returns(
+            events, prices, before, after,
+            mean_by_date=mean_by_date,
+            demean_by=events if demeaned else None,
+            normalize=False,
+        )
+        .groupBy("offset")
+        .agg(F.avg("cum_ret").alias("m"), F.stddev_samp("cum_ret").alias("s"))
+        .collect()
+    )
+    got = {r["offset"]: (r["m"], r["s"]) for r in got}
+    offsets = list(range(-before, after + 1))
+    assert set(got) == set(offsets)
+    for o, (em, es) in zip(offsets, expected):
+        m, s = got[o]
+        assert math.isclose(m, em, rel_tol=1e-6, abs_tol=1e-7), (o, m, em)
+        assert math.isclose(s, es, rel_tol=1e-6, abs_tol=1e-7), (o, s, es)
+
+
 def test_common_start_returns_mean_by_date_and_demean(spark):
     """mean_by_date collapses to per-(event date, offset) means;
     demean_by subtracts the universe's mean path (a self-demean must be
