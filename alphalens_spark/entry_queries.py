@@ -473,8 +473,12 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = datasets.load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
-    new_s = F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
+    # timestamp subtraction → day-time interval, valid for BOTH TIMESTAMP
+    # and TIMESTAMP_NTZ — under the driver's default session the events
+    # parquet (TIMESTAMP(NANOS)) reads as NTZ, where unix_micros() is a
+    # type error; interval comparison is type-agnostic and ANSI-clean
+    gap = F.col("ts") - F.lag("ts").over(wu)
+    new_s = F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
     s = ev.withColumn("_new", new_s).withColumn(
         "session_id", F.sum("_new").over(wu).cast("long")
     )

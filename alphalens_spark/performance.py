@@ -24,6 +24,25 @@ from alphalens_spark.utils import demean_forward_returns
 ANNUALIZATION_PERIODS = 252  # trading periods per year for a daily calendar
 
 
+def _corr_safe(x: Column | str, y: Column | str) -> Column:
+    """Pearson correlation as an ANSI-safe aggregate.
+
+    ``F.corr`` divides by the rank variances internally and RAISES
+    DIVIDE_BY_ZERO under ``spark.sql.ansi.enabled=true`` whenever a
+    partition is degenerate (n=1, or all-tied values — e.g. a group with
+    one asset on a date). Same moments, explicit division:
+    ``covar_samp / (stddev_samp·stddev_samp)`` (the 1/(n−1) factors
+    cancel), with ``try_divide`` → NULL on zero variance and ``nanvl`` →
+    NULL on any NaN leak. NULL (never NaN, never an error) matches both
+    the pandas reference (scipy emits NaN, dropped by the downstream
+    ``.mean()``) and SQL engines' ``corr`` (verified vs DuckDB), so
+    downstream averages skip degenerate partitions identically under ANSI
+    and non-ANSI sessions.
+    """
+    raw = F.try_divide(F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y))
+    return F.nanvl(raw, F.lit(None).cast("double"))
+
+
 def _avg_rank(value: str, part: Sequence[str]) -> Column:
     """Average-tie rank (pandas ``rank(method='average')``) as windows.
 
@@ -62,7 +81,7 @@ def factor_information_coefficient(
         rf.alias("_rf"),
         *[_avg_rank(c, keys).alias(f"_rr_{c}") for c in period_cols],
     )
-    aggs = [F.corr("_rf", f"_rr_{c}").alias(f"ic_{c}") for c in period_cols]
+    aggs = [_corr_safe("_rf", f"_rr_{c}").alias(f"ic_{c}") for c in period_cols]
     return ranked.groupBy(*keys).agg(*aggs)
 
 
@@ -105,9 +124,9 @@ def ic_summary(ic: DataFrame, period_cols: Sequence[str]) -> DataFrame:
         aggs += [
             F.avg(col).alias(f"mean_{c}"),
             F.stddev_samp(col).alias(f"std_{c}"),
-            (F.avg(col) / F.stddev_samp(col)).alias(f"ir_{c}"),
-            (
-                F.avg(col) / (F.stddev_samp(col) / F.sqrt(F.count(col)))
+            F.try_divide(F.avg(col), F.stddev_samp(col)).alias(f"ir_{c}"),
+            F.try_divide(
+                F.avg(col), F.stddev_samp(col) / F.sqrt(F.count(col))
             ).alias(f"tstat_{c}"),
             F.skewness(col).alias(f"skew_{c}"),
             F.kurtosis(col).alias(f"kurtosis_{c}"),
@@ -157,7 +176,10 @@ def factor_weights(
         raw = f - F.avg(f).over(w) if demeaned else f
     out = factor_data.withColumn("_raw_w", raw)
     norm = F.sum(F.abs(F.col("_raw_w"))).over(w)
-    out = out.withColumn(weight_col, F.col("_raw_w") / norm).drop("_raw_w")
+    # try_divide: a partition whose weights all degenerate to 0 (single
+    # asset demeaned) has norm 0 — NULL weight (pandas emits NaN), never
+    # an ANSI DIVIDE_BY_ZERO error
+    out = out.withColumn(weight_col, F.try_divide(F.col("_raw_w"), norm)).drop("_raw_w")
     if group_adjust:
         # ref performance.py:202-204: a SECOND to_weights pass at date
         # level = renormalize by the per-date sum of |w|. NOT a divide by
@@ -167,7 +189,8 @@ def factor_weights(
         # reference tests/test_performance.py:437-554)
         wd = Window.partitionBy("date")
         out = out.withColumn(
-            weight_col, F.col(weight_col) / F.sum(F.abs(F.col(weight_col))).over(wd)
+            weight_col,
+            F.try_divide(F.col(weight_col), F.sum(F.abs(F.col(weight_col))).over(wd)),
         )
     return out
 
@@ -231,7 +254,7 @@ def factor_alpha_beta(
     aggs = []
     for c, k in zip(period_cols, periods):
         x, y = F.col(f"u_{c}"), F.col(f"ret_{c}")
-        beta = F.covar_samp(x, y) / F.var_samp(x)
+        beta = F.try_divide(F.covar_samp(x, y), F.var_samp(x))
         alpha = F.avg(y) - beta * F.avg(x)
         if annualize:
             alpha = F.pow(alpha + F.lit(1.0), F.lit(ANNUALIZATION_PERIODS / k)) - F.lit(1.0)
@@ -437,7 +460,7 @@ def factor_rank_autocorrelation(
     )
     return (
         joined.groupBy("date")
-        .agg(F.corr("_rank", "_prev_rank").alias("autocorr"))
+        .agg(_corr_safe("_rank", "_prev_rank").alias("autocorr"))
         .withColumn("period", F.lit(period))
     )
 

@@ -28,3 +28,38 @@ def test_all_queries_return_rows_at_smallest_sf(spark):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, SF_DIR)
         assert df.count() > 0, name
+
+
+def test_all_queries_under_driver_default_session(spark):
+    """Every query must survive the DRIVER's session config, not just ours.
+
+    The correctness harness runs with Spark 4 defaults: ANSI mode ON (so
+    any division/overflow that our non-ANSI session silently NULLs becomes
+    a hard error) and no ``nanosAsLong`` legacy flag (so the events
+    parquet's TIMESTAMP(NANOS) column reads as TIMESTAMP_NTZ instead of
+    bigint). Round-1 lost two queries (`ic_by_group`, `event_sessionize`)
+    to exactly this gap. Both confs are runtime SQL confs — flip them on
+    the shared session, run EVERY query end-to-end, restore.
+    """
+    confs = {
+        "spark.sql.ansi.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "false",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        for name, fn in entry_mod.queries().items():
+            df = fn(spark, SF_DIR)
+            assert len(df.take(1)) == 1, name
+        assert len(entry_mod.entry(spark).collect()) == 5
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
