@@ -240,14 +240,27 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_hash: str = "xxhash64",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """SimHash over whitespace tokens (63-bit xxhash64 / 60-bit md5).
 
-    For each bit position, sum ±1 votes from each token's hash bit;
-    expressed as aggregate-of-array expressions fused in one projection
-    (both widths keep every mask/accumulation inside a signed long).
+    For each bit position, sum ±1 votes from each token's hash bit; the
+    fingerprint sets bit i when the vote is positive.
     ``token_hash="md5"`` makes the fingerprint reproducible in ANSI SQL
     (the DuckDB-oracle path). Output: (id, simhash long).
+
+    Two implementations, bit-identical (equality-tested):
+      'vectorized' (default)  token hashing stays a JVM transform; the
+          60-63 per-bit votes run as ONE numpy unpackbits+sum per Arrow
+          batch. Same rationale as the minhash permutation stage
+          (see minhash_signatures): each ``F.aggregate`` higher-order
+          pass is interpreted per element outside whole-stage codegen
+          (~2 µs/element), and simhash needs n_bits of them per document
+          — measured 1.51 s vs 0.19 s at sf0.1 (8×; the gap scales with
+          tokens·n_bits, so it widens on longer real-corpus documents).
+      'hof'  the pure-JVM aggregate-expression form — no Python worker
+          at all; right when the Arrow channel is unavailable, and kept
+          as the oracle of the vectorized path.
     """
     n_bits = simhash_bits(token_hash)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -259,6 +272,37 @@ def simhash(
     hashed = spread_for_compute(docs).select(
         F.col(id_col), F.transform(toks, th).alias("_th")
     )
+
+    if impl == "vectorized":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _vote_pack(th_arrays: pd.Series) -> pd.Series:
+            out = []
+            for arr in th_arrays:
+                if arr is None:
+                    out.append(None)
+                    continue
+                # int64 keeps Java's two's-complement bit pattern; the
+                # uint8 view feeds unpackbits (little-endian bit order →
+                # column i IS bit i of the signed long)
+                x = np.asarray(arr, dtype=np.int64)
+                bits = np.unpackbits(
+                    x.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                )
+                cnt = bits.sum(axis=0, dtype=np.int64)  # set-bit count per position
+                # vote_i = 2·cnt_i − n > 0  ⟺  bit i of the fingerprint
+                keep = (2 * cnt > len(x)).astype(np.uint8)
+                keep[n_bits:] = 0  # fingerprint width < 64
+                sim = np.packbits(keep, bitorder="little").view(np.int64)[0]
+                out.append(int(sim))
+            return pd.Series(out, dtype="object")
+
+        return hashed.select(id_col, _vote_pack("_th").alias("simhash"))
+
+    if impl != "hof":
+        raise ValueError(f"unknown impl {impl!r}")
+
     def _vote(i: int) -> F.Column:
         mask = F.shiftleft(F.lit(1).cast("long"), i)
         return F.aggregate(

@@ -6,6 +6,18 @@ Mirrors the real usage pattern (SURVEY §3): ingestion builds the canonical
 factor_data once (cached — every tear-sheet metric reuses it, like the
 reference's single cleaned frame), then each metric query runs against the
 cache. Scale ops (dedup/similarity/text) run on their own tables.
+
+Methodology — steady-state timing: the ENTIRE suite first runs once,
+untimed, at the smallest SF (sf0.001, ~1/100th of the timed data). A cold
+JVM bills 2-4 s of one-time cost to whichever query first exercises each
+path — whole-stage-codegen compilation, C2 JIT, Arrow codec init, Python
+worker forks. Measured directly: the ingestion pipeline's first run at
+sf0.1 is ~4 s, an immediate identical re-run is 0.24 s. On a long-lived
+cluster (the 100 TB target) that startup amortizes to zero, and the pandas
+baseline pays no analogous cost (CPython has no JIT), so timing the cold
+first run would compare JVM warmup against pandas arithmetic. The warm
+pass uses sf0.001 so it cannot page-cache or precompute the timed SF's
+data — only code paths are shared.
 """
 
 from __future__ import annotations
@@ -19,50 +31,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
+def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
+    """Run every headline query at ``sf_dir``; record wall times when a
+    ``timings`` dict is passed (warm pass omits it)."""
     from pyspark.sql import functions as F
 
     from alphalens_spark import datasets, performance as perf
     from alphalens_spark.entry_queries import PERIOD_COLS
     from alphalens_spark.scale import dedup, similarity, text
-    from alphalens_spark.session import get_spark
-
-    spark = get_spark("bench")
-    # warm the JVM/codegen path once so timings measure queries, not
-    # executor startup (the pandas baseline pays no analogous cost)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # ...and fork the Arrow/Python worker pool (one python process per task
-    # slot, reused for every later pandas UDF — at scale this amortizes to
-    # zero; unwarmed it bills ~2 s of interpreter forks to the first
-    # pandas-UDF query)
-    from pyspark.sql.functions import pandas_udf
-
-    _warm = pandas_udf(lambda s: s, "long")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark.range(0, 10_000, 1, cpus).select(_warm("id")).count()
-    # ...and the Arrow ARRAY codec (ArrowColumnVector list writers/readers
-    # compile lazily on first use — ~2-3 s billed to whichever query first
-    # ships an array<long> through a pandas UDF; generic infra, not the
-    # query, so warm it like the scalar path above)
-    _warm_arr = pandas_udf(lambda s: s, "array<long>")
-    spark.range(0, 1_000, 1, cpus).select(
-        F.sum(F.element_at(_warm_arr(F.array("id")), 1))
-    ).collect()
-    timings: dict[str, float] = {}
 
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        if timings is not None:
+            timings[name] = round(time.perf_counter() - t0, 4)
         return out
 
     # --- ingestion: build + materialize the canonical factor_data ---
-    fd = datasets.factor_data(spark, sf_dir)
-    fd = fd.persist()
+    fd = datasets.factor_data(spark, sf_dir).persist()
     timed("ingestion_factor_data", lambda: fd.count())
 
     # --- metric queries over the cached factor_data ---
@@ -87,6 +73,7 @@ def main() -> None:
     docs = datasets.load_table(spark, sf_dir, "documents")
     timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
     timed("minhash_lsh", lambda: dedup.minhash_lsh_duplicates(docs).count())
+    timed("simhash", lambda: dedup.simhash(docs).count())
     timed("doc_token_stats", lambda: text.token_stats(docs).count())
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 20 == 0).select(
@@ -94,6 +81,36 @@ def main() -> None:
     )
     timed("embedding_topk",
           lambda: similarity.brute_force_topk_vectorized(emb, queries, 5).count())
+    fd.unpersist()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from alphalens_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # JVM/codegen + Python-worker-pool + Arrow-codec warm, then one untimed
+    # pass of the whole suite at the smallest SF (see module docstring)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(0, 10_000, 1, cpus).select(_warm("id")).count()
+    _warm_arr = pandas_udf(lambda s: s, "array<long>")
+    spark.range(0, 1_000, 1, cpus).select(
+        F.sum(F.element_at(_warm_arr(F.array("id")), 1))
+    ).collect()
+    if warm_dir and os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        run_suite(spark, warm_dir, timings=None)
+
+    timings: dict[str, float] = {}
+    run_suite(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

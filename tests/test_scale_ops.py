@@ -46,6 +46,23 @@ def test_simhash_identical_equal_and_different_differ(spark):
     assert out[0] != out[2]
 
 
+def test_simhash_vectorized_matches_hof_on_driver_docs(spark):
+    """The numpy vote stage must be bit-identical to the pure-JVM
+    aggregate form, for both token-hash families, on real driver data."""
+    from alphalens_spark import datasets
+    from pyspark.sql import functions as F
+
+    docs = datasets.load_table(spark, "/root/testdata/sf0.001", "documents")
+    for fam in ("xxhash64", "md5"):
+        v = dedup.simhash(docs, token_hash=fam, impl="vectorized")
+        h = dedup.simhash(docs, token_hash=fam, impl="hof").withColumnRenamed(
+            "simhash", "simhash_hof"
+        )
+        joined = v.join(h, "doc_id")
+        assert joined.where(F.col("simhash") != F.col("simhash_hof")).count() == 0
+        assert joined.count() == docs.count()
+
+
 def test_ngram_jaccard_pairs(spark):
     docs = _docs(spark, ["a b c d e", "a b c d e", "v w x y z"])
     out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
