@@ -318,12 +318,29 @@ def _edge_based_labels(value: Column, edges: Column, n_bins: int) -> Column:
     return F.when(value.isNotNull(), lab.cast("int"))
 
 
+# Guidance shown with the reference's eager duplicate-edge error
+# (non_unique_bin_edges_error, ref utils.py:49-81): same advice, our words.
+_QCUT_DUP_HELP = """
+
+    Too many identical factor values span more than one quantile:
+    equal-frequency buckets cannot split a tied value across buckets.
+    Workarounds:
+    1 - use fewer quantiles
+    2 - pass an explicit uneven fraction sequence, e.g. [0, .5, .75, 1.]
+    3 - use bins= (equal-width over the value range) instead of quantiles=
+    4 - for discrete factors pass explicit bin edges, one range per value
+    (no_raise=True instead drops the offending cross-sections, the
+    reference's NaN mode.)
+"""
+
+
 def quantize_factor(
     factor_data: DataFrame,
     quantiles: int | Sequence[float] | None = 5,
     bins: int | Sequence[float] | None = None,
     by_group: bool = False,
     zero_aware: bool = False,
+    no_raise: bool = False,
     date_col: str = "date",
     group_col: str = "group",
     factor_col: str = "factor",
@@ -364,10 +381,16 @@ def quantize_factor(
     aggregation is cheap and the operator costs one shuffle on the
     partition keys (+ a same-key broadcast-able edge join for 'edges').
 
-    Ties that collapse edges: pandas raises 'Bin edges must be unique'
-    (utils.py:49-81) unless no_raise; here identical values simply share
-    the label of their bin — documented semantic delta (use
-    detect_non_unique_bin_edges for the reference's eager-raise check).
+    Ties that collapse edges — pd.qcut parity (both edges methods, all
+    quantile modes): pandas raises ``ValueError('Bin edges must be
+    unique')`` eagerly (utils.py:49-81); ``no_raise=True`` instead NaNs
+    the WHOLE offending cross-section (utils.py:157-160 returns an
+    all-NaN series for the partition, dropped by the final ``.dropna()``)
+    — here those rows get a NULL label, lazily (no action), for
+    downstream ``isNotNull`` filters to drop. The eager default costs one
+    bounded Spark job (``limit(1)`` over the per-partition edge arrays);
+    'ntile' and the bins modes never collapse (pd.cut pads its range) so
+    neither applies there.
     """
     if (quantiles is not None) == (bins is not None):
         raise ValueError("exactly one of quantiles or bins must be provided")
@@ -394,6 +417,26 @@ def quantize_factor(
         return df.join(edges_df, part_cols)
 
     edges = F.col("_edges")
+    _has_dup = F.size(F.array_distinct("_edges")) < F.size("_edges")
+
+    def dup_policy(
+        df: DataFrame, label: Column, whole_part: Sequence[str] | None = None
+    ) -> Column:
+        """pd.qcut duplicate-edge semantics over the attached ``_edges``.
+
+        whole_part (zero_aware): the reference's per-partition try/except
+        wraps BOTH sign-subsets' qcuts, so a collapse in either sign NaNs
+        the entire (date[, group]) cross-section — propagate the flag over
+        the sign-free partition key.
+        """
+        flag = _has_dup
+        if whole_part is not None:
+            flag = F.max(flag.cast("int")).over(Window.partitionBy(*whole_part)) > 0
+        if no_raise:
+            return F.when(~flag, label)
+        if df.select(flag.alias("_dup")).where("_dup").limit(1).count():
+            raise ValueError("Bin edges must be unique." + _QCUT_DUP_HELP)
+        return label
 
     if zero_aware:
         if not isinstance(quantiles, int) and not isinstance(bins, int):
@@ -408,24 +451,26 @@ def quantize_factor(
             fracs = _linspace_fracs(half)
             df = with_edges(df, part, fracs)
             lab = _edge_based_labels(value, edges, half)
+            label = F.when(value >= 0, lab + half).otherwise(lab)
+            label = dup_policy(df, label, whole_part=keys)
         else:
             w = Window.partitionBy(*part)
             cut = _pandas_cut_labels if method == "edges" else _equal_width_labels
             lab = cut(value, F.min(value).over(w), F.max(value).over(w), half)
-        label = F.when(value >= 0, lab + half).otherwise(lab)
+            label = F.when(value >= 0, lab + half).otherwise(lab)
         return df.withColumn(out_col, label.cast("int")).drop("_sign", "_edges")
 
     if isinstance(quantiles, int):
         fracs = _linspace_fracs(quantiles)
         df = with_edges(factor_data, keys, fracs)
-        label = _edge_based_labels(value, edges, quantiles)
+        label = dup_policy(df, _edge_based_labels(value, edges, quantiles))
         return df.withColumn(out_col, label.cast("int")).drop("_edges")
     if quantiles is not None:  # explicit fraction sequence
         fracs = list(quantiles)
         n = len(fracs) - 1
         df = with_edges(factor_data, keys, fracs)
         inside = (value >= edges[0]) & (value <= edges[n])
-        label = F.when(inside, _edge_based_labels(value, edges, n))
+        label = dup_policy(df, F.when(inside, _edge_based_labels(value, edges, n)))
         return df.withColumn(out_col, label.cast("int")).drop("_edges")
     if isinstance(bins, int):
         w = Window.partitionBy(*keys)
@@ -530,11 +575,17 @@ def get_clean_factor(
          (the reference's index alignment + dropna, utils.py:597-627)
       3. group attach: static (asset→group) via broadcast hash join,
          time-varying via (date, asset) equi-join (utils.py:600-612)
-      4. quantize (utils.py:632-639) and drop unlabeled rows
-      5. loss accounting: three counts → MaxLossExceededError beyond
-         ``max_loss`` (utils.py:645-661). Counts are Spark actions; pass
-         max_loss=None to keep the pipeline fully lazy (no job until the
-         caller acts).
+      4. quantize (utils.py:632-639) and drop unlabeled rows. The
+         reference sets ``no_raise = (max_loss != 0)`` (utils.py:631):
+         by default tied cross-sections whose qcut edges collapse are
+         silently dropped (counted as binning loss); ``max_loss=0``
+         surfaces the suppressed ValueError instead. Same here.
+      5. loss accounting: three counts → the dropped-rows report printed
+         either way (utils.py:651-654), then MaxLossExceededError beyond
+         ``max_loss`` or the "not exceeded: OK" line (utils.py:655-661).
+         Counts are Spark actions; pass max_loss=None to keep the
+         pipeline fully lazy (no job until the caller acts — implies the
+         no_raise drop mode, since the eager tie check is itself a job).
     """
     fac = factor.where(
         F.col("factor").isNotNull() & ~F.isnan("factor") & ~F.col("factor").isin(
@@ -579,6 +630,7 @@ def get_clean_factor(
         bins=bins,
         by_group=binning_by_group,
         zero_aware=zero_aware,
+        no_raise=not (max_loss is not None and max_loss == 0),
         method=quantize_method,
     ).where(F.col("factor_quantile").isNotNull())
     if max_loss is not None:
@@ -586,10 +638,17 @@ def get_clean_factor(
         fwd_loss = 1.0 - after_fwd / initial if initial else 0.0
         bin_loss = (after_fwd - final) / initial if initial else 0.0
         total = fwd_loss + bin_loss
+        print(
+            "Dropped %.1f%% entries from factor data: %.1f%% in forward "
+            "returns computation and %.1f%% in binning phase "
+            "(set max_loss=0 to see potentially suppressed Exceptions)."
+            % (total * 100, fwd_loss * 100, bin_loss * 100)
+        )
         if total > max_loss:
             raise MaxLossExceededError(
                 f"max_loss ({max_loss:.1%}) exceeded {total:.1%}, consider increasing it."
             )
+        print("max_loss is %.1f%%, not exceeded: OK!" % (max_loss * 100))
     return quantized
 
 

@@ -43,11 +43,16 @@ def _fd_from(spark, rows):
 @given(panel_strategy)
 def test_quantile_labels_monotone_and_bounded(spark, rows):
     fd = _fd_from(spark, rows)
-    out = quantize_factor(fd, quantiles=3).collect()
+    # no_raise: random panels contain heavy ties whose qcut edges collapse;
+    # the reference NaN-drops those cross-sections (we assert that shape)
+    out = quantize_factor(fd, quantiles=3, no_raise=True).collect()
     by_date = {}
     for r in out:
         by_date.setdefault(r["date"], []).append((r["factor"], r["factor_quantile"]))
     for vals in by_date.values():
+        labels_set = {q for _, q in vals}
+        if labels_set == {None}:
+            continue  # collapsed-edge partition: wholly dropped, like pd.qcut
         for f, q in vals:
             assert q is not None and 1 <= q <= 3
         # monotone: higher factor never gets a lower label

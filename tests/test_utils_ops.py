@@ -153,6 +153,59 @@ def test_quantize_zero_aware(spark):
     assert out == {"A": 1, "B": 1, "C": 2, "D": 2, "E": 3, "F": 3, "G": 4, "H": 4}
 
 
+def test_quantize_duplicate_edges_raise(spark):
+    # pd.qcut([1,1,1,1,2], 4) collapses edges → eager ValueError
+    # ('Bin edges must be unique', ref utils.py:49-81); default mode
+    df = _factor_df(spark, [1, 1, 1, 1, 2])
+    with pytest.raises(ValueError, match="Bin edges must be unique"):
+        quantize_factor(df, quantiles=4)
+
+
+def test_quantize_duplicate_edges_no_raise_drops_partition(spark):
+    # ref utils.py:157-160: the WHOLE offending cross-section NaNs out;
+    # clean dates keep their pd.qcut labels ([1,2,3,4,5] q=4 → 1,1,2,3,4)
+    rows = [(D(0), chr(ord("A") + j), v) for j, v in enumerate([1.0, 1.0, 1.0, 1.0, 2.0])]
+    rows += [(D(1), chr(ord("A") + j), v) for j, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0])]
+    df = spark.createDataFrame(rows, "date timestamp, asset string, factor double")
+    out = {(r["date"], r["asset"]): r["factor_quantile"]
+           for r in quantize_factor(df, quantiles=4, no_raise=True).collect()}
+    assert all(out[(D(0), a)] is None for a in "ABCDE")
+    assert [out[(D(1), a)] for a in "ABCDE"] == [1, 1, 2, 3, 4]
+
+
+def test_quantize_zero_aware_tie_kills_whole_partition(spark):
+    # reference's per-partition try wraps BOTH sign qcuts: the negative
+    # side's collapse ([-1,-1,-1] q=2) NaNs the positives too
+    df = _factor_df(spark, [-1, -1, -1, 1, 2, 3, 4])
+    with pytest.raises(ValueError, match="Bin edges must be unique"):
+        quantize_factor(df, quantiles=4, zero_aware=True)
+    out = {r["asset"]: r["factor_quantile"]
+           for r in quantize_factor(
+               df, quantiles=4, zero_aware=True, no_raise=True
+           ).collect()}
+    assert all(v is None for v in out.values())
+
+
+def test_get_clean_factor_tie_loss_accounting_and_report(spark, capsys):
+    # default max_loss: tied date silently dropped, counted as binning
+    # loss, report printed (ref utils.py:631,651-661); max_loss=0
+    # surfaces the suppressed ValueError instead
+    from alphalens_spark.utils import get_clean_factor
+
+    rows = [(D(0), chr(ord("A") + j), v) for j, v in enumerate([1.0, 1.0, 1.0, 1.0, 2.0])]
+    rows += [(D(1), chr(ord("A") + j), v) for j, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0])]
+    fac = spark.createDataFrame(rows, "date timestamp, asset string, factor double")
+    fwd = fac.select("date", "asset", (F.col("factor") * 0.01).alias("1D"))
+    out = get_clean_factor(fac, fwd, ["1D"], quantiles=4, max_loss=0.6)
+    assert out.count() == 5  # only the clean date survives
+    captured = capsys.readouterr().out
+    assert "Dropped 50.0% entries" in captured
+    assert "50.0% in binning phase" in captured
+    assert "not exceeded: OK!" in captured
+    with pytest.raises(ValueError, match="Bin edges must be unique"):
+        get_clean_factor(fac, fwd, ["1D"], quantiles=4, max_loss=0.0)
+
+
 def test_quantize_ntile_deterministic(spark):
     df = _factor_df(spark, [5, 5, 5, 5])  # all tied → broken by asset
     out = {r["asset"]: r["factor_quantile"]
