@@ -575,8 +575,10 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (rows-only: centroids come from distributed float
-    means — no bit-stable SQL oracle)."""
+    """IVF ANN top-k. Full SQL oracle: the coarse quantizer is
+    deterministic given the data (lowest-id init, fixed Lloyd passes,
+    lowest-cell tiebreaks), so the oracle re-derives identical centroids
+    in unrolled CTEs (_ivf_topk_sql) — no literals to ship."""
     from alphalens_spark.scale.similarity import ivf_topk
 
     emb = datasets.load_table(spark, sf_dir, "embeddings")
@@ -645,9 +647,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR-amplified hyperplane-LSH near-dup (rows-only: bucket membership
-    depends on the seeded hyperplane draw, no SQL oracle; exact-cosine
-    verification makes every emitted pair ⊆ embedding_near_dup)."""
+    """OR-amplified hyperplane-LSH near-dup. Full SQL oracle: the seeded
+    plane matrix embeds as double literals (_emb_lsh_sql), so bucket
+    membership, candidates and the exact-cosine verify all replay in
+    DuckDB; output additionally ⊆ embedding_near_dup by construction."""
     from alphalens_spark.scale.dedup import embedding_cosine_duplicates_lsh
 
     emb = datasets.load_table(spark, sf_dir, "embeddings")
@@ -1361,6 +1364,152 @@ SELECT doc_id,
        min(('0x' || substr(md5(substr(txt, i, 16)), 1, 15))::BIGINT)
          AS fingerprint
 FROM w GROUP BY doc_id"""
+
+def _emb_cosine_sql(a: str, b: str) -> str:
+    """Cosine similarity of two embedding columns, dims summed in index
+    order (matches Spark's in-order aggregate fold)."""
+    return f"""list_sum(list_transform(range(1, len({a}) + 1),
+             i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+
+def _emb_lsh_sql(
+    threshold: float = 0.4, n_tables: int = 8, bits: int = 6, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Full hyperplane-LSH near-dup pipeline in SQL: the engine's exact
+    seeded plane literals (repr round-trips doubles bit-exactly), the same
+    sign→bucket fold per table, OR-amplified candidate join, exact-cosine
+    verify — mirrors scale.dedup.embedding_cosine_duplicates_lsh. Sign
+    flips from fp-summation-order differences would need a margin within
+    ~1e-12 of 0; gaussian-plane margins are O(1), so buckets agree."""
+    from alphalens_spark.scale.similarity import _hyperplanes
+
+    vals = ",\n    ".join(
+        f"({t}, {j}, [{', '.join(repr(w) for w in _hyperplanes(bits, dim, seed + t)[j])}])"
+        for t in range(n_tables)
+        for j in range(bits)
+    )
+    return f"""
+WITH planes AS (
+  SELECT * FROM (VALUES
+    {vals}) AS t(tbl, bit, w)
+),
+margins AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) AS m
+  FROM embeddings e, planes p
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN m >= 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
+  FROM margins GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.id_a, c.id_b,
+         {_emb_cosine_sql("a.embedding", "b.embedding")} AS cs
+  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+              JOIN embeddings b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cs, 6) AS cos_sim
+FROM p WHERE round(cs, 6) >= {threshold}"""
+
+
+def _ivf_topk_sql(
+    k: int = 5, n_cells: int = 16, nprobe: int = 4, dim: int = 64
+) -> str:
+    """IVF ANN in pure SQL, no literals needed: the coarse quantizer is
+    deterministic given the data (init = the n_cells lowest-id vectors,
+    two unrolled Lloyd passes with empty cells keeping their previous
+    centroid), so both engines derive identical centroids up to
+    fp-summation order — mirrors scale.similarity.kmeans_lite_centroids +
+    ivf_topk (argmin ties → lowest cell; probe order (distance, cell))."""
+
+    def assign(dist_src: str, out_d: str, out_a: str) -> str:
+        return f"""{out_d} AS (
+  SELECT v.vec_id, c.cell, sum((v.x - c.w) * (v.x - c.w)) AS d
+  FROM vecd v JOIN {dist_src} c USING (i) GROUP BY 1, 2
+),
+{out_a} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM {out_d}
+  ) WHERE rn = 1
+)"""
+
+    def means(assign_src: str, prev: str, out: str) -> str:
+        return f"""{out}_m AS (
+  SELECT a.cell, v.i, avg(v.x) AS w
+  FROM {assign_src} a JOIN vecd v USING (vec_id) GROUP BY 1, 2
+),
+{out} AS (
+  SELECT g.cell, g.i, coalesce(m.w, g.w) AS w
+  FROM {prev} g LEFT JOIN {out}_m m ON m.cell = g.cell AND m.i = g.i
+)"""
+
+    return f"""
+WITH vecd AS (
+  SELECT e.vec_id, CAST(d.i AS INT) AS i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e, range(1, {dim + 1}) d(i)
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})
+),
+c0w AS (
+  SELECT c.cell, v.i, v.x AS w FROM c0 c JOIN vecd v USING (vec_id)
+),
+{assign("c0w", "d1", "a1")},
+{means("a1", "c0w", "c1w")},
+{assign("c1w", "d2", "a2")},
+{means("a2", "c1w", "c2w")},
+{assign("c2w", "d3", "a3")},
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 20 = 0),
+qd AS (
+  SELECT v.vec_id AS query_id, c.cell, sum((v.x - c.w) * (v.x - c.w)) AS d
+  FROM vecd v JOIN c2w c USING (i)
+  WHERE v.vec_id IN (SELECT query_id FROM q)
+  GROUP BY 1, 2
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+    FROM qd
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT qp.query_id, a3.vec_id AS neighbor_id
+  FROM qprobe qp JOIN a3 ON a3.cell = qp.cell
+  WHERE a3.vec_id <> qp.query_id
+),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         {_emb_cosine_sql("qe.embedding", "ne.embedding")} AS cs
+  FROM pairs p JOIN embeddings qe ON qe.vec_id = p.query_id
+               JOIN embeddings ne ON ne.vec_id = p.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 6) AS cos_sim
+FROM r WHERE rnk <= {k}"""
+
+
+ORACLES["embedding_near_dup_lsh"] = _emb_lsh_sql()
+
+ORACLES["embedding_ivf_topk"] = _ivf_topk_sql()
 
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).

@@ -225,3 +225,62 @@ def test_end_to_end_6_daily_holidays(spark):
         for r in infer_holidays(_prices_long(spark, pdays)).collect()
     )
     assert inferred == sorted(HOLIDAYS)
+
+
+def test_end_to_end_7_tz_aware_parity(spark):
+    """Tz-aware inputs through the FULL pipeline (ref tests/test_tears.py
+    143-150 smoke-tests US/Eastern-localized prices+factor; we assert
+    numeric equality, not just absence of exceptions).
+
+    Three runs over identical wall clocks: TIMESTAMP_NTZ (naive),
+    TimestampType at session UTC, and TimestampType localized to
+    America/New_York (different underlying instants). Every derived
+    number — forward returns, factor, quantile label, then
+    mean_return_by_quantile — must agree, because dates are opaque
+    equi-join keys throughout; only the date VALUES differ by the
+    localization offset. Dates are aligned across runs by rank order.
+    """
+    from zoneinfo import ZoneInfo
+
+    from alphalens_spark import performance as perf
+
+    dates = _bdays(dt.date(2017, 1, 3), dt.date(2017, 1, 31))
+    tz = ZoneInfo("America/New_York")
+
+    def build(kind):
+        pr = _prices_long(spark, dates)
+        fa = _factor_long(spark, dates)
+        if kind == "ntz":
+            pr = pr.withColumn("date", F.col("date").cast("timestamp_ntz"))
+            fa = fa.withColumn("date", F.col("date").cast("timestamp_ntz"))
+        elif kind == "eastern":
+            rows_p = [(d.replace(tzinfo=tz), a, p) for d, a, p in pr.collect()]
+            rows_f = [(d.replace(tzinfo=tz), a, v) for d, a, v in fa.collect()]
+            pr = spark.createDataFrame(rows_p, "date timestamp, asset string, price double")
+            fa = spark.createDataFrame(rows_f, "date timestamp, asset string, factor double")
+        return fa, pr
+
+    results = {}
+    for kind in ("ntz", "utc", "eastern"):
+        fa, pr = build(kind)
+        fd = get_clean_factor_and_forward_returns(
+            fa, pr, groupby=_groups_df(spark), quantiles=4,
+            periods=(1, 2, 3), filter_zscore=None, max_loss=None,
+        )
+        rows = fd.collect()
+        didx = {d: i for i, d in enumerate(sorted({r["date"] for r in rows}))}
+        results[kind] = (
+            {
+                (didx[r["date"]], r["asset"]): (
+                    round(r["1D"], 9), round(r["2D"], 9), round(r["3D"], 9),
+                    r["factor"], r["group"], r["factor_quantile"],
+                )
+                for r in rows
+            },
+            {
+                (r["factor_quantile"],): round(r["mean_1D"], 9)
+                for r in perf.mean_return_by_quantile(fd, ["1D", "2D", "3D"]).collect()
+            },
+        )
+    assert results["ntz"] == results["utc"] == results["eastern"]
+    assert len(results["ntz"][0]) > 0
