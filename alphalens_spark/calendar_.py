@@ -33,13 +33,18 @@ def trading_calendar(df: DataFrame, date_col: str = "date") -> DataFrame:
     downstream ops consume day_idx directly, which makes holidays /
     business-day / intraday calendars all fall out of the same design.
 
-    The global row_number runs over a single partition, which is fine —
-    the input here is ``distinct(date)``, a few thousand rows at most.
+    Plan: ``array_sort(collect_set(date))`` → ``posexplode``. The
+    aggregate dedups AND orders in one pass with map-side partials, so no
+    all-rows-to-one-partition window runs (WindowExec would warn) — the
+    only single-point state is the final array of distinct dates, a few
+    thousand elements at any scale. day_idx = pos+1 matches row_number
+    over the date order (the oracle's CAL_CTE) exactly.
     """
-    distinct_dates = df.select(F.col(date_col).alias("date")).distinct()
-    w = Window.orderBy("date")
-    return distinct_dates.select(
-        "date", F.row_number().over(w).cast("int").alias(DAY_IDX)
+    dates_arr = df.select(F.col(date_col).alias("date")).agg(
+        F.array_sort(F.collect_set("date")).alias("_ds")
+    )
+    return dates_arr.select(F.posexplode("_ds").alias("_pos", "date")).select(
+        "date", (F.col("_pos") + 1).cast("int").alias(DAY_IDX)
     )
 
 

@@ -97,10 +97,12 @@ def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("factor").alias("std_factor"),
         F.count("factor").alias("count_factor"),
     )
-    total = Window.partitionBy()
-    out = out.withColumn(
-        "count_pct", F.col("count_factor") / F.sum("count_factor").over(total) * 100.0
-    )
+    # pct-of-total via broadcast 1-row agg join (a global window here
+    # would move the 5-row frame to one partition and warn)
+    tot = out.agg(F.sum("count_factor").alias("_tot"))
+    out = out.crossJoin(F.broadcast(tot)).withColumn(
+        "count_pct", F.col("count_factor") / F.col("_tot") * 100.0
+    ).drop("_tot")
     return _finalize(out)
 
 
@@ -213,6 +215,9 @@ def q_cumulative_benchmark_log_return(spark: SparkSession, sf_dir: str) -> DataF
 
     fd = _fd(spark, sf_dir)
     bench = fd.groupBy("date").agg(F.avg("1D").alias("bench_ret"))
+    # deliberate global window: a running compound over the per-date
+    # benchmark series (one row per date at any scale) is inherently a
+    # single ordered partition
     w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
     out = bench.select(
         "date", F.sum(F.log1p("bench_ret")).over(w).alias("cum_log_ret_1p")

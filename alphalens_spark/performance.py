@@ -135,6 +135,75 @@ def ic_summary(ic: DataFrame, period_cols: Sequence[str]) -> DataFrame:
     return ic.agg(*aggs)
 
 
+def student_t_sf(t: float, df: float) -> float:
+    """Student-t survival function P(T > t), driver-side scalar math.
+
+    The reference's IC table p-value is scipy ``ttest_1samp``
+    (plotting.py:172); scipy isn't a dependency here, and the input is a
+    single t-stat per horizon, so evaluate the classic closed form
+    sf(t) = I_x(df/2, 1/2)/2 with x = df/(df+t²) via the regularized
+    incomplete beta (continued fraction, modified Lentz; standard public
+    algorithm, e.g. DLMF 8.17.22). Two-sided p-value = 2·sf(|t|).
+    Agrees with scipy.stats.t.sf to ~1e-14 (unit-tested on literals).
+    """
+    import math
+
+    if math.isnan(t) or df <= 0:
+        return float("nan")
+    if t < 0:
+        return 1.0 - student_t_sf(-t, df)
+
+    def betacf(a: float, b: float, x: float) -> float:
+        tiny = 1e-300
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c, d = 1.0, 1.0 - qab * x / qap
+        if abs(d) < tiny:
+            d = tiny
+        d = 1.0 / d
+        h = d
+        for m in range(1, 300):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 1e-15:
+                break
+        return h
+
+    def betainc_reg(a: float, b: float, x: float) -> float:
+        if x <= 0.0:
+            return 0.0
+        if x >= 1.0:
+            return 1.0
+        ln_front = (
+            math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+            + a * math.log(x) + b * math.log1p(-x)
+        )
+        front = math.exp(ln_front)
+        if x < (a + 1.0) / (a + b + 2.0):
+            return front * betacf(a, b, x) / a
+        return 1.0 - front * betacf(b, a, 1.0 - x) / b
+
+    x = df / (df + t * t)
+    return 0.5 * betainc_reg(df / 2.0, 0.5, x)
+
+
 def factor_weights(
     factor_data: DataFrame,
     demeaned: bool = True,
@@ -372,13 +441,15 @@ def _factor_dates_idx(factor_data: DataFrame) -> DataFrame:
 
     The reference's positional ``shift(p)`` runs over the factor date axis
     (performance.py:592, 635-637); this dim table makes it an equi-join.
-    Tiny (one row per date) → always broadcast.
+    Tiny (one row per date) → always broadcast. Same
+    collect_set→posexplode shape as calendar_.trading_calendar: dedup +
+    order in one aggregate, no global window (and no WindowExec warning).
     """
-    w = Window.orderBy("date")
     return (
         factor_data.select("date")
-        .distinct()
-        .select("date", F.row_number().over(w).cast("int").alias("_didx"))
+        .agg(F.array_sort(F.collect_set("date")).alias("_ds"))
+        .select(F.posexplode("_ds").alias("_pos", "date"))
+        .select("date", (F.col("_pos") + 1).cast("int").alias("_didx"))
     )
 
 

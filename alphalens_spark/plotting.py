@@ -108,8 +108,19 @@ def plot_returns_table(
 
 def plot_information_table(ic_data: DataFrame, period_cols: Sequence[str]) -> pd.DataFrame:
     """IC summary (ref plotting.py:166-179): mean, std, IR, t-stat,
-    p-value, skew, kurtosis per horizon."""
-    return perf.ic_summary(ic_data, period_cols).toPandas()
+    p-value, skew, kurtosis per horizon. The p-value (ref plotting.py:172
+    ttest_1samp, two-sided) is a scalar Student-t survival function over
+    the single aggregated row — driver-side math, no scipy dependency."""
+    pdf = perf.ic_summary(ic_data, period_cols).toPandas()
+    for c in period_cols:
+        t = pdf[f"tstat_{c}"].iloc[0]
+        n = pdf[f"n_{c}"].iloc[0]
+        pdf[f"pvalue_{c}"] = (
+            2.0 * perf.student_t_sf(abs(float(t)), float(n) - 1.0)
+            if pd.notna(t) and n > 1
+            else float("nan")
+        )
+    return pdf
 
 
 def plot_turnover_table(
@@ -134,20 +145,19 @@ def plot_turnover_table(
 
 def plot_quantile_statistics_table(factor_data: DataFrame) -> pd.DataFrame:
     """Per-quantile factor stats incl. count %% (ref plotting.py:182-189)."""
-    out = (
-        factor_data.groupBy("factor_quantile")
-        .agg(
-            F.min("factor").alias("min"),
-            F.max("factor").alias("max"),
-            F.avg("factor").alias("mean"),
-            F.stddev_samp("factor").alias("std"),
-            F.count("factor").alias("count"),
-        )
-        .withColumn(
-            "count %",
-            F.col("count") / F.sum("count").over(Window.partitionBy()) * 100.0,
-        )
+    out = factor_data.groupBy("factor_quantile").agg(
+        F.min("factor").alias("min"),
+        F.max("factor").alias("max"),
+        F.avg("factor").alias("mean"),
+        F.stddev_samp("factor").alias("std"),
+        F.count("factor").alias("count"),
     )
+    # pct-of-total via broadcast 1-row agg join (a global window would
+    # move the Q-row frame to one partition and warn)
+    tot = out.agg(F.sum("count").alias("_tot"))
+    out = out.crossJoin(F.broadcast(tot)).withColumn(
+        "count %", F.col("count") / F.col("_tot") * 100.0
+    ).drop("_tot")
     return out.toPandas().set_index("factor_quantile").sort_index()
 
 
@@ -160,6 +170,7 @@ def plot_quantile_statistics_table(factor_data: DataFrame) -> pd.DataFrame:
 def _roll22() -> Window:
     """22-obs trailing frame (ref plotting.py:219-224). Built lazily —
     window specs need an active session in PySpark 4."""
+    # deliberate global window: per-date series, one row per date
     return Window.orderBy("date").rowsBetween(-21, 0)
 
 

@@ -136,11 +136,13 @@ def create_summary_tear_sheet(factor_data: DataFrame, collect: bool = True) -> d
         perf.F.avg("factor").alias("mean_factor"),
         perf.F.stddev_samp("factor").alias("std_factor"),
         perf.F.count("factor").alias("count_factor"),
-    ).withColumn(
-        "count_pct",
-        perf.F.col("count_factor")
-        / perf.F.sum("count_factor").over(Window.partitionBy()) * 100.0,
     )
+    # pct-of-total via broadcast 1-row agg join (a global window would
+    # move the Q-row frame to one partition and warn)
+    qtot = qstats.agg(perf.F.sum("count_factor").alias("_tot"))
+    qstats = qstats.crossJoin(perf.F.broadcast(qtot)).withColumn(
+        "count_pct", perf.F.col("count_factor") / perf.F.col("_tot") * 100.0
+    ).drop("_tot")
     ic = perf.factor_information_coefficient(factor_data, cols)
     out = {
         "quantile_stats": qstats,

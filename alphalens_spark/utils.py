@@ -381,16 +381,17 @@ def quantize_factor(
     aggregation is cheap and the operator costs one shuffle on the
     partition keys (+ a same-key broadcast-able edge join for 'edges').
 
-    Ties that collapse edges — pd.qcut parity (both edges methods, all
+    Ties that collapse edges — pd.qcut parity (method='edges', all
     quantile modes): pandas raises ``ValueError('Bin edges must be
     unique')`` eagerly (utils.py:49-81); ``no_raise=True`` instead NaNs
     the WHOLE offending cross-section (utils.py:157-160 returns an
     all-NaN series for the partition, dropped by the final ``.dropna()``)
     — here those rows get a NULL label, lazily (no action), for
     downstream ``isNotNull`` filters to drop. The eager default costs one
-    bounded Spark job (``limit(1)`` over the per-partition edge arrays);
-    'ntile' and the bins modes never collapse (pd.cut pads its range) so
-    neither applies there.
+    bounded Spark job (``limit(1)`` over the per-partition edge arrays).
+    'edges_sql' keeps SQL-engine semantics instead (quantile_cont edges,
+    collapsed edges → shared labels — its cross-engine contract); 'ntile'
+    and the bins modes never collapse (pd.cut pads its range).
     """
     if (quantiles is not None) == (bins is not None):
         raise ValueError("exactly one of quantiles or bins must be provided")
@@ -428,7 +429,12 @@ def quantize_factor(
         wraps BOTH sign-subsets' qcuts, so a collapse in either sign NaNs
         the entire (date[, group]) cross-section — propagate the flag over
         the sign-free partition key.
+
+        Pandas-parity path only: 'edges_sql' deliberately keeps the SQL
+        quantile_cont contract (shared labels on collapse).
         """
+        if method != "edges":
+            return label
         flag = _has_dup
         if whole_part is not None:
             flag = F.max(flag.cast("int")).over(Window.partitionBy(*whole_part)) > 0

@@ -42,7 +42,32 @@ def test_information_plots(spark, fd):
 
     table = plotting.plot_information_table(ic, COLS)
     assert table["n_1D"].iloc[0] > 0
+    # p-value row (ref plotting.py:172 ttest_1samp, two-sided): present,
+    # in (0,1], and consistent with the t-stat via the sf identity
+    for c in COLS:
+        p, t, n = (table[f"pvalue_{c}"].iloc[0], table[f"tstat_{c}"].iloc[0],
+                   table[f"n_{c}"].iloc[0])
+        assert 0.0 < p <= 1.0
+        assert abs(p - 2.0 * perf.student_t_sf(abs(t), n - 1)) < 1e-12
 
+
+def test_student_t_sf_closed_forms():
+    """sf agrees with the df=1 (arctan) and df=2 (algebraic) closed forms
+    to machine precision, and reproduces the classic 5% two-sided
+    critical point at df=10."""
+    import math
+
+    for t in (0.5, 1.0, 2.0, 5.0):
+        assert abs(perf.student_t_sf(t, 1) - (0.5 - math.atan(t) / math.pi)) < 1e-14
+        assert abs(
+            perf.student_t_sf(t, 2) - 0.5 * (1 - t / math.sqrt(2 + t * t))
+        ) < 1e-14
+        # symmetry
+        assert abs(perf.student_t_sf(-t, 5) - (1 - perf.student_t_sf(t, 5))) < 1e-14
+    assert abs(2 * perf.student_t_sf(2.2281388519649385, 10) - 0.05) < 1e-10
+
+
+def test_monthly_ic_heatmap(spark, fd):
     heat = plotting.plot_monthly_ic_heatmap(
         perf.mean_information_coefficient(fd, COLS, by_time="month").withColumnRenamed(
             "time_bucket", "date"
