@@ -23,16 +23,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # nano-precision timestamps arrive as long (see session.py nanosAsLong);
-    # truncate to microseconds — same as DuckDB's ns→µs cast
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize a nano-precision ``ts`` column read as long (see
+    session.py nanosAsLong) to a microsecond timestamp — same as DuckDB's
+    ns→µs cast. No-op when the session reads it as a timestamp type
+    already (the driver's default session yields TIMESTAMP_NTZ). Shared
+    by batch ``load_table`` and the streaming readers."""
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             # integer DIV, not `/`: ns epochs exceed 2^53, double division
             # would round the microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def price_factor_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

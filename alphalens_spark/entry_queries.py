@@ -643,8 +643,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (the all-pairs baseline the
-    LSH variant verifies against)."""
+    """Exact embedding-cosine near-dup pairs — the all-pairs VERIFICATION
+    BASELINE the LSH variant is checked against (quadratic by design; the
+    production contract is scale.dedup.embedding_near_duplicates, which
+    routes to the linear-shuffle LSH path by default)."""
     from alphalens_spark.scale.dedup import embedding_cosine_duplicates
 
     emb = datasets.load_table(spark, sf_dir, "embeddings")
@@ -661,6 +663,148 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     return _finalize(
         embedding_cosine_duplicates_lsh(emb, threshold=0.4, n_tables=8, bits=6)
+    )
+
+
+def q_factor_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date demeaned factor-proportional long/short weights (ref
+    to_weights, performance.py:129-205, default mode): gross exposure
+    normalizes to 1 per date."""
+    fd = _fd(spark, sf_dir)
+    w = perf.factor_weights(fd)
+    return _finalize(w.select("date", "asset", "weights"))
+
+
+def q_backshift_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """backshift_returns_series (ref utils.py:346-376): the forward-return
+    frame re-keyed 2 trading dates later via the day_idx equi-join."""
+    from alphalens_spark.calendar_ import trading_calendar
+    from alphalens_spark.utils import backshift_returns_series, compute_forward_returns
+
+    pr = datasets.prices(spark, sf_dir)
+    cal = trading_calendar(pr)
+    fwd = compute_forward_returns(pr, datasets.PERIODS, calendar=cal)
+    out = backshift_returns_series(fwd, 2, cal, PERIOD_COLS)
+    return _finalize(
+        out.select(
+            "date", "asset",
+            F.col("1D_shifted").alias("r1_shifted"),
+            F.col("5D_shifted").alias("r5_shifted"),
+        )
+    )
+
+
+def q_quantile_returns_one_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate_of_return + std_conversion (ref utils.py:844-895, applied at
+    tears.py:93-113): multi-period quantile mean returns converted to
+    one-period rates ((1+r)^(1/k) − 1) and std errors scaled by
+    1/sqrt(k)."""
+    from alphalens_spark.utils import rate_of_return, std_conversion
+
+    fd = _fd(spark, sf_dir)
+    mrbq = perf.mean_return_by_quantile(fd, PERIOD_COLS, demeaned=True)
+    base = mrbq.select(
+        "factor_quantile",
+        *[F.col(f"mean_{c}").alias(c) for c in PERIOD_COLS],
+        *[F.col(f"stderr_{c}").alias(f"se{c}") for c in PERIOD_COLS],
+    )
+    rr = rate_of_return(base.select("factor_quantile", *PERIOD_COLS), PERIOD_COLS)
+    se_cols = [f"se{c}" for c in PERIOD_COLS]
+    se = std_conversion(
+        base.select("factor_quantile", *[F.col(f"se{c}").alias(c) for c in PERIOD_COLS]),
+        PERIOD_COLS,
+    ).select("factor_quantile", *[F.col(c).alias(f"se{c}") for c in PERIOD_COLS])
+    out = rr.join(se, "factor_quantile").select(
+        "factor_quantile",
+        F.col("1D").alias("ror_1p"), F.col("5D").alias("ror_5p"),
+        F.col("se1D").alias("se_1p"), F.col("se5D").alias("se_5p"),
+    )
+    return _finalize(out)
+
+
+def q_mean_ic_by_group_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC bucketed by BOTH calendar month and group (ref
+    performance.py:77-126 by_time+by_group combined)."""
+    fd = _fd_grouped(spark, sf_dir)
+    out = perf.mean_information_coefficient(
+        fd, PERIOD_COLS, by_group=True, by_time="month"
+    )
+    return _finalize(
+        out.select(
+            F.col("time_bucket").alias("month"),
+            F.col("group").alias("group_name"),
+            *[F.col(f"ic_{c}").alias(f"ic_{ALIAS[c]}") for c in PERIOD_COLS],
+        )
+    )
+
+
+def q_time_varying_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-varying (date, asset, group) mapping equi-join (ref
+    utils.py:600-612, the non-static branch): membership derived per date
+    — nation for odd months, nation+'-E' for even months — then mean
+    returns per group."""
+    fd = _fd(spark, sf_dir)
+    g = datasets.groups(spark, sf_dir)
+    tv = (
+        fd.select("date", "asset")
+        .join(F.broadcast(g), "asset")
+        .select(
+            "date", "asset",
+            F.when(F.month("date") % 2 == 1, F.col("group"))
+            .otherwise(F.concat(F.col("group"), F.lit("-E")))
+            .alias("group"),
+        )
+    )
+    merged = fd.join(tv, ["date", "asset"], "inner")
+    out = merged.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("1D").alias("avg_r1"),
+        F.avg("factor").alias("avg_factor"),
+    )
+    return _finalize(out.select(F.col("group").alias("group_name"), "n", "avg_r1", "avg_factor"))
+
+
+def q_common_start_returns_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """common_start_returns normalize=False (ref performance.py:642-727
+    standalone convention: raw cumulative-series slices, no event-date
+    re-basing), collapsed to per-event-date means — top-quantile factor
+    rows as events over the [-2, +3] trading-period window."""
+    fd = _fd(spark, sf_dir)
+    pr = datasets.prices(spark, sf_dir)
+    events = fd.where(F.col("factor_quantile") == 5).select("date", "asset")
+    out = perf.common_start_returns(
+        events, pr, periods_before=2, periods_after=3,
+        normalize=False, mean_by_date=True,
+    )
+    return _finalize(out.select("event_date", "offset", "cum_ret"))
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING sessionization (applyInPandasWithState) run to
+    completion with an availableNow trigger over the events parquet,
+    returning the CLOSED sessions (each user's final session stays open
+    in state). Full SQL oracle: the batch window/running-sum sessionize
+    minus the last session per user — stream==batch is the semantic the
+    streaming layer promises, checked here by the driver's value-hash."""
+    from alphalens_spark.streaming import stream_sessionize
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource wants a directory or glob, never a bare file path
+    stream = datasets.normalize_ts(
+        spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    )
+    name = f"stream_sess_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
     )
 
 
@@ -1516,6 +1660,125 @@ ORACLES["embedding_near_dup_lsh"] = _emb_lsh_sql()
 
 ORACLES["embedding_ivf_topk"] = _ivf_topk_sql()
 
+ORACLES["factor_weights"] = f"""{_P},
+fdm AS (
+  SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS dm
+  FROM fd
+)
+SELECT date, asset,
+       round(dm / NULLIF(sum(abs(dm)) OVER (PARTITION BY date), 0), 6) AS weights
+FROM fdm"""
+
+ORACLES["backshift_returns"] = f"""{_P},
+bs AS (
+  SELECT c2.date AS date, f.asset, f.fwd_1p AS r1, f.fwd_5p AS r5
+  FROM fwd f
+  JOIN cal c ON f.date = c.date
+  JOIN cal c2 ON c2.day_idx = c.day_idx + 2
+)
+SELECT date, asset, round(r1, 6) AS r1_shifted, round(r5, 6) AS r5_shifted
+FROM bs"""
+
+ORACLES["quantile_returns_one_period"] = f"""{_P}, {_DM},
+fin AS (
+  SELECT factor_quantile,
+         avg(m1) AS mean1, avg(m5) AS mean5,
+         stddev_samp(m1) AS s1, stddev_samp(m5) AS s5,
+         count(m1) AS c1, count(m5) AS c5
+  FROM l1 GROUP BY 1
+)
+SELECT factor_quantile,
+       round(pow(1 + mean1, 1.0) - 1, 6) AS ror_1p,
+       round(pow(1 + mean5, 1.0 / 5) - 1, 6) AS ror_5p,
+       round((s1 / sqrt(c1)) / sqrt(1.0), 6) AS se_1p,
+       round((s5 / sqrt(c5)) / sqrt(5.0), 6) AS se_5p
+FROM fin"""
+
+ORACLES["mean_ic_by_group_monthly"] = f"""{_P},
+grp AS (
+  SELECT s_suppkey AS asset, n_name AS group_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+rkg AS (
+  SELECT f.date, g.group_name,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.factor)
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.factor) - 1) / 2.0 AS rf,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.fwd_1p)
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.fwd_1p) - 1) / 2.0 AS r1,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.fwd_5p)
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.fwd_5p) - 1) / 2.0 AS r5
+  FROM fd f JOIN grp g ON f.asset = g.asset
+),
+icg AS (
+  SELECT date, group_name, corr(rf, r1) AS ic_1p, corr(rf, r5) AS ic_5p
+  FROM rkg GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('month', date) AS TIMESTAMP) AS month, group_name,
+       round(avg(ic_1p), 6) AS ic_1p, round(avg(ic_5p), 6) AS ic_5p
+FROM icg GROUP BY 1, 2"""
+
+ORACLES["time_varying_groups"] = f"""{_P},
+grp AS (
+  SELECT s_suppkey AS asset, n_name AS g
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+tv AS (
+  SELECT f.date, f.asset,
+         CASE WHEN month(f.date) % 2 = 1 THEN g.g ELSE g.g || '-E' END
+           AS group_name
+  FROM fd f JOIN grp g ON f.asset = g.asset
+)
+SELECT t.group_name, count(*) AS n, round(avg(f.fwd_1p), 6) AS avg_r1,
+       round(avg(f.factor), 6) AS avg_factor
+FROM fd f JOIN tv t ON f.date = t.date AND f.asset = t.asset
+GROUP BY 1"""
+
+ORACLES["common_start_returns_raw"] = f"""{_P},
+ev AS (
+  SELECT f.date AS event_date, f.asset, c.day_idx AS eidx
+  FROM fd f JOIN cal c ON f.date = c.date
+  WHERE f.factor_quantile = 5
+),
+paths AS (
+  SELECT e.event_date, CAST(o.o AS INT) AS "offset", p.price
+  FROM ev e
+  CROSS JOIN (SELECT unnest(range(-2, 4)) AS o) o
+  JOIN px p ON p.asset = e.asset AND p.day_idx = e.eidx + o.o
+)
+SELECT event_date, "offset", round(avg(price), 6) AS cum_ret
+FROM paths GROUP BY 1, 2"""
+
+# The streaming sessionize emits CLOSED sessions only — every session of
+# a user except the one containing their latest event (kept open in
+# state). Batch sessionize minus the per-user max session id.
+ORACLES["stream_sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id))
+                  > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM e
+),
+s2 AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM s
+),
+sess AS (
+  SELECT user_id, session_id, min(ts) AS session_start,
+         max(ts) AS session_end, count(*) AS n_events
+  FROM s2 GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+WHERE session_id < (SELECT max(session_id) FROM sess s3
+                    WHERE s3.user_id = sess.user_id)"""
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -1573,4 +1836,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # bit-stable SQL oracle exists)
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "factor_weights": q_factor_weights,
+    "backshift_returns": q_backshift_returns,
+    "quantile_returns_one_period": q_quantile_returns_one_period,
+    "mean_ic_by_group_monthly": q_mean_ic_by_group_monthly,
+    "time_varying_groups": q_time_varying_groups,
+    "common_start_returns_raw": q_common_start_returns_raw,
+    "stream_sessionize": q_stream_sessionize,
 }

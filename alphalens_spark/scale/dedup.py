@@ -365,6 +365,24 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_duplicates(
+    emb: DataFrame, threshold: float = 0.9, exact: bool = False, **kwargs
+) -> DataFrame:
+    """Embedding near-dup pairs — the production entry point.
+
+    Routes to the banded hyperplane-LSH path by default (equi-join on
+    bucket keys: linear shuffle, output verified with exact cosine so
+    precision is 1.0). ``exact=True`` opts into the all-pairs baseline —
+    **quadratic by design**; at 100 TB that is a scale-killer, so it
+    exists only to verify the LSH variant (its output is a superset of
+    the LSH output at the same threshold) and to serve as the SQL-oracle
+    form. Both return (id_a, id_b, cos_sim), id_a < id_b, 6dp.
+    """
+    if exact:
+        return embedding_cosine_duplicates(emb, threshold, **kwargs)
+    return embedding_cosine_duplicates_lsh(emb, threshold, **kwargs)
+
+
 def embedding_cosine_duplicates(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -372,6 +390,8 @@ def embedding_cosine_duplicates(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (all-pairs baseline).
+    Production callers should use :func:`embedding_near_duplicates`,
+    which defaults to the linear-shuffle LSH path.
 
     Theta self-join (``id_a < id_b``) with the norms hoisted to one pass
     per row, so the per-pair work is a single codegen'd dot product.

@@ -115,18 +115,29 @@ def brute_force_topk_vectorized(
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = Vn @ Qn.T  # (batch, n_queries)
-            # self-match mask, then local top-(k) per query
             for qi, qid in enumerate(q_ids):
-                col = S[:, qi]
-                valid = ids != qid
-                order = np.argsort(-col)
-                picked = [j for j in order if valid[j]][: k]
-                if picked:
+                col = S[:, qi].copy()
+                # self-match → -inf so it can never survive selection.
+                # O(n) partition selection (no full argsort, no Python
+                # filter loop), on the ROUNDED score — the global window
+                # ranks by (round(cs,6) desc, neighbor_id), so the local
+                # cut must keep every row tied with the k-th rounded
+                # value or a boundary tie could locally evict the
+                # neighbor the global ordering prefers
+                col[ids == qid] = -np.inf
+                col_r = np.round(col, 6)
+                if len(col_r) > k:
+                    kth = -np.partition(-col_r, k - 1)[k - 1]
+                    cand = np.nonzero(col_r >= kth)[0]
+                else:
+                    cand = np.arange(len(col_r))
+                cand = cand[np.isfinite(col[cand])]
+                if cand.size:
                     yield pd.DataFrame(
                         {
                             "query_id": qid,
-                            "neighbor_id": ids[picked],
-                            "cs": col[picked],
+                            "neighbor_id": ids[cand],
+                            "cs": col[cand],
                         }
                     )
 
