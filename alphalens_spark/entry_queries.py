@@ -779,6 +779,87 @@ def q_common_start_returns_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out.select("event_date", "offset", "cum_ret"))
 
 
+def q_pyfolio_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyfolio export, positions leg (ref performance.py:936-1140) on the
+    extreme-quantile subset: quantile filter → demeaned weights →
+    3-period overlapping holdings (interval join as explode+sum) →
+    per-date gross renormalization → cash row."""
+    from alphalens_spark.calendar_ import trading_calendar
+    from alphalens_spark.portfolio import create_pyfolio_input
+
+    fd = _fd(spark, sf_dir)
+    cal = trading_calendar(fd)
+    _, positions, _ = create_pyfolio_input(
+        fd, cal, period_col="1D", period=3, quantiles=(1, 5)
+    )
+    return _finalize(positions)
+
+
+def q_pyfolio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyfolio export, returns leg (ref performance.py:866-933): the
+    extreme-quantile long-short factor portfolio's per-date return and
+    cumulative level. This synthetic portfolio compounds through sub-−1
+    returns to ±1e17 levels, where a 6dp round can't absorb fp-summation
+    noise — so the level is emitted in its numerically stable
+    decomposition, log-magnitude + sign (exactly what cumulative_returns
+    computes internally before exponentiating)."""
+    from alphalens_spark.portfolio import factor_cumulative_returns
+
+    fd = _fd(spark, sf_dir)
+    out = factor_cumulative_returns(fd, "1D", 1, quantiles=(1, 5))
+    cum = F.col("cum_ret")
+    return _finalize(
+        out.select(
+            "date", "ret",
+            F.when(cum != 0, F.log(F.abs(cum))).alias("cum_log_mag"),
+            F.signum(cum).alias("cum_sign"),
+        )
+    )
+
+
+def q_intraday_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingestion over an INTRADAY calendar: hourly panel derived
+    from the events stream (price = 100 + avg(value), factor = bucket
+    count), horizons (1, 3) bars with ``label_freq='infer'`` so the
+    reference's wall-clock label algorithm (utils.py:301-321) runs for
+    real on an irregular hourly axis. The inferred column names depend on
+    the data's gap structure ('1h', '3h', '1D1h', ...), so the output
+    aliases them positionally to r1/r3 — the oracle checks every VALUE
+    while the label strings themselves are covered by the ported golden
+    matrix in tests/test_utils_ops.py."""
+    from alphalens_spark.utils import (
+        get_clean_factor_and_forward_returns,
+        get_forward_returns_columns,
+    )
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    panel = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("date"),
+        (F.col("user_id") % 50).alias("asset"),
+    ).agg(
+        (F.lit(100.0) + F.avg("value")).alias("price"),
+        F.count(F.lit(1)).cast("double").alias("factor"),
+    )
+    fd = get_clean_factor_and_forward_returns(
+        panel.select("date", "asset", "factor"),
+        panel.select("date", "asset", "price"),
+        quantiles=3,
+        periods=(1, 3),
+        filter_zscore=None,
+        max_loss=None,
+        label_freq="infer",
+        quantize_method="ntile",
+    )
+    c1, c3 = get_forward_returns_columns(fd.columns)
+    return _finalize(
+        fd.select(
+            "date", "asset",
+            F.col(c1).alias("r1"), F.col(c3).alias("r3"),
+            "factor", "factor_quantile",
+        )
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL STREAMING sessionization (applyInPandasWithState) run to
     completion with an availableNow trigger over the events parquet,
@@ -1748,6 +1829,102 @@ paths AS (
 SELECT event_date, "offset", round(avg(price), 6) AS cum_ret
 FROM paths GROUP BY 1, 2"""
 
+ORACLES["pyfolio_positions"] = f"""{_P},
+sub AS (SELECT * FROM fd WHERE factor_quantile IN (1, 5)),
+pfdm AS (
+  SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS dm
+  FROM sub
+),
+pwt AS (
+  SELECT date, asset, dm / NULLIF(sum(abs(dm)) OVER (PARTITION BY date), 0) AS w
+  FROM pfdm
+),
+pdidx AS (
+  SELECT date, CAST(row_number() OVER (ORDER BY date) AS INT) AS di
+  FROM (SELECT DISTINCT date FROM fd) t
+),
+held AS (
+  SELECT w.asset, w.w / 3 AS hw, d.di + o.o AS di
+  FROM pwt w JOIN pdidx d ON w.date = d.date
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o
+),
+possum AS (SELECT di, asset, sum(hw) AS position FROM held GROUP BY 1, 2),
+pos AS (
+  SELECT c.date, p.asset, p.position
+  FROM possum p JOIN pdidx c ON p.di = c.di
+),
+gross AS (SELECT date, sum(abs(position)) AS g FROM pos GROUP BY 1),
+posn AS (
+  SELECT p.date, CAST(p.asset AS VARCHAR) AS asset,
+         p.position / NULLIF(g.g, 0) AS position
+  FROM pos p JOIN gross g ON p.date = g.date
+),
+cash AS (
+  SELECT date, 'cash' AS asset, 1.0 - sum(abs(position)) AS position
+  FROM posn GROUP BY 1
+)
+SELECT date, asset, round(position, 6) AS position FROM posn
+UNION ALL
+SELECT date, asset, round(position, 6) AS position FROM cash"""
+
+ORACLES["pyfolio_returns"] = f"""{_P},
+sub AS (SELECT * FROM fd WHERE factor_quantile IN (1, 5)),
+rfdm AS (
+  SELECT date, asset, fwd_1p,
+         factor - avg(factor) OVER (PARTITION BY date) AS dm
+  FROM sub
+),
+rwt AS (
+  SELECT date, asset, fwd_1p,
+         dm / NULLIF(sum(abs(dm)) OVER (PARTITION BY date), 0) AS w
+  FROM rfdm
+),
+pret AS (SELECT date, sum(w * fwd_1p) AS ret FROM rwt GROUP BY 1)
+SELECT date, round(ret, 6) AS ret,
+       round(CASE WHEN max(CASE WHEN 1 + ret = 0 THEN 1 ELSE 0 END) OVER w = 1
+                  THEN NULL
+             ELSE sum(CASE WHEN 1 + ret = 0 THEN 0.0
+                           WHEN 1 + ret > 0 THEN ln(1 + ret)
+                           ELSE ln(-(1 + ret)) END) OVER w
+             END, 6) AS cum_log_mag,
+       CASE WHEN max(CASE WHEN 1 + ret = 0 THEN 1 ELSE 0 END) OVER w = 1
+            THEN 0.0
+            WHEN sum(CASE WHEN 1 + ret < 0 THEN 1 ELSE 0 END) OVER w % 2 = 1
+            THEN -1.0 ELSE 1.0 END AS cum_sign
+FROM pret
+WINDOW w AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+ORACLES["intraday_ingestion"] = """
+WITH ipanel AS (
+  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS date,
+         user_id % 50 AS asset,
+         100.0 + avg(value) AS price,
+         CAST(count(*) AS DOUBLE) AS factor
+  FROM events GROUP BY 1, 2
+),
+ical AS (
+  SELECT date, CAST(row_number() OVER (ORDER BY date) AS INT) AS di
+  FROM (SELECT DISTINCT date FROM ipanel) t
+),
+ipx AS (SELECT p.*, c.di FROM ipanel p JOIN ical c ON p.date = c.date),
+ifwd AS (
+  SELECT b.date, b.asset, b.factor,
+         f1.price / b.price - 1 AS r1,
+         f3.price / b.price - 1 AS r3
+  FROM ipx b
+  LEFT JOIN ipx f1 ON f1.asset = b.asset AND f1.di = b.di + 1
+  LEFT JOIN ipx f3 ON f3.asset = b.asset AND f3.di = b.di + 3
+),
+iclean AS (
+  SELECT * FROM ifwd
+  WHERE r1 IS NOT NULL AND r3 IS NOT NULL AND factor IS NOT NULL
+)
+SELECT date, asset, round(r1, 6) AS r1, round(r3, 6) AS r3, factor,
+       CAST(ntile(3) OVER (PARTITION BY date
+                           ORDER BY round(factor, 6), asset) AS INT)
+         AS factor_quantile
+FROM iclean"""
+
 # The streaming sessionize emits CLOSED sessions only — every session of
 # a user except the one containing their latest event (kept open in
 # state). Batch sessionize minus the per-user max session id.
@@ -1842,5 +2019,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mean_ic_by_group_monthly": q_mean_ic_by_group_monthly,
     "time_varying_groups": q_time_varying_groups,
     "common_start_returns_raw": q_common_start_returns_raw,
+    "pyfolio_positions": q_pyfolio_positions,
+    "pyfolio_returns": q_pyfolio_returns,
+    "intraday_ingestion": q_intraday_ingestion,
     "stream_sessionize": q_stream_sessionize,
 }

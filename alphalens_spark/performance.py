@@ -545,16 +545,36 @@ def cumulative_returns(
     Reference performance.py:333-352 = empyrical cum_returns with
     starting_value=1, i.e. the 1-BASED level — its golden
     (tests/test_performance.py:615-692) maps returns [1,.5,1,.5,.5] to
-    [2,3,6,9,13.5]. Spark has no product aggregate →
-    ``exp(sum(log1p(r)))`` over an expanding window (SURVEY §2.5).
-    Returns ≤ -100% would need sign bookkeeping; factor portfolio returns
-    never reach -1 in practice and the reference's behavior there (silent
-    zeros) is not meaningful — we propagate null.
+    [2,3,6,9,13.5]. Spark has no product aggregate → decompose the
+    cumprod into magnitude and sign (SURVEY §2.5):
+
+        |Π(1+r)| = exp(Σ log|1+r|)   over the nonzero factors
+        sign     = (−1)^#{1+r < 0}
+        any 1+r == 0 pins the level (and everything after) to exactly 0
+
+    which reproduces empyrical's plain ``(1+r).cumprod()`` for EVERY real
+    r, including r < −1 (negative levels — a −250%% return flips the
+    sign, exactly what pandas computes) and r == −1 (hard zero), not just
+    the r > −1 domain a bare ``exp(sum(log1p))`` covers. All three pieces
+    are expanding-window aggregates fused in one pass; the log of the
+    zero factor is guarded by a CASE so no ±inf (or ANSI error) leaks.
     """
     w = Window.partitionBy(*keys).orderBy("date").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = F.exp(F.sum(F.log1p(F.col(ret_col))).over(w)) * F.lit(starting_value)
+    factor = F.lit(1.0) + F.col(ret_col)
+    # log1p on the positive-factor domain (full float precision near r=0,
+    # the common case); plain log|f| only for the exotic f < 0 terms
+    log_mag = F.sum(
+        F.when(factor > 0, F.log1p(F.col(ret_col)))
+        .when(factor < 0, F.log(F.abs(factor)))
+        .otherwise(F.lit(0.0))
+    ).over(w)
+    n_neg = F.sum(F.when(factor < 0, 1).otherwise(0)).over(w)
+    any_zero = F.max(F.when(factor == 0, 1).otherwise(0)).over(w)
+    cum = F.when(any_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(log_mag) * F.when(n_neg % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ) * F.lit(starting_value)
     return returns.withColumn(f"cum_{ret_col}", cum)
 
 

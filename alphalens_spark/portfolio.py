@@ -100,7 +100,9 @@ def create_pyfolio_input(
     )
     wd = Window.partitionBy("date")
     pos = pos.withColumn("_gross", F.sum(F.abs("position")).over(wd))
-    pos = pos.withColumn("position", F.col("position") / F.col("_gross"))
+    # try_divide: an all-zero-exposure date yields NULL (not an ANSI
+    # DIVIDE_BY_ZERO), matching the NaN the pandas reference emits
+    pos = pos.withColumn("position", F.try_divide(F.col("position"), F.col("_gross")))
     cash = (
         pos.groupBy("date")
         .agg((F.lit(1.0) - F.sum(F.abs("position"))).alias("position"))

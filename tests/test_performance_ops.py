@@ -137,6 +137,23 @@ def test_cumulative_returns(spark):
     assert math.isclose(out[D(2)], 0.66, rel_tol=1e-12)
 
 
+def test_cumulative_returns_below_minus_one_and_zero(spark):
+    """Full cumprod parity beyond the r > -1 domain (ref empyrical
+    (1+r).cumprod()): r < -1 flips the level's sign like pandas does,
+    r == -1 pins the level (and everything after) to exactly 0.0."""
+    rows = [(D(0), 1.0), (D(1), -2.5), (D(2), 0.5)]      # 2, 2*(-1.5)=-3, -4.5
+    df = spark.createDataFrame(rows, "date timestamp, r double")
+    out = {r["date"]: r["cum_r"] for r in perf.cumulative_returns(df, "r").collect()}
+    assert math.isclose(out[D(0)], 2.0, rel_tol=1e-12)
+    assert math.isclose(out[D(1)], -3.0, rel_tol=1e-12)
+    assert math.isclose(out[D(2)], -4.5, rel_tol=1e-12)
+
+    rows = [(D(0), 1.0), (D(1), -1.0), (D(2), 5.0)]      # 2, 0, 0 (hard zero)
+    df = spark.createDataFrame(rows, "date timestamp, r double")
+    out = {r["date"]: r["cum_r"] for r in perf.cumulative_returns(df, "r").collect()}
+    assert out[D(1)] == 0.0 and out[D(2)] == 0.0
+
+
 def test_average_cumulative_return_by_quantile(spark):
     prices = spark.createDataFrame(
         [(D(i), "A", float(2**i)) for i in range(5)],
