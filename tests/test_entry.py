@@ -30,6 +30,24 @@ def test_all_queries_return_rows_at_smallest_sf(spark):
         assert df.count() > 0, name
 
 
+def test_no_quadratic_join_in_any_query_plan(spark):
+    """Scale guard: no entry query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only where it is the documented
+    intent — the 1-row pct-of-total / top-bottom-literal cross joins
+    (quantile_stats, returns_table_bps) and the all-pairs exact
+    verification baseline (embedding_near_dup). Anything else appearing
+    here means a join lost its equi-condition and would go quadratic at
+    scale."""
+    BNLJ_OK = {"quantile_stats", "returns_table_bps", "embedding_near_dup"}
+    for name, fn in entry_mod.queries().items():
+        if name == "stream_sessionize":
+            continue  # streaming query: no batch executedPlan
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_all_queries_under_driver_default_session(spark):
     """Every query must survive the DRIVER's session config, not just ours.
 
