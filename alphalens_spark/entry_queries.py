@@ -779,6 +779,25 @@ def q_common_start_returns_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out.select("event_date", "offset", "cum_ret"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: MinHash-LSH pairs (md5 variant) →
+    min-label connected components → (doc_id, canonical_id). The oracle
+    recomputes the same pairs and takes each node's minimum reachable id
+    with a recursive CTE — the iterative Spark propagation and the SQL
+    transitive closure must land on identical clusters."""
+    from alphalens_spark.scale.dedup import (
+        connected_components,
+        minhash_lsh_duplicates,
+    )
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(docs, threshold=0.5, shingle_hash="md5")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id")
+    )
+
+
 def q_pyfolio_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyfolio export, positions leg (ref performance.py:936-1140) on the
     extreme-quantile subset: quantile filter → demeaned weights →
@@ -1829,6 +1848,21 @@ paths AS (
 SELECT event_date, "offset", round(avg(price), 6) AS cum_ret
 FROM paths GROUP BY 1, 2"""
 
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+cedges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach AS (
+  SELECT s, d FROM cedges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+FROM reach GROUP BY s"""
+
 ORACLES["pyfolio_positions"] = f"""{_P},
 sub AS (SELECT * FROM fd WHERE factor_quantile IN (1, 5)),
 pfdm AS (
@@ -2019,6 +2053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mean_ic_by_group_monthly": q_mean_ic_by_group_monthly,
     "time_varying_groups": q_time_varying_groups,
     "common_start_returns_raw": q_common_start_returns_raw,
+    "dedup_clusters": q_dedup_clusters,
     "pyfolio_positions": q_pyfolio_positions,
     "pyfolio_returns": q_pyfolio_returns,
     "intraday_ingestion": q_intraday_ingestion,

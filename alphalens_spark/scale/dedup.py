@@ -225,6 +225,86 @@ def minhash_lsh_duplicates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (node, comp) where
+    comp = the minimum id reachable through the pair graph.
+
+    Pairs alone don't dedup anything — a chain a~b, b~c must collapse to
+    ONE keeper. Min-label propagation, the standard distributed
+    connected-components scheme: every node starts labeled with itself;
+    each round every node takes the min of its own and its neighbors'
+    labels (one equi-join + one groupBy-min); stop when a round changes
+    nothing. Rounds needed = graph diameter — near-dup graphs are
+    near-clique clusters with diameter 2-3, so this converges in a few
+    cheap rounds (each linear in |edges|). ``localCheckpoint`` cuts the
+    growing lineage each round (the iterative-algorithm discipline Spark
+    needs; without it round N replays rounds 1..N−1). For adversarial
+    long-chain graphs at extreme scale, the alternating large-star/
+    small-star algorithm (Kiveris et al., SOCC'14) halves rounds — not
+    needed for dedup-shaped graphs.
+
+    Output: (node, comp) for every node that appears in ``pairs``.
+    """
+    e = pairs.select(F.col(id_col_a).alias("s"), F.col(id_col_b).alias("d"))
+    edges = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["s"] == labels["node"]
+        ).select(F.col("d").alias("node"), F.col("comp"))
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("comp", "comp_new")
+            .join(labels, "node")
+            .where(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_hash: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs → connected
+    components → (doc_id, canonical_id). Keep rows where
+    doc_id == canonical_id, drop the rest — the complete dedup decision,
+    not just the candidate pairs."""
+    pairs = minhash_lsh_duplicates(
+        docs, text_col, id_col, threshold=threshold, shingle_hash=shingle_hash
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias(id_col), F.col("comp").alias("canonical_id")
+    )
+
+
 def simhash_bits(token_hash: str) -> int:
     """Fingerprint width per token-hash family: 63 usable bits of
     xxhash64 (sign bit excluded), 60 bits of the md5 reduction."""

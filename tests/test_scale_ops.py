@@ -63,6 +63,27 @@ def test_simhash_vectorized_matches_hof_on_driver_docs(spark):
         assert joined.count() == docs.count()
 
 
+def test_connected_components_chain_and_isolated_pair(spark):
+    """A transitive chain (1~2, 2~3, 3~7) must collapse into ONE cluster
+    labeled by its minimum id, independently of pair orientation; an
+    unrelated pair forms its own cluster."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_end_to_end(spark):
+    docs = _docs(spark, ["a b c d e f", "a b c d e f", "a b c d e f x",
+                         "q r s t u v"])
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.duplicate_clusters(docs, threshold=0.5).collect()}
+    # docs 0,1,2 chain into one cluster rooted at 0; doc 3 is clean (absent)
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert 3 not in out
+
+
 def test_ngram_jaccard_pairs(spark):
     docs = _docs(spark, ["a b c d e", "a b c d e", "v w x y z"])
     out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
