@@ -779,6 +779,39 @@ def q_common_start_returns_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out.select("event_date", "offset", "cum_ret"))
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/phone spans replaced with typed tokens, counts
+    from the pre-replacement text (RE2-shared patterns, identical on both
+    engines)."""
+    from alphalens_spark.scale.text import redact_pii
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return redact_pii(docs)
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first deterministic sampling to a ~20k-token budget:
+    discrete-score buckets kept whole above the boundary, the boundary
+    bucket thinned by an exact-integer md5 threshold (no global sort —
+    the 100 TB mixing primitive)."""
+    from alphalens_spark.scale.text import token_budget_sample
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(token_budget_sample(docs, budget_tokens=20_000))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any token 8-gram with the
+    held-out benchmark slice (doc_id % 50 == 0) are dropped; plain-string
+    grams so the SQL oracle evaluates the identical postings."""
+    from alphalens_spark.scale.dedup import decontaminate
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(corpus, bench, n=8, hash_grams=False)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: MinHash-LSH pairs (md5 variant) →
     min-label connected components → (doc_id, canonical_id). The oracle
@@ -1848,6 +1881,85 @@ paths AS (
 SELECT event_date, "offset", round(avg(price), 6) AS cum_ret
 FROM paths GROUP BY 1, 2"""
 
+ORACLES["redact_pii"] = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phones
+FROM documents"""
+
+# mirrors scale.text.token_budget_sample: same quality rubric, same
+# exact-integer boundary threshold ((B - prior)·M) // bucket_tokens
+ORACLES["token_budget_sample"] = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         len(list_distinct(toks)) / NULLIF(CAST(len(toks) AS DOUBLE), 0)
+           AS distinct_ratio,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           / NULLIF(n_chars, 0) AS non_alnum,
+         (n_chars - (CAST(len(toks) AS DOUBLE) - 1))
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0) AS mean_tok_len
+  FROM tok
+),
+q AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.25 ELSE 0 END
+       + CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 0.25 ELSE 0 END
+       + CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0 END
+       + CASE WHEN non_alnum <= 0.3 THEN 0.25 ELSE 0 END AS quality_score
+  FROM feat
+),
+b AS (
+  SELECT quality_score AS s, sum(n_tokens) AS t FROM q GROUP BY 1
+),
+c AS (
+  SELECT s, t, sum(t) OVER (ORDER BY s DESC) - t AS prior FROM b
+)
+SELECT q.doc_id, q.n_tokens, round(q.quality_score, 6) AS quality_score
+FROM q JOIN c ON q.quality_score = c.s
+WHERE c.prior + c.t <= 20000
+   OR (c.prior < 20000 AND c.prior + c.t > 20000
+       AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000
+           < ((20000 - c.prior) * 1000000) // c.t)"""
+
+ORACLES["decontaminate"] = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 7, 1) + 1),
+             i -> array_to_string(t[i:i+7], ' '))) AS grams
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0),
+dirty AS (
+  SELECT DISTINCT e.doc_id FROM ex e JOIN bench b ON e.gram = b.gram
+  WHERE e.doc_id % 50 <> 0
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 50 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM dirty)"""
+
 ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
 cedges AS (
@@ -2043,10 +2155,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_dups": q_simhash_dups,
     "doc_fingerprint": q_doc_fingerprint,
-    # rows-only checks (seeded float draws / iterative k-means — no
-    # bit-stable SQL oracle exists)
+    # full oracles too (round 2): seeded plane literals embedded in SQL /
+    # the deterministic coarse quantizer re-derived in unrolled CTEs
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "redact_pii": q_redact_pii,
+    "token_budget_sample": q_token_budget_sample,
+    "decontaminate": q_decontaminate,
     "factor_weights": q_factor_weights,
     "backshift_returns": q_backshift_returns,
     "quantile_returns_one_period": q_quantile_returns_one_period,

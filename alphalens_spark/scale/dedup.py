@@ -445,6 +445,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing ANY token
+    n-gram with the benchmark corpus (the standard eval-leakage guard of
+    a training pipeline; 8-grams ≈ the n-gram overlap rule used for
+    GPT-style decontamination).
+
+    Plan: benchmark n-grams → distinct (small side, broadcast-able) →
+    explode the corpus grams → LEFT ANTI join → distinct surviving ids.
+    Linear in total gram postings; ``hash_grams`` ships 8-byte posting
+    keys at scale (plain strings for the SQL-oracle path).
+
+    Output: (id,) of the clean documents.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    gram = (
+        (lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+        if hash_grams
+        else (lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))), gram
+        )
+    )
+    bench_grams = (
+        spread_for_compute(benchmark).select(F.explode(grams).alias("gram")).distinct()
+    )
+    doc_grams = spread_for_compute(docs).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    dirty = doc_grams.join(bench_grams, "gram").select(id_col).distinct()
+    return docs.select(id_col).join(dirty, id_col, "left_anti")
+
+
 def embedding_near_duplicates(
     emb: DataFrame, threshold: float = 0.9, exact: bool = False, **kwargs
 ) -> DataFrame:

@@ -142,3 +142,91 @@ def rolling_fingerprint(
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     hashes = F.transform(F.sequence(F.lit(1), n), h)
     return docs.select(F.col(id_col), F.array_min(hashes).alias("fingerprint"))
+
+
+# RE2-compatible (no lookaround) so the DuckDB oracle evaluates the
+# identical patterns; applied email-first so a phone-like digit run inside
+# an already-redacted token can't double-match.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub email / phone-shaped spans before training (the standard
+    cheap PII pass of an LLM data pipeline). Pure codegen regexp ops —
+    counts come from regexp_extract_all on the ORIGINAL text, the
+    replacement runs in the same projection.
+
+    Output: (id, clean_text, n_emails, n_phones).
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+    cleaned = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(cleaned, F.lit(PII_PHONE), 0))
+    cleaned = F.regexp_replace(cleaned, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mod: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic quality-first sampling to a token budget — the data-
+    mixing primitive of a training pipeline ("take the best ~N tokens").
+
+    Scale design: NO global sort. quality_score is a discrete rubric
+    (5 values), so bucket totals are a ≤5-row aggregate; whole buckets
+    above the boundary are kept, and the boundary bucket is thinned with
+    an integer hash threshold — keep iff
+    ``md5(doc_id) % hash_mod < (remaining·hash_mod) DIV bucket_tokens`` —
+    which is (a) deterministic, (b) engine-reproducible in exact integer
+    arithmetic (no float compare at the boundary), and (c) embarrassingly
+    parallel: every executor decides membership from the doc id alone.
+    The sampled token mass lands within one hash-granule of the budget
+    rather than exactly on it — that is the correct 100 TB trade; an
+    exact prefix would force a global ordered scan.
+
+    Output: (id, n_tokens, quality_score) of the kept documents.
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    q = quality_score(docs, text_col, id_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    buckets = sorted(
+        (
+            (r["quality_score"], r["t"])
+            for r in q.groupBy("quality_score")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        ),
+        key=lambda x: -x[0],
+    )
+    keep_full: list[float] = []
+    boundary: tuple[float, int, int] | None = None  # (score, thresh, bucket_t)
+    remaining = int(budget_tokens)
+    for score, t in buckets:
+        t = int(t)
+        if t <= remaining:
+            keep_full.append(score)
+            remaining -= t
+        else:
+            if remaining > 0:
+                boundary = (score, (remaining * hash_mod) // t, t)
+            break
+    cond = F.col("quality_score").isin(keep_full) if keep_full else F.lit(False)
+    if boundary is not None:
+        score, thresh, _ = boundary
+        hfrac = F.pmod(md5_long(F.col(id_col).cast("string"), 15), F.lit(hash_mod))
+        cond = cond | ((F.col("quality_score") == score) & (hfrac < thresh))
+    return q.where(cond)

@@ -63,6 +63,47 @@ def test_simhash_vectorized_matches_hof_on_driver_docs(spark):
         assert joined.count() == docs.count()
 
 
+def test_redact_pii_masks_and_counts(spark):
+    docs = _docs(spark, [
+        "contact me at jane.doe@example.com or +1 555-123-4567 thanks",
+        "no pii here at all",
+    ])
+    out = {r["doc_id"]: r for r in text.redact_pii(docs).collect()}
+    assert "<EMAIL>" in out[0]["clean_text"] and "<PHONE>" in out[0]["clean_text"]
+    assert "example.com" not in out[0]["clean_text"]
+    assert (out[0]["n_emails"], out[0]["n_phones"]) == (1, 1)
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (0, 0)
+    assert out[1]["clean_text"] == "no pii here at all"
+
+
+def test_token_budget_sample_prefers_quality_and_respects_budget(spark):
+    # 3 high-quality docs (score 1.0, ~20 tokens each) + 1 junk doc
+    # (repeated token -> low distinct ratio). Budget fits only the good
+    # bucket: junk excluded, total tokens <= budget.
+    good = "the quick brown fox jumps over a lazy dog while many others watch from afar today quietly"
+    junk = "spam " * 50
+    docs = _docs(spark, [good, good + " extra", good + " more words", junk.strip()])
+    out = text.token_budget_sample(docs, budget_tokens=60)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 3 not in ids  # junk bucket below the boundary
+    assert sum(r["n_tokens"] for r in rows) <= 60
+    assert len(rows) >= 1 and all(r["quality_score"] == 1.0 for r in rows)
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    bench = _docs(spark, ["one two three four five six seven eight nine ten"])
+    corpus = spark.createDataFrame(
+        [
+            (10, "xx one two three four five six seven eight yy"),  # shares 8-gram
+            (11, "totally different words with no overlap at all here today"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup.decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {11}
+
+
 def test_connected_components_chain_and_isolated_pair(spark):
     """A transitive chain (1~2, 2~3, 3~7) must collapse into ONE cluster
     labeled by its minimum id, independently of pair orientation; an
