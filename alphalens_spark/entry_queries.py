@@ -869,6 +869,22 @@ def q_pyfolio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pyfolio_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyfolio returns leg at the reference's DAILY frequency (ref
+    performance.py:1112-1119): cumulative level resampled to the 1-day
+    calendar grid, ffilled, pct_change with first-row 0 — weekend days
+    return 0, each trading gap's return lands on its close date."""
+    from alphalens_spark.calendar_ import trading_calendar
+    from alphalens_spark.portfolio import create_pyfolio_input
+
+    fd = _fd(spark, sf_dir)
+    rets, _, _ = create_pyfolio_input(
+        fd, trading_calendar(fd), period_col="1D", period=1,
+        quantiles=(1, 5), daily=True,
+    )
+    return _finalize(rets)
+
+
 def q_intraday_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ingestion over an INTRADAY calendar: hourly panel derived
     from the events stream (price = 100 + avg(value), factor = bucket
@@ -2002,11 +2018,12 @@ pos AS (
 gross AS (SELECT date, sum(abs(position)) AS g FROM pos GROUP BY 1),
 posn AS (
   SELECT p.date, CAST(p.asset AS VARCHAR) AS asset,
-         p.position / NULLIF(g.g, 0) AS position
+         coalesce(p.position / NULLIF(g.g, 0), 0) AS position
   FROM pos p JOIN gross g ON p.date = g.date
 ),
 cash AS (
-  SELECT date, 'cash' AS asset, 1.0 - sum(abs(position)) AS position
+  -- ref performance.py:1135: cash = 1 - NET sum (gross-normalized book)
+  SELECT date, 'cash' AS asset, 1.0 - sum(position) AS position
   FROM posn GROUP BY 1
 )
 SELECT date, asset, round(position, 6) AS position FROM posn
@@ -2039,6 +2056,48 @@ SELECT date, round(ret, 6) AS ret,
             THEN -1.0 ELSE 1.0 END AS cum_sign
 FROM pret
 WINDOW w AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+ORACLES["pyfolio_daily_returns"] = f"""{_P},
+sub AS (SELECT * FROM fd WHERE factor_quantile IN (1, 5)),
+rfdm AS (
+  SELECT date, asset, fwd_1p,
+         factor - avg(factor) OVER (PARTITION BY date) AS dm
+  FROM sub
+),
+rwt AS (
+  SELECT date, asset, fwd_1p,
+         dm / NULLIF(sum(abs(dm)) OVER (PARTITION BY date), 0) AS w
+  FROM rfdm
+),
+pret AS (SELECT date, sum(w * fwd_1p) AS ret FROM rwt GROUP BY 1),
+cum AS (
+  SELECT date,
+         CASE WHEN max(CASE WHEN 1 + ret = 0 THEN 1 ELSE 0 END) OVER w = 1
+              THEN 0.0
+         ELSE exp(sum(CASE WHEN 1 + ret = 0 THEN 0.0
+                           WHEN 1 + ret > 0 THEN ln(1 + ret)
+                           ELSE ln(-(1 + ret)) END) OVER w)
+              * (CASE WHEN sum(CASE WHEN 1 + ret < 0 THEN 1 ELSE 0 END)
+                      OVER w % 2 = 1 THEN -1.0 ELSE 1.0 END)
+         END AS cum
+  FROM pret
+  WINDOW w AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+days AS (
+  SELECT unnest(generate_series((SELECT min(date) FROM cum),
+                                (SELECT max(date) FROM cum),
+                                INTERVAL 1 DAY)) AS date
+),
+dc AS (
+  SELECT d.date,
+         last_value(c.cum IGNORE NULLS) OVER (ORDER BY d.date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM days d LEFT JOIN cum c ON c.date = d.date
+)
+SELECT date,
+       round(coalesce(cum / NULLIF(lag(cum) OVER (ORDER BY date), 0) - 1, 0), 6)
+         AS ret
+FROM dc"""
 
 ORACLES["intraday_ingestion"] = """
 WITH ipanel AS (
@@ -2171,6 +2230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "pyfolio_positions": q_pyfolio_positions,
     "pyfolio_returns": q_pyfolio_returns,
+    "pyfolio_daily_returns": q_pyfolio_daily_returns,
     "intraday_ingestion": q_intraday_ingestion,
     "stream_sessionize": q_stream_sessionize,
 }

@@ -16,6 +16,50 @@ from pyspark.sql import functions as F
 from alphalens_spark import performance as perf
 
 
+def resample_daily_ffill(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    keys: Sequence[str] = (),
+    date_col: str = "date",
+    how: str = "last",
+) -> DataFrame:
+    """``resample('1D').last()/sum() + ffill`` (ref performance.py:1118,
+    1133): densify to a calendar-day grid and forward-fill gaps.
+
+    Grid = ``sequence(min(date), max(date), interval 1 day)`` from a
+    1-row bounds aggregate, exploded (cross-joined with the key dim for
+    per-key frames — pandas ffills each wide column, i.e. per asset).
+    Per-day aggregation first (``how``: 'last' for level series, 'sum'
+    for flows, matching the two reference call sites), then
+    ``last(value, ignorenulls=True)`` over an expanding window per key.
+    With keys the window partitions by them (scales); without, the input
+    is a per-date series — one row per calendar day at any data scale —
+    so the single ordered partition is deliberate.
+    """
+    bounds = df.agg(F.min(date_col).alias("_mn"), F.max(date_col).alias("_mx"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("interval 1 day"))
+        ).alias(date_col)
+    )
+    if keys:
+        grid = grid.crossJoin(df.select(*keys).distinct())
+    agg_fn = (lambda c: F.last(c, ignorenulls=True)) if how == "last" else F.sum
+    per_day = df.groupBy(*keys, date_col).agg(
+        *[agg_fn(c).alias(c) for c in value_cols]
+    )
+    joined = grid.join(per_day, [*keys, date_col], "left")
+    w = (
+        Window.partitionBy(*keys).orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *keys,
+        date_col,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+
+
 def factor_cumulative_returns(
     factor_data: DataFrame,
     period_col: str = "1D",
@@ -76,36 +120,65 @@ def create_pyfolio_input(
     quantiles: Sequence[int] | None = None,
     groups: Sequence[str] | None = None,
     benchmark_period_col: str = "1D",
+    daily: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns / positions / benchmark triple (ref performance.py:1008-1165).
 
-    - returns: per-date portfolio return series
-    - positions: per-(date, asset) exposures plus a ``cash`` row per date
-      (cash = 1 − Σ|position|, ref performance.py:1133-1135); scaled by
-      ``capital`` when given (performance.py:1138-1140)
-    - benchmark: equal-weight long-only universe mean return
-      (performance.py:1148-1163)
+    - returns: portfolio return series. ``daily=True`` reproduces the
+      reference exactly (performance.py:1112-1119): cumulative level →
+      resample to the 1-day calendar grid, ffill, pct_change, first-row
+      0 — weekends carry the level so their daily return is 0 and each
+      trading gap's return lands on its close date.
+    - positions: per-(date, asset) exposures normalized by per-date
+      gross, plus a ``cash`` row = 1 − NET sum (performance.py:1133-1135
+      normalizes by ``abs().sum`` then ``cash = 1 - positions.sum`` —
+      the plain sum: a balanced long-short book holds ~full cash);
+      ``daily=True`` resamples per-day sums to the day grid and ffills
+      per asset before normalizing. Scaled by ``capital`` when given.
+    - benchmark: per-date universe mean of ``benchmark_period_col`` (the
+      equal-weight long-only portfolio the reference builds at
+      performance.py:1148-1163).
 
-    All three are lazy DataFrames; the pyfolio boundary is a tiny
-    ``toPandas()`` per frame.
+    All lazy; the pyfolio boundary is a tiny ``toPandas()`` per frame.
     """
-    rets = factor_cumulative_returns(
+    cum = factor_cumulative_returns(
         factor_data, period_col, period, long_short, group_neutral,
         equal_weight, quantiles, groups,
-    ).select("date", "ret")
+    )
+    if daily:
+        dcum = resample_daily_ffill(cum.select("date", "cum_ret"), ["cum_ret"])
+        # deliberate global window: per-day series, one row per calendar day
+        wday = Window.orderBy("date")
+        rets = dcum.select(
+            "date",
+            F.coalesce(
+                F.try_divide(F.col("cum_ret"), F.lag("cum_ret").over(wday))
+                - F.lit(1.0),
+                F.lit(0.0),
+            ).alias("ret"),
+        )
+    else:
+        rets = cum.select("date", "ret")
 
     pos = factor_positions(
         factor_data, calendar, period, long_short, group_neutral,
         equal_weight, quantiles, groups,
     )
+    if daily:
+        pos = resample_daily_ffill(
+            pos, ["position"], keys=["asset"], how="sum"
+        ).na.drop(subset=["position"])  # days before an asset's first trade
     wd = Window.partitionBy("date")
     pos = pos.withColumn("_gross", F.sum(F.abs("position")).over(wd))
-    # try_divide: an all-zero-exposure date yields NULL (not an ANSI
-    # DIVIDE_BY_ZERO), matching the NaN the pandas reference emits
-    pos = pos.withColumn("position", F.try_divide(F.col("position"), F.col("_gross")))
+    # try_divide + coalesce: an all-zero-exposure date gets 0 positions,
+    # the reference's ``.fillna(0)`` after the div (performance.py:1134)
+    pos = pos.withColumn(
+        "position",
+        F.coalesce(F.try_divide(F.col("position"), F.col("_gross")), F.lit(0.0)),
+    )
     cash = (
         pos.groupBy("date")
-        .agg((F.lit(1.0) - F.sum(F.abs("position"))).alias("position"))
+        .agg((F.lit(1.0) - F.sum("position")).alias("position"))
         .withColumn("asset", F.lit("cash"))
         .select("date", "asset", "position")
     )

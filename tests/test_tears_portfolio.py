@@ -68,12 +68,57 @@ def test_pyfolio_input(spark):
         by_date.setdefault(row["date"], {})[row["asset"]] = row["position"]
     for d, holdings in by_date.items():
         assert "cash" in holdings
-        # gross exposure + cash accounting: Σ|pos| = 1, cash = 1 − Σ|pos| = 0
+        # ref performance.py:1134-1135: positions normalize by GROSS
+        # (Σ|pos| = 1), cash = 1 − NET sum — a balanced long-short book
+        # nets to ~0 so it holds ~full cash
         gross = sum(abs(v) for a, v in holdings.items() if a != "cash")
+        net = sum(v for a, v in holdings.items() if a != "cash")
         assert math.isclose(gross, 1.0, rel_tol=1e-9)
-        assert abs(holdings["cash"]) < 1e-9
+        assert math.isclose(holdings["cash"], 1.0 - net, rel_tol=1e-9)
+        assert abs(net) < 1e-9  # demeaned book nets to zero
     b = benchmark.collect()
     assert len(b) == 10
+
+
+def test_resample_daily_ffill_levels_and_flows(spark):
+    """ref performance.py:1118,1133: gaps densify to calendar days and
+    carry the last value ('last' mode) / the per-day sum ('sum' mode)."""
+    df = spark.createDataFrame(
+        [(D(0), 1.0), (D(3), 4.0)], "date timestamp, cum_ret double"
+    )
+    out = {r["date"]: r["cum_ret"] for r in
+           portfolio.resample_daily_ffill(df, ["cum_ret"]).collect()}
+    assert out == {D(0): 1.0, D(1): 1.0, D(2): 1.0, D(3): 4.0}
+
+    keyed = spark.createDataFrame(
+        [(D(0), "A", 1.0), (D(0), "A", 2.0), (D(2), "A", 5.0), (D(2), "B", 7.0)],
+        "date timestamp, asset string, position double",
+    )
+    got = {(r["date"], r["asset"]): r["position"] for r in
+           portfolio.resample_daily_ffill(
+               keyed, ["position"], keys=["asset"], how="sum"
+           ).collect()}
+    assert got[(D(0), "A")] == 3.0        # per-day sum
+    assert got[(D(1), "A")] == 3.0        # ffilled gap
+    assert got[(D(2), "A")] == 5.0
+    assert got[(D(2), "B")] == 7.0
+    assert got[(D(0), "B")] is None       # before B's first observation
+
+
+def test_pyfolio_daily_returns_zero_on_gap_days(spark):
+    """daily=True (ref performance.py:1112-1119): non-trading calendar
+    days return 0; trading-day returns compound to the same level."""
+    fd, prices = _factor_data(spark)
+    cal = trading_calendar(prices)
+    rets, _, _ = portfolio.create_pyfolio_input(fd, cal, daily=True)
+    base, _, _ = portfolio.create_pyfolio_input(fd, cal, daily=False)
+    daily = rets.orderBy("date").collect()
+    # contiguous daily fixture: same dates, same returns except first = 0
+    trading = base.orderBy("date").collect()
+    assert len(daily) == len(trading)
+    assert daily[0]["ret"] == 0.0
+    for dr, tr in zip(daily[1:], trading[1:]):
+        assert math.isclose(dr["ret"], tr["ret"], rel_tol=1e-9, abs_tol=1e-12)
 
 
 def test_factor_cumulative_returns_compounds(spark):
