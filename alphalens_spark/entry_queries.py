@@ -869,6 +869,51 @@ def q_pyfolio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_groupby_labels_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby_labels code→name remap inside the cleaning join (ref
+    utils.py:614-623): groups supplied as nation-key codes, remapped to
+    names through the labels dict; mean returns per remapped group."""
+    from alphalens_spark.utils import get_clean_factor
+
+    fd = _fd(spark, sf_dir)
+    sup = datasets.load_table(spark, sf_dir, "supplier")
+    nat = datasets.load_table(spark, sf_dir, "nation")
+    coded = sup.select(
+        F.col("s_suppkey").alias("asset"),
+        F.col("s_nationkey").cast("string").alias("group"),
+    )
+    labels = {
+        str(r["n_nationkey"]): r["n_name"]
+        for r in nat.select("n_nationkey", "n_name").collect()
+    }
+    merged = get_clean_factor(
+        fd.select("date", "asset", "factor"),
+        fd.select("date", "asset", F.col("1D"), F.col("5D")),
+        PERIOD_COLS,
+        groupby=coded,
+        groupby_labels=labels,
+        quantiles=5,
+        max_loss=None,
+        quantize_method="ntile",
+    )
+    out = merged.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("1D").alias("avg_r1")
+    )
+    return _finalize(out.select(F.col("group").alias("group_name"), "n", "avg_r1"))
+
+
+def q_factor_returns_equal_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight demeaned factor returns (ref performance.py:174-190):
+    ±1 about the per-date exact MEDIAN, each sign side divided by its own
+    count, gross-normalized — the branch the weight golden matrix covers,
+    here end-to-end against SQL quantile_cont."""
+    fd = _fd(spark, sf_dir).withColumn("factor", F.round("factor", 6))
+    out = perf.factor_returns(fd, PERIOD_COLS, demeaned=True, equal_weight=True)
+    return _finalize(
+        out.select("date", F.col("ret_1D").alias("ret_1p"), F.col("ret_5D").alias("ret_5p"))
+    )
+
+
 def q_pyfolio_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyfolio returns leg at the reference's DAILY frequency (ref
     performance.py:1112-1119): cumulative level resampled to the 1-day
@@ -2057,6 +2102,46 @@ SELECT date, round(ret, 6) AS ret,
 FROM pret
 WINDOW w AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
+ORACLES["groupby_labels_remap"] = f"""{_P},
+grp AS (
+  SELECT s_suppkey AS asset, n_name AS group_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT g.group_name, count(*) AS n, round(avg(f.fwd_1p), 6) AS avg_r1
+FROM fd f JOIN grp g ON f.asset = g.asset
+GROUP BY 1"""
+
+ORACLES["factor_returns_equal_weight"] = f"""{_P},
+fr AS (SELECT date, asset, fwd_1p, fwd_5p, round(factor, 6) AS factor FROM fd),
+med AS (SELECT date, quantile_cont(factor, 0.5) AS m FROM fr GROUP BY 1),
+sgn AS (
+  SELECT f.date, f.asset, f.fwd_1p, f.fwd_5p,
+         CASE WHEN f.factor > m.m THEN 1.0
+              WHEN f.factor < m.m THEN -1.0 ELSE 0.0 END AS raw
+  FROM fr f JOIN med m ON f.date = m.date
+),
+cnt AS (
+  SELECT date,
+         sum(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN raw < 0 THEN 1 ELSE 0 END) AS nn
+  FROM sgn GROUP BY 1
+),
+sw AS (
+  SELECT s.date, s.asset, s.fwd_1p, s.fwd_5p,
+         CASE WHEN s.raw > 0 THEN s.raw / c.np
+              WHEN s.raw < 0 THEN s.raw / c.nn
+              ELSE 0.0 END AS rw
+  FROM sgn s JOIN cnt c ON s.date = c.date
+),
+nw AS (
+  SELECT date, asset, fwd_1p, fwd_5p,
+         rw / NULLIF(sum(abs(rw)) OVER (PARTITION BY date), 0) AS w
+  FROM sw
+)
+SELECT date, round(sum(w * fwd_1p), 6) AS ret_1p,
+       round(sum(w * fwd_5p), 6) AS ret_5p
+FROM nw GROUP BY 1"""
+
 ORACLES["pyfolio_daily_returns"] = f"""{_P},
 sub AS (SELECT * FROM fd WHERE factor_quantile IN (1, 5)),
 rfdm AS (
@@ -2231,6 +2316,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pyfolio_positions": q_pyfolio_positions,
     "pyfolio_returns": q_pyfolio_returns,
     "pyfolio_daily_returns": q_pyfolio_daily_returns,
+    "groupby_labels_remap": q_groupby_labels_remap,
+    "factor_returns_equal_weight": q_factor_returns_equal_weight,
     "intraday_ingestion": q_intraday_ingestion,
     "stream_sessionize": q_stream_sessionize,
 }
