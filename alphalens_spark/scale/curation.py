@@ -1,0 +1,450 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Gopher-style repetition/quality signals (Rae et al. 2021, Appendix A —
+public paper), C4-style corpus-frequency boilerplate removal (Raffel et
+al. 2020 §2.2), within-document unit dedup, deterministic sequence
+packing, and stratified sampling. Everything is native Spark expressions
+plus explode→groupBy aggregations (linear, hash-partitioned by content
+or doc id — never all-pairs, never a global sort); no Python on the hot
+path. Each operator has a full DuckDB value oracle in
+``alphalens_spark.entry_queries``.
+
+All ratio signals here are exact integer ratios (counts / char counts)
+divided once at the end — no float accumulation — so they reproduce
+bit-identically across engines after 6 dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# The eight Gopher "must contain >= 2" stop words (Rae et al. 2021, A1.1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Gopher A1.1 thresholds for the overall pass flag.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.10,
+    "max_bullet_line_frac": 0.90,
+    "max_ellipsis_line_frac": 0.30,
+    "min_alpha_word_frac": 0.80,
+    "min_stopwords": 2,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_ngram_char_frac": {2: 0.20, 3: 0.18, 4: 0.16},
+    "max_dup_ngram_char_frac": {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10},
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _nonempty_lines(text_col: str) -> Column:
+    """Trimmed, non-empty lines of the raw text."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Per-document Gopher repetition + quality signals and pass flag.
+
+    Scalar signals (word count, mean word length, alpha-word fraction,
+    symbol-to-word ratio, stop-word presence, bullet/ellipsis line
+    fractions) are pure projections. Duplicate-line fractions come from
+    one explode→groupBy on (doc, line). ALL n-gram signals — the top-n-gram
+    character coverage for n in ``top_ns`` and the duplicated-n-gram
+    character coverage for n in ``dup_ns`` — come from a SINGLE explode of
+    (n, gram) pairs and one groupBy(doc, n, gram): one wide shuffle keyed
+    by doc id + gram content, not one pass per n. At 100 TB the explode is
+    ~``sum(len(doc))·|ns|`` rows but partial aggregation combines map-side
+    and every key includes doc_id, so there is no hot key.
+
+    The "top n-gram" tiebreak is (count desc, gram asc) — deterministic
+    and engine-reproducible. Character coverage is ``count · len(gram)``
+    over the lowercased text, divided by total lowercased char count.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    words = _words(text_col)
+    lines = _nonempty_lines(text_col)
+    t = F.lower(F.trim(F.col(text_col)))
+
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    n_lines = F.size(lines)
+    # total word chars == non-whitespace chars (words are split on \s+)
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_word_len = word_chars.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    frac_alpha = alpha_words.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0))
+    n_hash = n_chars - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (n_chars - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+        + (n_chars - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    )
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), sw))
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•‣▪]")))
+    ellipsis_l = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    frac_bullet = bullet.cast("double") / F.nullif(n_lines.cast("double"), F.lit(0.0))
+    frac_ell = ellipsis_l.cast("double") / F.nullif(n_lines.cast("double"), F.lit(0.0))
+
+    base = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_lines.alias("n_lines"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        F.round(F.coalesce(frac_bullet, F.lit(0.0)), 6).alias("frac_bullet_lines"),
+        F.round(F.coalesce(frac_ell, F.lit(0.0)), 6).alias("frac_ellipsis_lines"),
+    )
+
+    # duplicate-line fractions: explode → per-(doc,line) counts → per-doc
+    lx = docs.select(F.col(id_col), F.explode(_nonempty_lines(text_col)).alias("l"))
+    lagg = (
+        lx.groupBy(id_col, "l")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            id_col,
+            F.col("c"),
+            (F.col("c") * F.length("l")).alias("lc"),
+            F.when(F.col("c") > 1, F.col("c") * F.length("l")).otherwise(0).alias("ldup"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_lines_total"),
+            F.count(F.lit(1)).alias("_lines_distinct"),
+            F.sum("lc").alias("_line_chars"),
+            F.sum("ldup").alias("_dup_line_chars"),
+        )
+    )
+
+    # one exploded (n, gram) relation for every n in ns
+    def grams_for(n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.struct(
+                F.lit(n).alias("n"), F.concat_ws(" ", F.slice(words, i, n)).alias("g")
+            ),
+        )
+
+    gx = docs.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*[grams_for(n) for n in ns]))).alias("s"),
+    ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    counts = gx.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.partitionBy(id_col, "n").orderBy(F.col("c").desc(), F.col("g").asc())
+    per_n = (
+        counts.withColumn("rn", F.row_number().over(wtop))
+        .groupBy(id_col, "n")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("c") * F.length("g"))).alias("topc"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0)
+            ).alias("dupc"),
+        )
+    )
+    gagg = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("topc"))).alias(f"_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dupc"))).alias(f"_dup{n}")
+            for n in dup_ns
+        ],
+    )
+
+    out = base.join(lagg, id_col, "left").join(gagg, id_col, "left")
+    nc = F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+    dup_line_frac = F.round(
+        F.coalesce(
+            (F.col("_lines_total") - F.col("_lines_distinct"))
+            / F.nullif(F.col("_lines_total").cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    dup_line_char_frac = F.round(
+        F.coalesce(
+            F.col("_dup_line_chars")
+            / F.nullif(F.col("_line_chars").cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    th = GOPHER_THRESHOLDS
+    top_cols = {n: F.round(F.coalesce(F.col(f"_top{n}") / nc, F.lit(0.0)), 6) for n in top_ns}
+    dup_cols = {n: F.round(F.coalesce(F.col(f"_dup{n}") / nc, F.lit(0.0)), 6) for n in dup_ns}
+    passes = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len") >= th["min_mean_word_len"])
+        & (F.col("mean_word_len") <= th["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("frac_bullet_lines") <= th["max_bullet_line_frac"])
+        & (F.col("frac_ellipsis_lines") <= th["max_ellipsis_line_frac"])
+        & (F.col("frac_alpha_words") >= th["min_alpha_word_frac"])
+        & (F.col("n_stopwords") >= th["min_stopwords"])
+        & (dup_line_frac <= th["max_dup_line_frac"])
+        & (dup_line_char_frac <= th["max_dup_line_char_frac"])
+    )
+    for n, c in top_cols.items():
+        passes = passes & (c <= th["max_top_ngram_char_frac"][n])
+    for n, c in dup_cols.items():
+        passes = passes & (c <= th["max_dup_ngram_char_frac"][n])
+    return out.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        "mean_word_len",
+        "frac_alpha_words",
+        "symbol_word_ratio",
+        "n_stopwords",
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        *[c.alias(f"top_{n}gram_char_frac") for n, c in top_cols.items()],
+        *[c.alias(f"dup_{n}gram_char_frac") for n, c in dup_cols.items()],
+        passes.alias("gopher_pass"),
+    )
+
+
+def _unitize(text_col: str, unit: str | int) -> tuple[Column, str]:
+    """Array of text units + the separator that rebuilds the document.
+
+    unit="line": trimmed non-empty lines. unit="word": whitespace tokens
+    (original case). unit=int w: non-overlapping w-word chunks.
+    """
+    if unit == "line":
+        return _nonempty_lines(text_col), "\n"
+    raw_words = F.split(F.trim(F.col(text_col)), r"\s+")
+    if unit == "word":
+        return raw_words, " "
+    if isinstance(unit, int) and unit > 0:
+        w = unit
+        n_chunks = F.greatest(F.ceil(F.size(raw_words) / F.lit(w)).cast("int"), F.lit(1))
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(raw_words, i * w + 1, w)),
+        )
+        return chunks, " "
+    raise ValueError(f"unit must be 'line', 'word', or a positive int, got {unit!r}")
+
+
+def _rebuild(ex: DataFrame, docs: DataFrame, id_col: str, sep: str) -> DataFrame:
+    """(id, pos, u) surviving units → (id, clean_text, n_units, n_kept)."""
+    rebuilt = ex.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "u"))), lambda s: s["u"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def dedupe_units_within_doc(
+    docs: DataFrame,
+    unit: str | int = "line",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove repeated units WITHIN each document, keeping the first
+    occurrence (the standard repeated-line / repeated-paragraph scrub of
+    a pretraining pipeline — cf. the Gopher repetition filters, applied
+    as a transform instead of a drop).
+
+    Plan: posexplode → min(pos) per (doc, unit) → rebuild in original
+    order. Two shuffles, both keyed by doc id (+ unit content) — linear
+    and skew-free. Output: (id, clean_text, n_units, n_kept).
+    """
+    units, sep = _unitize(text_col, unit)
+    ex = docs.select(F.col(id_col), F.posexplode(units).alias("pos", "u"))
+    first = ex.groupBy(id_col, "u").agg(F.min("pos").alias("pos"))
+    out = _rebuild(first.select(id_col, "pos", "u"), docs, id_col, sep)
+    n_units = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    return (
+        out.join(n_units, id_col, "left")
+        .select(
+            id_col,
+            "clean_text",
+            F.coalesce("n_units", F.lit(0)).alias("n_units"),
+            "n_kept",
+        )
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 3,
+    unit: str | int = "line",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal: any unit (line by
+    default) occurring in >= ``min_docs`` DISTINCT documents is dropped
+    from every document (Raffel et al. 2020 removed lines seen 3+ times
+    in the corpus).
+
+    Plan: posexplode → distinct-doc count per unit (map-side combinable:
+    first dedupe (unit, doc), then count) → the boilerplate set, which is
+    tiny relative to the corpus and broadcast by default → anti-filter →
+    rebuild. The per-unit count shuffle is keyed by unit content; the
+    hottest corpus lines are exactly the boilerplate, but the pre-distinct
+    keeps each (unit, doc) pair once so the reduce-side row count per key
+    is bounded by |docs|, and only counts (not text) aggregate.
+
+    Output: (id, clean_text, n_units, n_kept).
+    """
+    units, sep = _unitize(text_col, unit)
+    ex = docs.select(F.col(id_col), F.posexplode(units).alias("pos", "u"))
+    per_unit = (
+        ex.select("u", id_col)
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("docfreq"))
+    )
+    boiler = per_unit.where(F.col("docfreq") >= min_docs).select("u")
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    kept = ex.join(boiler, "u", "left_anti")
+    out = _rebuild(kept.select(id_col, "pos", "u"), docs, id_col, sep)
+    n_units = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    return out.join(n_units, id_col, "left").select(
+        id_col,
+        "clean_text",
+        F.coalesce("n_units", F.lit(0)).alias("n_units"),
+        "n_kept",
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document a (shard,
+    seq_id, begin_offset) slot in fixed-size training sequences.
+
+    The concat order is (shard, doc_id) where shard = md5(id) % n_shards —
+    a document's placement depends only on ids and token counts, never on
+    physical partitioning, so the packing is reproducible run-to-run and
+    engine-to-engine. Each shard is packed independently (the window
+    partitions by shard), so the packing parallelism is ``n_shards`` —
+    pick n_shards ≈ cluster cores at scale; there is no global sort and
+    no driver state. Documents straddle sequence boundaries (the reader
+    splits at ``budget_tokens``), matching the standard "pack then chunk"
+    pretraining loader.
+
+    Output: (id, shard, n_tokens, seq_id, begin_offset).
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    n_tok = F.size(_words(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(md5_long(F.col(id_col).cast("string"), 15), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(start / F.lit(budget_tokens)).cast("long").alias("seq_id"),
+        F.pmod(start, F.lit(budget_tokens)).cast("long").alias("begin_offset"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    by: str = "source",
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    hash_mod: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-group sampling: keep a document iff
+    ``md5(id) % hash_mod < fraction[group] · hash_mod`` — the data-mixing
+    primitive for reweighting sources/languages in a training mix.
+
+    Membership is decided per-row from the id alone (no shuffle, no
+    state, reproducible across runs and engines); thresholds are exact
+    integers so there is no float boundary. Output: (id, group,
+    hash_bucket).
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    bucket = F.pmod(md5_long(F.col(id_col).cast("string"), 15), F.lit(hash_mod))
+    thresh = F.lit(int(default_fraction * hash_mod))
+    for g, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(by) == g, F.lit(int(frac * hash_mod))).otherwise(thresh)
+    return (
+        docs.select(F.col(id_col), F.col(by), bucket.alias("hash_bucket"))
+        .where(F.col("hash_bucket") < thresh)
+    )
+
+
+def per_group_cap(
+    docs: DataFrame,
+    cap: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per group, chosen by hash order
+    (deterministic pseudo-random, not first-k-by-id) — the per-domain cap
+    of a crawl pipeline.
+
+    One window keyed by the group column; at scale a pathologically hot
+    group serializes through one task, so pair with
+    ``scale.skew.with_salt`` for two-stage capping if a single group
+    dominates (cap per (group, salt) at cap, then re-rank the survivors —
+    the survivor set is ≤ salt·cap rows per group). Output: (id, group,
+    sample_rank).
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    h = md5_long(F.col(id_col).cast("string"), 15)
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), F.col(by), F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= cap)
+    )

@@ -681,3 +681,69 @@ def simhash_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with coarse k-means, then within each
+    cluster mark every vector that has a LOWER-ID neighbor at cosine
+    similarity >= ``threshold`` as a duplicate of that neighbor (the
+    keep-one-representative rule, made deterministic by keeping the
+    lowest id).
+
+    The all-pairs comparison is confined to a cell — the whole point of
+    the clustering — so the join is an equi-join on the cell id with
+    ~(|cell|**2 / 2) candidate pairs per cell instead of |corpus|**2
+    overall; at 100 TB raise ``n_cells`` so cells stay executor-sized
+    (SemDeDup uses 50k clusters for LAION-scale corpora). The coarse
+    quantizer is the same deterministic Lloyd used by
+    :func:`alphalens_spark.scale.similarity.ivf_topk` (lowest-id init,
+    fixed passes), so the full pipeline replays in the SQL oracle.
+
+    Output: (id, cell, keep, dup_of) — one row per input vector;
+    ``dup_of`` is the lowest qualifying lower id (NULL where keep).
+    """
+    from alphalens_spark.scale.similarity import (
+        _dot,
+        _nearest_cell,
+        _norm,
+        kmeans_lite_centroids,
+    )
+
+    cents = kmeans_lite_centroids(emb, n_cells, iters, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_hi"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cell"
+    )
+    b = base.select(
+        F.col("_id").alias("id_lo"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "cell"
+    )
+    cos = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    dup_of = (
+        a.join(b, "cell")
+        .where((F.col("id_lo") < F.col("id_hi")) & (cos >= threshold))
+        .groupBy("id_hi")
+        .agg(F.min("id_lo").alias("dup_of"))
+    )
+    return (
+        base.select(F.col("_id").alias(id_col), "cell")
+        .join(dup_of, F.col(id_col) == F.col("id_hi"), "left")
+        .select(
+            id_col,
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
