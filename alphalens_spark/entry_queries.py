@@ -1002,6 +1002,80 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition + quality signals (Rae et al. 2021 A1): scalar
+    word/line stats, duplicate-line fractions, top n-gram (n=2..4) and
+    duplicated n-gram (n=5..10) character coverage, overall pass flag.
+    All ratios are exact integer ratios divided once at the end, so the
+    DuckDB oracle reproduces every value bit-identically at 6 dp."""
+    from alphalens_spark.scale.curation import gopher_quality
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(gopher_quality(docs))
+
+
+def q_dedupe_words_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document unit dedup (keep first occurrence), word unit —
+    the repeated-token scrub; the 'line' unit is the classic repeated-line
+    cleaner (unit-tested; the corpus here is single-line so the word unit
+    is the non-degenerate driver check)."""
+    from alphalens_spark.scale.curation import dedupe_units_within_doc
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(dedupe_units_within_doc(docs, unit="word"))
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus boilerplate removal: 8-word chunks occurring in
+    >= 3 distinct documents are dropped everywhere, text rebuilt in
+    order (the corpus is single-line, so the chunk unit stands in for
+    the newline unit of a web corpus)."""
+    from alphalens_spark.scale.curation import remove_boilerplate
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(remove_boilerplate(docs, min_docs=3, unit=8))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: md5-sharded, per-shard id-ordered
+    running token offsets → (shard, seq_id, begin_offset) slots."""
+    from alphalens_spark.scale.curation import pack_sequences
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(pack_sequences(docs, budget_tokens=256, n_shards=4))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling with exact integer hash
+    thresholds (src0 keeps all, src1 half, src2 a fifth, rest 10%)."""
+    from alphalens_spark.scale.curation import stratified_sample
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(
+        stratified_sample(
+            docs, {"src0": 1.0, "src1": 0.5, "src2": 0.2}, default_fraction=0.1
+        )
+    )
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: at most 10 documents per source, hash-ordered."""
+    from alphalens_spark.scale.curation import per_group_cap
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(per_group_cap(docs, cap=10))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: deterministic Lloyd cells (same coarse quantizer as
+    embedding_ivf_topk, re-derived in the oracle's unrolled CTEs) +
+    within-cell cosine >= 0.4 keep-lowest-id."""
+    from alphalens_spark.scale.dedup import semantic_dedup
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return _finalize(semantic_dedup(emb, threshold=0.4, n_cells=16, iters=2))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
@@ -1765,15 +1839,13 @@ SELECT id_a, id_b, round(cs, 6) AS cos_sim
 FROM p WHERE round(cs, 6) >= {threshold}"""
 
 
-def _ivf_topk_sql(
-    k: int = 5, n_cells: int = 16, nprobe: int = 4, dim: int = 64
-) -> str:
-    """IVF ANN in pure SQL, no literals needed: the coarse quantizer is
-    deterministic given the data (init = the n_cells lowest-id vectors,
-    two unrolled Lloyd passes with empty cells keeping their previous
-    centroid), so both engines derive identical centroids up to
-    fp-summation order — mirrors scale.similarity.kmeans_lite_centroids +
-    ivf_topk (argmin ties → lowest cell; probe order (distance, cell))."""
+def _lloyd_cells_sql(n_cells: int = 16, dim: int = 64) -> str:
+    """Shared CTE body (goes after WITH) deriving the deterministic Lloyd
+    cell assignment ``a3 (vec_id, cell)``: init = the n_cells lowest-id
+    vectors, two unrolled Lloyd passes with empty cells keeping their
+    previous centroid, argmin ties → lowest cell — mirrors
+    scale.similarity.kmeans_lite_centroids exactly, so every operator
+    built on that quantizer (ivf_topk, semantic_dedup) replays in SQL."""
 
     def assign(dist_src: str, out_d: str, out_a: str) -> str:
         return f"""{out_d} AS (
@@ -1798,8 +1870,7 @@ def _ivf_topk_sql(
   FROM {prev} g LEFT JOIN {out}_m m ON m.cell = g.cell AND m.i = g.i
 )"""
 
-    return f"""
-WITH vecd AS (
+    return f"""vecd AS (
   SELECT e.vec_id, CAST(d.i AS INT) AS i, CAST(e.embedding[d.i] AS DOUBLE) AS x
   FROM embeddings e, range(1, {dim + 1}) d(i)
 ),
@@ -1814,7 +1885,16 @@ c0w AS (
 {means("a1", "c0w", "c1w")},
 {assign("c1w", "d2", "a2")},
 {means("a2", "c1w", "c2w")},
-{assign("c2w", "d3", "a3")},
+{assign("c2w", "d3", "a3")}"""
+
+
+def _ivf_topk_sql(
+    k: int = 5, n_cells: int = 16, nprobe: int = 4, dim: int = 64
+) -> str:
+    """IVF ANN in pure SQL, no literals needed: Lloyd cells from
+    _lloyd_cells_sql + nprobe probe order (distance, cell)."""
+    return f"""
+WITH {_lloyd_cells_sql(n_cells, dim)},
 q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 20 = 0),
 qd AS (
   SELECT v.vec_id AS query_id, c.cell, sum((v.x - c.w) * (v.x - c.w)) AS d
@@ -2246,6 +2326,217 @@ FROM sess
 WHERE session_id < (SELECT max(session_id) FROM sess s3
                     WHERE s3.user_id = sess.user_id)"""
 
+ORACLES["gopher_quality"] = r"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS t,
+         string_split_regex(lower(trim(text)), '\s+') AS words,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS lines
+  FROM documents
+),
+scal AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    length(t) AS n_chars,
+    len(lines) AS n_lines,
+    round(length(regexp_replace(t, '\s+', '', 'g'))
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS mean_word_len,
+    round(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS frac_alpha_words,
+    round(((length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '...', ''))) / 3
+           + (length(t) - length(replace(t, '…', ''))))
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS symbol_word_ratio,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(words, s))) AS n_stopwords,
+    round(coalesce(len(list_filter(lines, l -> regexp_matches(l, '^[-*•‣▪]')))
+          / NULLIF(CAST(len(lines) AS DOUBLE), 0), 0), 6) AS frac_bullet_lines,
+    round(coalesce(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+          / NULLIF(CAST(len(lines) AS DOUBLE), 0), 0), 6) AS frac_ellipsis_lines
+  FROM base
+),
+lx AS (SELECT doc_id, unnest(lines) AS l FROM base),
+lcnt AS (SELECT doc_id, l, count(*) AS c FROM lx GROUP BY 1, 2),
+lagg AS (
+  SELECT doc_id, sum(c) AS lines_total, count(*) AS lines_distinct,
+         sum(c * length(l)) AS line_chars,
+         sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS dup_line_chars
+  FROM lcnt GROUP BY 1
+),
+gx AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(1, greatest(len(words) - (n - 1), 1) + 1),
+                               i -> array_to_string(words[i:i+n-1], ' '))) AS g
+  FROM base, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) nn
+),
+gc AS (SELECT doc_id, n, g, count(*) AS c FROM gx GROUP BY 1, 2, 3),
+gr AS (
+  SELECT doc_id, n, g, c,
+         row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+  FROM gc
+),
+gn AS (
+  SELECT doc_id, n,
+         max(CASE WHEN rn = 1 THEN c * length(g) END) AS topc,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dupc
+  FROM gr GROUP BY 1, 2
+),
+gagg AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN topc END) AS top2,
+         max(CASE WHEN n = 3 THEN topc END) AS top3,
+         max(CASE WHEN n = 4 THEN topc END) AS top4,
+         max(CASE WHEN n = 5 THEN dupc END) AS dup5,
+         max(CASE WHEN n = 6 THEN dupc END) AS dup6,
+         max(CASE WHEN n = 7 THEN dupc END) AS dup7,
+         max(CASE WHEN n = 8 THEN dupc END) AS dup8,
+         max(CASE WHEN n = 9 THEN dupc END) AS dup9,
+         max(CASE WHEN n = 10 THEN dupc END) AS dup10
+  FROM gn GROUP BY 1
+),
+fin AS (
+  SELECT s.doc_id, s.n_words, s.n_lines, s.mean_word_len, s.frac_alpha_words,
+    s.symbol_word_ratio, s.n_stopwords, s.frac_bullet_lines, s.frac_ellipsis_lines,
+    round(coalesce((l.lines_total - l.lines_distinct)
+          / NULLIF(CAST(l.lines_total AS DOUBLE), 0), 0), 6) AS dup_line_frac,
+    round(coalesce(l.dup_line_chars
+          / NULLIF(CAST(l.line_chars AS DOUBLE), 0), 0), 6) AS dup_line_char_frac,
+    round(coalesce(g.top2 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS top_2gram_char_frac,
+    round(coalesce(g.top3 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS top_3gram_char_frac,
+    round(coalesce(g.top4 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS top_4gram_char_frac,
+    round(coalesce(g.dup5 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS dup_5gram_char_frac,
+    round(coalesce(g.dup6 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS dup_6gram_char_frac,
+    round(coalesce(g.dup7 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS dup_7gram_char_frac,
+    round(coalesce(g.dup8 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS dup_8gram_char_frac,
+    round(coalesce(g.dup9 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS dup_9gram_char_frac,
+    round(coalesce(g.dup10 / NULLIF(CAST(s.n_chars AS DOUBLE), 0), 0), 6) AS dup_10gram_char_frac
+  FROM scal s
+  LEFT JOIN lagg l USING (doc_id)
+  LEFT JOIN gagg g USING (doc_id)
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.10
+   AND frac_bullet_lines <= 0.90 AND frac_ellipsis_lines <= 0.30
+   AND frac_alpha_words >= 0.80 AND n_stopwords >= 2
+   AND dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+   AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+   AND top_4gram_char_frac <= 0.16
+   AND dup_5gram_char_frac <= 0.15 AND dup_6gram_char_frac <= 0.14
+   AND dup_7gram_char_frac <= 0.13 AND dup_8gram_char_frac <= 0.12
+   AND dup_9gram_char_frac <= 0.11 AND dup_10gram_char_frac <= 0.10)
+  AS gopher_pass
+FROM fin"""
+
+ORACLES["dedupe_words_within_doc"] = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) + 1),
+                               i -> struct_pack(pos := i, u := ws[i]))) AS s
+  FROM w
+),
+e2 AS (SELECT doc_id, s.pos AS pos, s.u AS u FROM ex),
+fst AS (SELECT doc_id, u, min(pos) AS pos FROM e2 GROUP BY 1, 2),
+reb AS (
+  SELECT doc_id, array_to_string(list(u ORDER BY pos), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM fst GROUP BY 1
+),
+nu AS (SELECT doc_id, count(*) AS n_units FROM e2 GROUP BY 1)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       coalesce(nu.n_units, 0) AS n_units, coalesce(r.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN reb r USING (doc_id) LEFT JOIN nu USING (doc_id)"""
+
+ORACLES["remove_boilerplate"] = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)),
+             i -> struct_pack(pos := i, u := array_to_string(ws[i*8+1:i*8+8], ' ')))) AS s
+  FROM w
+),
+e2 AS (SELECT doc_id, s.pos AS pos, s.u AS u FROM ex),
+freq AS (
+  SELECT u, count(*) AS docfreq
+  FROM (SELECT DISTINCT u, doc_id FROM e2) GROUP BY 1
+),
+boiler AS (SELECT u FROM freq WHERE docfreq >= 3),
+kept AS (SELECT * FROM e2 WHERE u NOT IN (SELECT u FROM boiler)),
+reb AS (
+  SELECT doc_id, array_to_string(list(u ORDER BY pos), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+nu AS (SELECT doc_id, count(*) AS n_units FROM e2 GROUP BY 1)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       coalesce(nu.n_units, 0) AS n_units, coalesce(r.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN reb r USING (doc_id) LEFT JOIN nu USING (doc_id)"""
+
+ORACLES["pack_sequences"] = r"""
+WITH b AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS INT)
+      AS shard,
+    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS s
+  FROM b
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(s / 256.0) AS BIGINT) AS seq_id,
+       CAST(s % 256 AS BIGINT) AS begin_offset
+FROM c"""
+
+ORACLES["stratified_sample"] = r"""
+SELECT doc_id, source,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+         AS hash_bucket
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                    WHEN 'src2' THEN 200000 ELSE 100000 END"""
+
+ORACLES["per_source_cap"] = r"""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS INT) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 10"""
+
+
+def _semantic_dedup_sql(threshold: float = 0.4, n_cells: int = 16, dim: int = 64) -> str:
+    return f"""
+WITH {_lloyd_cells_sql(n_cells, dim)},
+pairs AS (
+  SELECT hi.vec_id AS id_hi, min(lo.vec_id) AS dup_of
+  FROM a3 hi
+  JOIN a3 lo ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+  JOIN embeddings he ON he.vec_id = hi.vec_id
+  JOIN embeddings le ON le.vec_id = lo.vec_id
+  WHERE round({_emb_cosine_sql("he.embedding", "le.embedding")}, 6) >= {threshold}
+  GROUP BY 1
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       p.dup_of IS NULL AS keep, p.dup_of
+FROM a3 a LEFT JOIN pairs p ON a.vec_id = p.id_hi"""
+
+
+ORACLES["semantic_dedup"] = _semantic_dedup_sql()
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -2320,4 +2611,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "factor_returns_equal_weight": q_factor_returns_equal_weight,
     "intraday_ingestion": q_intraday_ingestion,
     "stream_sessionize": q_stream_sessionize,
+    # round 3: corpus-curation operators (Gopher/C4/SemDeDup lineage)
+    "gopher_quality": q_gopher_quality,
+    "dedupe_words_within_doc": q_dedupe_words_within_doc,
+    "remove_boilerplate": q_remove_boilerplate,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
+    "per_source_cap": q_per_source_cap,
+    "semantic_dedup": q_semantic_dedup,
 }
