@@ -509,6 +509,72 @@ def q_event_type_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time alignment: each purchase joined to the user's most
+    recent view at-or-before the purchase time (pandas merge_asof /
+    DuckDB ASOF JOIN semantics). Spark has no ASOF join; ours is the
+    union + ordered-window carry-forward encoding — ONE hash shuffle on
+    user_id, no row-pair expansion (alphalens_spark.joins.asof_join)."""
+    from alphalens_spark.joins import asof_join
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    # one right row per (user, ts): deterministic tie resolution both engines
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.expr("max_by(value, event_id)").alias("view_value"),
+        )
+    )
+    out = asof_join(p, v, on="ts", by=["user_id"], suffix="_view")
+    return _finalize(
+        out.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("ts_view").alias("view_ts"),
+            "view_event_id",
+            "view_value",
+        )
+    )
+
+
+def q_asof_next_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each error event joined to the
+    user's NEXT click, but only if it lands within one hour (merge_asof
+    direction='forward', tolerance=1h). Same single-shuffle window
+    encoding; the tolerance is an interval comparison (TIMESTAMP_NTZ-safe
+    under the driver's default session)."""
+    from alphalens_spark.joins import asof_join
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_event_id"),
+            F.expr("max_by(value, event_id)").alias("click_value"),
+        )
+    )
+    out = asof_join(
+        e, c, on="ts", by=["user_id"], direction="forward",
+        tolerance="INTERVAL 1 HOUR", suffix="_click",
+    )
+    return _finalize(
+        out.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("ts_click").alias("click_ts"),
+            "click_event_id",
+            "click_value",
+        )
+    )
+
+
 def q_ic_group_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-neutral IC: demean returns within (date, group) before
     ranking (ref performance.py:65-67 group_adjust)."""
@@ -1014,6 +1080,17 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(gopher_quality(docs))
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup scoring (Lee et al. 2021, n-gram anchored):
+    fraction of each document covered by corpus-duplicated >= 10-word
+    regions. Explode -> gram-count -> interval-merge windows; no
+    all-pairs stage (alphalens_spark.scale.curation.duplicate_ngram_spans)."""
+    from alphalens_spark.scale.curation import duplicate_span_stats
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(duplicate_span_stats(docs, k=10))
+
+
 def q_dedupe_words_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document unit dedup (keep first occurrence), word unit —
     the repeated-token scrub; the 'line' unit is the classic repeated-line
@@ -1484,6 +1561,44 @@ FROM s2 GROUP BY 1, 2""",
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1""",
+    "asof_purchase_view": """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         max(event_id) AS view_event_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS view_ts, v.view_event_id,
+       round(v.view_value, 6) + 0.0 AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "asof_next_click_1h": """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         max(event_id) AS click_event_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+j AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         c.ts AS click_ts, c.click_event_id, c.click_value
+  FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN click_ts - ts <= INTERVAL 1 HOUR THEN click_ts END AS click_ts,
+       CASE WHEN click_ts - ts <= INTERVAL 1 HOUR THEN click_event_id END
+         AS click_event_id,
+       CASE WHEN click_ts - ts <= INTERVAL 1 HOUR
+            THEN round(click_value, 6) + 0.0 END AS click_value
+FROM j""",
     "ic_group_adjusted": f"""{_P},
 grp AS (
   SELECT s_suppkey AS asset, n_name AS group_name
@@ -2537,6 +2652,51 @@ FROM a3 a LEFT JOIN pairs p ON a.vec_id = p.id_hi"""
 
 ORACLES["semantic_dedup"] = _semantic_dedup_sql()
 
+ORACLES["dup_span_stats"] = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+gx AS (
+  SELECT doc_id, p AS pos, array_to_string(words[p:p+9], ' ') AS g
+  FROM base, unnest(range(1, len(words) - 9 + 1)) AS t(p)
+  WHERE len(words) >= 10
+),
+dup AS (SELECT g FROM gx GROUP BY g HAVING count(*) >= 2),
+hits AS (
+  SELECT doc_id, pos AS s, pos + 9 AS e FROM gx JOIN dup USING (g)
+),
+fl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_i
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(new_i) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl
+),
+spans AS (
+  SELECT doc_id, island, min(s) AS ss, max(e) AS se FROM isl GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         CAST(sum(se - ss + 1) AS BIGINT) AS dup_words
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id, len(b.words) AS n_words,
+       coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(a.dup_words, 0) AS dup_words,
+       round(coalesce(a.dup_words, 0)
+             / NULLIF(CAST(len(b.words) AS DOUBLE), 0), 6) + 0.0
+         AS dup_word_frac
+FROM base b LEFT JOIN agg a USING (doc_id)"""
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -2574,6 +2734,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_extract": q_event_props_extract,
     "event_sessionize": q_event_sessionize,
     "event_type_user_stats": q_event_type_user_stats,
+    "asof_purchase_view": q_asof_purchase_view,
+    "asof_next_click_1h": q_asof_next_click_1h,
     "ic_group_adjusted": q_ic_group_adjusted,
     "dedup_exact": q_dedup_exact,
     "doc_token_stats": q_doc_token_stats,
@@ -2619,4 +2781,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "per_source_cap": q_per_source_cap,
     "semantic_dedup": q_semantic_dedup,
+    "dup_span_stats": q_dup_span_stats,
 }

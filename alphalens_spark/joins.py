@@ -1,0 +1,149 @@
+"""Generic scalable as-of (point-in-time) join.
+
+The reference library never needs a general as-of join — its panels are
+pre-aligned on a shared DatetimeIndex (ref utils.py:563-571 aligns factor
+and prices by index intersection) — but any production factor pipeline
+does: align each observation with the most recent state of another stream
+(prices as-of trade time, features as-of label time, reference data as-of
+event time). Spark has no built-in ASOF JOIN (pandas ``merge_asof`` and
+DuckDB ``ASOF JOIN`` do); the naive Spark encodings are a range join
+(nested-loop row-pair expansion) or a per-key ``collect_list`` — both
+scale-killers at 100 TB.
+
+This implements the union + ordered-window encoding:
+
+1. tag build (right) rows 0 and probe (left) rows 1,
+2. union them on the shared (keys, time) columns, right payload packed
+   into one struct column (NULL on probe rows),
+3. one window ``last(payload, ignorenulls=True)`` over
+   ``partitionBy(keys).orderBy(time, side)`` carries the most recent
+   build-side payload forward onto every probe row,
+4. keep probe rows and unpack the struct.
+
+Cost: ONE hash shuffle on the join keys (plus the in-partition sort the
+window needs) — the same shape as a groupBy, linear in ``|left|+|right|``,
+no row-pair expansion, and skew is bounded by the hottest key's combined
+row count (salt with :mod:`alphalens_spark.scale.skew` if one key
+dominates). AQE coalesces the post-shuffle partitions as usual.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance: Column | str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """pandas ``merge_asof`` / DuckDB ``ASOF LEFT JOIN`` semantics on Spark.
+
+    For every left row, attach the single right row with the largest
+    ``on`` <= left ``on`` (direction="backward") or the smallest ``on``
+    >= left ``on`` ("forward") among rows sharing the ``by`` keys; strict
+    inequality when ``allow_exact_matches=False``. Unmatched left rows
+    keep NULL right columns (left join). ``tolerance`` (a day-time
+    interval Column or SQL interval string like ``"INTERVAL 1 HOUR"``)
+    nulls matches farther than the tolerance from the left time — same
+    contract as ``merge_asof(tolerance=...)``.
+
+    Right columns are returned as ``<name><suffix>`` when they collide
+    with a left column name; the right ``on`` time always comes back as
+    ``f"{on}{suffix}"`` so callers can compute staleness. Ties among
+    right rows with identical (keys, time) resolve to the one whose
+    payload struct sorts last (deterministic given distinct payloads);
+    pre-aggregate the right side to one row per (keys, time) when tie
+    order matters.
+
+    Works for TIMESTAMP, TIMESTAMP_NTZ, DATE, and numeric ``on`` columns
+    alike — ordering and interval comparison only, never epoch extraction
+    (TIMESTAMP_NTZ rejects ``unix_micros`` under ANSI; see
+    entry_queries.q_event_sessionize).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    by = list(by)
+    payload_cols = [c for c in right.columns if c not in by and c != on]
+    left_names = set(left.columns)
+    out_names = {
+        c: (c + suffix if c in left_names else c) for c in payload_cols
+    }
+    right_on_out = f"{on}{suffix}"
+
+    # Build side first (0) at equal times makes the match inclusive under
+    # an ascending (time, side) sort; probe-first (side 0 for left) makes
+    # it exclusive. Forward direction scans time descending instead.
+    inclusive = allow_exact_matches
+    l_side, r_side = (1, 0) if inclusive else (0, 1)
+
+    payload = F.struct(
+        F.col(on).alias(right_on_out),
+        *[F.col(c).alias(out_names[c]) for c in payload_cols],
+    )
+    from pyspark.sql import types as T
+
+    left_row_type = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in left.schema.fields]
+    )
+    r_tagged = (
+        right.where(F.col(on).isNotNull())
+        .select(
+            *[F.col(c) for c in by],
+            F.col(on).alias("_asof_t"),
+            F.lit(r_side).alias("_asof_side"),
+            payload.alias("_asof_payload"),
+            F.lit(None).cast(left_row_type).alias("_asof_row"),
+        )
+    )
+    l_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_asof_t"),
+        F.lit(l_side).alias("_asof_side"),
+        F.lit(None)
+        .cast(r_tagged.schema["_asof_payload"].dataType)
+        .alias("_asof_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_asof_row"),
+    )
+
+    t_order = (
+        [F.col("_asof_t").asc_nulls_first(), F.col("_asof_side").asc()]
+        if direction == "backward"
+        else [F.col("_asof_t").desc_nulls_first(), F.col("_asof_side").asc()]
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*t_order, F.col("_asof_payload").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("_asof_match", F.last("_asof_payload", ignorenulls=True).over(w))
+        .where(F.col("_asof_side") == l_side)
+    )
+
+    match = F.col("_asof_match")
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        gap = (
+            F.col("_asof_t") - match[right_on_out]
+            if direction == "backward"
+            else match[right_on_out] - F.col("_asof_t")
+        )
+        match = F.when(gap <= tol, match)
+
+    return merged.select(
+        *[F.col("_asof_row")[c].alias(c) for c in left.columns],
+        match[right_on_out].alias(right_on_out),
+        *[match[out_names[c]].alias(out_names[c]) for c in payload_cols],
+    )

@@ -423,6 +423,107 @@ def stratified_sample(
     )
 
 
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicated-substring spans, n-gram anchored (the
+    Spark-shaped form of Lee et al. 2021 "Deduplicating Training Data
+    Makes Language Models Better" exact-substring dedup — a suffix array
+    is a sequential build; anchoring on word ``k``-grams gives the same
+    ≥ k-word duplicated regions with only explode → groupBy → window).
+
+    Every word ``k``-gram occurring ≥ ``min_count`` times in the corpus
+    (across OR within documents) marks its occurrence span
+    ``[pos, pos+k-1]``; overlapping/adjacent marked spans in a document
+    merge into maximal duplicated regions (running-max interval merge:
+    a span starts an island iff its start exceeds every previous span's
+    end). Docs shorter than ``k`` words emit no grams.
+
+    Cost: the gram explode is |words| rows; the duplicate-gram count
+    shuffles on gram content (map-side combinable; uniform unless the
+    corpus shares one literal sentence at extreme frequency — cap with
+    ``remove_boilerplate`` first); the span merge shuffles on doc id.
+    No all-pairs stage anywhere. Output: one row per merged span
+    (id, span_start, span_end, span_words).
+    """
+    words = _words(text_col)
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(words, i, k)).alias("g")
+            ),
+        ),
+    ).otherwise(F.array())
+    gx = docs.select(F.col(id_col), F.explode(grams).alias("s")).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
+    )
+    dup_grams = (
+        gx.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("g")
+    )
+    hits = gx.join(dup_grams, "g").select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e")
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new", F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1).otherwise(0)
+    ).withColumn("island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        flagged.groupBy(id_col, "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document roll-up of :func:`duplicate_ngram_spans`: how much of
+    each document sits inside corpus-duplicated regions — the score a
+    curation pipeline thresholds on before cutting or down-weighting.
+    Output: (id, n_words, n_dup_spans, dup_words, dup_word_frac)."""
+    spans = duplicate_ngram_spans(docs, k, min_count, text_col, id_col)
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_words").alias("dup_words"),
+    )
+    n_words = docs.select(F.col(id_col), F.size(_words(text_col)).alias("n_words"))
+    return (
+        n_words.join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0))
+                / F.nullif(F.col("n_words").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_word_frac"),
+        )
+    )
+
+
 def per_group_cap(
     docs: DataFrame,
     cap: int,

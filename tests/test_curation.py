@@ -222,3 +222,45 @@ class TestSemanticDedup:
         }
         assert edges <= exact
         assert len(edges) > 0
+
+
+class TestDuplicateSpans:
+    def test_span_merge_and_stats(self, spark):
+        """Crafted corpus: a shared 12-word sentence marks a merged span in
+        both docs; a within-doc repeated 10-gram marks both occurrences;
+        unique text marks nothing."""
+        from alphalens_spark.scale.curation import (
+            duplicate_ngram_spans,
+            duplicate_span_stats,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog near my house"  # 12 words
+        uniq_a = "alpha beta gamma delta epsilon zeta eta theta iota"
+        uniq_b = "one two three four five six seven eight nine"
+        rep = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"  # 10 words, repeated twice in doc c
+        rows = [
+            ("a", f"{shared} {uniq_a}"),
+            ("b", f"{uniq_b} {shared}"),
+            ("c", f"{rep} x1 x2 x3 {rep}"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        spans = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_ngram_spans(docs, k=10).collect()
+        }
+        # doc a: shared sentence = words 1..12; doc b: words 10..21
+        # doc c: first rep = 1..10, second rep = 14..23 (gap x1 x2 x3)
+        assert spans == {("a", 1, 12), ("b", 10, 21), ("c", 1, 10), ("c", 14, 23)}
+        stats = {r["doc_id"]: r for r in duplicate_span_stats(docs, k=10).collect()}
+        assert stats["a"]["n_words"] == 21 and stats["a"]["dup_words"] == 12
+        assert stats["c"]["n_dup_spans"] == 2 and stats["c"]["dup_words"] == 20
+        assert abs(stats["c"]["dup_word_frac"] - round(20 / 23, 6)) < 1e-9
+
+    def test_short_docs_emit_nothing(self, spark):
+        from alphalens_spark.scale.curation import duplicate_span_stats
+
+        docs = spark.createDataFrame(
+            [("a", "too short"), ("b", "too short")], ["doc_id", "text"]
+        )
+        stats = {r["doc_id"]: r for r in duplicate_span_stats(docs, k=10).collect()}
+        assert all(s["n_dup_spans"] == 0 and s["dup_words"] == 0 for s in stats.values())
