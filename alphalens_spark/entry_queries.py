@@ -1091,6 +1091,40 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(duplicate_span_stats(docs, k=10))
 
 
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + TF-IDF keyword relevance for a fixed 3-term query over the
+    documents table (scale.text.bm25_scores): terms filtered before the
+    explode, corpus stats and per-term df broadcast — one data-sized
+    shuffle."""
+    from alphalens_spark.scale.text import bm25_scores
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(bm25_scores(docs, ["join", "scan", "window"]))
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) per-source sampling weights over
+    token counts (scale.curation.mixture_weights)."""
+    from alphalens_spark.scale.curation import mixture_weights
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(mixture_weights(docs, alpha=0.5))
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric profile of four lineitem columns: counts,
+    exact distinct, min/max/mean, exact interpolated quartiles
+    (scale.profile.profile_columns)."""
+    from alphalens_spark.scale.profile import profile_columns
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return _finalize(
+        profile_columns(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_suppkey"]
+        )
+    )
+
+
 def q_dedupe_words_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document unit dedup (keep first occurrence), word unit —
     the repeated-token scrub; the 'line' unit is the classic repeated-line
@@ -2652,6 +2686,70 @@ FROM a3 a LEFT JOIN pairs p ON a.vec_id = p.id_hi"""
 
 ORACLES["semantic_dedup"] = _semantic_dedup_sql()
 
+ORACLES["mixture_weights"] = r"""
+WITH g AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_tokens) AS t, sum(pow(n_tokens, 0.5)) AS ta FROM g
+)
+SELECT g.source, g.n_docs, g.n_tokens,
+       round(g.n_tokens / t, 6) + 0.0 AS nat_frac,
+       round(pow(g.n_tokens, 0.5) / ta, 6) + 0.0 AS weight,
+       round((pow(g.n_tokens, 0.5) / ta) / (g.n_tokens / t), 6) + 0.0
+         AS oversample
+FROM g CROSS JOIN tot"""
+
+_PROF_COL_SQL = """
+SELECT '{c}' AS "column", count(*) AS n_rows, count({c}) AS n_nonnull,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), 6) + 0.0 AS min_value,
+       round(CAST(max({c}) AS DOUBLE), 6) + 0.0 AS max_value,
+       round(avg(CAST({c} AS DOUBLE)), 6) + 0.0 AS mean,
+       round(quantile_cont(CAST({c} AS DOUBLE), 0.25), 6) + 0.0 AS p25,
+       round(quantile_cont(CAST({c} AS DOUBLE), 0.5), 6) + 0.0 AS p50,
+       round(quantile_cont(CAST({c} AS DOUBLE), 0.75), 6) + 0.0 AS p75
+FROM lineitem"""
+
+ORACLES["profile_lineitem"] = " UNION ALL ".join(
+    _PROF_COL_SQL.format(c=c)
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_suppkey"]
+)
+
+ORACLES["bm25_scores"] = r"""
+WITH dl AS (
+  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\s+')) AS dl
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM w WHERE t IN ('join', 'scan', 'window') GROUP BY 1, 2
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         count(*) AS n_terms_matched,
+         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS bm25,
+         sum(tf * ln(n_docs / df)) AS tfidf
+  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(sc.n_terms_matched, 0) AS n_terms_matched,
+       round(coalesce(sc.bm25, 0), 6) + 0.0 AS bm25,
+       round(coalesce(sc.tfidf, 0), 6) + 0.0 AS tfidf
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+
 ORACLES["dup_span_stats"] = r"""
 WITH base AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
@@ -2782,4 +2880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "per_source_cap": q_per_source_cap,
     "semantic_dedup": q_semantic_dedup,
     "dup_span_stats": q_dup_span_stats,
+    "bm25_scores": q_bm25_scores,
+    "mixture_weights": q_mixture_weights,
+    "profile_lineitem": q_profile_lineitem,
 }

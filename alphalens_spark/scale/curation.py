@@ -423,6 +423,49 @@ def stratified_sample(
     )
 
 
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source mixture: sampling weight p_g ∝ T_g^alpha
+    over per-group token counts — the standard alpha-smoothing that
+    up-samples small sources in multilingual/multi-source pretraining
+    mixes (mC4 / XLM-R style, alpha in [0.3, 0.7]).
+
+    Two tiny aggregations: per-group token totals (one shuffle on the
+    group key), then a one-row normalizer broadcast back by crossJoin.
+    Output: (group, n_docs, n_tokens, nat_frac, weight, oversample)
+    where nat_frac = T_g/ΣT, weight = T_g^alpha / Σ T_h^alpha, and
+    oversample = weight/nat_frac (the epochs-over-natural multiplier a
+    loader applies per group).
+    """
+    toks = F.size(_words(text_col))
+    g = docs.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_tot_a"),
+    )
+    nat = F.col("n_tokens") / F.col("_tot")
+    wgt = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("_tot_a")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            by,
+            "n_docs",
+            "n_tokens",
+            F.round(nat, 6).alias("nat_frac"),
+            F.round(wgt, 6).alias("weight"),
+            F.round(wgt / nat, 6).alias("oversample"),
+        )
+    )
+
+
 def duplicate_ngram_spans(
     docs: DataFrame,
     k: int = 10,

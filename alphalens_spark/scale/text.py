@@ -230,3 +230,67 @@ def token_budget_sample(
         hfrac = F.pmod(md5_long(F.col(id_col).cast("string"), 15), F.lit(hash_mod))
         cond = cond | ((F.col("quality_score") == score) & (hfrac < thresh))
     return q.where(cond)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 + TF-IDF relevance of every document for a fixed term set
+    (Robertson/Sparck-Jones probabilistic idf with Lucene's +1 floor) —
+    the retrieval primitive of a corpus-curation pipeline (keyword
+    filtering, topical subset selection).
+
+    Plan shape for 100 TB: tokens are filtered to the query terms BEFORE
+    the explode, so the shuffled relation is only the query-term
+    occurrences (|terms| tiny); corpus stats (N, avgdl) are a one-row
+    aggregate broadcast by crossJoin; per-term document frequencies are
+    <= |terms| rows and broadcast. One data-sized shuffle total (the
+    (doc, term) tf groupBy) plus the doc-length projection join, both
+    keyed by doc id.
+
+    Output: (id, n_terms_matched, bm25, tfidf) for every document,
+    zeros when no term occurs.
+    """
+    toks = _tokens(text_col)
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda w: F.array_contains(term_arr, w)).alias("_qt"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("_qt").alias("t"))
+        .groupBy(id_col, "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(idf * F.col("tf") * (k1 + 1.0) / denom).alias("bm25"),
+            F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_terms_matched", F.lit(0)).alias("n_terms_matched"),
+            F.round(F.coalesce("bm25", F.lit(0.0)), 6).alias("bm25"),
+            F.round(F.coalesce("tfidf", F.lit(0.0)), 6).alias("tfidf"),
+        )
+    )
