@@ -38,7 +38,14 @@ def test_no_quadratic_join_in_any_query_plan(spark):
     verification baseline (embedding_near_dup). Anything else appearing
     here means a join lost its equi-condition and would go quadratic at
     scale."""
-    BNLJ_OK = {"quantile_stats", "returns_table_bps", "embedding_near_dup"}
+    BNLJ_OK = {
+        "quantile_stats",
+        "returns_table_bps",
+        "embedding_near_dup",
+        # 1-row corpus-stats broadcast crossJoins (N/avgdl, mixture totals)
+        "bm25_scores",
+        "mixture_weights",
+    }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
             continue  # streaming query: no batch executedPlan
