@@ -659,6 +659,21 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4))
 
 
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (FAISS IVFADC shape, no-residual variant): coarse
+    Lloyd cells + per-subspace product-quantization codebooks + ADC
+    scoring via per-query lookup tables. Both quantizers are
+    deterministic given the data, so the oracle re-derives them in
+    unrolled CTEs (_ivfpq_topk_sql)."""
+    from alphalens_spark.scale.similarity import ivfpq_topk
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return _finalize(ivfpq_topk(emb, queries, k=5, n_cells=16, nprobe=4, refine=4))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints, md5 token-hash variant (bit-identical
     to the DuckDB oracle's per-bit ±1 vote SQL; xxhash64 default remains
@@ -2083,6 +2098,125 @@ ORACLES["embedding_near_dup_lsh"] = _emb_lsh_sql()
 
 ORACLES["embedding_ivf_topk"] = _ivf_topk_sql()
 
+
+def _ivfpq_topk_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ ANN in pure SQL: the coarse quantizer replays via
+    _lloyd_cells_sql (a3 cells / c2w centroids), and the per-subspace PQ
+    codebooks replay the same unrolled two-pass Lloyd with an extra ``m``
+    (subspace) key — init = the ksub lowest-id vectors' subvectors, empty
+    cells keep the previous centroid, argmin ties to the lowest cell —
+    mirroring scale.similarity.pq_codebooks exactly. ADC distance is the
+    sum over subspaces of squared distance from the query subvector to
+    the neighbor's code centroid."""
+    dsub = dim // m_sub
+
+    def passign(src: str, out_d: str, out_a: str) -> str:
+        return f"""{out_d} AS (
+  SELECT s.vec_id, s.m, c.cell, sum((s.x - c.w) * (s.x - c.w)) AS d
+  FROM subd s JOIN {src} c ON c.m = s.m AND c.j = s.j
+  GROUP BY 1, 2, 3
+),
+{out_a} AS (
+  SELECT vec_id, m, cell FROM (
+    SELECT vec_id, m, cell,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn
+    FROM {out_d}
+  ) WHERE rn = 1
+)"""
+
+    def pmeans(assign_src: str, prev: str, out: str) -> str:
+        return f"""{out}_m AS (
+  SELECT a.m, a.cell, s.j, avg(s.x) AS w
+  FROM {assign_src} a JOIN subd s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY 1, 2, 3
+),
+{out} AS (
+  SELECT g.m, g.cell, g.j, coalesce(nm.w, g.w) AS w
+  FROM {prev} g
+  LEFT JOIN {out}_m nm ON nm.m = g.m AND nm.cell = g.cell AND nm.j = g.j
+)"""
+
+    return f"""
+WITH {_lloyd_cells_sql(n_cells, dim)},
+subd AS (
+  SELECT vec_id, CAST(floor((i - 1) / {dsub}) AS INT) AS m,
+         CAST((i - 1) % {dsub} AS INT) AS j, x
+  FROM vecd
+),
+p0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub})
+),
+p0w AS (
+  SELECT s.m, p.cell, s.j, s.x AS w FROM p0 p JOIN subd s USING (vec_id)
+),
+{passign("p0w", "pd1", "pa1")},
+{pmeans("pa1", "p0w", "p1w")},
+{passign("p1w", "pd2", "pa2")},
+{pmeans("pa2", "p1w", "p2w")},
+{passign("p2w", "pd3", "codes")},
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 20 = 0),
+qd AS (
+  SELECT v.vec_id AS query_id, c.cell, sum((v.x - c.w) * (v.x - c.w)) AS d
+  FROM vecd v JOIN c2w c USING (i)
+  WHERE v.vec_id IN (SELECT query_id FROM q)
+  GROUP BY 1, 2
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+    FROM qd
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT DISTINCT qp.query_id, a3.vec_id AS neighbor_id
+  FROM qprobe qp JOIN a3 ON a3.cell = qp.cell
+  WHERE a3.vec_id <> qp.query_id
+),
+adc AS (
+  SELECT p.query_id, p.neighbor_id, sum((qs.x - w.w) * (qs.x - w.w)) AS d
+  FROM pairs p
+  JOIN codes cd ON cd.vec_id = p.neighbor_id
+  JOIN p2w w ON w.m = cd.m AND w.cell = cd.cell
+  JOIN subd qs ON qs.vec_id = p.query_id AND qs.m = cd.m AND qs.j = w.j
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(d, 6) ASC, neighbor_id) AS rnk
+  FROM adc
+),
+cand AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {k * refine}),
+ref AS (
+  SELECT c.query_id, c.neighbor_id, sum((q.x - n.x) * (q.x - n.x)) AS d
+  FROM cand c
+  JOIN vecd q ON q.vec_id = c.query_id
+  JOIN vecd n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+rr AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(d, 6) ASC, neighbor_id) AS rnk
+  FROM ref
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+       round(d, 6) + 0.0 AS l2_dist
+FROM rr WHERE rnk <= {k}"""
+
+
+ORACLES["embedding_ivfpq_topk"] = _ivfpq_topk_sql()
+
 ORACLES["factor_weights"] = f"""{_P},
 fdm AS (
   SELECT date, asset, factor - avg(factor) OVER (PARTITION BY date) AS dm
@@ -2853,6 +2987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # full oracles too (round 2): seeded plane literals embedded in SQL /
     # the deterministic coarse quantizer re-derived in unrolled CTEs
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "redact_pii": q_redact_pii,
     "token_budget_sample": q_token_budget_sample,

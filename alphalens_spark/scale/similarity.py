@@ -11,7 +11,7 @@ candidate set shrinks by ~2^bits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -408,4 +408,236 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd codebooks for product quantization
+    (Jegou, Douze, Schmid 2011 "Product Quantization for Nearest Neighbor
+    Search"). The vector is split into ``m_sub`` contiguous subspaces;
+    each gets a ``ksub``-entry codebook trained independently.
+
+    Same driver/executor split and determinism contract as
+    :func:`kmeans_lite_centroids`: init = the ``ksub`` lowest-id vectors'
+    subvectors (no RNG on data), every iteration assigns ALL subspaces in
+    ONE distributed pass (the per-subspace argmin expressions evaluate
+    side by side over the same scan), per-(subspace, cell, dim) means via
+    one explode + groupBy, and only the tiny m_sub x ksub x dsub codebook
+    crosses to the driver. Empty cells keep their previous centroid;
+    argmin ties go to the lowest cell.
+    """
+    first = corpus.orderBy(id_col).limit(ksub).collect()
+    dim = len(first[0][vec_col])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    books = [
+        [[float(x) for x in r[vec_col][m * dsub : (m + 1) * dsub]] for r in first]
+        for m in range(m_sub)
+    ]
+
+    def subvec(m: int) -> Column:
+        return F.slice(F.col(vec_col), m * dsub + 1, dsub)
+
+    def subdist(sv: Column, center: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(
+            sv, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+    def cell_of(m: int) -> Column:
+        dists = F.array(*[subdist(subvec(m), c) for c in books[m]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            cell_of(m).alias("cell"),
+                            subvec(m).alias("sv"),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("s")
+        ).select(
+            F.col("s.m").alias("m"),
+            F.col("s.cell").alias("cell"),
+            F.posexplode("s.sv").alias("j", "x"),
+        )
+        means = (
+            assigned.groupBy("m", "cell", "j")
+            .agg(F.avg(F.col("x").cast("double")).alias("w"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            new.setdefault((r["m"], r["cell"]), {})[r["j"]] = r["w"]
+        books = [
+            [
+                [new[(m, c)][j] for j in sorted(new[(m, c)])]
+                if (m, c) in new
+                else books[m][c]
+                for c in range(ksub)
+            ]
+            for m in range(m_sub)
+        ]
+    return books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS IVFADC architecture, in the
+    no-residual variant: PQ codebooks train on raw vectors, which keeps
+    the quantizer replayable as plain SQL for the oracle).
+
+    Why this is the 100 TB shape: the corpus is stored as (cell int,
+    codes array<int> of m_sub bytes-worth) — a ~32x compression of a
+    64-dim float vector, so a petabyte of embeddings scans as tens of
+    terabytes of codes. Queries probe ``nprobe`` coarse cells (equi-join
+    on cell id, never all-pairs) and score candidates by asymmetric
+    distance: the query precomputes one m_sub x ksub lookup table of
+    subspace distances, and each candidate costs m_sub ``element_at``
+    picks + adds instead of a dim-length dot product. Ranking is
+    ascending approximate squared L2, ties by neighbor id.
+
+    With ``refine=r`` the ADC scan nominates k*r candidates per query
+    and the final top-k re-ranks those few rows by exact squared L2
+    against the full vectors (FAISS's refine stage) — recall is then
+    bounded by the coarse probe, not the code quantization.
+
+    Output: (query_id, neighbor_id, rnk, adc_dist) — or l2_dist when
+    refined.
+    """
+    dim_row = corpus.select(vec_col).first()
+    dsub = len(dim_row[vec_col]) // m_sub
+    cents = kmeans_lite_centroids(corpus, n_cells, iters, id_col, vec_col)
+    books = pq_codebooks(corpus, m_sub, ksub, iters, id_col, vec_col)
+
+    def subdist(sv: Column, center: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(
+            sv, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+    def cell_of(vec: Column, m: int) -> Column:
+        sv = F.slice(vec, m * dsub + 1, dsub)
+        dists = F.array(*[subdist(sv, c) for c in books[m]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+        F.array(*[cell_of(F.col(vec_col), m) for m in range(m_sub)]).alias("codes"),
+    )
+
+    # query side: nprobe coarse cells (same probe order as ivf_topk) and
+    # the per-subspace ADC lookup tables
+    probe_dists = []
+    for c in cents:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        diff = F.zip_with(
+            F.col("qv"), lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        )
+        probe_dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.arrays_zip(
+                F.array(*probe_dists), F.array(*[F.lit(i) for i in range(len(cents))])
+            )
+        ),
+        lambda s: s["1"],
+    )
+    luts = [
+        F.array(
+            *[subdist(F.slice(F.col("qv"), m * dsub + 1, dsub), c) for c in books[m]]
+        ).alias(f"_lut{m}")
+        for m in range(m_sub)
+    ]
+    qb = queries.select(
+        "query_id",
+        *luts,
+        F.explode(F.slice(ranked_cells, 1, nprobe)).alias("cell"),
+    )
+
+    pairs = cb.join(F.broadcast(qb), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = None
+    for m in range(m_sub):
+        term = F.element_at(F.col(f"_lut{m}"), F.element_at("codes", m + 1) + 1)
+        adc = term if adc is None else adc + term
+    scored = pairs.select("query_id", "neighbor_id", adc.alias("d"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("d"), 6).asc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if refine is None:
+        return ranked.where(F.col("rnk") <= k).select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("d", 6).alias("adc_dist"),
+        )
+
+    # FAISS-style refine: the compressed ADC scan only nominates
+    # k*refine candidates per query; those few rows (|q|*k*refine) join
+    # back to the FULL vectors for an exact squared-L2 re-rank. This is
+    # what restores recall lost to code quantization while still never
+    # touching more than a sliver of the raw corpus.
+    cand = ranked.where(F.col("rnk") <= k * refine).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    qvec = queries.select("query_id", F.col("qv").alias("_qv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.col("_nv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    refined = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("d"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("d"), 6).asc(), F.col("neighbor_id")
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("d", 6).alias("l2_dist"),
+        )
     )

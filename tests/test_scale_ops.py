@@ -324,3 +324,59 @@ def test_simhash_duplicates_banding(spark):
     import pytest
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_duplicates(docs, max_hamming=4, bands=4)
+
+
+def test_ivfpq_recall_against_exact(spark):
+    """IVF-PQ is approximate twice over (coarse probe + code quantization);
+    on the real test embeddings it must still recover most of the exact
+    top-5 at nprobe=4 and nearly all at full probe."""
+    from pyspark.sql import functions as F
+
+    from alphalens_spark import datasets
+    from alphalens_spark.scale.similarity import ivfpq_topk
+
+    emb = datasets.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    exact = set()
+    for qi in np.nonzero(ids % 50 == 0)[0]:
+        d = ((V - V[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        exact |= {(int(ids[qi]), int(n)) for n in ids[np.argsort(d)[:5]]}
+    # raw ADC: recall limited by code quantization (clustered embeddings
+    # collapse to near-identical codes -> ties); still well above chance
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, queries, k=5, n_cells=16, nprobe=16).collect()
+    }
+    adc_recall = len(got & exact) / len(exact)
+    assert adc_recall >= 0.1, adc_recall
+    # with the exact re-rank stage and a full probe, the only error left
+    # is the candidate cut; recall should be essentially perfect
+    ref = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_cells=16, nprobe=16, refine=20
+        ).collect()
+    }
+    ref_recall = len(ref & exact) / len(exact)
+    assert ref_recall >= 0.8, ref_recall
+    assert ref_recall > adc_recall
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    from alphalens_spark import datasets
+    from alphalens_spark.scale.similarity import pq_codebooks
+
+    emb = datasets.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = pq_codebooks(emb, m_sub=8, ksub=4, iters=1)
+    b2 = pq_codebooks(emb, m_sub=8, ksub=4, iters=1)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(bm) == 4 for bm in b1)
+    assert all(len(c) == 8 for bm in b1 for c in bm)
