@@ -575,6 +575,40 @@ def q_asof_next_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type, day) -> (event_type) -> () in ONE
+    pass — Spark's native ROLLUP grouping sets (Catalyst expands to a
+    single Expand + hash aggregate; no per-grain re-scan). grouping_id
+    disambiguates the NULL super-aggregate rows."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(
+        ev.select("event_type", F.to_date("ts").alias("d"), "value")
+        .rollup("event_type", "d")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select("event_type", "d", "gid", "n", "avg_value", "sum_value")
+    )
+
+
+def q_event_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type — the
+    explicit-values form, so Spark plans a single aggregation (no
+    distinct-scan job for the pivot domain)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select(F.to_date("ts").alias("d"), "event_type")
+        .groupBy("d")
+        .pivot("event_type", types)
+        .count()
+        .select("d", *[F.coalesce(t, F.lit(0)).alias(f"n_{t}") for t in types])
+    )
+
+
 def q_ic_group_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-neutral IC: demean returns within (date, group) before
     ranking (ref performance.py:65-67 group_adjust)."""
@@ -1609,6 +1643,23 @@ FROM s2 GROUP BY 1, 2""",
     "event_type_user_stats": """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n,
        round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1""",
+    "event_rollup": """
+SELECT event_type, CAST(ts AS DATE) AS d,
+       CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INT)
+         AS gid,
+       count(*) AS n,
+       round(avg(value), 6) + 0.0 AS avg_value,
+       round(sum(value), 6) + 0.0 AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))""",
+    "event_pivot_daily": """
+SELECT CAST(ts AS DATE) AS d,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
 FROM events GROUP BY 1""",
     "asof_purchase_view": """
 WITH p AS (
@@ -2966,6 +3017,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_extract": q_event_props_extract,
     "event_sessionize": q_event_sessionize,
     "event_type_user_stats": q_event_type_user_stats,
+    "event_rollup": q_event_rollup,
+    "event_pivot_daily": q_event_pivot_daily,
     "asof_purchase_view": q_asof_purchase_view,
     "asof_next_click_1h": q_asof_next_click_1h,
     "ic_group_adjusted": q_ic_group_adjusted,
