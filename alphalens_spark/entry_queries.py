@@ -609,6 +609,82 @@ def q_event_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> purchase per user:
+    each stage is the MIN event time strictly after the previous stage's
+    time. Three conditional-min aggregations chained by per-user joins —
+    tiny per-user dims, no window over the raw stream. stage = how far
+    the user got (0..3)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).alias("t_view")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t_signup", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_view").isNotNull(), 2)
+        .when(F.col("t_signup").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return s3.select(
+        "user_id", "t_signup", "t_view", "t_purchase", stage.cast("int").alias("stage")
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = the user's first-ever event week;
+    for each (cohort week, weeks since) count distinct active users and
+    the retention rate vs cohort size. Two shuffles (per-user first week,
+    distinct user-week actives) + a broadcast-sized cohort dim."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts").cast("date")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    ret = (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return _finalize(
+        ret.join(F.broadcast(cohort_sizes), "cohort_week").select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+    )
+
+
 def q_ic_group_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-neutral IC: demean returns within (date, group) before
     ranking (ref performance.py:65-67 group_adjust)."""
@@ -1644,6 +1720,52 @@ FROM s2 GROUP BY 1, 2""",
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1""",
+    "event_funnel": """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM e GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, s1.t_signup,
+         min(CASE WHEN e.event_type = 'view' AND e.ts > s1.t_signup
+                  THEN e.ts END) AS t_view
+  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2
+),
+s3 AS (
+  SELECT e.user_id, s2.t_signup, s2.t_view,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_view
+                  THEN e.ts END) AS t_purchase
+  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3
+)
+SELECT user_id, t_signup, t_view, t_purchase,
+       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                 WHEN t_view IS NOT NULL THEN 2
+                 WHEN t_signup IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM s3""",
+    "cohort_retention": """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+           AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM first GROUP BY 1),
+active AS (SELECT DISTINCT user_id, week FROM e),
+ret AS (
+  SELECT f.cohort_week,
+         CAST((a.week - f.cohort_week) / 7 AS INT) AS weeks_since,
+         count(*) AS n_active
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.weeks_since, r.n_active, s.n_cohort,
+       round(r.n_active / CAST(s.n_cohort AS DOUBLE), 6) + 0.0 AS retention
+FROM ret r JOIN sizes s USING (cohort_week)""",
     "event_rollup": """
 SELECT event_type, CAST(ts AS DATE) AS d,
        CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INT)
@@ -3017,6 +3139,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_extract": q_event_props_extract,
     "event_sessionize": q_event_sessionize,
     "event_type_user_stats": q_event_type_user_stats,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     "event_rollup": q_event_rollup,
     "event_pivot_daily": q_event_pivot_daily,
     "asof_purchase_view": q_asof_purchase_view,
