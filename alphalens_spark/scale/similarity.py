@@ -251,7 +251,14 @@ def kmeans_lite_centroids(
     cents = init
     for _ in range(iters):
         cell = _nearest_cell(F.col(vec_col), cents)
-        assigned = corpus.select(cell.alias("cell"), F.posexplode(vec_col).alias("pos", "x"))
+        # two-step select: materialize the argmin cell BELOW the explode —
+        # in one projection with posexplode the Generate re-evaluates the
+        # 16x64-term distance argmin once per EXPLODED row (64x blowup;
+        # measured 25 s for two Lloyd passes over 2k vectors at sf0.1,
+        # <2 s in this form)
+        assigned = corpus.select(
+            cell.alias("cell"), F.col(vec_col).alias("_v")
+        ).select("cell", F.posexplode("_v").alias("pos", "x"))
         means = (
             assigned.groupBy("cell", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
@@ -267,14 +274,32 @@ def kmeans_lite_centroids(
     return cents
 
 
+def _dists_to_centroids(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+    """Array of squared L2 distances from ``vec`` to every centroid.
+
+    ONE ``transform`` lambda over a literal centroid MATRIX instead of
+    |centroids| separate zip_with/aggregate expression trees: the
+    arithmetic (and float order) is identical per centroid, but the plan
+    carries one operator subtree, not n_cells of them — with 16x16-entry
+    PQ codebooks the per-centroid form ballooned analysis + codegen into
+    tens of seconds per stage (1.4 MiB task binaries) while this form
+    stays milliseconds."""
+    mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    return F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def _nearest_cell(vec: F.Column, centroids: list[list[float]]) -> F.Column:
     """0-based argmin of squared L2 distance to each centroid literal."""
-    dists = []
-    for c in centroids:
-        lit_c = F.array(*[F.lit(x) for x in c])
-        diff = F.zip_with(vec, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
-        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
-    arr = F.array(*dists)
+    arr = _dists_to_centroids(vec, centroids)
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
@@ -446,15 +471,8 @@ def pq_codebooks(
     def subvec(m: int) -> Column:
         return F.slice(F.col(vec_col), m * dsub + 1, dsub)
 
-    def subdist(sv: Column, center: list[float]) -> Column:
-        lit_c = F.array(*[F.lit(x) for x in center])
-        diff = F.zip_with(
-            sv, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-        )
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-
     def cell_of(m: int) -> Column:
-        dists = F.array(*[subdist(subvec(m), c) for c in books[m]])
+        dists = _dists_to_centroids(subvec(m), books[m])
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     for _ in range(iters):
@@ -506,6 +524,8 @@ def ivfpq_topk(
     ksub: int = 16,
     iters: int = 2,
     refine: int | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -531,21 +551,20 @@ def ivfpq_topk(
     Output: (query_id, neighbor_id, rnk, adc_dist) — or l2_dist when
     refined.
     """
-    dim_row = corpus.select(vec_col).first()
-    dsub = len(dim_row[vec_col]) // m_sub
-    cents = kmeans_lite_centroids(corpus, n_cells, iters, id_col, vec_col)
-    books = pq_codebooks(corpus, m_sub, ksub, iters, id_col, vec_col)
-
-    def subdist(sv: Column, center: list[float]) -> Column:
-        lit_c = F.array(*[F.lit(x) for x in center])
-        diff = F.zip_with(
-            sv, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-        )
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    # pass pre-trained centroids/codebooks to skip the build phase — in
+    # production the quantizers are train-once artifacts; retraining per
+    # query batch is only the default for self-contained determinism
+    cents = centroids if centroids is not None else kmeans_lite_centroids(
+        corpus, n_cells, iters, id_col, vec_col
+    )
+    books = codebooks if codebooks is not None else pq_codebooks(
+        corpus, m_sub, ksub, iters, id_col, vec_col
+    )
+    dsub = len(books[0][0])
+    m_sub = len(books)
 
     def cell_of(vec: Column, m: int) -> Column:
-        sv = F.slice(vec, m * dsub + 1, dsub)
-        dists = F.array(*[subdist(sv, c) for c in books[m]])
+        dists = _dists_to_centroids(F.slice(vec, m * dsub + 1, dsub), books[m])
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     cb = corpus.select(
@@ -556,31 +575,29 @@ def ivfpq_topk(
 
     # query side: nprobe coarse cells (same probe order as ivf_topk) and
     # the per-subspace ADC lookup tables
-    probe_dists = []
-    for c in cents:
-        lit_c = F.array(*[F.lit(x) for x in c])
-        diff = F.zip_with(
-            F.col("qv"), lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-        )
-        probe_dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
     ranked_cells = F.transform(
         F.array_sort(
             F.arrays_zip(
-                F.array(*probe_dists), F.array(*[F.lit(i) for i in range(len(cents))])
+                _dists_to_centroids(F.col("qv"), cents),
+                F.array(*[F.lit(i) for i in range(len(cents))]),
             )
         ),
         lambda s: s["1"],
     )
     luts = [
-        F.array(
-            *[subdist(F.slice(F.col("qv"), m * dsub + 1, dsub), c) for c in books[m]]
-        ).alias(f"_lut{m}")
+        _dists_to_centroids(F.slice(F.col("qv"), m * dsub + 1, dsub), books[m]).alias(
+            f"_lut{m}"
+        )
         for m in range(m_sub)
     ]
+    # same two-step discipline: LUTs + probe ranking materialize once per
+    # query, the explode only fans out the (tiny) probe list
     qb = queries.select(
+        "query_id", *luts, F.slice(ranked_cells, 1, nprobe).alias("_probe")
+    ).select(
         "query_id",
-        *luts,
-        F.explode(F.slice(ranked_cells, 1, nprobe)).alias("cell"),
+        *[f"_lut{m}" for m in range(m_sub)],
+        F.explode("_probe").alias("cell"),
     )
 
     pairs = cb.join(F.broadcast(qb), "cell").where(

@@ -87,6 +87,35 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
     )
     timed("embedding_topk",
           lambda: similarity.brute_force_topk_vectorized(emb, queries, 5).count())
+
+    # --- round-2 scale ops ---
+    from alphalens_spark.joins import asof_join
+    from alphalens_spark.scale import curation
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    timed("asof_join",
+          lambda: asof_join(p, v, on="ts", by=["user_id"]).count())
+    timed("dup_span_stats",
+          lambda: curation.duplicate_span_stats(docs, k=10).count())
+    timed("bm25",
+          lambda: text.bm25_scores(docs, ["join", "scan", "window"]).count())
+    # build (train-once quantizers) and search timed separately — the
+    # production split: codebooks/centroids are index artifacts, the
+    # per-batch cost is encode + probe + ADC + refine
+    built = {}
+
+    def _build():
+        built["cents"] = similarity.kmeans_lite_centroids(emb)
+        built["books"] = similarity.pq_codebooks(emb)
+
+    timed("ivfpq_build", _build)
+    timed("ivfpq_search",
+          lambda: similarity.ivfpq_topk(
+              emb, queries, k=5, refine=4,
+              centroids=built["cents"], codebooks=built["books"],
+          ).count())
     fd.unpersist()
 
 
