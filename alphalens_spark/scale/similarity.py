@@ -339,10 +339,12 @@ def ivf_topk(
         ),
         lambda s: s["1"],
     )
+    # two-step select: probe ranking materializes once per query below the
+    # explode (a single-select Generate re-evaluates it per probe row)
     qb = queries.select(
         "query_id", "qv", _norm(F.col("qv")).alias("_qn"),
-        F.explode(F.slice(ranked_cells, 1, nprobe)).alias("cell"),
-    )
+        F.slice(ranked_cells, 1, nprobe).alias("_probe"),
+    ).select("query_id", "qv", "_qn", F.explode("_probe").alias("cell"))
     pairs = cb.join(F.broadcast(qb), "cell").where(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("qv"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
     scored = pairs.select("query_id", "neighbor_id", cos.alias("cs"))
