@@ -1193,6 +1193,40 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join run to completion with an
+    availableNow trigger: purchases paired with same-user views in the
+    trailing hour. Bounded state (watermark + lookback caps the buffered
+    right side); stream==batch append-mode equality is the contract, so
+    the DuckDB oracle is the plain batch interval join."""
+    from alphalens_spark.streaming.ops import stream_interval_join
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = datasets.normalize_ts(
+        spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    )
+    base = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = base.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    v = base.where("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    name = f"stream_ij_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        stream_interval_join(p, v, suffix="_v")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", "user_id", "ts",
+        F.col("ts_v").alias("view_ts"),
+        F.col("view_event_id_v").alias("view_event_id"),
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition + quality signals (Rae et al. 2021 A1): scalar
     word/line stats, duplicate-line fractions, top n-gram (n=2..4) and
@@ -1720,6 +1754,18 @@ FROM s2 GROUP BY 1, 2""",
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1""",
+    "stream_interval_join": """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS view_event_id
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts, v.view_event_id
+FROM p JOIN v ON p.user_id = v.user_id
+  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR""",
     "event_funnel": """
 WITH e AS (
   SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -3139,6 +3185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_extract": q_event_props_extract,
     "event_sessionize": q_event_sessionize,
     "event_type_user_stats": q_event_type_user_stats,
+    "stream_interval_join": q_stream_interval_join,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "event_rollup": q_event_rollup,

@@ -250,3 +250,45 @@ def stream_dedup_exact(
         .where(F.col("_rn") == 1)
         .drop("_th", "_rn")
     )
+
+
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    suffix: str = "_r",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    every right event of the same key in ``(l.ts - lookback, l.ts]``.
+
+    This is Spark's canonical bounded-state stream-stream join — the
+    event-time range condition plus both watermarks lets the engine
+    discard right-side state older than ``watermark + lookback``, so
+    state is O(key-rate x window), never the full history. It is the
+    streaming analogue of :func:`alphalens_spark.joins.asof_join` with a
+    tolerance, minus the "latest only" pick (stream-stream join state
+    cannot express per-row argmax; complete as-of semantics downstream
+    with a groupBy max over the joined rows, or use
+    ``applyInPandasWithState`` as stream_sessionize does).
+
+    Right columns come back suffixed. Valid on batch frames too (same
+    logical plan) — the tests exercise AvailableNow vs batch equality.
+    """
+    rcols = [c for c in right_stream.columns if c != by]
+    r = right_stream.select(
+        F.col(by), *[F.col(c).alias(c + suffix) for c in rcols]
+    )
+    lw = left_stream.withWatermark(on, watermark)
+    rw = r.withWatermark(on + suffix, watermark)
+    cond = (
+        (lw[by] == rw[by])
+        & (rw[on + suffix] <= lw[on])
+        & (rw[on + suffix] > lw[on] - F.expr(f"INTERVAL {lookback}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # drop the duplicate right-side key column
+    return joined.drop(rw[by])

@@ -194,3 +194,43 @@ def test_resize_media_fixed_output_size(spark):
 
     with pytest.raises(NotImplementedError):
         resize_media(documents_as_media(docs), resizer="pil").collect()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """AvailableNow stream-stream interval join == the identical batch
+    join: purchases paired with same-user views in the trailing hour."""
+    from pyspark.sql import functions as F
+
+    from alphalens_spark import datasets
+    from alphalens_spark.streaming.ops import stream_interval_join
+
+    ev = datasets.load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    p = ev.where("event_type = 'purchase'").drop("event_type")
+    v = ev.where("event_type = 'view'").drop("event_type")
+    batch = {
+        (r["event_id"], r["event_id_r"])
+        for r in stream_interval_join(p, v).collect()
+    }
+    assert batch, "expected some pairs in the fixture data"
+
+    psrc, vsrc = str(tmp_path / "p"), str(tmp_path / "v")
+    p.write.parquet(psrc)
+    v.write.parquet(vsrc)
+    ps = spark.readStream.schema(p.schema).parquet(psrc + "/*.parquet")
+    vs = spark.readStream.schema(v.schema).parquet(vsrc + "/*.parquet")
+    out = stream_interval_join(ps, vs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.table("sij").collect()
+    }
+    assert got == batch
