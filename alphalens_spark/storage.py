@@ -48,3 +48,78 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its bucket spec intact."""
     return spark.table(table)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "date_month",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partitions: Sequence[str] | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for a partitioned parquet store.
+
+    Streaming/incremental maintenance (incremental.py, foreachBatch)
+    appends one file per micro-batch per partition; after months of
+    operation a partition holds thousands of KB-sized files and every
+    scan pays per-file open/footer costs. Compaction rewrites each
+    affected partition as ceil(bytes / target_file_bytes) files via
+    coalesce — a metadata-only repartitioning (no shuffle: coalesce only
+    merges read splits) — using dynamic partition overwrite so untouched
+    partitions keep their files and concurrent readers never see a
+    partial directory.
+
+    Only partitions whose file count exceeds the target are rewritten
+    (pass ``partitions`` to restrict further — e.g. the pending tail the
+    incremental maintainer just wrote). Returns
+    {partition: (files_before, files_after)}.
+
+    File inventory uses the local filesystem (this environment's store);
+    on HDFS/S3 swap the listdir for the Hadoop FileSystem API — the
+    rewrite plan itself is storage-agnostic.
+    """
+    import math
+    import os
+
+    before: dict[str, tuple[int, int]] = {}
+    root = path
+    todo = []
+    for d in sorted(os.listdir(root)):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        val = d.split("=", 1)[1]
+        if partitions is not None and val not in partitions:
+            continue
+        files = [
+            f for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        ]
+        nbytes = sum(
+            os.path.getsize(os.path.join(root, d, f)) for f in files
+        )
+        n_target = max(1, math.ceil(nbytes / target_file_bytes))
+        if len(files) > n_target:
+            todo.append((val, len(files), n_target))
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for val, n_before, n_target in todo:
+            # localCheckpoint materializes the partition OFF the source
+            # path before the overwrite — Spark (correctly) refuses to
+            # overwrite a path an active plan still reads from
+            part = (
+                spark.read.parquet(path)
+                .where(f"{partition_col} = '{val}'")
+                .coalesce(n_target)
+                .localCheckpoint()
+            )
+            (
+                part.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+            before[val] = (n_before, n_target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return before

@@ -76,3 +76,44 @@ def test_salted_collect_set_matches_plain(spark):
         for r in skew.salted_collect_set(df, ["k"], "v", n_salts=8).collect()
     }
     assert plain == salted
+
+
+def test_compact_partitions_shrinks_files_preserves_rows(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.storage import compact_partitions
+
+    path = str(tmp_path / "store")
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("date_month"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    # simulate micro-batch appends: many tiny files per partition
+    for _ in range(4):
+        df.repartition(5).write.mode("append").partitionBy("date_month").parquet(path)
+    n_files = lambda: {
+        d.split("=")[1]: len([
+            f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+        ])
+        for d in os.listdir(path) if d.startswith("date_month=")
+    }
+    before = n_files()
+    assert all(v >= 20 for v in before.values())
+    rows_before = sorted(
+        (r["id"], r["date_month"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    report = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    after = n_files()
+    assert set(report) == set(before)
+    assert all(after[k] == 1 for k in report)
+    rows_after = sorted(
+        (r["id"], r["date_month"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert rows_after == rows_before
+    # idempotent: nothing left to compact
+    assert compact_partitions(spark, path, target_file_bytes=1 << 30) == {}
