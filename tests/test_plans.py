@@ -153,3 +153,52 @@ def test_group_metrics_broadcast_not_shuffle_dim(fd, spark):
     joined = fd.join(F.broadcast(groups), "asset")
     out = perf.factor_information_coefficient(joined, ["1D", "5D"], by_group=True)
     assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_profile_scan_prunes_to_profiled_columns(spark):
+    """profile_columns must reach the parquet scan with only the profiled
+    columns in ReadSchema — a profiler that reads the whole table to
+    profile four columns is wrong at any scale."""
+    from alphalens_spark.scale.profile import profile_columns
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = profile_columns(li, ["l_quantity", "l_discount"])
+    plan = _plan(out)
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 400]
+    assert "l_quantity" in read_schema and "l_discount" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_bm25_scan_prunes_documents(spark):
+    """bm25 touches only (doc_id, text); lang/source/n_chars stay unread."""
+    from alphalens_spark.scale.text import bm25_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = bm25_scores(docs, ["join"])
+    plan = _plan(out)
+    # several scans (tf side, id side); NONE may read beyond (doc_id, text)
+    idx, schemas = 0, []
+    while (idx := plan.find("ReadSchema", idx)) != -1:
+        schemas.append(plan[idx: idx + 200])
+        idx += 1
+    assert schemas
+    assert any("text" in sc for sc in schemas)
+    for sc in schemas:
+        assert "lang" not in sc and "source" not in sc and "n_chars" not in sc
+
+
+def test_asof_join_no_nested_loop(spark):
+    """asof_join plans as union + window: no join operator at all, one
+    exchange keying the union by the asof keys."""
+    from alphalens_spark.joins import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", "value")
+    plan = _plan(asof_join(left, right, on="ts", by=["user_id"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") >= 1
