@@ -1261,6 +1261,15 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(bm25_scores(docs, ["join", "scan", "window"]))
 
 
+def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM with add-0.5
+    smoothing (CCNet-style LM quality proxy, scale.text.unigram_cross_entropy)."""
+    from alphalens_spark.scale.text import unigram_cross_entropy
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(unigram_cross_entropy(docs))
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.5) per-source sampling weights over
     token counts (scale.curation.mixture_weights)."""
@@ -3039,6 +3048,21 @@ FROM a3 a LEFT JOIN pairs p ON a.vec_id = p.id_hi"""
 
 ORACLES["semantic_dedup"] = _semantic_dedup_sql()
 
+ORACLES["unigram_cross_entropy"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+corpus AS (SELECT t, count(*) AS cw FROM toks GROUP BY 1),
+totals AS (SELECT sum(cw) AS total, count(*) AS vocab FROM corpus),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(-sum(tf.tf * ln((c.cw + 0.5) / (tt.total + 0.5 * tt.vocab)))
+             / sum(tf.tf), 6) + 0.0 AS cross_entropy
+FROM tf JOIN corpus c USING (t) CROSS JOIN totals tt
+GROUP BY 1"""
+
 ORACLES["mixture_weights"] = r"""
 WITH g AS (
   SELECT source, count(*) AS n_docs,
@@ -3241,5 +3265,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_stats": q_dup_span_stats,
     "bm25_scores": q_bm25_scores,
     "mixture_weights": q_mixture_weights,
+    "unigram_cross_entropy": q_unigram_cross_entropy,
     "profile_lineitem": q_profile_lineitem,
 }

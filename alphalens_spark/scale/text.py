@@ -294,3 +294,46 @@ def bm25_scores(
             F.round(F.coalesce("tfidf", F.lit(0.0)), 6).alias("tfidf"),
         )
     )
+
+
+def unigram_cross_entropy(
+    docs: DataFrame,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM — the
+    engine-native stand-in for CCNet-style LM-perplexity quality scoring
+    (Wenzek et al. 2020 score against KenLM; with no model artifact in a
+    pure-SQL pipeline, the corpus unigram distribution with add-k
+    smoothing is the deterministic analogue: gibberish and
+    rare-token-soup documents score high, templated text scores low).
+
+    Two shuffles, both linear: (token -> corpus count) and
+    (doc, token -> tf). The corpus vocabulary joins back by token hash
+    (uniform key); P(w) = (c_w + k) / (total + k*|V|).
+    Output: (id, n_tokens, cross_entropy) with cross-entropy in
+    nats/token.
+    """
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("t"))
+    corpus = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cw"))
+    totals = corpus.agg(
+        F.sum("cw").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    logp = F.log(
+        (F.col("cw") + F.lit(smoothing))
+        / (F.col("total") + F.lit(smoothing) * F.col("vocab"))
+    )
+    scored = (
+        tf.join(corpus, "t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("ce"),
+        )
+    )
+    return scored.select(
+        id_col, "n_tokens", F.round("ce", 6).alias("cross_entropy")
+    )

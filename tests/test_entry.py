@@ -45,6 +45,7 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # 1-row corpus-stats broadcast crossJoins (N/avgdl, mixture totals)
         "bm25_scores",
         "mixture_weights",
+        "unigram_cross_entropy",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":

@@ -56,3 +56,22 @@ def test_mixture_weights_normalized(spark):
     # alpha < 1 up-samples the small source relative to natural frequency
     assert out["small"]["oversample"] > 1.0 > out["big"]["oversample"]
     assert out["big"]["n_tokens"] > out["small"]["n_tokens"]
+
+
+def test_unigram_cross_entropy_orders_quality(spark):
+    """Rare-token soup must score higher (worse) than templated text made
+    of the corpus's most common tokens; hand-check one value."""
+    import math
+
+    from alphalens_spark.scale.text import unigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [("common", "a a a a b b"), ("rare", "x y z q w v")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_cross_entropy(docs).collect()}
+    assert out["rare"]["cross_entropy"] > out["common"]["cross_entropy"]
+    # hand: total=12, vocab=8, P(a)=(4+.5)/(12+4)=4.5/16
+    pa, pb = 4.5 / 16, 2.5 / 16
+    want = -(4 * math.log(pa) + 2 * math.log(pb)) / 6
+    assert abs(out["common"]["cross_entropy"] - round(want, 6)) < 1e-9
