@@ -1270,6 +1270,24 @@ def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(unigram_cross_entropy(docs))
 
 
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-5 tokens per source by (count desc, token
+    asc). groupBy(source, token) combines map-side, the per-source top-k
+    window runs over the already-aggregated (tiny) relation — the raw
+    token stream never reaches a window."""
+    from pyspark.sql import Window
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+    counts = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("t").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("source", F.col("rnk").cast("int").alias("rnk"), "t", "n")
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.5) per-source sampling weights over
     token counts (scale.curation.mixture_weights)."""
@@ -3048,6 +3066,20 @@ FROM a3 a LEFT JOIN pairs p ON a.vec_id = p.id_hi"""
 
 ORACLES["semantic_dedup"] = _semantic_dedup_sql()
 
+ORACLES["top_terms_per_source"] = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+counts AS (SELECT source, t, count(*) AS n FROM toks GROUP BY 1, 2),
+r AS (
+  SELECT source, t, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, t ASC)
+           AS rnk
+  FROM counts
+)
+SELECT source, CAST(rnk AS INT) AS rnk, t, n FROM r WHERE rnk <= 5"""
+
 ORACLES["unigram_cross_entropy"] = r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
@@ -3266,5 +3298,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_scores": q_bm25_scores,
     "mixture_weights": q_mixture_weights,
     "unigram_cross_entropy": q_unigram_cross_entropy,
+    "top_terms_per_source": q_top_terms_per_source,
     "profile_lineitem": q_profile_lineitem,
 }
