@@ -156,3 +156,55 @@ def test_bins_quantize_matches_pandas_cut(spark, values, b):
     expected = pd.cut(pd.Series(values), b, labels=False) + 1
     for i, v in enumerate(values):
         assert got[f"A{i}"] == expected[i], (v, b)
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # right: (key, t) — deduped to unique (key, t) below
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0, max_size=25, unique=True,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(asof_strategy)
+def test_asof_join_matches_merge_asof(spark, case):
+    """asof_join == pandas merge_asof on arbitrary key/time multisets,
+    both directions, inclusive and exclusive — integer time axis."""
+    import pandas as pd
+
+    from alphalens_spark.joins import asof_join
+
+    left_rows, right_rows, direction, exact = case
+    left = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        columns=["k", "t", "lid"],
+    )
+    right = pd.DataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(sorted(set(right_rows)))],
+        columns=["k", "t", "rid"],
+    ).astype({"k": "int64", "t": "int64", "rid": "int64"})
+    got = {
+        (r["k"], r["t"], r["lid"]): r["rid"]
+        for r in asof_join(
+            spark.createDataFrame(left, "k long, t long, lid long"),
+            spark.createDataFrame(right, "k long, t long, rid long"),
+            on="t", by=["k"], direction=direction, allow_exact_matches=exact,
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        left.sort_values(["t", "lid"]),
+        right.sort_values("t"),
+        on="t", by="k", direction=direction, allow_exact_matches=exact,
+    )
+    want = {
+        (r.k, r.t, r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want
