@@ -516,6 +516,33 @@ def pq_codebooks(
     return books
 
 
+def encode_pq(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus against trained quantizers: (id, cell int,
+    codes array<int>) — the ~32x-compressed IVF-PQ index artifact. In
+    production this is computed once per corpus snapshot and persisted
+    (bucketed by cell via storage.write_bucketed, so every probe is a
+    co-located read); pass it to :func:`ivfpq_topk` as ``index``."""
+    dsub = len(codebooks[0][0])
+
+    def cell_of(vec: Column, m: int) -> Column:
+        dists = _dists_to_centroids(F.slice(vec, m * dsub + 1, dsub), codebooks[m])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return corpus.select(
+        F.col(id_col),
+        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+        F.array(
+            *[cell_of(F.col(vec_col), m) for m in range(len(codebooks))]
+        ).alias("codes"),
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -528,6 +555,7 @@ def ivfpq_topk(
     refine: int | None = None,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    index: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -553,9 +581,12 @@ def ivfpq_topk(
     Output: (query_id, neighbor_id, rnk, adc_dist) — or l2_dist when
     refined.
     """
-    # pass pre-trained centroids/codebooks to skip the build phase — in
-    # production the quantizers are train-once artifacts; retraining per
+    # pass pre-trained centroids/codebooks (and optionally the encoded
+    # ``index`` from encode_pq) to skip the build phase — in production
+    # the quantizers and codes are build-once artifacts; retraining per
     # query batch is only the default for self-contained determinism
+    if index is not None and (centroids is None or codebooks is None):
+        raise ValueError("index requires the centroids/codebooks it was built with")
     cents = centroids if centroids is not None else kmeans_lite_centroids(
         corpus, n_cells, iters, id_col, vec_col
     )
@@ -564,15 +595,14 @@ def ivfpq_topk(
     )
     dsub = len(books[0][0])
     m_sub = len(books)
-
-    def cell_of(vec: Column, m: int) -> Column:
-        dists = _dists_to_centroids(F.slice(vec, m * dsub + 1, dsub), books[m])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _nearest_cell(F.col(vec_col), cents).alias("cell"),
-        F.array(*[cell_of(F.col(vec_col), m) for m in range(m_sub)]).alias("codes"),
+    cb = (
+        index.select(
+            F.col(id_col).alias("neighbor_id"), "cell", "codes"
+        )
+        if index is not None
+        else encode_pq(corpus, cents, books, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), "cell", "codes"
+        )
     )
 
     # query side: nprobe coarse cells (same probe order as ivf_topk) and
