@@ -1288,6 +1288,40 @@ def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode/featurize plumbing end-to-end as a DRIVER
+    query: documents wrapped as opaque binary media, Arrow-batched
+    mapInPandas computes the deterministic stub features (mod-16 byte
+    histogram, L1-normalized float32). Long format (media_id, bucket,
+    byte_count) so the oracle replays it per-byte in SQL; the compared
+    value is the histogram COUNT reconstructed from the float32 fraction
+    (frac*n_bytes rounds exactly — float32's 1e-8 relative error cannot
+    move an integer by 0.5), sidestepping decimal-boundary flakes that a
+    rounded fraction would hit ~1/10^4 rows."""
+    from alphalens_spark.scale.multimodal import (
+        decode_and_featurize,
+        documents_as_media,
+    )
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    feats = decode_and_featurize(documents_as_media(docs), feature_dim=16)
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            F.posexplode("feature").alias("bucket", "frac"),
+        )
+        .select(
+            "media_id",
+            "n_bytes",
+            "bucket",
+            F.round(F.col("frac").cast("double") * F.col("n_bytes"), 0)
+            .cast("long")
+            .alias("byte_count"),
+        )
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.5) per-source sampling weights over
     token counts (scale.curation.mixture_weights)."""
@@ -3066,6 +3100,26 @@ FROM a3 a LEFT JOIN pairs p ON a.vec_id = p.id_hi"""
 
 ORACLES["semantic_dedup"] = _semantic_dedup_sql()
 
+ORACLES["multimodal_features"] = r"""
+WITH ch AS (
+  SELECT doc_id AS media_id,
+         ascii(unnest(string_split(text, ''))) % 16 AS b
+  FROM documents
+),
+hist AS (SELECT media_id, b, count(*) AS c FROM ch GROUP BY 1, 2),
+nb AS (
+  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT)
+           AS n_bytes
+  FROM documents
+),
+grid AS (
+  SELECT n.media_id, n.n_bytes, CAST(g.b AS INT) AS bucket
+  FROM nb n, range(0, 16) g(b)
+)
+SELECT g.media_id, g.n_bytes, g.bucket,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS byte_count
+FROM grid g LEFT JOIN hist h ON h.media_id = g.media_id AND h.b = g.bucket"""
+
 ORACLES["top_terms_per_source"] = r"""
 WITH toks AS (
   SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
@@ -3299,5 +3353,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": q_mixture_weights,
     "unigram_cross_entropy": q_unigram_cross_entropy,
     "top_terms_per_source": q_top_terms_per_source,
+    "multimodal_features": q_multimodal_features,
     "profile_lineitem": q_profile_lineitem,
 }
