@@ -575,6 +575,28 @@ def q_asof_next_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day. Sliding-window
+    DISTINCT cannot ride an ordinary window frame (count distinct over
+    ROWS BETWEEN is unsupported and would be quadratic anyway); the
+    scalable shape is: dedupe to (user, day), explode each active day to
+    the 7 window-ends it contributes to (fixed x7 fan-out), then one
+    countDistinct shuffle keyed by window-end day. Only days with >= 1
+    active user in the trailing week appear."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    fan = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("win_end"),
+    )
+    return (
+        fan.groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (event_type, day) -> (event_type) -> () in ONE
     pass — Spark's native ROLLUP grouping sets (Catalyst expands to a
@@ -1873,6 +1895,17 @@ ret AS (
 SELECT r.cohort_week, r.weeks_since, r.n_active, s.n_cohort,
        round(r.n_active / CAST(s.n_cohort AS DOUBLE), 6) + 0.0 AS retention
 FROM ret r JOIN sizes s USING (cohort_week)""",
+    "rolling_active_users": """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+fan AS (
+  SELECT user_id, CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY))
+           AS DATE) AS win_end
+  FROM active
+)
+SELECT win_end, count(DISTINCT user_id) AS n_active_7d
+FROM fan GROUP BY 1""",
     "event_rollup": """
 SELECT event_type, CAST(ts AS DATE) AS d,
        CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INT)
@@ -3298,6 +3331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": q_stream_interval_join,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
+    "rolling_active_users": q_rolling_active_users,
     "event_rollup": q_event_rollup,
     "event_pivot_daily": q_event_pivot_daily,
     "asof_purchase_view": q_asof_purchase_view,
