@@ -690,3 +690,35 @@ def ivfpq_topk(
             F.round("d", 6).alias("l2_dist"),
         )
     )
+
+
+def build_ivfpq(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """Train coarse centroids + PQ codebooks and encode the corpus —
+    returns (centroids, codebooks, index DataFrame).
+
+    The two trainings are independent job chains, so they run on two
+    driver threads and their Spark jobs interleave across the executor
+    pool (halves wall time at small SF where per-job latency dominates;
+    at scale each pass is executor-bound and the overlap still hides one
+    chain's scheduling gaps). Results are deterministic — threading
+    changes only job timing, not any aggregation input.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_cents = pool.submit(
+            kmeans_lite_centroids, corpus, n_cells, iters, id_col, vec_col
+        )
+        f_books = pool.submit(
+            pq_codebooks, corpus, m_sub, ksub, iters, id_col, vec_col
+        )
+        cents, books = f_cents.result(), f_books.result()
+    return cents, books, encode_pq(corpus, cents, books, id_col, vec_col)

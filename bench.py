@@ -108,13 +108,12 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
     built = {}
 
     def _build():
-        built["cents"] = similarity.kmeans_lite_centroids(emb)
-        built["books"] = similarity.pq_codebooks(emb)
-        idx = similarity.encode_pq(emb, built["cents"], built["books"]).persist()
+        cents, books, idx = similarity.build_ivfpq(emb)
+        idx = idx.persist()
         idx.count()
         if "idx" in built:
             built["idx"].unpersist()
-        built["idx"] = idx
+        built["cents"], built["books"], built["idx"] = cents, books, idx
 
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
