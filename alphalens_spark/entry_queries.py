@@ -583,18 +583,10 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 7 window-ends it contributes to (fixed x7 fan-out), then one
     countDistinct shuffle keyed by window-end day. Only days with >= 1
     active user in the trailing week appear."""
+    from alphalens_spark.events import rolling_active_users
+
     ev = datasets.load_table(spark, sf_dir, "events")
-    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    fan = active.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-        ).alias("win_end"),
-    )
-    return (
-        fan.groupBy("win_end")
-        .agg(F.countDistinct("user_id").alias("n_active_7d"))
-    )
+    return rolling_active_users(ev, window_days=7)
 
 
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,43 +629,10 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     time. Three conditional-min aggregations chained by per-user joins —
     tiny per-user dims, no window over the raw stream. stage = how far
     the user got (0..3)."""
+    from alphalens_spark.events import funnel
+
     ev = datasets.load_table(spark, sf_dir, "events")
-    s1 = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
-    )
-    s2 = (
-        ev.join(s1, "user_id")
-        .groupBy("user_id", "t_signup")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t_signup")),
-                    F.col("ts"),
-                )
-            ).alias("t_view")
-        )
-    )
-    s3 = (
-        ev.join(s2, "user_id")
-        .groupBy("user_id", "t_signup", "t_view")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).alias("t_purchase")
-        )
-    )
-    stage = (
-        F.when(F.col("t_purchase").isNotNull(), 3)
-        .when(F.col("t_view").isNotNull(), 2)
-        .when(F.col("t_signup").isNotNull(), 1)
-        .otherwise(0)
-    )
-    return s3.select(
-        "user_id", "t_signup", "t_view", "t_purchase", stage.cast("int").alias("stage")
-    )
+    return funnel(ev, ["signup", "view", "purchase"])
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,30 +640,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each (cohort week, weeks since) count distinct active users and
     the retention rate vs cohort size. Two shuffles (per-user first week,
     distinct user-week actives) + a broadcast-sized cohort dim."""
+    from alphalens_spark.events import cohort_retention
+
     ev = datasets.load_table(spark, sf_dir, "events")
-    wk = F.date_trunc("week", "ts").cast("date")
-    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
-    cohort_sizes = first.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("n_cohort")
-    )
-    active = ev.select("user_id", wk.alias("week")).distinct()
-    ret = (
-        active.join(F.broadcast(first), "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.datediff("week", "cohort_week") / 7).cast("int").alias("weeks_since"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_active"))
-    )
-    return _finalize(
-        ret.join(F.broadcast(cohort_sizes), "cohort_week").select(
-            "cohort_week",
-            "weeks_since",
-            "n_active",
-            "n_cohort",
-            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
-        )
-    )
+    return _finalize(cohort_retention(ev))
 
 
 def q_ic_group_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1290,16 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     return _finalize(mixture_weights(docs, alpha=0.5))
+
+
+def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from the id hash
+    (scale.curation.split_dataset) — zero shuffles, membership
+    independent of partitioning and row order."""
+    from alphalens_spark.scale.curation import split_dataset
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return split_dataset(docs)
 
 
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3102,6 +3051,19 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
       < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
                     WHEN 'src2' THEN 200000 ELSE 100000 END"""
 
+ORACLES["split_dataset"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS hash_bucket
+  FROM documents
+)
+SELECT doc_id, hash_bucket,
+       CASE WHEN hash_bucket < 900000 THEN 'train'
+            WHEN hash_bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b"""
+
 ORACLES["per_source_cap"] = r"""
 WITH r AS (
   SELECT doc_id, source,
@@ -3389,4 +3351,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_source": q_top_terms_per_source,
     "multimodal_features": q_multimodal_features,
     "profile_lineitem": q_profile_lineitem,
+    "split_dataset": q_split_dataset,
 }

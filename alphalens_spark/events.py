@@ -1,0 +1,142 @@
+"""Event-stream analytics operators (batch forms).
+
+The reference is a factor library; a production deployment of it sits
+next to an event stream (signups, orders, clicks) that feeds the factor
+pipeline, so the engine carries the standard event-analytics operators
+as first-class API: gap sessionization, ordered funnels, cohort
+retention, rolling distinct actives, as-of alignment
+(:mod:`alphalens_spark.joins`), and the streaming twins in
+:mod:`alphalens_spark.streaming`.
+
+Every operator here is a fixed number of linear, key-partitioned
+shuffles — no driver loops, no per-user collect, no all-pairs joins —
+and each has a DuckDB value oracle via the driver queries in
+:mod:`alphalens_spark.entry_queries`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessions per user: lag window → boundary flag → running
+    sum = session id → per-session stats. Interval comparison only
+    (TIMESTAMP and TIMESTAMP_NTZ both valid under ANSI). One shuffle on
+    the user key. Output: (user, session_id, n_events, session_start,
+    session_end)."""
+    wu = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    gap = F.col(ts_col) - F.lag(ts_col).over(wu)
+    new_s = F.when(gap > F.expr(f"INTERVAL {gap_minutes} MINUTES"), 1).otherwise(0)
+    s = events.withColumn("_new", new_s).withColumn(
+        "session_id", F.sum("_new").over(wu).cast("long")
+    )
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: stage k's time is the MIN event time
+    strictly after stage k-1's. One conditional-min aggregation per
+    stage, chained by per-user joins (tiny per-user dims). Output:
+    (user, t_<stage>..., stage int = how far the user got)."""
+    if not stages:
+        raise ValueError("at least one stage required")
+    acc = events.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).alias(
+            f"t_{stages[0]}"
+        )
+    )
+    for prev, cur in zip(stages, stages[1:]):
+        keys = [user_col] + [f"t_{s}" for s in stages[: stages.index(cur)]]
+        acc = (
+            events.join(acc, user_col)
+            .groupBy(*keys)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == cur)
+                        & (F.col(ts_col) > F.col(f"t_{prev}")),
+                        F.col(ts_col),
+                    )
+                ).alias(f"t_{cur}")
+            )
+        )
+    stage = F.lit(0)
+    for i, s in enumerate(stages):
+        stage = F.when(F.col(f"t_{s}").isNotNull(), i + 1).otherwise(stage)
+    return acc.select(
+        user_col, *[f"t_{s}" for s in stages], stage.cast("int").alias("stage")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort = the user's first-ever active period; retention = distinct
+    actives per (cohort, periods since) over cohort size. Two linear
+    shuffles + broadcast cohort dims. Output: (cohort_week, weeks_since,
+    n_active, n_cohort, retention)."""
+    per = F.date_trunc(grain, ts_col).cast("date")
+    days = {"week": 7, "day": 1}[grain]
+    first = events.groupBy(user_col).agg(F.min(per).alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    active = events.select(user_col, per.alias("week")).distinct()
+    ret = (
+        active.join(F.broadcast(first), user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / days).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling N-day distinct actives per day. Sliding DISTINCT cannot
+    ride a window frame; the scalable shape is dedupe to (user, day),
+    explode each day to the N window-ends it contributes to (fixed xN
+    fan-out), one countDistinct shuffle. Output: (win_end, n_active)."""
+    active = events.select(user_col, F.to_date(ts_col).alias("d")).distinct()
+    fan = active.select(
+        user_col,
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("win_end"),
+    )
+    return fan.groupBy("win_end").agg(
+        F.countDistinct(user_col).alias(f"n_active_{window_days}d")
+    )

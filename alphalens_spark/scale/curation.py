@@ -592,3 +592,37 @@ def per_group_cap(
         docs.select(F.col(id_col), F.col(by), F.row_number().over(w).alias("sample_rank"))
         .where(F.col("sample_rank") <= cap)
     )
+
+
+def split_dataset(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    hash_mod: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the id hash alone —
+    the split every training pipeline needs to be reproducible across
+    runs, engines, and re-shards (membership must NEVER depend on
+    physical partitioning or row order, or a backfill silently leaks
+    val into train).
+
+    Contiguous integer hash ranges per split (exact thresholds, no float
+    boundaries); rows beyond the summed fractions fall into the last
+    split. Zero shuffles — a pure projection. Output: (id, hash_bucket,
+    split)."""
+    from alphalens_spark.scale.dedup import md5_long
+
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = F.pmod(md5_long(F.col(id_col).cast("string"), 15), F.lit(hash_mod))
+    names = list(fractions)
+    bounds = []
+    acc = 0
+    for n in names:
+        acc += int(fractions[n] * hash_mod)
+        bounds.append(acc)
+    expr = None
+    for n, hi in zip(names, bounds):
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return docs.select(F.col(id_col), bucket.alias("hash_bucket"), expr.alias("split"))
