@@ -19,12 +19,20 @@ Modules:
   performance   metrics: IC, factor returns, alpha/beta, turnover, events
   tears         batch drivers mirroring the reference tear sheets
   plotting      the reference's plot_* API, compute-first (render optional)
+  joins         generic as-of (point-in-time) join, single-shuffle form
+  events        event analytics: sessionize, funnel, cohorts, actives
   storage       bucketed-table layouts for shuffle-free co-located joins
+                + partitioned-store small-file compaction
+  streaming     watermarked windowed aggs, stateful sessionization,
+                bounded-state stream-stream interval join
+  incremental   append-only factor_data store maintenance
   datasets      derived factor/prices panels from the driver's TPC-H data
-  scale         LLM-data-pipeline extensions: dedup, similarity, text, skew
+  scale         LLM-data-pipeline extensions: dedup, similarity (LSH/IVF/
+                IVF-PQ), text (quality/BM25/LM-score), curation (Gopher/
+                C4/spans/packing/mixing/splits), profile, skew, multimodal
 """
 
 from alphalens_spark import calendar_ as calendar  # noqa: F401
-from alphalens_spark import performance, utils  # noqa: F401
+from alphalens_spark import events, joins, performance, utils  # noqa: F401
 
 __version__ = "0.1.0"
