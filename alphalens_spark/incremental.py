@@ -132,3 +132,77 @@ def read_store(
     if until is not None:
         df = df.where(F.col(DATE_KEY) <= _key(until))
     return df.drop(DATE_KEY)
+
+
+def incremental_event_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    store_path: str,
+    grain: str = "day",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> dict:
+    """Continuous-aggregate maintenance of a time-bucketed event rollup —
+    the hypertable/continuous-aggregate pattern (TimescaleDB-style) in
+    plain partitioned parquet.
+
+    The store holds one row per (bucket_start, event type) with count /
+    sum / min / max, partitioned by bucket key. An update re-aggregates
+    ONLY buckets at or after the last stored bucket: earlier buckets are
+    immutable once the stream has moved past them (same bounded-tail
+    argument as the factor_data store — here the tail is one open
+    bucket), and the last stored bucket itself is re-aggregated because
+    it may have been partial when written. Dynamic partition overwrite
+    rewrites exactly those bucket partitions, so replaying an update is
+    idempotent and the store always equals the full batch rollup over
+    everything ingested so far (asserted in tests).
+
+    Late data caveat: an event older than the last stored bucket lands in
+    an already-final partition; pass it through a re-run with the store's
+    affected bucket removed, or bound lateness upstream with the
+    streaming path's watermark (streaming.stream_event_counts).
+
+    Returns {"since": last bucket key or None, "buckets_written": int}.
+    """
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    try:
+        # partition-type inference may read the key back as TIMESTAMP;
+        # cast to string restores the written 'yyyy-MM-dd HH:mm:ss' form
+        last = (
+            spark.read.parquet(store_path)
+            .select(F.max(F.col("bucket_key").cast("string")).alias("mx"))
+            .first()["mx"]
+        )
+    except Exception:
+        last = None
+    src = events
+    if last is not None:
+        src = events.where(
+            F.date_format(F.date_trunc(grain, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss")
+            >= F.lit(last)
+        )
+    agg = (
+        src.groupBy(bucket.alias("bucket_start"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumn(
+            "bucket_key", F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        )
+        .persist()
+    )
+    buckets = agg.select("bucket_key").distinct().count()
+    if buckets > 0:
+        (
+            agg.repartition("bucket_key")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_key")
+            .parquet(store_path)
+        )
+    agg.unpersist()
+    return {"since": last, "buckets_written": buckets}

@@ -59,3 +59,57 @@ def test_incremental_store_matches_full_recompute(spark, tmp_path):
     assert m is not None and "date_key" in m.group(1), plan
     assert pruned.count() < read_store(spark, store).count()
     panel.unpersist()
+
+
+def test_incremental_event_rollup_equals_full_recompute(spark, tmp_path):
+    """Feed the events table in three chronological chunks; after each
+    update the store must equal the full batch rollup over everything
+    ingested so far, and replaying an update must change nothing."""
+    from pyspark.sql import functions as F
+
+    from alphalens_spark import datasets
+    from alphalens_spark.incremental import incremental_event_rollup
+
+    ev = datasets.load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
+    )
+    cuts = ["2024-01-10", "2024-01-20", "2099-01-01"]
+    store = str(tmp_path / "rollup")
+
+    def full(upto):
+        return {
+            (r["bucket_key"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+            for r in (
+                ev.where(F.col("ts") < F.lit(upto).cast("timestamp"))
+                .groupBy(
+                    F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("bucket_key"),
+                    "event_type",
+                )
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            ).collect()
+        }
+
+    def stored():
+        return {
+            (r["bucket_key"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+            for r in spark.read.parquet(store)
+            .withColumn(
+                "bucket_key",
+                F.date_format(F.col("bucket_key").cast("timestamp"),
+                              "yyyy-MM-dd HH:mm:ss"),
+            )
+            .collect()
+        }
+
+    prev_done = None
+    for upto in cuts:
+        chunk = ev.where(F.col("ts") < F.lit(upto).cast("timestamp"))
+        rep = incremental_event_rollup(spark, chunk, store)
+        assert stored() == full(upto)
+        if prev_done is not None:
+            assert rep["since"] is not None
+        prev_done = upto
+    # idempotent replay of the final state
+    rep2 = incremental_event_rollup(spark, ev, store)
+    assert stored() == full("2099-01-01")
