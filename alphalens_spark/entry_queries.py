@@ -1231,6 +1231,26 @@ def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(unigram_cross_entropy(docs))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed n-gram linear classifier inference
+    (scale.text.hashed_linear_classifier): unigram+bigram features → md5
+    bucket hash → seeded literal weight table → sigmoid keep/drop. Pure
+    per-row projection, zero shuffles."""
+    from alphalens_spark.scale.text import hashed_linear_classifier
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(hashed_linear_classifier(docs))
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning by per-source terciles of the
+    unigram-LM cross-entropy (scale.text.perplexity_buckets)."""
+    from alphalens_spark.scale.text import perplexity_buckets
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(perplexity_buckets(docs))
+
+
 def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: top-5 tokens per source by (count desc, token
     asc). groupBy(source, token) combines map-side, the per-source top-k
@@ -3144,6 +3164,82 @@ SELECT tf.doc_id,
 FROM tf JOIN corpus c USING (t) CROSS JOIN totals tt
 GROUP BY 1"""
 
+def _classifier_sql() -> str:
+    """hashed_linear_classifier replayed in DuckDB: identical seeded
+    weight literals (classifier_weights), the cross-engine md5 bucket
+    hash, and the same mean-of-weights + bias → sigmoid arithmetic."""
+    from alphalens_spark.scale.text import classifier_weights
+
+    w = classifier_weights(64, 7)
+    w_lit = "[" + ", ".join(f"{x!r}" for x in w) + "]"
+    return rf"""
+WITH w AS (SELECT {w_lit}::DOUBLE[] AS wv),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(ts) AS t FROM toks
+  UNION ALL
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS t
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2) b
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_features,
+         sum(wv[CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS INT) + 1])
+           / count(*) + 0.05 AS logit
+  FROM feats CROSS JOIN w
+  GROUP BY 1
+)
+SELECT doc_id, n_features,
+       round(logit, 6) + 0.0 AS logit,
+       round(1.0 / (1.0 + exp(-logit)), 6) + 0.0 AS prob,
+       round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+FROM scored"""
+
+
+ORACLES["quality_classifier"] = _classifier_sql()
+
+# perplexity_buckets: the unigram-CE pipeline (same CTEs as
+# unigram_cross_entropy, ce pre-rounded to 6 dp so the tercile thresholds
+# and the bucket compares see identical doubles on both engines) + exact
+# interpolated percentile_cont terciles per source.
+ORACLES["perplexity_buckets"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+corpus AS (SELECT t, count(*) AS cw FROM toks GROUP BY 1),
+totals AS (SELECT sum(cw) AS total, count(*) AS vocab FROM corpus),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+ce AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(-sum(tf.tf * ln((c.cw + 0.5) / (tt.total + 0.5 * tt.vocab)))
+               / sum(tf.tf), 6) AS cross_entropy
+  FROM tf JOIN corpus c USING (t) CROSS JOIN totals tt
+  GROUP BY 1
+),
+scored AS (
+  SELECT ce.*, d.source FROM ce JOIN documents d USING (doc_id)
+),
+thr AS (
+  SELECT source,
+         round(percentile_cont(1.0/3) WITHIN GROUP (ORDER BY cross_entropy), 6) AS t1,
+         round(percentile_cont(2.0/3) WITHIN GROUP (ORDER BY cross_entropy), 6) AS t2
+  FROM scored GROUP BY 1
+)
+SELECT s.doc_id, s.source, s.n_tokens,
+       round(s.cross_entropy, 6) + 0.0 AS cross_entropy,
+       round(t.t1, 6) + 0.0 AS head_max_ce,
+       round(t.t2, 6) + 0.0 AS middle_max_ce,
+       CASE WHEN s.cross_entropy <= t.t1 THEN 'head'
+            WHEN s.cross_entropy <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN thr t USING (source)"""
+
 ORACLES["mixture_weights"] = r"""
 WITH g AS (
   SELECT source, count(*) AS n_docs,
@@ -3348,6 +3444,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_scores": q_bm25_scores,
     "mixture_weights": q_mixture_weights,
     "unigram_cross_entropy": q_unigram_cross_entropy,
+    "quality_classifier": q_quality_classifier,
+    "perplexity_buckets": q_perplexity_buckets,
     "top_terms_per_source": q_top_terms_per_source,
     "multimodal_features": q_multimodal_features,
     "profile_lineitem": q_profile_lineitem,
