@@ -1251,6 +1251,29 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(perplexity_buckets(docs))
 
 
+def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy (Jelinek-Mercer λ=0.7 over MLE
+    bigrams + add-0.5 unigrams, scale.text.bigram_cross_entropy) — the
+    KenLM-shaped upgrade of the unigram CCNet proxy."""
+    from alphalens_spark.scale.text import bigram_cross_entropy
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(bigram_cross_entropy(docs))
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout key over (l_orderkey, l_partkey)
+    (storage.zorder_values, bits=8): exact-integer scaling + statically
+    unrolled bit interleave — the value write_zordered range-partitions
+    and sorts by."""
+    from alphalens_spark.storage import zorder_values
+
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return zorder_values(li, ["l_orderkey", "l_partkey"], bits=8)
+
+
 def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: top-5 tokens per source by (count desc, token
     asc). groupBy(source, token) combines map-side, the per-source top-k
@@ -3240,6 +3263,73 @@ SELECT s.doc_id, s.source, s.n_tokens,
             ELSE 'tail' END AS bucket
 FROM scored s JOIN thr t USING (source)"""
 
+# bigram_cross_entropy: (1.0 - 0.7) is written out (NOT 0.3) because IEEE
+# 1.0-0.7 = 0.30000000000000004 and Spark computes the subtraction.
+ORACLES["bigram_cross_entropy"] = r"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(ts) AS t FROM toksarr),
+uni AS (SELECT t, count(*) AS cw FROM toks GROUP BY 1),
+tot AS (SELECT sum(cw) AS total, count(*) AS vocab FROM uni),
+bi AS (
+  SELECT doc_id, ts[i] AS prev, ts[i + 1] AS cur
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toksarr WHERE len(ts) >= 2) b
+),
+tfb AS (SELECT doc_id, prev, cur, count(*) AS tfb FROM bi GROUP BY 1, 2, 3),
+cbi AS (SELECT prev, cur, sum(tfb) AS cb FROM tfb GROUP BY 1, 2),
+heads AS (SELECT prev, sum(cb) AS ch FROM cbi GROUP BY 1),
+part2 AS (
+  SELECT tfb.doc_id,
+         sum(tfb.tfb * ln(0.7 * cbi.cb / heads.ch
+             + (1.0 - 0.7) * (u.cw + 0.5) / (tot.total + 0.5 * tot.vocab)))
+           AS lp2
+  FROM tfb JOIN cbi USING (prev, cur) JOIN heads USING (prev)
+       JOIN uni u ON u.t = tfb.cur CROSS JOIN tot
+  GROUP BY 1
+),
+part1 AS (
+  SELECT a.doc_id, len(a.ts) AS n_tokens,
+         ln((u.cw + 0.5) / (tot.total + 0.5 * tot.vocab)) AS lp1
+  FROM toksarr a JOIN uni u ON u.t = a.ts[1] CROSS JOIN tot
+)
+SELECT p1.doc_id, CAST(p1.n_tokens AS BIGINT) AS n_tokens,
+       round(-(p1.lp1 + coalesce(p2.lp2, 0.0)) / p1.n_tokens, 6) + 0.0
+         AS cross_entropy
+FROM part1 p1 LEFT JOIN part2 p2 USING (doc_id)"""
+
+def _zorder_sql(bits: int = 8) -> str:
+    """zorder_values replayed in DuckDB: identical exact-integer scaling
+    (``//`` == Spark's DIV on non-negative longs) and the same unrolled
+    shift/mask interleave."""
+    m = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((so >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((sp >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH s AS (
+  SELECT CAST(min(l_orderkey) AS BIGINT) AS min_o,
+         CAST(max(l_orderkey) AS BIGINT) AS max_o,
+         CAST(min(l_partkey) AS BIGINT) AS min_p,
+         CAST(max(l_partkey) AS BIGINT) AS max_p
+  FROM lineitem
+),
+sc AS (
+  SELECT l_orderkey, l_partkey,
+         coalesce(((l_orderkey - min_o) * {m}) // nullif(max_o - min_o, 0), 0) AS so,
+         coalesce(((l_partkey - min_p) * {m}) // nullif(max_p - min_p, 0), 0) AS sp
+  FROM lineitem CROSS JOIN s
+)
+SELECT l_orderkey, l_partkey, CAST({z} AS BIGINT) AS zvalue
+FROM sc"""
+
+
+ORACLES["zorder_key"] = _zorder_sql(8)
+
 ORACLES["mixture_weights"] = r"""
 WITH g AS (
   SELECT source, count(*) AS n_docs,
@@ -3446,6 +3536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_cross_entropy": q_unigram_cross_entropy,
     "quality_classifier": q_quality_classifier,
     "perplexity_buckets": q_perplexity_buckets,
+    "bigram_cross_entropy": q_bigram_cross_entropy,
+    "zorder_key": q_zorder_key,
     "top_terms_per_source": q_top_terms_per_source,
     "multimodal_features": q_multimodal_features,
     "profile_lineitem": q_profile_lineitem,

@@ -468,3 +468,90 @@ def perplexity_buckets(
         F.col("_t2").alias("middle_max_ce"),
         bucket.alias("bucket"),
     )
+
+
+def bigram_cross_entropy(
+    docs: DataFrame,
+    lam: float = 0.7,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated corpus BIGRAM LM —
+    one modeling step up from :func:`unigram_cross_entropy` toward the
+    KenLM scoring CCNet actually runs (Wenzek et al. 2020): templated /
+    repetitive text that a unigram model cannot separate from fluent prose
+    scores low here because its transitions are predictable.
+
+    Model: position 1 scores ln P_uni(t1); positions i≥2 score
+    ln(λ·P_bi(tᵢ|tᵢ₋₁) + (1−λ)·P_uni(tᵢ)) with MLE bigram probabilities
+    (cb/ch — defined for every observed doc bigram since the corpus is the
+    same docs) and add-k smoothed unigrams. Jelinek-Mercer interpolation,
+    the standard backoff when the bigram table is sparse.
+
+    Scale shape: one bigram explode feeds BOTH the per-doc tf and (by a
+    second-level aggregation with map-side partials) the corpus bigram /
+    context-head counts, so the raw stream shuffles once; the scoring
+    joins are all linear equi-joins on uniform token/bigram keys; the
+    (total, vocab) scalar row joins broadcast.
+    """
+    ts = _tokens(text_col)
+    base = docs.select(F.col(id_col), ts.alias("ts"))
+
+    # unigram corpus (token → count) + scalar totals
+    toks = base.select(id_col, F.explode("ts").alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cw"))
+    totals = uni.agg(F.sum("cw").alias("total"), F.count(F.lit(1)).alias("vocab"))
+    k = F.lit(float(smoothing))
+    p_uni = (F.col("cw") + k) / (F.col("total") + k * F.col("vocab"))
+
+    # bigram stream → per-doc tf; corpus counts derive from tf (no
+    # second explode)
+    n_tok = F.size("ts")
+    bi_arr = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("ts"), i).alias("prev"),
+                F.element_at(F.col("ts"), i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bi = base.select(id_col, F.explode(bi_arr).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    tf_bi = bi.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("tfb"))
+    corpus_bi = tf_bi.groupBy("prev", "cur").agg(F.sum("tfb").alias("cb"))
+    heads = corpus_bi.groupBy("prev").agg(F.sum("cb").alias("ch"))
+
+    lam_c = F.lit(float(lam))
+    p_mix = lam_c * F.col("cb") / F.col("ch") + (F.lit(1.0) - lam_c) * p_uni
+    part2 = (
+        tf_bi.join(corpus_bi, ["prev", "cur"])
+        .join(heads, "prev")
+        .join(uni.withColumnRenamed("t", "cur"), "cur")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tfb") * F.log(p_mix)).alias("_lp2"),
+            F.sum("tfb").alias("_n2"),
+        )
+    )
+
+    # first-token unigram term (split never yields an empty array, so
+    # element_at(ts, 1) always exists)
+    part1 = (
+        base.select(id_col, F.size("ts").alias("n_tokens"), F.element_at("ts", 1).alias("t"))
+        .join(uni, "t")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, "n_tokens", F.log(p_uni).alias("_lp1"))
+    )
+
+    out = part1.join(part2, id_col, "left")
+    ce = -(F.col("_lp1") + F.coalesce("_lp2", F.lit(0.0))) / F.col("n_tokens")
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+    )

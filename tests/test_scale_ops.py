@@ -380,3 +380,61 @@ def test_pq_codebooks_shape_and_determinism(spark):
     assert b1 == b2
     assert len(b1) == 8 and all(len(bm) == 4 for bm in b1)
     assert all(len(c) == 8 for bm in b1 for c in bm)
+
+
+def test_hashed_linear_classifier_shape_and_determinism(spark):
+    from alphalens_spark.scale.text import classifier_weights, hashed_linear_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "solo"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in hashed_linear_classifier(docs).collect()}
+    # n unigrams + (n-1) bigrams; 1-token doc has no bigrams
+    assert rows[1]["n_features"] == 5
+    assert rows[2]["n_features"] == 1
+    # same text → identical score (hash features are content-determined)
+    assert rows[1]["logit"] == rows[3]["logit"]
+    assert 0.0 < rows[1]["prob"] < 1.0
+    import pytest
+
+    with pytest.raises(ValueError, match="64 weights"):
+        hashed_linear_classifier(docs, weights=[0.1, 0.2])
+    assert classifier_weights(8, 7) == classifier_weights(8, 7)
+
+
+def test_bigram_ce_rewards_predictable_transitions(spark):
+    from alphalens_spark.scale.text import bigram_cross_entropy, unigram_cross_entropy
+
+    # both docs have the SAME unigram profile; doc 1's transitions are
+    # deterministic (a→b always), doc 2's alternate — only a bigram model
+    # separates them
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "a a b b b a a b")],
+        "doc_id long, text string",
+    )
+    uni = {r["doc_id"]: r["cross_entropy"] for r in unigram_cross_entropy(docs).collect()}
+    bi = {r["doc_id"]: r["cross_entropy"] for r in bigram_cross_entropy(docs).collect()}
+    assert abs(uni[1] - uni[2]) < 1e-9
+    assert bi[1] < bi[2]
+
+
+def test_perplexity_buckets_terciles_per_source(spark):
+    from alphalens_spark import datasets
+    from alphalens_spark.scale.text import perplexity_buckets
+
+    docs = datasets.load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = perplexity_buckets(docs)
+    counts = {
+        (r["source"], r["bucket"]): r["n"]
+        for r in out.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sources = {s for s, _ in counts}
+    for s in sources:
+        h = counts.get((s, "head"), 0)
+        m = counts.get((s, "middle"), 0)
+        t = counts.get((s, "tail"), 0)
+        tot = h + m + t
+        # exact interpolated terciles → each bucket within one doc of n/3
+        for part in (h, m, t):
+            assert abs(part - tot / 3) <= 1.5, (s, h, m, t)
