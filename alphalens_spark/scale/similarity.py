@@ -11,6 +11,8 @@ candidate set shrinks by ~2^bits.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -250,12 +252,11 @@ def kmeans_lite_centroids(
     ]
     cents = init
     for _ in range(iters):
-        cell = _nearest_cell(F.col(vec_col), cents)
+        cell = _nearest_cell_np(F.col(vec_col), cents)
         # two-step select: materialize the argmin cell BELOW the explode —
         # in one projection with posexplode the Generate re-evaluates the
-        # 16x64-term distance argmin once per EXPLODED row (64x blowup;
-        # measured 25 s for two Lloyd passes over 2k vectors at sf0.1,
-        # <2 s in this form)
+        # assignment once per EXPLODED row (64x blowup; measured 25 s for
+        # two Lloyd passes over 2k vectors at sf0.1, <2 s in this form)
         assigned = corpus.select(
             cell.alias("cell"), F.col(vec_col).alias("_v")
         ).select("cell", F.posexplode("_v").alias("pos", "x"))
@@ -303,6 +304,69 @@ def _nearest_cell(vec: F.Column, centroids: list[list[float]]) -> F.Column:
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
+def _sq_dists_np(V, C):
+    """(n, k) squared L2 distances with the SAME sequential per-dim float
+    order as the ``zip_with``/``aggregate`` expression form: acc starts at
+    0.0 and adds (a_j − b_j)² for j = 0, 1, … — each (row, centroid)
+    accumulation is therefore the identical IEEE op sequence, so argmin
+    (and every downstream Lloyd mean and SQL-oracle replay) is
+    bit-for-bit unchanged. A BLAS einsum would be ~2× faster here but
+    reorders the sum; this loop is one vectorized (n × k) op per dim."""
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for j in range(C.shape[1]):
+        d = V[:, j, None] - C[None, :, j]
+        acc += d * d
+    return acc
+
+
+def _nearest_cell_np(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+    """numpy twin of :func:`_nearest_cell` — bit-identical cells (see
+    :func:`_sq_dists_np`) at Arrow-batch speed. The interpreted-HOF form
+    costs ~2 µs per array element (minhash_signatures measurement);
+    assignment passes over n_cells × dim literals multiply that by the
+    full centroid matrix, which made quantizer TRAINING the one
+    data-linear interpreted stage left in the index build. np.argmin
+    returns the first minimum = ``array_position(array_min)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _argmin(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.asarray(s.tolist(), dtype=np.float64)
+        return pd.Series(_sq_dists_np(V, C).argmin(axis=1).astype(np.int32))
+
+    return _argmin(vec)
+
+
+def _pq_codes_np(vec: F.Column, codebooks: list[list[list[float]]]) -> F.Column:
+    """Per-subspace nearest-codeword ids as ONE Arrow pass: returns
+    array<int> of length m_sub. Same bit-identical-order contract as
+    :func:`_nearest_cell_np`, applied per contiguous subspace slice."""
+    from pyspark.sql.functions import pandas_udf
+
+    Cs = [np.asarray(bm, dtype=np.float64) for bm in codebooks]
+    dsub = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _codes(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(s.tolist(), dtype=np.float64)
+        cols = [
+            _sq_dists_np(V[:, m * dsub : (m + 1) * dsub], Cs[m])
+            .argmin(axis=1)
+            .astype(np.int32)
+            for m in range(len(Cs))
+        ]
+        codes = np.stack(cols, axis=1)
+        return pd.Series(list(codes))
+
+    return _codes(vec)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -326,7 +390,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col)).alias("_vn"),
-        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+        _nearest_cell_np(F.col(vec_col), cents).alias("cell"),
     )
     probe_dists = []
     for c in cents:
@@ -470,31 +534,24 @@ def pq_codebooks(
         for m in range(m_sub)
     ]
 
-    def subvec(m: int) -> Column:
-        return F.slice(F.col(vec_col), m * dsub + 1, dsub)
-
-    def cell_of(m: int) -> Column:
-        dists = _dists_to_centroids(subvec(m), books[m])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
     for _ in range(iters):
-        assigned = corpus.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            cell_of(m).alias("cell"),
-                            subvec(m).alias("sv"),
-                        )
-                        for m in range(m_sub)
-                    ]
-                )
-            ).alias("s")
-        ).select(
-            F.col("s.m").alias("m"),
-            F.col("s.cell").alias("cell"),
-            F.posexplode("s.sv").alias("j", "x"),
+        # one Arrow pass assigns ALL subspaces (array of m_sub cells);
+        # dims then explode ONCE with (m, j) derived from the position —
+        # the assignment is materialized below the Generate so it runs
+        # per row, not per exploded element
+        m_of = F.floor(F.col("pos") / dsub).cast("int")  # posexplode pos is 0-based
+        assigned = (
+            corpus.select(
+                _pq_codes_np(F.col(vec_col), books).alias("cs"),
+                F.col(vec_col).alias("_v"),
+            )
+            .select("cs", F.posexplode("_v").alias("pos", "x"))
+            .select(
+                m_of.alias("m"),
+                F.element_at("cs", m_of + 1).alias("cell"),
+                F.pmod("pos", F.lit(dsub)).alias("j"),
+                F.col("x"),
+            )
         )
         means = (
             assigned.groupBy("m", "cell", "j")
@@ -528,18 +585,10 @@ def encode_pq(
     production this is computed once per corpus snapshot and persisted
     (bucketed by cell via storage.write_bucketed, so every probe is a
     co-located read); pass it to :func:`ivfpq_topk` as ``index``."""
-    dsub = len(codebooks[0][0])
-
-    def cell_of(vec: Column, m: int) -> Column:
-        dists = _dists_to_centroids(F.slice(vec, m * dsub + 1, dsub), codebooks[m])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
     return corpus.select(
         F.col(id_col),
-        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
-        F.array(
-            *[cell_of(F.col(vec_col), m) for m in range(len(codebooks))]
-        ).alias("codes"),
+        _nearest_cell_np(F.col(vec_col), centroids).alias("cell"),
+        _pq_codes_np(F.col(vec_col), codebooks).alias("codes"),
     )
 
 

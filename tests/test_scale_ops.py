@@ -438,3 +438,45 @@ def test_perplexity_buckets_terciles_per_source(spark):
         # exact interpolated terciles → each bucket within one doc of n/3
         for part in (h, m, t):
             assert abs(part - tot / 3) <= 1.5, (s, h, m, t)
+
+
+def test_np_assignment_bit_identical_to_expression_form(spark):
+    from alphalens_spark import datasets
+    from alphalens_spark.scale.similarity import (
+        _nearest_cell,
+        _nearest_cell_np,
+        _pq_codes_np,
+        _dists_to_centroids,
+        kmeans_lite_centroids,
+        pq_codebooks,
+    )
+
+    emb = datasets.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_lite_centroids(emb, n_cells=8, iters=1)
+    books = pq_codebooks(emb, m_sub=8, ksub=4, iters=1)
+
+    both = emb.select(
+        "vec_id",
+        _nearest_cell(F.col("embedding"), cents).alias("c_expr"),
+        _nearest_cell_np(F.col("embedding"), cents).alias("c_np"),
+        _pq_codes_np(F.col("embedding"), books).alias("codes_np"),
+        F.array(
+            *[
+                (
+                    F.array_position(
+                        d := _dists_to_centroids(
+                            F.slice("embedding", m * 8 + 1, 8), books[m]
+                        ),
+                        F.array_min(d),
+                    )
+                    - 1
+                ).cast("int")
+                for m in range(8)
+            ]
+        ).alias("codes_expr"),
+    ).collect()
+    for r in both:
+        # the numpy path reproduces the zip_with/aggregate float order
+        # exactly, so assignments must match bit-for-bit, not just mostly
+        assert r["c_expr"] == r["c_np"], r
+        assert r["codes_expr"] == r["codes_np"], r
