@@ -1154,6 +1154,37 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup suppression (foreachBatch incremental
+    MinHash-LSH vs a persisted signature store, md5 shingle variant) run
+    to completion over the documents parquet: returns the ADMITTED doc
+    ids. Single availableNow batch → the keeper rule is min-id per
+    near-dup cluster, which the oracle replays as the recursive-CTE
+    transitive closure over the same LSH pairs."""
+    import shutil
+    import tempfile
+
+    from alphalens_spark.streaming.ops import stream_dedup_minhash
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.*")
+    tmp = tempfile.mkdtemp(prefix="stream_neardup_")
+    try:
+        q = stream_dedup_minhash(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            threshold=0.5,
+            shingle_hash="md5",
+        ).start()
+        q.awaitTermination(300)
+        kept = [r["doc_id"] for r in spark.read.parquet(f"{tmp}/out").select("doc_id").collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame([(int(i),) for i in sorted(kept)], "doc_id bigint")
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM interval join run to completion with an
     availableNow trigger: purchases paired with same-user views in the
@@ -2704,6 +2735,30 @@ reach AS (
 SELECT s AS doc_id, least(s, min(d)) AS canonical_id
 FROM reach GROUP BY s"""
 
+# stream_dedup_minhash: admitted = every doc that is not a non-canonical
+# member of a near-dup cluster (same pair graph as dedup_clusters)
+ORACLES["stream_dedup_minhash"] = f"""
+WITH RECURSIVE pairs AS ({{_MH}}),
+cedges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach AS (
+  SELECT s, d FROM cedges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+  FROM reach GROUP BY s
+)
+SELECT doc.doc_id
+FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.canonical_id = doc.doc_id""".replace(
+    "{_MH}", _minhash_lsh_sql()
+)
+
 ORACLES["pyfolio_positions"] = f"""{_P},
 sub AS (SELECT * FROM fd WHERE factor_quantile IN (1, 5)),
 pfdm AS (
@@ -3522,6 +3577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "factor_returns_equal_weight": q_factor_returns_equal_weight,
     "intraday_ingestion": q_intraday_ingestion,
     "stream_sessionize": q_stream_sessionize,
+    "stream_dedup_minhash": q_stream_dedup_minhash,
     # round 3: corpus-curation operators (Gopher/C4/SemDeDup lineage)
     "gopher_quality": q_gopher_quality,
     "dedupe_words_within_doc": q_dedupe_words_within_doc,

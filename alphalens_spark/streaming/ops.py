@@ -292,3 +292,180 @@ def stream_interval_join(
     joined = lw.join(rw, cond, how)
     # drop the duplicate right-side key column
     return joined.drop(rw[by])
+
+
+def _band_rows(
+    sigs: DataFrame, bands: int, num_hashes: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_id, band_hash) — the same banding as
+    scale.dedup.minhash_lsh_duplicates (xxhash64 over the signature
+    slice, seeded by band_id)."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        F.col("minhash"),
+    ).select(
+        "id",
+        "band_id",
+        F.xxhash64(
+            F.slice("minhash", F.col("band_id") * rows_per_band + 1, rows_per_band),
+            "band_id",
+        ).alias("band_hash"),
+    )
+
+
+def minhash_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_hash: str = "xxhash64",
+) -> None:
+    """One incremental near-dup maintenance step: suppress arriving docs
+    that are near-duplicates of anything already ACCEPTED, then admit the
+    survivors. The per-batch unit of :func:`stream_dedup_minhash`;
+    callable directly for backfills.
+
+    1. within-batch: LSH pairs → connected components → keep the min-id
+       doc per duplicate cluster (deterministic keeper);
+    2. vs history: probe the persisted signature store's band table with
+       the survivors' bands (equi-join on (band_id, band_hash) — linear,
+       uniform keys), verify candidates by signature agreement ≥
+       threshold, drop matches;
+    3. admit: append survivors' docs to ``out_path`` and their
+       (sigs, band rows) to the store.
+
+    Work per batch = O(|batch| + |band collisions vs store|); the store
+    probe never scans stored TEXT, only 8-byte band hashes. At 100 TB the
+    store's bands table is the big side: keep it bucketed on band_hash
+    (storage.write_bucketed) so the probe co-locates, and the batch side
+    (tiny) broadcasts.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.dedup import (
+        connected_components,
+        minhash_lsh_duplicates,
+        minhash_signatures,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    docs = batch_df.persist()
+
+    # 1. within-batch keep-first (min id per near-dup cluster)
+    pairs = minhash_lsh_duplicates(
+        docs, text_col, id_col, num_hashes, bands, shingle_k, threshold,
+        shingle_hash=shingle_hash,
+    )
+    comps = connected_components(pairs)  # (node, comp=min reachable id)
+    losers = comps.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    survivors = docs.join(F.broadcast(losers), id_col, "left_anti")
+
+    sigs = minhash_signatures(
+        survivors, text_col, id_col, num_hashes, shingle_k,
+        shingle_hash=shingle_hash,
+    ).persist()
+    sigs.count()
+    new_bands = _band_rows(sigs, bands, num_hashes, id_col)
+
+    # 2. probe accepted history
+    try:
+        store_bands = spark.read.parquet(f"{store_path}/bands")
+        store_sigs = spark.read.parquet(f"{store_path}/sigs")
+        cand = (
+            new_bands.join(
+                store_bands.select(
+                    F.col("id").alias("_old"), "band_id", "band_hash"
+                ),
+                ["band_id", "band_hash"],
+            )
+            .select("id", "_old")
+            .dropDuplicates(["id", "_old"])
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with("minhash", "_old_sig", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        dup_vs_store = (
+            sigs.join(F.broadcast(cand), sigs[id_col] == cand["id"])
+            .join(
+                store_sigs.select(
+                    F.col(id_col).alias("_old"),
+                    F.col("minhash").alias("_old_sig"),
+                ),
+                "_old",
+            )
+            .where(agree.cast("double") / num_hashes >= threshold)
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(F.broadcast(dup_vs_store), id_col, "left_anti")
+        sigs_out = sigs.join(F.broadcast(dup_vs_store), id_col, "left_anti")
+    except AnalysisException:  # first batch: store not created yet
+        sigs_out = sigs
+
+    # 3. admit survivors (persist sigs_out's plan result once: it feeds
+    # three writes)
+    sigs_out = sigs_out.persist()
+    survivors.join(sigs_out.select(id_col), id_col, "left_semi").write.mode(
+        "append"
+    ).parquet(out_path)
+    sigs_out.write.mode("append").parquet(f"{store_path}/sigs")
+    _band_rows(sigs_out, bands, num_hashes, id_col).write.mode("append").parquet(
+        f"{store_path}/bands"
+    )
+    sigs_out.unpersist()
+    sigs.unpersist()
+    docs.unpersist()
+
+
+def stream_dedup_minhash(
+    doc_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_hash: str = "xxhash64",
+):
+    """Streaming NEAR-duplicate suppression — the LSH upgrade of
+    :func:`stream_dedup_exact`: an arriving doc is admitted only if no
+    previously-admitted doc (any batch, ever) is MinHash-similar above
+    ``threshold``. Built as foreachBatch incremental view maintenance
+    against a persisted signature store (same pattern as
+    stream_factor_data_maintenance) because near-dup state — band tables
+    probed by equi-join — is exactly a growing relation, which the
+    engine's keyed state stores don't model but a parquet store does.
+
+    Accept-first-arrival semantics: earlier micro-batches win; within a
+    batch the min id per duplicate cluster wins. Returns the configured
+    AvailableNow ``DataStreamWriter``; caller calls ``.start()``.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        minhash_store_update(
+            batch_df, store_path, out_path, num_hashes, bands,
+            shingle_k, threshold, id_col, text_col, shingle_hash,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )
