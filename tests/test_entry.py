@@ -46,6 +46,11 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "bm25_scores",
         "mixture_weights",
         "unigram_cross_entropy",
+        # inherit unigram CE's / carry their own 1-row totals broadcast
+        "perplexity_buckets",
+        "bigram_cross_entropy",
+        # per-column min/max bounds row for the bit-interleave normalizer
+        "zorder_key",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
