@@ -3494,6 +3494,152 @@ SELECT b.doc_id, len(b.words) AS n_words,
          AS dup_word_frac
 FROM base b LEFT JOIN agg a USING (doc_id)"""
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (size=32, stride=16, full-coverage
+    grid — scale.curation.chunk_documents): the sequence-prep operator
+    that shards documents into fixed-size overlapping training windows."""
+    from alphalens_spark.scale.curation import chunk_documents
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=32, stride=16)
+
+
+ORACLES["chunk_documents"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(len(toks) - 32, 0) AS last FROM t
+),
+st AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN last > 0 AND last % 16 <> 0
+              THEN list_append(range(0, last + 1, 16), last)
+              ELSE range(0, last + 1, 16) END AS starts
+  FROM s
+),
+g AS (
+  SELECT doc_id, toks, n,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         unnest(starts) AS start_token
+  FROM st
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(start_token AS INT) AS start_token,
+       CAST(least(32, n - start_token) AS INT) AS n_tokens,
+       array_to_string(toks[start_token + 1 : start_token + 32], ' ')
+         AS chunk_text
+FROM g"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values cardinality sketch (k=64) of distinct texts per
+    source (scale.profile.kmv_distinct, k=16 so the estimator branch —
+    not just the exact small-group path — is what the oracle checks) —
+    the deterministic, mergeable
+    approximate-distinct whose integer sketch replays in plain SQL."""
+    from alphalens_spark.scale.profile import kmv_distinct
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(kmv_distinct(docs, ["source"], "text", k=16))
+
+
+ORACLES["kmv_distinct"] = r"""
+WITH h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15))::BIGINT AS _h
+  FROM documents
+),
+rk AS (
+  SELECT source, _h,
+         row_number() OVER (PARTITION BY source ORDER BY _h) AS rn
+  FROM h
+),
+topk AS (SELECT * FROM rk WHERE rn <= 16),
+agg AS (
+  SELECT source, CAST(count(*) AS INT) AS n_mins, max(_h) AS kth
+  FROM topk GROUP BY 1
+)
+SELECT source, n_mins,
+       round(CASE WHEN n_mins < 16 THEN CAST(n_mins AS DOUBLE)
+                  ELSE 15.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+             END, 6) + 0.0 AS est_distinct
+FROM agg"""
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss gaussian projection 64→8 dims
+    (scale.similarity.random_projection, seeded plane literals), exploded
+    to (vec_id, out_dim, value) for the value oracle."""
+    from alphalens_spark.scale.similarity import random_projection
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dim=8, seed=11)
+    ex = proj.select(
+        "vec_id", F.posexplode("projection").alias("out_dim", "value")
+    )
+    return _finalize(ex)
+
+
+def _random_projection_sql(out_dim: int = 8, dim: int = 64, seed: int = 11) -> str:
+    """The engine's exact seeded plane literals replayed in SQL (repr
+    round-trips doubles bit-exactly), same 1/√out_dim scaling."""
+    import math
+
+    from alphalens_spark.scale.similarity import _hyperplanes
+
+    planes = _hyperplanes(out_dim, dim, seed)
+    s = repr(1.0 / math.sqrt(out_dim))
+    vals = ",\n    ".join(
+        f"({j}, [{', '.join(repr(w) for w in planes[j])}])"
+        for j in range(out_dim)
+    )
+    return f"""
+WITH planes AS (
+  SELECT * FROM (VALUES
+    {vals}) AS t(out_dim, w)
+),
+m AS (
+  SELECT e.vec_id, p.out_dim,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) * {s} AS value
+  FROM embeddings e, planes p
+)
+SELECT vec_id, CAST(out_dim AS INT) AS out_dim,
+       round(value, 6) + 0.0 AS value
+FROM m"""
+
+
+ORACLES["random_projection"] = _random_projection_sql()
+
+
+def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed activity at the snapshot
+    instant (half-life 24 h, events.decayed_activity) — the classic
+    recency-weighted engagement feature."""
+    from alphalens_spark.events import decayed_activity
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(decayed_activity(ev, half_life_hours=24.0))
+
+
+ORACLES["decayed_activity"] = r"""
+WITH snap AS (SELECT max(CAST(ts AS TIMESTAMP)) AS t_max FROM events),
+w AS (
+  SELECT e.user_id, e.value,
+         power(0.5, CAST(date_diff('microsecond', CAST(e.ts AS TIMESTAMP),
+                                   s.t_max) AS DOUBLE)
+                    / 86400000000.0) AS wt
+  FROM events e, snap s
+)
+SELECT user_id, CAST(count(*) AS INT) AS n_events,
+       round(sum(wt), 6) + 0.0 AS decayed_count,
+       round(sum(wt * value), 6) + 0.0 AS decayed_value
+FROM w GROUP BY 1"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -3598,4 +3744,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "profile_lineitem": q_profile_lineitem,
     "split_dataset": q_split_dataset,
+    "chunk_documents": q_chunk_documents,
+    "kmv_distinct": q_kmv_distinct,
+    "random_projection": q_random_projection,
+    "decayed_activity": q_decayed_activity,
 }

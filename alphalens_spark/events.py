@@ -140,3 +140,40 @@ def rolling_active_users(
     return fan.groupBy("win_end").agg(
         F.countDistinct(user_col).alias(f"n_active_{window_days}d")
     )
+
+
+def decayed_activity(
+    events: DataFrame,
+    half_life_hours: float = 24.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially time-decayed per-user activity score at the stream's
+    snapshot instant (max ts): each event contributes
+    ``value · 2^(−age/half_life)`` — the standard recency-weighted
+    engagement / fraud-velocity feature, where a full half-life halves an
+    event's weight.
+
+    Scale shape: the 1-row snapshot aggregate broadcasts back onto the
+    stream (no second scan ordering dependency), ages come from integer
+    ``timestampdiff`` MICROSECONDS — exact for micro-precision parquet
+    timestamps, where SECOND granularity diverges across engines (Spark
+    counts complete intervals, DuckDB counts boundary crossings) — valid
+    for TIMESTAMP and TIMESTAMP_NTZ alike (ANSI-clean under the driver
+    session), and the decay-weighted sums fold in ONE groupBy shuffle on
+    the user key with map-side partials. Output: (user, n_events,
+    decayed_count, decayed_value).
+    """
+    snap = events.agg(F.max(ts_col).alias("_t_max"))
+    j = events.crossJoin(F.broadcast(snap))
+    age_us = F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _t_max)").cast("double")
+    w = F.pow(F.lit(0.5), age_us / F.lit(half_life_hours * 3600.0 * 1e6))
+    return (
+        j.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+            F.round(F.sum(w * F.col(value_col)), 6).alias("decayed_value"),
+        )
+    )

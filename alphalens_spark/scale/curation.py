@@ -626,3 +626,57 @@ def split_dataset(
         expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
     expr = expr.otherwise(F.lit(names[-1]))
     return docs.select(F.col(id_col), bucket.alias("hash_bucket"), expr.alias("split"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding token-window chunking — the sequence-preparation step that
+    turns variable-length documents into fixed-size overlapping training
+    windows (HF ``return_overflowing_tokens`` shape: window ``size``
+    tokens, hop ``stride``).
+
+    Coverage contract: chunk starts are the stride grid 0, s, 2s, …
+    clamped to n−size, PLUS the final n−size start when the grid misses
+    it — every token appears in at least one chunk and every chunk is
+    exactly ``min(size, n)`` tokens (no degenerate tail fragments, which
+    would skew downstream length statistics).
+
+    Scale shape: pure projection + one bounded explode (≤ ⌈n/stride⌉
+    chunks per doc) — no shuffle, no UDF; the token array is materialized
+    BELOW the explode so Generate cannot re-tokenize per emitted chunk
+    (see the kmeans argmin-under-Generate lesson). Output: (id,
+    chunk_idx, start_token, n_tokens, chunk_text).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(F.col("_toks"))
+    last = F.greatest(n - size, F.lit(0))
+    grid = F.sequence(F.lit(0), last, F.lit(stride))
+    starts = F.when(
+        (last > 0) & (last % stride != 0),
+        F.concat(grid, F.array(last)),
+    ).otherwise(grid)
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("_n"), starts.alias("_starts")
+    )
+    ex = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.posexplode("_starts").alias("chunk_idx", "start_token"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("start_token"),
+        F.least(F.lit(size), F.col("_n") - F.col("start_token")).alias("n_tokens"),
+        F.array_join(
+            F.slice("_toks", F.col("start_token") + 1, size), " "
+        ).alias("chunk_text"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "kmv_distinct"]
 
 
 def profile_columns(
@@ -68,3 +68,45 @@ def profile_columns(
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) —
+    the mergeable cardinality estimator for when even Spark's exact
+    distinct (an Expand + full shuffle of every distinct value) is too
+    much state per group, and unlike HLL the sketch is plain integers:
+    deterministic, engine-reproducible, and therefore fully
+    oracle-checkable against another SQL engine.
+
+    Estimator: hash every value to u ~ Uniform via a 60-bit md5 prefix;
+    with h_(k) the k-th smallest DISTINCT hash, E[d] ≈ (k−1)/(h_(k)/2^60).
+    Groups with fewer than k distinct hashes report their exact count.
+
+    Scale shape: project→hash, distinct on (group, hash) — map-side
+    partial dedupe, ONE shuffle on a uniform key — then a per-group
+    bottom-k window over at most d rows and a final tiny aggregate.
+    No value ever travels whole: only 8-byte hashes shuffle.
+    Output: (group…, n_mins, est_distinct).
+    """
+    from pyspark.sql import Window
+
+    from alphalens_spark.scale.dedup import md5_long
+
+    h = md5_long(F.col(value_col).cast("string"), 15)
+    dh = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    topk = dh.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    h_max = float(1 << 60)
+    est = F.when(
+        F.col("n_mins") < k, F.col("n_mins").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(h_max)))
+    return (
+        topk.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_mins"), F.max("_h").alias("_kth"))
+        .select(*group_cols, "n_mins", F.round(est, 6).alias("est_distinct"))
+    )

@@ -771,3 +771,35 @@ def build_ivfpq(
         )
         cents, books = f_cents.result(), f_books.result()
     return cents, books, encode_pq(corpus, cents, books, id_col, vec_col)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    seed: int = 11,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dense gaussian map
+    R^dim → R^out_dim with the conventional 1/√out_dim scaling, so
+    pairwise distances are preserved in expectation. The standard
+    pre-step before clustering / ANN when the source dimension makes
+    per-vector arithmetic the bottleneck — at 100 TB an 8× narrower
+    vector is 8× less shuffle and 8× fewer multiplies everywhere
+    downstream.
+
+    The projection matrix is the same deterministic driver-side
+    hyperplane generator the sign-LSH family uses (tiny out_dim × dim
+    literal folded into the plan); each executor computes out_dim dot
+    products with built-in expressions — a pure projection: no shuffle,
+    no UDF, and the seeded literals replay in plain SQL for the oracle.
+    Output: (id, projection array<double>).
+    """
+    import math
+
+    planes = _hyperplanes(out_dim, dim, seed)
+    margins = _plane_margins(vec_col, planes)
+    s = 1.0 / math.sqrt(out_dim)
+    proj = F.transform(margins, lambda x: x * F.lit(s))
+    return df.select(F.col(id_col), proj.alias("projection"))

@@ -51,6 +51,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "bigram_cross_entropy",
         # per-column min/max bounds row for the bit-interleave normalizer
         "zorder_key",
+        # 1-row snapshot (max ts) broadcast onto the event stream
+        "decayed_activity",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":

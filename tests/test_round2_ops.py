@@ -1,0 +1,145 @@
+"""Unit tests for the round-2 additions: document chunking, KMV distinct
+sketch, JL random projection, decayed activity."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- chunking
+def _chunks(spark, text, size, stride):
+    from alphalens_spark.scale.curation import chunk_documents
+
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    return sorted(
+        chunk_documents(df, size=size, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    rows = _chunks(spark, "a b c", size=8, stride=4)
+    assert len(rows) == 1
+    assert rows[0].start_token == 0
+    assert rows[0].n_tokens == 3
+    assert rows[0].chunk_text == "a b c"
+
+
+def test_chunk_full_coverage_and_fixed_size(spark):
+    # n=10, size=4, stride=3 -> grid 0,3,6 then final start 6 already on
+    # grid? last=6, 6%3==0 -> starts 0,3,6; covers tokens 0..9
+    toks = [f"t{i}" for i in range(10)]
+    rows = _chunks(spark, " ".join(toks), size=4, stride=3)
+    assert [r.start_token for r in rows] == [0, 3, 6]
+    assert all(r.n_tokens == 4 for r in rows)
+    covered = set()
+    for r in rows:
+        covered.update(range(r.start_token, r.start_token + r.n_tokens))
+    assert covered == set(range(10))
+
+
+def test_chunk_off_grid_tail_start_appended(spark):
+    # n=11, size=4, stride=3 -> last=7, grid 0,3,6 misses 7 -> append 7
+    toks = [f"t{i}" for i in range(11)]
+    rows = _chunks(spark, " ".join(toks), size=4, stride=3)
+    assert [r.start_token for r in rows] == [0, 3, 6, 7]
+    assert all(r.n_tokens == 4 for r in rows)
+    # every chunk is exactly the tokens it claims
+    for r in rows:
+        assert r.chunk_text == " ".join(toks[r.start_token : r.start_token + 4])
+
+
+def test_chunk_stride_equals_size_partitions_exactly(spark):
+    toks = [f"w{i}" for i in range(12)]
+    rows = _chunks(spark, " ".join(toks), size=4, stride=4)
+    assert [r.start_token for r in rows] == [0, 4, 8]
+    assert " ".join(r.chunk_text for r in rows) == " ".join(toks)
+
+
+# ---------------------------------------------------------------- KMV
+def test_kmv_exact_path_small_group(spark):
+    from alphalens_spark.scale.profile import kmv_distinct
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=str(i % 5)) for i in range(50)]
+    )
+    out = kmv_distinct(df, ["g"], "v", k=16).collect()
+    assert len(out) == 1
+    assert out[0].n_mins == 5
+    assert out[0].est_distinct == 5.0
+
+
+def test_kmv_estimator_reasonable_and_deterministic(spark):
+    from alphalens_spark.scale.profile import kmv_distinct
+
+    n = 2000
+    df = spark.createDataFrame([Row(g="a", v=f"val{i}") for i in range(n)])
+    a = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    b = kmv_distinct(
+        df.repartition(7), ["g"], "v", k=64
+    ).collect()[0]
+    assert a.n_mins == 64
+    # KMV relative error ~ 1/sqrt(k-1) ≈ 12.6%; allow 3 sigma
+    assert abs(a.est_distinct - n) / n < 0.40
+    # membership-independent of physical layout
+    assert a.est_distinct == b.est_distinct
+
+
+# ---------------------------------------------------------------- JL
+def test_random_projection_shape_and_determinism(spark):
+    from alphalens_spark.scale.similarity import random_projection
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(64)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    p1 = {r.vec_id: r.projection for r in random_projection(df, out_dim=8).collect()}
+    p2 = {r.vec_id: r.projection for r in random_projection(df, out_dim=8).collect()}
+    assert all(len(v) == 8 for v in p1.values())
+    assert p1 == p2  # seeded planes: bit-identical across plans
+
+    # JL property (loose): mean squared norm is preserved in expectation
+    def sq(v):
+        return sum(x * x for x in v)
+
+    orig = sum(sq(r.embedding) for r in rows) / len(rows)
+    proj = sum(sq(v) for v in p1.values()) / len(p1)
+    assert proj == pytest.approx(orig, rel=0.5)
+
+
+# ---------------------------------------------------------------- decay
+def test_decayed_activity_half_life_weights(spark):
+    from alphalens_spark.events import decayed_activity
+
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts="2024-01-02 00:00:00", value=10.0),  # snapshot
+            Row(user_id=1, ts="2024-01-01 00:00:00", value=10.0),  # 1 half-life
+            Row(user_id=2, ts="2023-12-31 00:00:00", value=4.0),  # 2 half-lives
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r for r in decayed_activity(df, half_life_hours=24.0).collect()}
+    assert out[1].n_events == 2
+    assert out[1].decayed_count == pytest.approx(1.5, abs=1e-9)
+    assert out[1].decayed_value == pytest.approx(15.0, abs=1e-9)
+    assert out[2].decayed_count == pytest.approx(0.25, abs=1e-9)
+    assert out[2].decayed_value == pytest.approx(1.0, abs=1e-9)
+
+
+def test_decayed_activity_ntz_timestamps(spark):
+    from alphalens_spark.events import decayed_activity
+
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts="2024-01-02 00:00:00", value=1.0),
+            Row(user_id=1, ts="2024-01-01 00:00:00", value=1.0),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = decayed_activity(df, half_life_hours=24.0).collect()
+    assert out[0].decayed_count == pytest.approx(1.5, abs=1e-9)
