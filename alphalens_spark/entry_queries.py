@@ -3640,6 +3640,212 @@ SELECT user_id, CAST(count(*) AS INT) AS n_events,
 FROM w GROUP BY 1"""
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width-histogram approximate quantiles of l_extendedprice per
+    return flag (scale.profile.histogram_quantiles, 64 bins) — the
+    bounded-state quantile path whose estimate is a pure function of the
+    bin counts, so it replays exactly in SQL."""
+    from alphalens_spark.scale.profile import histogram_quantiles
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return _finalize(
+        histogram_quantiles(
+            li, "l_extendedprice", ["l_returnflag"], probs=[0.5, 0.9, 0.99],
+            bins=64,
+        )
+    )
+
+
+ORACLES["histogram_quantiles"] = r"""
+WITH stats AS (
+  SELECT l_returnflag, min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         max(CAST(l_extendedprice AS DOUBLE)) AS hi,
+         count(l_extendedprice) AS n
+  FROM lineitem GROUP BY 1
+),
+b AS (
+  SELECT l.l_returnflag,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE least(63, greatest(0, CAST(floor(
+                  (CAST(l.l_extendedprice AS DOUBLE) - s.lo)
+                  / ((s.hi - s.lo) / 64.0)) AS INT)))
+         END AS bin
+  FROM lineitem l JOIN stats s USING (l_returnflag)
+  WHERE l.l_extendedprice IS NOT NULL
+),
+c AS (
+  SELECT b.l_returnflag, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+),
+cum AS (
+  SELECT c.l_returnflag, bin, cnt, s.lo, s.hi, s.n,
+         sum(cnt) OVER (PARTITION BY c.l_returnflag ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM c JOIN stats s USING (l_returnflag)
+),
+pj AS (
+  SELECT cum.*, p.prob,
+         row_number() OVER (PARTITION BY l_returnflag, p.prob ORDER BY bin)
+           AS rn
+  FROM cum JOIN (SELECT CAST(prob AS DOUBLE) AS prob
+                 FROM (VALUES (0.5), (0.9), (0.99)) AS v(prob)) AS p
+    ON p.prob * cum.n <= cum.cm
+)
+SELECT l_returnflag, prob,
+       round(CASE WHEN hi = lo THEN lo
+                  ELSE lo + (CAST(bin AS DOUBLE)
+                             + (prob * n - (cm - cnt)) / cnt)
+                            * ((hi - lo) / 64.0)
+             END, 6) AS est_quantile
+FROM pj WHERE rn = 1"""
+
+
+def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the document token stream (depth 4 × width
+    512) probed for a fixed term set (scale.profile.cm_sketch/
+    cm_estimate) — the bounded-memory frequency summary; salted-md5
+    hashing makes the whole sketch + estimate replay in SQL."""
+    from alphalens_spark.scale.profile import cm_estimate, cm_sketch
+    from alphalens_spark.scale.text import _tokens
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    sketch = cm_sketch(toks, "tok", depth=4, width=512)
+    probes = spark.createDataFrame(
+        [(w,) for w in ["join", "scan", "window", "the", "zzz_absent"]],
+        "item string",
+    )
+    return cm_estimate(sketch, probes, width=512, depth=4)
+
+
+ORACLES["cm_frequency"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+ex AS (
+  SELECT tok, unnest([0, 1, 2, 3]) AS row FROM toks
+),
+sk AS (
+  SELECT row,
+         CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || tok), 1, 15))
+              ::BIGINT % 512 AS INT) AS col,
+         count(*) AS cnt
+  FROM ex GROUP BY 1, 2
+),
+probes AS (
+  SELECT * FROM (VALUES ('join'), ('scan'), ('window'), ('the'),
+                        ('zzz_absent')) AS t(item)
+),
+px AS (
+  SELECT item, unnest([0, 1, 2, 3]) AS row FROM probes
+),
+lk AS (
+  SELECT p.item, p.row,
+         coalesce(s.cnt, 0) AS cnt
+  FROM px p LEFT JOIN sk s
+    ON s.row = p.row
+   AND s.col = CAST(('0x' || substr(md5(CAST(p.row AS VARCHAR) || ':'
+                    || p.item), 1, 15))::BIGINT % 512 AS INT)
+)
+SELECT item, min(cnt) AS est_count FROM lk GROUP BY 1"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: top-5
+    docs per source by priority u^(1/n_chars) with deterministic md5
+    uniforms (scale.curation.weighted_priority_sample) — reproducible
+    membership, no global weight pass."""
+    from alphalens_spark.scale.curation import weighted_priority_sample
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(
+        weighted_priority_sample(
+            docs, "n_chars", k=5, group_cols=["source"]
+        )
+    )
+
+
+ORACLES["weighted_sample"] = r"""
+WITH pri AS (
+  SELECT source, doc_id, n_chars AS weight,
+         round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT + 1.0) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 6) AS priority_key
+  FROM documents
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY priority_key DESC, doc_id) AS rn
+  FROM pri
+)
+SELECT source, doc_id, weight, priority_key FROM rk WHERE rn <= 5"""
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment |A∩B|/min(|A|,|B|) ≥ 0.5
+    (scale.dedup.ngram_containment_pairs) — catches documents embedded in
+    larger ones, which Jaccard structurally cannot."""
+    from alphalens_spark.scale.dedup import ngram_containment_pairs
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(
+        ngram_containment_pairs(docs, n=3, threshold=0.5, hash_grams=False)
+    )
+
+
+ORACLES["ngram_containment"] = r"""
+WITH tok AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM tok
+),
+gx AS (SELECT id, len(grams) AS n, unnest(grams) AS gram FROM g),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+  FROM gx a JOIN gx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(inter / CAST(least(n_a, n_b) AS DOUBLE), 6) AS containment
+FROM shared
+WHERE round(inter / CAST(least(n_a, n_b) AS DOUBLE), 6) >= 0.5"""
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline volume anomalies: each (event_type, day) count
+    z-scored against the preceding 7 observed days
+    (events.rolling_anomaly_zscores)."""
+    from alphalens_spark.events import rolling_anomaly_zscores
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(rolling_anomaly_zscores(ev, window_days=7))
+
+
+ORACLES["rolling_anomaly"] = r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+roll AS (
+  SELECT event_type, day, n_events,
+         round(avg(n_events) OVER w, 6) AS base_mean,
+         round(stddev_samp(CAST(n_events AS DOUBLE)) OVER w, 6) AS base_std
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events, base_mean, base_std,
+       CASE WHEN base_std > 0
+            THEN round((n_events - base_mean) / base_std, 6) END AS zscore
+FROM roll"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -3748,4 +3954,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "random_projection": q_random_projection,
     "decayed_activity": q_decayed_activity,
+    "histogram_quantiles": q_histogram_quantiles,
+    "cm_frequency": q_cm_frequency,
+    "weighted_sample": q_weighted_sample,
+    "ngram_containment": q_ngram_containment,
+    "rolling_anomaly": q_rolling_anomaly,
 }

@@ -177,3 +177,46 @@ def decayed_activity(
             F.round(F.sum(w * F.col(value_col)), 6).alias("decayed_value"),
         )
     )
+
+
+def rolling_anomaly_zscores(
+    events: DataFrame,
+    window_days: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume-anomaly detection over the event stream: each (type, day)'s
+    count scored against the mean/std of the PRECEDING ``window_days``
+    observed days of the same type — the trailing-baseline z-score every
+    monitoring pipeline derives (the day being scored is excluded from
+    its own baseline, or a spike would suppress itself).
+
+    Scale shape: the raw stream collapses to (type, day) counts in one
+    map-side-combined shuffle; the rolling window then runs over that
+    tiny per-type daily series, never the raw events. Days with no
+    baseline (fewer than 2 preceding days) or zero variance yield NULL.
+    Output: (type, day, n_events, base_mean, base_std, zscore).
+    """
+    from pyspark.sql import Window
+
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    base_mean = F.avg("n_events").over(w)
+    base_std = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    z = F.try_divide(F.col("n_events") - F.col("base_mean"), F.col("base_std"))
+    return (
+        daily.withColumn("base_mean", F.round(base_mean, 6))
+        .withColumn("base_std", F.round(base_std, 6))
+        .withColumn(
+            "zscore",
+            F.round(
+                F.when(F.col("base_std") > 0, z), 6
+            ),
+        )
+    )

@@ -680,3 +680,62 @@ def chunk_documents(
             F.slice("_toks", F.col("start_token") + 1, size), " "
         ).alias("chunk_text"),
     )
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    A-ES): keep the k items with the largest priority u^(1/w), u uniform —
+    each item's inclusion probability is proportional to its weight, and
+    the scheme needs no global pass over the weight total (unlike
+    normalized-probability sampling, which requires the sum before the
+    first draw).
+
+    u is the item's 60-bit md5 hash scaled to (0,1] — deterministic, so
+    the sample is reproducible across runs/engines and membership never
+    depends on partitioning. Priorities compare in log space
+    (ln u / w, monotone in u^(1/w)) to avoid pow underflow when weights
+    are small. Grouped: one bounded per-group top-k window (a rank
+    shuffle on the group key). Ungrouped: two-stage top-k — per-partition
+    prune to k survivors first, so only ≤ k·P candidate rows (not the
+    table) ever reach the final single-partition rank. Output:
+    (group…, id, weight, priority_key).
+    """
+    from pyspark.sql import Window
+
+    from alphalens_spark.scale.dedup import md5_long
+
+    gcols = list(group_cols or [])
+    h_max = float(1 << 60)
+    u = (md5_long(F.col(id_col).cast("string"), 15).cast("double") + 1.0) / F.lit(
+        h_max
+    )
+    # larger is better: ln(u)/w is monotone in u^(1/w); round to 6dp so
+    # the ordering (and thus membership) is oracle-stable at the compare
+    # precision
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    base = docs.select(
+        *gcols, F.col(id_col), F.col(weight_col).alias("weight"),
+        key.alias("priority_key"),
+    )
+    order = [F.col("priority_key").desc(), F.col(id_col)]
+    if not gcols:
+        # stage 1: shuffle-free local prune — top-k inside each input
+        # partition bounds the final rank's input to k·P rows
+        local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+        base = (
+            base.withColumn("_lrn", F.row_number().over(local))
+            .where(F.col("_lrn") <= k)
+            .drop("_lrn")
+        )
+    w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy(*order)
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -747,3 +747,53 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT
+    |A∩B| / min(|A|, |B|) — the measure that catches a document embedded
+    inside a larger one (quote farms, concatenated crawls), which Jaccard
+    structurally cannot: a 100-gram doc fully contained in a 10,000-gram
+    doc has Jaccard ≈ 0.01 but containment 1.0 (Broder 1997's second
+    resemblance measure).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — explode
+    distinct grams, equi-join postings, count shared per pair — only the
+    final scoring differs. Output: (id_a, id_b, containment).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    gram = (
+        (lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+        if hash_grams
+        else (lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))), gram
+        )
+    )
+    g = spread_for_compute(docs).select(
+        F.col(id_col).alias("id"), grams.alias("_g"), F.size(grams).alias("_n")
+    )
+    ex = g.select("id", "_n", F.explode("_g").alias("gram"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("_n").alias("n_a"), "gram")
+    b = ex.select(F.col("id").alias("id_b"), F.col("_n").alias("n_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    return (
+        shared.withColumn("containment", F.round(cont, 6))
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

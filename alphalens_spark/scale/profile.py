@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "kmv_distinct"]
+__all__ = ["profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch", "cm_estimate"]
 
 
 def profile_columns(
@@ -109,4 +109,148 @@ def kmv_distinct(
         topk.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).cast("int").alias("n_mins"), F.max("_h").alias("_kth"))
         .select(*group_cols, "n_mins", F.round(est, 6).alias("est_distinct"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: list[float] = (0.5, 0.9, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram — the
+    bounded-state quantile path for 100 TB tables, where exact
+    ``percentile`` must shuffle every value to its group and hold the
+    full sorted run. Error is bounded by one bin width (range/bins);
+    unlike t-digest/KLL the estimate is a pure function of the bin
+    counts, so it is deterministic and replays in any SQL engine.
+
+    Two linear passes, each ONE small-keyed shuffle with map-side
+    partials: (1) per-group min/max, broadcast back; (2) per-(group, bin)
+    counts → ordered cumulative window over ≤``bins`` rows per group →
+    linear interpolation inside the bin that crosses each target rank.
+    Output: (group…, prob, est_quantile).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi"), F.count(v).alias("_n")
+    )
+    j = df.where(v.isNotNull()).join(F.broadcast(stats), group_cols)
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.col("_lo")) / width).cast("int")
+        ),
+    )
+    # degenerate group (all values equal): width 0 -> bin 0
+    idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(idx)
+    counts = (
+        j.groupBy(*group_cols, idx.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(stats), group_cols)
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    probs_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    pj = cum.join(F.broadcast(probs_df), F.col("prob") * F.col("_n") <= F.col("_cum"))
+    # first (lowest) bin whose cumulative count reaches the target rank
+    pick = (
+        Window.partitionBy(*group_cols, "prob").orderBy("_bin")
+    )
+    first = (
+        pj.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+    )
+    frac = (
+        (F.col("prob") * F.col("_n") - (F.col("_cum") - F.col("_c")))
+        / F.col("_c")
+    )
+    bw = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    est = F.col("_lo") + (F.col("_bin").cast("double") + frac) * bw
+    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(est)
+    return first.select(
+        *group_cols, "prob", F.round(est, 6).alias("est_quantile")
+    )
+
+
+def cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch counters (Cormode & Muthukrishnan 2005): the
+    fixed-size frequency summary for unbounded key domains — depth
+    independent md5-salted hash rows × width columns, each counter the
+    sum of everything that lands in it. Point estimate = min over rows
+    (see :func:`cm_estimate`), an upper bound that overcounts only by
+    collisions.
+
+    Deterministic salted-md5 hashing → the whole sketch replays in SQL.
+    One explode (×depth, fixed fan-out) + ONE groupBy shuffle on the
+    uniform (row, col) key; the result is depth×width rows regardless of
+    input size. Output: (row, col, count).
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    rows_ = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    ex = df.select(F.col(item_col).cast("string").alias("_it")).select(
+        "_it", rows_
+    )
+    col = F.pmod(
+        md5_long(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_it")), 15),
+        F.lit(width),
+    ).cast("int")
+    return (
+        ex.groupBy("row", col.alias("col"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str = "item",
+    width: int = 1024,
+    depth: int | None = None,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: hash each probe
+    item with the same salted rows, look its (row, col) counters up by
+    equi-join (missing counter ⇒ 0), take the min across rows — the CM
+    upper-bound estimate. The sketch side is depth×width rows: always
+    broadcast. Pass ``depth`` to keep the plan collect-free (else it is
+    read off the sketch with a bounded 1-value job).
+    Output: (item, est_count)."""
+    from alphalens_spark.scale.dedup import md5_long
+
+    if depth is None:
+        depth = sketch.agg(F.max("row")).collect()[0][0] + 1
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    p = probes.select(F.col(item_col).cast("string").alias("item")).select(
+        "item", rows_
+    )
+    col = F.pmod(
+        md5_long(
+            F.concat(F.col("row").cast("string"), F.lit(":"), F.col("item")), 15
+        ),
+        F.lit(width),
+    ).cast("int")
+    looked = p.select("item", "row", col.alias("col")).join(
+        F.broadcast(sketch), ["row", "col"], "left"
+    )
+    return (
+        looked.groupBy("item")
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est_count"))
     )

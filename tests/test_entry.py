@@ -53,6 +53,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "zorder_key",
         # 1-row snapshot (max ts) broadcast onto the event stream
         "decayed_activity",
+        # 3-row probs literal broadcast, non-equi rank-crossing condition
+        "histogram_quantiles",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":

@@ -143,3 +143,123 @@ def test_decayed_activity_ntz_timestamps(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     out = decayed_activity(df, half_life_hours=24.0).collect()
     assert out[0].decayed_count == pytest.approx(1.5, abs=1e-9)
+
+
+# ---------------------------------------------------------- histogram qtile
+def test_histogram_quantiles_exact_on_uniform_grid(spark):
+    from alphalens_spark.scale.profile import histogram_quantiles
+
+    # values 1..1000 in one group: histogram interpolation should land
+    # within one bin width of the true quantile
+    df = spark.createDataFrame([Row(g="a", v=float(i)) for i in range(1, 1001)])
+    out = {
+        r.prob: r.est_quantile
+        for r in histogram_quantiles(df, "v", ["g"], probs=[0.5, 0.9], bins=100).collect()
+    }
+    bin_w = (1000 - 1) / 100
+    assert abs(out[0.5] - 500.5) <= bin_w
+    assert abs(out[0.9] - 900.1) <= bin_w
+
+
+def test_histogram_quantiles_degenerate_group(spark):
+    from alphalens_spark.scale.profile import histogram_quantiles
+
+    df = spark.createDataFrame([Row(g="c", v=7.0)] * 10)
+    out = histogram_quantiles(df, "v", ["g"], probs=[0.5], bins=16).collect()
+    assert out[0].est_quantile == 7.0
+
+
+# ---------------------------------------------------------------- count-min
+def test_cm_estimate_upper_bound_and_exact_when_sparse(spark):
+    from alphalens_spark.scale.profile import cm_estimate, cm_sketch
+
+    items = ["a"] * 50 + ["b"] * 7 + [f"x{i}" for i in range(20)]
+    df = spark.createDataFrame([Row(item=i) for i in items])
+    sketch = cm_sketch(df, "item", depth=4, width=1024)
+    probes = spark.createDataFrame([Row(item=i) for i in ["a", "b", "absent"]])
+    est = {r.item: r.est_count for r in cm_estimate(sketch, probes, width=1024).collect()}
+    # CM never undercounts; with 77 items in 4x1024 counters collisions
+    # are overwhelmingly unlikely, so estimates are exact here
+    assert est["a"] == 50
+    assert est["b"] == 7
+    assert est["absent"] == 0
+
+
+def test_cm_sketch_size_bounded(spark):
+    from alphalens_spark.scale.profile import cm_sketch
+
+    df = spark.createDataFrame([Row(item=f"i{n}") for n in range(500)])
+    sk = cm_sketch(df, "item", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+    assert sk.agg(F.sum("count")).collect()[0][0] == 500 * 4
+
+
+# ------------------------------------------------------------- A-ES sample
+def test_weighted_sample_is_weight_biased_and_deterministic(spark):
+    from alphalens_spark.scale.curation import weighted_priority_sample
+
+    # 200 light docs (w=1) + 20 heavy docs (w=1000): heavy ids should
+    # dominate the k=20 sample
+    rows = [Row(doc_id=i, w=1.0) for i in range(200)] + [
+        Row(doc_id=1000 + i, w=1000.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    a = sorted(r.doc_id for r in weighted_priority_sample(df, "w", k=20).collect())
+    b = sorted(
+        r.doc_id
+        for r in weighted_priority_sample(df.repartition(13), "w", k=20).collect()
+    )
+    assert a == b  # membership independent of physical layout
+    heavy = sum(1 for i in a if i >= 1000)
+    assert heavy >= 15
+
+
+def test_weighted_sample_grouped_k_per_group(spark):
+    from alphalens_spark.scale.curation import weighted_priority_sample
+
+    rows = [Row(g=g, doc_id=g * 100 + i, w=float(i + 1)) for g in (1, 2) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    out = weighted_priority_sample(df, "w", k=4, group_cols=["g"]).collect()
+    from collections import Counter
+
+    assert Counter(r.g for r in out) == {1: 4, 2: 4}
+
+
+# ------------------------------------------------------------- containment
+def test_ngram_containment_finds_embedded_doc(spark):
+    from alphalens_spark.scale.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = " ".join(f"w{i}" for i in range(200)) + " " + small
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=small), Row(doc_id=2, text=big)]
+    )
+    cont = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    # Jaccard misses the same pair entirely at any usable threshold
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert jac == []
+
+
+# ---------------------------------------------------------------- anomaly
+def test_rolling_anomaly_flags_spike_day(spark):
+    from alphalens_spark.events import rolling_anomaly_zscores
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):  # 10 days of ~constant volume with jitter
+        n = 10 + (d % 2)
+        for _ in range(n):
+            rows.append(Row(event_id=eid, ts=f"2024-01-{d:02d} 12:00:00", event_type="view"))
+            eid += 1
+    for _ in range(100):  # spike day
+        rows.append(Row(event_id=eid, ts="2024-01-11 12:00:00", event_type="view"))
+        eid += 1
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r.day): r for r in rolling_anomaly_zscores(df, window_days=7).collect()}
+    assert out["2024-01-11"].zscore > 5  # spike flagged
+    assert abs(out["2024-01-10"].zscore) < 2  # normal day not flagged
+    assert out["2024-01-01"].zscore is None  # no baseline
