@@ -3846,6 +3846,47 @@ SELECT event_type, day, n_events, base_mean, base_std,
 FROM roll"""
 
 
+def q_jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom Python DataSource proof: documents → JSONL shards
+    via the engine's jsonl_docs SINK, back through the jsonl_docs SOURCE
+    with `lang = 'en'` pushed into the executor-side line parser
+    (sources.jsonl.JsonlReader.pushFilters), then per-source stats with a
+    content checksum — so the oracle verifies byte fidelity of the full
+    write→read cycle, not just counts."""
+    import os
+    import tempfile
+
+    from alphalens_spark.scale.dedup import md5_long
+    from alphalens_spark.sources import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_src_"), "docs")
+    docs.write.format("jsonl_docs").option("path", path).mode("append").save()
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", path)
+        .load()
+        .where(F.col("lang") == "en")
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.pmod(md5_long(F.col("text"), 15), F.lit(1_000_000_000))).alias(
+            "text_checksum"
+        ),
+    )
+
+
+ORACLES["jsonl_source_agg"] = r"""
+SELECT source, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000)
+            AS BIGINT) AS text_checksum
+FROM documents WHERE lang = 'en' GROUP BY 1"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -3959,4 +4000,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "ngram_containment": q_ngram_containment,
     "rolling_anomaly": q_rolling_anomaly,
+    "jsonl_source_agg": q_jsonl_source_agg,
 }

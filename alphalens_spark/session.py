@@ -30,6 +30,9 @@ def get_spark(app_name: str = "alphalens_spark", shuffle_partitions: int | None 
         # Spark has no nanos type — read as long, convert at the source
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python DataSource readers receive pushed filters
+        # (alphalens_spark.sources.jsonl implements pushFilters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
