@@ -202,3 +202,86 @@ def test_asof_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+# ---------------------------------------------------------------- round-2 ops
+def test_chunk_documents_plan_no_shuffle(spark):
+    """Chunking is a pure projection + bounded Generate: any Exchange in
+    this plan means a 100 TB corpus gets shuffled for no reason."""
+    from alphalens_spark.scale.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    p = _plan(chunk_documents(docs, size=4, stride=2))
+    assert "Exchange" not in p
+    assert "Generate" in p  # the one explode
+
+
+def test_random_projection_plan_no_shuffle_no_python(spark):
+    """JL projection is plan-folded literals: no Exchange, no Python UDF
+    (BatchEvalPython/ArrowEvalPython) may appear."""
+    from alphalens_spark.scale.similarity import random_projection
+
+    emb = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])], "vec_id bigint, embedding array<double>"
+    )
+    p = _plan(random_projection(emb, out_dim=8))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_kmv_single_value_shuffle(spark):
+    """KMV shuffles 8-byte hashes once for the distinct and once for the
+    bounded per-group window/agg — never the values themselves. The
+    value column must be pruned out right after hashing."""
+    from alphalens_spark.scale.profile import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", f"payload-{i}") for i in range(100)], "g string, v string"
+    )
+    p = _plan(kmv_distinct(df, ["g"], "v", k=8))
+    # value never crosses an exchange: no plan node lists `v` after the
+    # initial project (cheap proxy: the string column name appears only
+    # in scan/project context, and hash partitioning keys are (g, _h))
+    assert "hashpartitioning" in p.lower()
+    assert p.lower().count("exchange") <= 3  # distinct(2-stage) + window
+
+
+def test_histogram_quantiles_small_keyed_shuffles_only(spark):
+    """Histogram quantiles must aggregate (group) and (group, bin) — both
+    tiny key spaces — and broadcast the stats/probs; no sort of the raw
+    values may appear."""
+    from alphalens_spark.scale.profile import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1000)], "g string, v double"
+    )
+    p = _plan(histogram_quantiles(df, "v", ["g"], probs=[0.5], bins=32))
+    assert "BroadcastExchange" in p  # stats + probs broadcast back
+    assert "CartesianProduct" not in p
+
+
+def test_cm_sketch_fixed_fanout_single_shuffle(spark):
+    """Count-min: one Generate (xdepth fan-out) then ONE hash shuffle on
+    the uniform (row, col) key."""
+    from alphalens_spark.scale.profile import cm_sketch
+
+    df = spark.createDataFrame([(f"i{n}",) for n in range(100)], "item string")
+    p = _plan(cm_sketch(df, "item", depth=4, width=64))
+    assert "Generate" in p
+    # partial + final agg pair around exactly one exchange
+    assert p.count("Exchange") - p.count("BroadcastExchange") <= 1
+
+
+def test_weighted_sample_global_path_prunes_before_final_rank(spark):
+    """Ungrouped A-ES sampling must show TWO window stages (local prune,
+    then final rank over <= k*P survivors) so the single-partition rank
+    never sees the full table."""
+    from alphalens_spark.scale.curation import weighted_priority_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(500)], "doc_id bigint, w double"
+    )
+    p = _plan(weighted_priority_sample(df, "w", k=10))
+    assert p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2
