@@ -469,3 +469,138 @@ def stream_dedup_minhash(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def cm_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """One incremental count-min maintenance step: sketch the arriving
+    micro-batch and MERGE it into the persisted counters — CM merge is
+    counter addition, which is why the sketch (unlike an exact top-k
+    heap) can be maintained by any number of independent writers and
+    stays exactly equal to the sketch of the full history (tested:
+    incremental == one-shot).
+
+    The store stays ≤ depth×width rows forever, so the merge cost is
+    O(|batch| + depth·width) per batch regardless of history size — the
+    100 TB answer to "how many distinct user-agents did we ever see per
+    count bucket" style frequency queries.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.profile import cm_sketch
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_sk = cm_sketch(batch_df, item_col, depth, width)
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(batch_sk)
+            .groupBy("row", "col")
+            .agg(F.sum("count").alias("count"))
+        )
+    except AnalysisException:  # first batch
+        merged = batch_sk
+    # self-path overwrite: materialize off the source files first
+    # (storage.compact_partitions pattern), then atomically replace
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def kmv_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> None:
+    """One incremental KMV maintenance step: hash the batch's values and
+    keep, per group, the k smallest DISTINCT hashes of store ∪ batch —
+    the KMV merge rule (union → bottom-k), under which the maintained
+    sketch is exactly the sketch of the full history. Store size is
+    bounded at k rows per group. Read estimates off the store with
+    :func:`kmv_store_estimate`."""
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.dedup import md5_long
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    h = md5_long(F.col(value_col).cast("string"), 15)
+    new_h = batch_df.select(*group_cols, h.alias("_h")).distinct()
+    try:
+        old = spark.read.parquet(store_path)
+        merged = old.unionByName(new_h).distinct()
+    except AnalysisException:
+        merged = new_h
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    topk = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    topk.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+
+def kmv_store_estimate(
+    spark: SparkSession, store_path: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count estimates off a maintained KMV store — the same
+    estimator as scale.profile.kmv_distinct, applied to the persisted
+    bottom-k hashes."""
+    h_max = float(1 << 60)
+    est = F.when(
+        F.col("n_mins") < k, F.col("n_mins").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(h_max)))
+    return (
+        spark.read.parquet(store_path)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_mins"), F.max("_h").alias("_kth"))
+        .select(*group_cols, "n_mins", F.round(est, 6).alias("est_distinct"))
+    )
+
+
+def stream_sketch_maintenance(
+    stream_df: DataFrame,
+    cm_path: str,
+    kmv_path: str,
+    checkpoint: str,
+    item_col: str = "item",
+    group_col: str = "g",
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 64,
+    available_now: bool = False,
+):
+    """Maintain BOTH mergeable sketches (count-min counters + per-group
+    KMV bottom-k) from one stream via foreachBatch — the streaming
+    analytics sidecar: bounded state, exact equality with the batch
+    sketch of everything ever seen, queryable at any time without
+    stopping the stream.
+
+    ``available_now=True`` only for sources that honor
+    Trigger.AvailableNow (file/kafka); Python DataSource streams degrade
+    it to a single batch — drain those with the default trigger +
+    ``query.processAllAvailable()`` instead."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        batch_df = batch_df.persist()
+        cm_store_update(batch_df, cm_path, item_col, depth, width)
+        kmv_store_update(batch_df, kmv_path, [group_col], item_col, k)
+        batch_df.unpersist()
+
+    w = stream_df.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -263,3 +263,71 @@ def test_rolling_anomaly_flags_spike_day(spark):
     assert out["2024-01-11"].zscore > 5  # spike flagged
     assert abs(out["2024-01-10"].zscore) < 2  # normal day not flagged
     assert out["2024-01-01"].zscore is None  # no baseline
+
+
+# ----------------------------------------------------- sketch maintenance
+def test_cm_store_incremental_equals_oneshot(spark, tmp_path):
+    from alphalens_spark.scale.profile import cm_sketch
+    from alphalens_spark.streaming.ops import cm_store_update
+
+    items = [Row(item=f"i{n % 37}") for n in range(400)]
+    df = spark.createDataFrame(items)
+    store = str(tmp_path / "cm")
+    # three uneven incremental merges
+    for lo, hi in [(0, 100), (100, 150), (150, 400)]:
+        cm_store_update(spark.createDataFrame(items[lo:hi]), store, width=128)
+    got = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    want = sorted(tuple(r) for r in cm_sketch(df, "item", width=128).collect())
+    assert got == want  # merge = exact counter addition
+
+
+def test_kmv_store_incremental_equals_oneshot(spark, tmp_path):
+    from alphalens_spark.scale.profile import kmv_distinct
+    from alphalens_spark.streaming.ops import kmv_store_estimate, kmv_store_update
+
+    rows = [Row(g="a" if i % 3 else "b", item=f"v{i}") for i in range(300)]
+    df = spark.createDataFrame(rows)
+    store = str(tmp_path / "kmv")
+    for lo, hi in [(0, 120), (120, 300)]:
+        kmv_store_update(
+            spark.createDataFrame(rows[lo:hi]), store, ["g"], "item", k=32
+        )
+    got = sorted(
+        tuple(r) for r in kmv_store_estimate(spark, store, ["g"], k=32).collect()
+    )
+    want = sorted(tuple(r) for r in kmv_distinct(df, ["g"], "item", k=32).collect())
+    assert got == want  # union->bottom-k merge preserves the exact sketch
+
+
+def test_stream_sketch_maintenance_equals_batch(spark, tmp_path):
+    from alphalens_spark.scale.profile import cm_sketch
+    from alphalens_spark.sources import SyntheticEventsDataSource
+    from alphalens_spark.streaming.ops import stream_sketch_maintenance
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    # batch truth over the same deterministic generator
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", 250)
+        .option("seed", 11)
+        .load()
+        .select(F.col("event_type").alias("item"), F.col("user_id").cast("string").alias("g"))
+    )
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batch_rows", 100)
+        .option("max_rows", 250)
+        .option("seed", 11)
+        .load()
+        .select(F.col("event_type").alias("item"), F.col("user_id").cast("string").alias("g"))
+    )
+    cm_p, kmv_p = str(tmp_path / "cm"), str(tmp_path / "kmv")
+    q = stream_sketch_maintenance(
+        stream, cm_p, kmv_p, str(tmp_path / "ckpt"), width=64, k=8
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(cm_p).collect())
+    want = sorted(tuple(r) for r in cm_sketch(batch, "item", width=64).collect())
+    assert got == want
+    assert spark.read.parquet(kmv_p).count() > 0
