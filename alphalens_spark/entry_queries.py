@@ -3887,6 +3887,75 @@ SELECT source, CAST(count(*) AS INT) AS n_docs,
 FROM documents WHERE lang = 'en' GROUP BY 1"""
 
 
+def q_dedupe_units_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style CORPUS-wide unit dedup (keep the globally-first
+    occurrence by (doc_id, pos)), 8-word chunk unit
+    (scale.curation.dedupe_units_across_corpus) — cross-document
+    boilerplate removal the within-doc scrub cannot see."""
+    from alphalens_spark.scale.curation import dedupe_units_across_corpus
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(dedupe_units_across_corpus(docs, unit=8))
+
+
+ORACLES["dedupe_units_corpus"] = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)),
+             i -> struct_pack(pos := i,
+                              u := array_to_string(ws[i*8+1:i*8+8], ' ')))) AS s
+  FROM w
+),
+e2 AS (SELECT doc_id, s.pos AS pos, s.u AS u FROM ex),
+rk AS (
+  SELECT doc_id, pos, u,
+         row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
+  FROM e2
+),
+keep AS (SELECT doc_id, pos, u FROM rk WHERE rn = 1),
+reb AS (
+  SELECT doc_id, array_to_string(list(u ORDER BY pos), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY 1
+),
+nu AS (SELECT doc_id, count(*) AS n_units FROM e2 GROUP BY 1)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       coalesce(nu.n_units, 0) AS n_units, coalesce(r.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN reb r USING (doc_id) LEFT JOIN nu USING (doc_id)"""
+
+
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, weekday): all four grouping sets in ONE
+    Expand pass with grouping_id disambiguation — completes the
+    grouping-sets family next to event_rollup. weekday is Monday=0
+    (Spark ``weekday`` == DuckDB ``isodow - 1``)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(
+        ev.select("event_type", F.weekday(F.col("ts")).alias("dow"), "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select("event_type", "dow", "gid", "n", "avg_value")
+    )
+
+
+ORACLES["event_cube"] = r"""
+SELECT event_type, CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS dow,
+       CAST(GROUPING(event_type) * 2
+            + GROUPING(isodow(CAST(ts AS DATE)) - 1) AS INT) AS gid,
+       count(*) AS n,
+       round(avg(value), 6) + 0.0 AS avg_value
+FROM events
+GROUP BY CUBE (event_type, isodow(CAST(ts AS DATE)) - 1)"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -4001,4 +4070,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "rolling_anomaly": q_rolling_anomaly,
     "jsonl_source_agg": q_jsonl_source_agg,
+    "dedupe_units_corpus": q_dedupe_units_corpus,
+    "event_cube": q_event_cube,
 }

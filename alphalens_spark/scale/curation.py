@@ -739,3 +739,46 @@ def weighted_priority_sample(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def dedupe_units_across_corpus(
+    docs: DataFrame,
+    unit: str | int = "line",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CORPUS-wide unit deduplication, C4-style (Raffel et al. 2020
+    §2.2 dedupes any three-sentence span occurring more than once): a
+    unit survives only in its first occurrence — lowest (doc_id, pos) in
+    the whole corpus — and every later copy is cut from its document.
+    The cross-document complement of :func:`dedupe_units_within_doc`
+    (which cannot see a boilerplate footer shared by a million pages).
+
+    Plan: posexplode → global min(doc, pos) per unit (ONE shuffle on the
+    unit hash — uniform key, map-side partial min) → keep exploded rows
+    matching the winner → rebuild per doc. No self-join: the winner set
+    is derived by aggregation, and membership is (id, pos)-exact so a
+    unit repeated within the winning document also keeps only its first
+    copy. Output: (id, clean_text, n_units, n_kept).
+    """
+    units, sep = _unitize(text_col, unit)
+    ex = docs.select(
+        F.col(id_col), F.posexplode(units).alias("pos", "u")
+    )
+    # lexicographic (doc, pos) min in one agg: min over a struct
+    win = ex.groupBy("u").agg(F.min(F.struct(id_col, "pos")).alias("_w"))
+    winners = win.select(
+        "u", F.col(f"_w.{id_col}").alias(id_col), F.col("_w.pos").alias("pos")
+    )
+    keep = ex.join(winners, ["u", id_col, "pos"], "left_semi")
+    out = _rebuild(keep, docs, id_col, sep)
+    n_units = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    return (
+        out.join(n_units, id_col, "left")
+        .select(
+            id_col,
+            "clean_text",
+            F.coalesce("n_units", F.lit(0)).alias("n_units"),
+            "n_kept",
+        )
+    )

@@ -331,3 +331,30 @@ def test_stream_sketch_maintenance_equals_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in cm_sketch(batch, "item", width=64).collect())
     assert got == want
     assert spark.read.parquet(kmv_p).count() > 0
+
+
+# ------------------------------------------------------ corpus unit dedup
+def test_dedupe_units_across_corpus_keeps_global_first(spark):
+    from alphalens_spark.scale.curation import dedupe_units_across_corpus
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="shared footer\nunique one"),
+            Row(doc_id=2, text="unique two\nshared footer"),
+            Row(doc_id=3, text="shared footer"),
+        ]
+    )
+    out = {r.doc_id: r for r in dedupe_units_across_corpus(df, unit="line").collect()}
+    assert out[1].clean_text == "shared footer\nunique one"  # first owner keeps it
+    assert out[2].clean_text == "unique two"  # later copy cut
+    assert out[3].clean_text == ""  # doc entirely boilerplate
+    assert (out[3].n_units, out[3].n_kept) == (1, 0)
+
+
+def test_dedupe_units_across_corpus_within_doc_repeat_also_cut(spark):
+    from alphalens_spark.scale.curation import dedupe_units_across_corpus
+
+    df = spark.createDataFrame([Row(doc_id=5, text="a b\nc d\na b")])
+    out = dedupe_units_across_corpus(df, unit="line").collect()[0]
+    assert out.clean_text == "a b\nc d"
+    assert out.n_kept == 2
