@@ -115,6 +115,27 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
             built["idx"].unpersist()
         built["cents"], built["books"], built["idx"] = cents, books, idx
 
+    # --- round-2 second batch: chunking, sketches, sampling ---
+    from alphalens_spark.scale import profile as prof
+
+    timed("chunk_documents",
+          lambda: curation.chunk_documents(docs, size=32, stride=16).count())
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    timed("histogram_quantiles",
+          lambda: prof.histogram_quantiles(
+              li, "l_extendedprice", ["l_returnflag"], probs=[0.5, 0.9, 0.99],
+              bins=64,
+          ).collect())
+    timed("weighted_sample",
+          lambda: curation.weighted_priority_sample(
+              docs, "n_chars", k=5, group_cols=["source"]
+          ).count())
+    toks = docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
+    timed("cm_sketch_tokens",
+          lambda: prof.cm_sketch(toks, "tok", depth=4, width=1024).count())
+    timed("kmv_distinct",
+          lambda: prof.kmv_distinct(docs, ["source"], "text", k=64).count())
+
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
           lambda: similarity.ivfpq_topk(
