@@ -1,0 +1,122 @@
+"""Physical-plan introspection — programmatic access to the facts the
+100 TB posture depends on.
+
+``tests/test_plans.py`` asserts plan shapes with raw string matching;
+this module gives the same checks a first-class API so pipelines can
+gate deploys on them (``assert_scalable``), notebooks can print a
+one-line audit (``plan_summary``), and scan efficiency — column pruning
+and predicate pushdown actually reaching parquet — is inspectable
+without eyeballing ``explain()`` output.
+
+Everything reads the *executed* (pre-AQE-finalization) physical plan
+text: the plan Spark would run, not the unresolved logical tree.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def _plan_text(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@dataclass
+class PlanSummary:
+    """Counted plan facts. ``shuffles`` excludes broadcast exchanges —
+    a BroadcastExchange ships a small side to every executor (good);
+    a shuffle Exchange repartitions the big relation (the thing to
+    minimize)."""
+
+    shuffles: int = 0
+    broadcasts: int = 0
+    sort_merge_joins: int = 0
+    broadcast_hash_joins: int = 0
+    nested_loop_joins: int = 0
+    cartesian_products: int = 0
+    generates: int = 0
+    windows: int = 0
+    python_evals: int = 0
+    scans: list["ScanInfo"] = field(default_factory=list)
+
+    @property
+    def quadratic_joins(self) -> int:
+        return self.nested_loop_joins + self.cartesian_products
+
+
+@dataclass
+class ScanInfo:
+    """One parquet/file scan: what reached the reader."""
+
+    location: str
+    read_columns: list[str]
+    pushed_filters: list[str]
+
+
+def plan_summary(df: DataFrame) -> PlanSummary:
+    """Parse the executed plan into counted facts + per-scan details."""
+    p = _plan_text(df)
+    s = PlanSummary(
+        shuffles=len(re.findall(r"Exchange (?:hash|range|SinglePartition)", p))
+        or p.count("Exchange") - p.count("BroadcastExchange"),
+        broadcasts=p.count("BroadcastExchange"),
+        sort_merge_joins=p.count("SortMergeJoin"),
+        broadcast_hash_joins=p.count("BroadcastHashJoin"),
+        nested_loop_joins=p.count("BroadcastNestedLoopJoin"),
+        cartesian_products=p.count("CartesianProduct"),
+        generates=p.count("Generate"),
+        windows=len(re.findall(r"\bWindow\b|RunningWindowFunction", p)),
+        python_evals=len(re.findall(r"(?:Batch|Arrow)EvalPython|MapInPandas|FlatMapGroupsInPandas", p)),
+    )
+    for line in p.splitlines():
+        m = re.search(r"FileScan \w+ [^\[]*\[([^\]]*)\]", line)
+        if not m:
+            continue
+        cols = [c.split("#")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        loc = ""
+        lm = re.search(r"Location: [^\[]*\[([^\]]*)\]", line)
+        if lm:
+            loc = lm.group(1)
+        pf: list[str] = []
+        fm = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        if fm and fm.group(1).strip():
+            # split on top-level commas only (filter args contain commas)
+            pf = re.findall(r"\w+\([^()]*(?:\([^()]*\)[^()]*)*\)", fm.group(1))
+        s.scans.append(ScanInfo(location=loc, read_columns=cols, pushed_filters=pf))
+    return s
+
+
+def assert_scalable(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    allow_nested_loop: bool = False,
+    forbid_python: bool = False,
+) -> PlanSummary:
+    """Deploy-gate: raise AssertionError if the plan contains a shape
+    that stops scaling — a cartesian product always, a nested-loop join
+    unless explicitly allowed (1-row stats broadcasts are the legitimate
+    case), more shuffles than budgeted, Python evaluation when the
+    operator is contractually JVM-only. Returns the summary on success
+    so callers can log it."""
+    s = plan_summary(df)
+    assert s.cartesian_products == 0, f"CartesianProduct in plan: {s}"
+    if not allow_nested_loop:
+        assert s.nested_loop_joins == 0, f"BroadcastNestedLoopJoin in plan: {s}"
+    if max_shuffles is not None:
+        assert s.shuffles <= max_shuffles, (
+            f"{s.shuffles} shuffles > budget {max_shuffles}"
+        )
+    if forbid_python:
+        assert s.python_evals == 0, f"Python eval in plan: {s}"
+    return s
+
+
+def scan_report(df: DataFrame) -> list[ScanInfo]:
+    """Per-scan pruning/pushdown audit: which columns each file scan
+    actually reads and which predicates reached the reader. A scan whose
+    ``read_columns`` is the full table for a 2-column projection means
+    pruning broke."""
+    return plan_summary(df).scans

@@ -1,0 +1,92 @@
+"""alphalens_spark.plans — plan-introspection API tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphalens_spark import datasets, plans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_plan_summary_counts_shuffle_and_scan_pruning(spark):
+    li = datasets.load_table(spark, SF_DIR, "lineitem")
+    df = (
+        li.where(F.col("l_quantity") > 30)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("s"))
+    )
+    s = plans.plan_summary(df)
+    assert s.shuffles == 1  # the group-by exchange, nothing else
+    assert s.quadratic_joins == 0
+    assert len(s.scans) == 1
+    # column pruning reached the reader: only the three referenced cols
+    assert sorted(s.scans[0].read_columns) == [
+        "l_extendedprice", "l_quantity", "l_returnflag",
+    ]
+    # predicate pushdown reached the reader
+    assert any("GreaterThan(l_quantity" in f for f in s.scans[0].pushed_filters)
+
+
+def test_plan_summary_broadcast_join_classified(spark):
+    li = datasets.load_table(spark, SF_DIR, "lineitem")
+    ord_ = datasets.load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    df = li.join(F.broadcast(ord_), li.l_orderkey == ord_.o_orderkey)
+    s = plans.plan_summary(df)
+    assert s.broadcast_hash_joins == 1
+    assert s.broadcasts >= 1
+    assert s.nested_loop_joins == 0
+
+
+def test_assert_scalable_rejects_quadratic_join(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    bad = a.join(b, a.id * 2 > b.id2)  # non-equi -> nested loop
+    with pytest.raises(AssertionError):
+        plans.assert_scalable(bad)
+    # but allowed when the caller declares the 1-row-broadcast intent
+    plans.assert_scalable(bad, allow_nested_loop=True)
+
+
+def test_assert_scalable_shuffle_budget(spark):
+    li = datasets.load_table(spark, SF_DIR, "lineitem")
+    two = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+        .orderBy("q")  # adds a range exchange
+    )
+    with pytest.raises(AssertionError):
+        plans.assert_scalable(two, max_shuffles=1)
+    plans.assert_scalable(two, max_shuffles=2)
+
+
+def test_assert_scalable_forbid_python(spark):
+    from pyspark.sql.functions import pandas_udf
+
+    up = pandas_udf(lambda s: s, "long")
+    df = spark.range(10).select(up("id").alias("x"))
+    with pytest.raises(AssertionError):
+        plans.assert_scalable(df, forbid_python=True)
+    plans.assert_scalable(df)  # python allowed by default
+
+
+def test_engine_operators_pass_the_gate(spark):
+    """The engine's own single-shuffle contracts restated through the
+    public API (same facts as tests/test_plans.py, first-class form)."""
+    from alphalens_spark.scale.curation import chunk_documents
+    from alphalens_spark.scale.similarity import random_projection
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    s = plans.assert_scalable(
+        chunk_documents(docs, size=2, stride=1), max_shuffles=0,
+        forbid_python=True,
+    )
+    assert s.generates == 1
+    emb = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])],
+        "vec_id bigint, embedding array<double>",
+    )
+    plans.assert_scalable(
+        random_projection(emb), max_shuffles=0, forbid_python=True
+    )
