@@ -49,11 +49,13 @@ class PlanSummary:
 
 @dataclass
 class ScanInfo:
-    """One parquet/file scan: what reached the reader."""
+    """One parquet/file scan: what reached the reader. ``n_paths`` is the
+    file-index size — the number the data-skipping layer shrinks."""
 
     location: str
     read_columns: list[str]
     pushed_filters: list[str]
+    n_paths: int | None = None
 
 
 def plan_summary(df: DataFrame) -> PlanSummary:
@@ -85,7 +87,15 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         if fm and fm.group(1).strip():
             # split on top-level commas only (filter args contain commas)
             pf = re.findall(r"\w+\([^()]*(?:\([^()]*\)[^()]*)*\)", fm.group(1))
-        s.scans.append(ScanInfo(location=loc, read_columns=cols, pushed_filters=pf))
+        nm = re.search(r"FileIndex\((\d+) paths?\)", line)
+        s.scans.append(
+            ScanInfo(
+                location=loc,
+                read_columns=cols,
+                pushed_filters=pf,
+                n_paths=int(nm.group(1)) if nm else None,
+            )
+        )
     return s
 
 

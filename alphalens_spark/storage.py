@@ -201,3 +201,89 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def collect_file_stats(
+    path: str,
+    cols: Sequence[str],
+) -> list[dict]:
+    """Per-file min/max column statistics from parquet footers — the
+    data-skipping manifest a lakehouse table format (Delta/Iceberg)
+    maintains transactionally, rebuilt here for a plain parquet
+    directory. Footer reads are metadata-only (no row groups touch
+    disk); cost is O(files), so pair with compact_partitions to keep the
+    file count sane. Stats aggregate over every row group in the file.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    out = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        entry: dict = {"file": fp, "n_rows": md.num_rows}
+        for c in cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                entry[f"min_{c}"] = min(mins)
+                entry[f"max_{c}"] = max(maxs)
+        out.append(entry)
+    return out
+
+
+def read_skipping(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    stats: list[dict] | None = None,
+) -> DataFrame:
+    """Range-scan a parquet directory reading ONLY the files whose
+    footer [min, max] interval intersects [lo, hi] — file-level data
+    skipping on top of :func:`collect_file_stats`. With a Z-ordered or
+    range-partitioned layout (write_zordered) each file covers a narrow
+    value range, so a selective predicate prunes nearly all of them
+    BEFORE Spark plans the scan (the pruned files never even enter the
+    file index — stronger than row-group skipping, which still lists
+    and opens every footer on every query).
+
+    The predicate is re-applied after the read: skipping is an
+    optimization, never a correctness dependency.
+    """
+    stats = stats if stats is not None else collect_file_stats(path, [col])
+    mn, mx = f"min_{col}", f"max_{col}"
+    keep = [
+        s["file"]
+        for s in stats
+        if (lo is None or mn not in s or s[mx] >= lo)
+        and (hi is None or mx not in s or s[mn] <= hi)
+    ]
+    from pyspark.sql import functions as F
+
+    if not keep:
+        # empty relation with the right schema
+        empty = spark.read.parquet(path).limit(0)
+        return empty
+    df = spark.read.parquet(*keep)
+    c = F.col(col)
+    if lo is not None:
+        df = df.where(c >= lo)
+    if hi is not None:
+        df = df.where(c <= hi)
+    return df

@@ -166,3 +166,40 @@ def test_write_zordered_tightens_per_file_spans(spark, tmp_path):
     back = spark.read.parquet(zord)
     assert back.count() == n
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ------------------------------------------------------- file-stat skipping
+def test_collect_file_stats_and_read_skipping(spark, tmp_path):
+    from alphalens_spark import plans
+    from alphalens_spark.storage import collect_file_stats, read_skipping, write_zordered
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    path = str(tmp_path / "zt")
+    write_zordered(df, path, ["k"], bits=12, n_files=16)
+
+    stats = collect_file_stats(path, ["k"])
+    assert len(stats) == 16
+    assert all("min_k" in s and "max_k" in s for s in stats)
+    assert sum(s["n_rows"] for s in stats) == 10_000
+
+    # selective range: only the files covering [100, 250] are read
+    out = read_skipping(spark, path, "k", lo=100, hi=250, stats=stats)
+    got = sorted(r.k for r in out.collect())
+    assert got == list(range(100, 251))  # skipping never loses rows
+    n_kept = sum(1 for s in stats if s["max_k"] >= 100 and s["min_k"] <= 250)
+    assert n_kept < 16  # the layout made most files skippable
+    scan = plans.plan_summary(out).scans[0]
+    assert scan.n_paths == n_kept  # pruned files never entered the index
+
+
+def test_read_skipping_empty_range(spark, tmp_path):
+    from alphalens_spark.storage import read_skipping, write_zordered
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    path = str(tmp_path / "zt2")
+    write_zordered(df, path, ["k"], bits=8, n_files=4)
+    out = read_skipping(spark, path, "k", lo=1000, hi=2000)
+    assert out.count() == 0
+    assert out.schema == spark.read.parquet(path).schema
