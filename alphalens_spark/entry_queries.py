@@ -3956,6 +3956,51 @@ FROM events
 GROUP BY CUBE (event_type, isodow(CAST(ts AS DATE)) - 1)"""
 
 
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention funnel through a 4-step cleaning stack (min length →
+    English → char cap → deterministic 80% hash sample), each step seeing
+    only the previous survivors, all counted in ONE corpus pass
+    (scale.curation.curation_report)."""
+    from alphalens_spark.scale.curation import curation_report
+    from alphalens_spark.scale.dedup import md5_long
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    steps = [
+        ("min_tokens_20", n_tok >= 20),
+        ("lang_en", F.col("lang") == "en"),
+        ("max_chars_2000", F.col("n_chars") <= 2000),
+        ("hash_sample_80", F.pmod(md5_long(F.col("doc_id").cast("string"), 15), F.lit(10)) < 8),
+    ]
+    return _finalize(curation_report(docs, steps))
+
+
+ORACLES["curation_report"] = r"""
+WITH f AS (
+  SELECT
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 20
+         THEN 1 ELSE 0 END AS s0,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s1,
+    CASE WHEN n_chars <= 2000 THEN 1 ELSE 0 END AS s2,
+    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10 < 8 THEN 1 ELSE 0 END AS s3
+  FROM documents
+),
+agg AS (
+  SELECT count(*) AS n0, sum(s0) AS n1, sum(s0*s1) AS n2,
+         sum(s0*s1*s2) AS n3, sum(s0*s1*s2*s3) AS n4
+  FROM f
+)
+SELECT step_idx, step, n_in, n_kept, n_in - n_kept AS n_dropped,
+       round(n_kept / CAST(n_in AS DOUBLE), 6) + 0.0 AS keep_rate
+FROM (
+  SELECT 0 AS step_idx, 'min_tokens_20' AS step, n0 AS n_in, n1 AS n_kept FROM agg
+  UNION ALL SELECT 1, 'lang_en', n1, n2 FROM agg
+  UNION ALL SELECT 2, 'max_chars_2000', n2, n3 FROM agg
+  UNION ALL SELECT 3, 'hash_sample_80', n3, n4 FROM agg
+)"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -4072,4 +4117,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_source_agg": q_jsonl_source_agg,
     "dedupe_units_corpus": q_dedupe_units_corpus,
     "event_cube": q_event_cube,
+    "curation_report": q_curation_report,
 }

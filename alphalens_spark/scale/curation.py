@@ -782,3 +782,55 @@ def dedupe_units_across_corpus(
             "n_kept",
         )
     )
+
+
+def curation_report(
+    docs: DataFrame,
+    steps: list[tuple[str, Column]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-step retention funnel through a cleaning stack: apply the
+    named boolean predicates IN ORDER (each step sees only the previous
+    step's survivors — the composition every curation pipeline actually
+    runs) and report (step, step_idx, n_in, n_kept, n_dropped,
+    keep_rate). The report is what gets reviewed before a multi-week
+    training run: which stage ate the corpus.
+
+    Scale shape: predicates are column expressions, so the whole funnel
+    is ONE pass — each row evaluates the cumulative conjunction and the
+    counts come from a single aggregation (sums of step-survival flags),
+    not |steps| scans of the corpus.
+    """
+    if not steps:
+        raise ValueError("at least one (name, predicate) step required")
+    aggs = [F.count(F.lit(1)).alias("_n0")]
+    cum = None
+    for i, (name, pred) in enumerate(steps):
+        cum = pred if cum is None else (cum & pred)
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).alias(f"_n{i + 1}")
+        )
+    row = docs.agg(*aggs)
+    # reshape the 1-row wide aggregate to one row per step, driver-free
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(name).alias("step"),
+                F.col(f"_n{i}").alias("n_in"),
+                F.col(f"_n{i + 1}").alias("n_kept"),
+            )
+            for i, (name, _) in enumerate(steps)
+        ]
+    )
+    ex = row.select(F.explode(pairs).alias("s")).select("s.*")
+    return ex.select(
+        "step_idx",
+        "step",
+        "n_in",
+        "n_kept",
+        (F.col("n_in") - F.col("n_kept")).alias("n_dropped"),
+        F.round(
+            F.col("n_kept") / F.nullif(F.col("n_in").cast("double"), F.lit(0.0)), 6
+        ).alias("keep_rate"),
+    )

@@ -358,3 +358,35 @@ def test_dedupe_units_across_corpus_within_doc_repeat_also_cut(spark):
     out = dedupe_units_across_corpus(df, unit="line").collect()[0]
     assert out.clean_text == "a b\nc d"
     assert out.n_kept == 2
+
+
+# ------------------------------------------------------ curation funnel
+def test_curation_report_sequential_semantics(spark):
+    from alphalens_spark.scale.curation import curation_report
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n=i) for i in range(10)]
+    )
+    out = {
+        r.step: r
+        for r in curation_report(
+            df, [("ge_2", F.col("n") >= 2), ("even", F.col("n") % 2 == 0)]
+        ).collect()
+    }
+    assert (out["ge_2"].n_in, out["ge_2"].n_kept) == (10, 8)
+    # step 2 sees only ge_2 survivors: evens among 2..9 = {2,4,6,8}
+    assert (out["even"].n_in, out["even"].n_kept) == (8, 4)
+    assert out["even"].keep_rate == 0.5
+
+
+def test_curation_report_single_pass_plan(spark):
+    from alphalens_spark import plans
+    from alphalens_spark.scale.curation import curation_report
+
+    df = spark.createDataFrame([Row(doc_id=i, n=i) for i in range(10)])
+    rep = curation_report(
+        df,
+        [("a", F.col("n") > 0), ("b", F.col("n") > 1), ("c", F.col("n") > 2)],
+    )
+    s = plans.plan_summary(rep)
+    assert s.shuffles <= 1  # one global aggregate, not one scan per step
