@@ -20,16 +20,24 @@ Modules:
   tears         batch drivers mirroring the reference tear sheets
   plotting      the reference's plot_* API, compute-first (render optional)
   joins         generic as-of (point-in-time) join, single-shuffle form
-  events        event analytics: sessionize, funnel, cohorts, actives
-  storage       bucketed-table layouts for shuffle-free co-located joins
-                + partitioned-store small-file compaction
+  events        event analytics: sessionize, funnel, cohorts, actives,
+                decayed activity, trailing-baseline anomaly z-scores
+  storage       bucketed-table layouts for shuffle-free co-located joins,
+                partitioned-store small-file compaction, Z-order layout,
+                footer-stats manifests + file-level data skipping
   streaming     watermarked windowed aggs, stateful sessionization,
-                bounded-state stream-stream interval join
+                bounded-state stream-stream interval join, incremental
+                near-dup suppression, mergeable sketch-store maintenance
   incremental   append-only factor_data store maintenance
   datasets      derived factor/prices panels from the driver's TPC-H data
+  plans         physical-plan introspection: plan_summary, assert_scalable
+                deploy gate, per-scan pruning/pushdown reports
+  sources       Python DataSource V2: JSONL corpus source/sink with filter
+                pushdown; deterministic synthetic events batch + stream
   scale         LLM-data-pipeline extensions: dedup, similarity (LSH/IVF/
-                IVF-PQ), text (quality/BM25/LM-score), curation (Gopher/
-                C4/spans/packing/mixing/splits), profile, skew, multimodal
+                IVF-PQ/JL), text (quality/BM25/LM-score), curation (Gopher/
+                C4/spans/chunking/packing/mixing/splits/funnel-report),
+                profile (sketches + histogram quantiles), skew, multimodal
 """
 
 from alphalens_spark import calendar_ as calendar  # noqa: F401
