@@ -642,9 +642,11 @@ def chunk_documents(
 
     Coverage contract: chunk starts are the stride grid 0, s, 2s, …
     clamped to n−size, PLUS the final n−size start when the grid misses
-    it — every token appears in at least one chunk and every chunk is
-    exactly ``min(size, n)`` tokens (no degenerate tail fragments, which
-    would skew downstream length statistics).
+    it — every chunk is exactly ``min(size, n)`` tokens (no degenerate
+    tail fragments, which would skew downstream length statistics), and
+    for ``stride <= size`` every token appears in at least one chunk
+    (property-tested). ``stride > size`` deliberately samples the
+    document with gaps — the cheap-coverage mode for quality probes.
 
     Scale shape: pure projection + one bounded explode (≤ ⌈n/stride⌉
     chunks per doc) — no shuffle, no UDF; the token array is materialized

@@ -208,3 +208,124 @@ def test_asof_join_matches_merge_asof(spark, case):
         for r in want_df.itertuples(index=False)
     }
     assert got == want
+
+
+# ------------------------------------------------- round-2 op invariants
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9999),  # doc id
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=1, max_size=25,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy, st.integers(2, 6), st.integers(1, 6))
+def test_chunking_full_coverage_property(spark, docs, size, stride):
+    """Every chunk has exactly min(size, n) tokens and matches the source
+    slice; for stride <= size (the contract's coverage regime) every
+    token index lands in >= 1 chunk. stride > size is documented
+    gap-sampling — starts are still the clamped grid."""
+    from alphalens_spark.scale.curation import chunk_documents
+
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, size=size, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, toks in docs:
+        chunks = by_doc[i]
+        n = len(toks)
+        covered = set()
+        for c in chunks:
+            assert c.n_tokens == min(size, n)
+            assert c.chunk_text == " ".join(
+                toks[c.start_token : c.start_token + size]
+            )
+            covered.update(range(c.start_token, c.start_token + c.n_tokens))
+        if stride <= size:
+            assert covered == set(range(n))
+        else:
+            starts = sorted(c.start_token for c in chunks)
+            last = max(n - size, 0)
+            grid = list(range(0, last + 1, stride))
+            if last > 0 and last % stride:
+                grid.append(last)
+            assert starts == grid
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+             min_size=1, max_size=60),
+    st.integers(2, 4),
+)
+def test_kmv_merge_associativity_property(spark, values, n_splits):
+    """KMV of the union == merge of per-split KMVs, for ANY split — the
+    mergeability contract the streaming store relies on."""
+    from alphalens_spark.scale.profile import kmv_distinct
+
+    k = 8
+    whole = spark.createDataFrame([("g", v) for v in values], "g string, v string")
+    want = kmv_distinct(whole, ["g"], "v", k=k).collect()[0]
+    # simulate the store merge: union of per-split distinct hashes -> same op
+    splits = [values[i::n_splits] for i in range(n_splits)]
+    parts = [s for s in splits if s]
+    merged = spark.createDataFrame(
+        [("g", v) for s in parts for v in s], "g string, v string"
+    )
+    got = kmv_distinct(merged, ["g"], "v", k=k).collect()[0]
+    assert (got.n_mins, got.est_distinct) == (want.n_mins, want.est_distinct)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 999), st.floats(0.1, 100, allow_nan=False)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 10),
+)
+def test_weighted_sample_membership_partition_invariance(spark, items, k):
+    """A-ES membership is a pure function of (ids, weights, k) — never of
+    row order or physical partitioning."""
+    from alphalens_spark.scale.curation import weighted_priority_sample
+
+    df = spark.createDataFrame(items, "doc_id bigint, w double")
+    a = sorted(r.doc_id for r in weighted_priority_sample(df, "w", k=k).collect())
+    b = sorted(
+        r.doc_id
+        for r in weighted_priority_sample(
+            df.orderBy(F.rand(7)).repartition(5), "w", k=k
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == min(k, len(items))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="pqr", min_size=1, max_size=3),
+                min_size=1, max_size=50))
+def test_cm_never_undercounts_property(spark, items):
+    """CM point estimates are upper bounds on true frequencies, for any
+    input distribution (Cormode-Muthukrishnan guarantee)."""
+    from collections import Counter
+
+    from alphalens_spark.scale.profile import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    sk = cm_sketch(df, "item", depth=3, width=16)  # tiny: force collisions
+    probes = spark.createDataFrame(
+        [(i,) for i in set(items)], "item string"
+    )
+    est = {r.item: r.est_count for r in cm_estimate(sk, probes, width=16, depth=3).collect()}
+    truth = Counter(items)
+    for it, n in truth.items():
+        assert est[it] >= n
