@@ -287,3 +287,77 @@ def read_skipping(
     if hi is not None:
         df = df.where(c <= hi)
     return df
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 5,
+) -> dict[str, list[int]]:
+    """Per-file Bloom filters over ``col`` — the point-lookup complement
+    to :func:`collect_file_stats`: min/max intervals prune RANGE scans,
+    but an equality probe on a high-cardinality key (user_id, doc_id)
+    intersects almost every [min,max] while its Bloom bit-test prunes
+    any file that provably lacks the key (no false negatives; false
+    positives just read one extra file).
+
+    Built distributedly in ONE scan: every value emits its k md5 bit
+    positions, `collect_set` per (file) bounds the state at m_bits ints.
+    The manifest is tiny (files × m_bits/8 bytes) and, because the hash
+    is salted md5 on the value string, any engine can recompute probe
+    bits. Returns {file: sorted set-bit positions}.
+    """
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.scale.dedup import md5_long
+
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("_f"), F.col(col).cast("string").alias("_v")
+    )
+    bits = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    md5_long(F.concat(F.lit(f"{i}:"), F.col("_v")), 15),
+                    F.lit(m_bits),
+                ).cast("int")
+                for i in range(k_hashes)
+            ]
+        )
+    ).alias("bit")
+    agg = (
+        df.select("_f", bits)
+        .groupBy("_f")
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+        .collect()
+    )
+    # normalize the file:// URI Spark reports to the plain path
+    return {r["_f"].removeprefix("file:"): list(r["bits"]) for r in agg}
+
+
+def read_bloom_skipping(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    blooms: dict[str, list[int]],
+    m_bits: int = 4096,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Equality scan reading only files whose Bloom filter CAN contain
+    ``value`` (all k probe bits set). The filter is re-applied after the
+    read — skipping is an optimization, never a correctness dependency."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    probe = {
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k_hashes)
+    }
+    keep = [f for f, bits in blooms.items() if probe <= set(bits)]
+    if not keep:
+        return spark.read.parquet(path).limit(0).where(F.col(col) == value)
+    return spark.read.parquet(*keep).where(F.col(col) == value)

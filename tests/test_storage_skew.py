@@ -203,3 +203,32 @@ def test_read_skipping_empty_range(spark, tmp_path):
     out = read_skipping(spark, path, "k", lo=1000, hi=2000)
     assert out.count() == 0
     assert out.schema == spark.read.parquet(path).schema
+
+
+def test_bloom_manifest_point_lookup_skipping(spark, tmp_path):
+    from alphalens_spark.storage import (
+        collect_file_blooms,
+        read_bloom_skipping,
+        write_zordered,
+    )
+
+    # user ids clustered by file via the z-layout on k
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 500).alias("user_id")
+    )
+    path = str(tmp_path / "bl")
+    write_zordered(df, path, ["k"], bits=12, n_files=8)
+    blooms = collect_file_blooms(spark, path, "user_id", m_bits=2048, k_hashes=4)
+    assert len(blooms) == 8
+    # every actual occurrence is found (no false negatives)
+    out = read_bloom_skipping(
+        spark, path, "user_id", 123, blooms, m_bits=2048, k_hashes=4
+    )
+    assert sorted(r.k for r in out.collect()) == sorted(
+        r.k for r in spark.read.parquet(path).where(F.col("user_id") == 123).collect()
+    )
+    # a value absent from the table prunes every file (modulo FP rate)
+    gone = read_bloom_skipping(
+        spark, path, "user_id", 999_999, blooms, m_bits=2048, k_hashes=4
+    )
+    assert gone.count() == 0
