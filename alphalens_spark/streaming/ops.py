@@ -604,3 +604,83 @@ def stream_sketch_maintenance(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_decayed_activity(
+    events: DataFrame,
+    half_life_hours: float = 24.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming twin of :func:`alphalens_spark.events.
+    decayed_activity`: per-user exponential-decay state maintained with
+    ``applyInPandasWithState``.
+
+    The algebra that makes the state O(1) per user: a decayed sum is
+    *time-shiftable* — S(t') = S(t)·2^(−(t'−t)/hl) — so the state is
+    just (anchor_ts, decayed_count, decayed_value, n) re-anchored to
+    each batch's newest event. Every micro-batch: shift the old state to
+    the new anchor, add the batch's contributions (each weighted to the
+    anchor), emit the updated row. Late events need no special case —
+    their weight 2^(−age/hl) is simply > the weight an on-time arrival
+    would have had, exactly as the batch op computes it.
+
+    Output (update mode): one row per user seen in the batch with the
+    decayed totals at that user's newest-event anchor. Rescale to a
+    global snapshot T by multiplying 2^(−(T − anchor)/hl) — a pure
+    projection the reader owns (anchors differ per user).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hl_us = half_life_hours * 3600.0 * 1e6
+    out_schema = (
+        f"{user_col} long, anchor timestamp, n_events long, "
+        "decayed_count double, decayed_value double"
+    )
+    state_schema = "anchor long, n long, dcount double, dvalue double"
+
+    def fn(key, pdfs, state: GroupState):
+        rows = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            for t, v in zip(ts, pdf[value_col]):
+                rows.append((int(t.value // 1000), float(v)))
+        if not rows:
+            return
+        if state.exists:
+            anchor, n, dcount, dvalue = state.get
+        else:
+            anchor, n, dcount, dvalue = None, 0, 0.0, 0.0
+        new_anchor = max(t for t, _ in rows)
+        if anchor is not None and anchor > new_anchor:
+            new_anchor = anchor  # batch entirely late: keep the anchor
+        if anchor is not None:
+            shift = 2.0 ** (-(new_anchor - anchor) / hl_us)
+            dcount *= shift
+            dvalue *= shift
+        for t, v in rows:
+            w = 2.0 ** (-(new_anchor - t) / hl_us)
+            dcount += w
+            dvalue += w * v
+            n += 1
+        state.update((new_anchor, n, dcount, dvalue))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "anchor": [pd.Timestamp(new_anchor, unit="us")],
+                "n_events": [n],
+                "decayed_count": [dcount],
+                "decayed_value": [dvalue],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

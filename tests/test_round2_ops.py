@@ -390,3 +390,67 @@ def test_curation_report_single_pass_plan(spark):
     )
     s = plans.plan_summary(rep)
     assert s.shuffles <= 1  # one global aggregate, not one scan per step
+
+
+# ------------------------------------------------ streaming decayed state
+def test_stream_decayed_activity_equals_batch(spark, tmp_path):
+    import math
+
+    from alphalens_spark.events import decayed_activity
+    from alphalens_spark.streaming.ops import stream_decayed_activity
+
+    src = str(tmp_path / "ev")
+    rows1 = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (2, "2024-01-01 06:00:00", 4.0),
+        (1, "2024-01-01 12:00:00", 2.0),
+    ]
+    rows2 = [
+        (1, "2024-01-02 00:00:00", 8.0),
+        (2, "2024-01-01 18:00:00", 6.0),
+        (3, "2024-01-02 03:00:00", 1.0),
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)  # force multi-batch state merging
+        .parquet(src)
+    )
+    q = (
+        stream_decayed_activity(stream, half_life_hours=24.0)
+        .writeStream.format("memory")
+        .queryName("decay_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.sql(
+        "SELECT * FROM decay_stream"
+    ).collect()
+    # update mode: keep each user's latest emission (max anchor)
+    latest = {}
+    for r in got_rows:
+        if r.user_id not in latest or r.anchor > latest[r.user_id].anchor:
+            latest[r.user_id] = r
+
+    batch_df = spark.read.parquet(src)
+    want = {r.user_id: r for r in decayed_activity(batch_df, 24.0).collect()}
+    t_max = max(r.anchor for r in latest.values())
+    hl_us = 24.0 * 3600 * 1e6
+    for uid, r in latest.items():
+        shift = 2.0 ** (-((t_max - r.anchor).total_seconds() * 1e6) / hl_us)
+        assert r.n_events == want[uid].n_events
+        assert r.decayed_count * shift == pytest.approx(
+            want[uid].decayed_count, abs=1e-6
+        )
+        assert r.decayed_value * shift == pytest.approx(
+            want[uid].decayed_value, abs=1e-6
+        )
