@@ -4001,6 +4001,44 @@ FROM (
 )"""
 
 
+def q_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-name spelling variants at edit distance exactly 1 via the
+    FastSS deletion-neighborhood EQUI-join (never all-pairs Levenshtein),
+    built-in levenshtein verify on candidates only
+    (scale.dedup.fuzzy_token_pairs). Runs on supplier names — the
+    near-collision-rich entity column ('Supplier#…01' vs '…02'); the
+    documents vocabulary is a 31-word synthetic list with no distance-1
+    pairs at all."""
+    from alphalens_spark.scale.dedup import fuzzy_token_pairs
+
+    sup = datasets.load_table(spark, sf_dir, "supplier")
+    return fuzzy_token_pairs(sup, text_col="s_name", max_token_len=25)
+
+
+ORACLES["fuzzy_token_pairs"] = r"""
+WITH vocab AS (
+  SELECT tok, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(trim(s_name)), '\s+')) AS tok
+    FROM supplier
+  ) WHERE len(tok) > 0 AND len(tok) <= 25
+  GROUP BY 1 HAVING count(*) >= 1
+),
+nbh AS (
+  SELECT tok, cnt, unnest(list_distinct(list_append(
+      list_transform(range(1, len(tok) + 1),
+                     i -> substr(tok, 1, i - 1) || substr(tok, i + 1)),
+      tok))) AS v
+  FROM vocab
+),
+cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+         a.cnt AS count_a, b.cnt AS count_b
+  FROM nbh a JOIN nbh b ON a.v = b.v AND a.tok < b.tok
+)
+SELECT tok_a, tok_b, count_a, count_b
+FROM cand WHERE levenshtein(tok_a, tok_b) = 1"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -4118,4 +4156,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedupe_units_corpus": q_dedupe_units_corpus,
     "event_cube": q_event_cube,
     "curation_report": q_curation_report,
+    "fuzzy_token_pairs": q_fuzzy_token_pairs,
 }

@@ -797,3 +797,61 @@ def ngram_containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def fuzzy_token_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_token_len: int = 20,
+) -> DataFrame:
+    """Spelling-variant pairs in the corpus VOCABULARY at edit distance
+    exactly 1, by deletion-neighborhood join (FastSS, Bocek et al. 2007):
+    two tokens are within one substitution/insertion/deletion iff they
+    share a member of their 1-deletion neighborhoods (each token
+    generates the ≤ len+1 strings {token, token minus one char}), so the
+    candidate step is an EQUI-join on those keys — never an all-pairs
+    Levenshtein sweep, which is quadratic in vocabulary size. Candidates
+    are then verified with the built-in ``levenshtein`` (cheap: only
+    colliding pairs).
+
+    The normalization/dedup pipeline use: OCR noise and typo variants of
+    the same term ("recieve"/"receive") found corpus-wide in two linear
+    shuffles (vocab build + neighborhood join). Output: (tok_a, tok_b,
+    count_a, count_b) with tok_a < tok_b, distance exactly 1.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .where((F.length("tok") > 0) & (F.length("tok") <= max_token_len))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    # 1-deletion neighborhood: the token itself + len(token) deletions.
+    # Keyed by (variant, deleted-position-class) is unnecessary for d=1 —
+    # sharing ANY variant string is the candidate condition.
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.concat(
+            F.substring(F.col("tok"), 1, i.cast("int") - 1),
+            F.col("tok").substr(i + 1, F.length("tok")),
+        ),
+    )
+    nbh = vocab.select(
+        "tok", "cnt",
+        F.explode(F.array_union(F.array(F.col("tok")), dels)).alias("v"),
+    )
+    a = nbh.select(
+        F.col("tok").alias("tok_a"), F.col("cnt").alias("count_a"), "v"
+    )
+    b = nbh.select(
+        F.col("tok").alias("tok_b"), F.col("cnt").alias("count_b"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "count_a", "count_b")
+        .distinct()
+    )
+    return cand.where(F.levenshtein("tok_a", "tok_b") == 1)

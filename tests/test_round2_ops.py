@@ -454,3 +454,37 @@ def test_stream_decayed_activity_equals_batch(spark, tmp_path):
         assert r.decayed_value * shift == pytest.approx(
             want[uid].decayed_value, abs=1e-6
         )
+
+
+# ------------------------------------------------------- fuzzy vocab pairs
+def test_fuzzy_token_pairs_finds_all_edit1_kinds(spark):
+    from alphalens_spark.scale.dedup import fuzzy_token_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "receive recieve"),   # transposition = distance 2: excluded
+            (2, "color colour"),      # insertion
+            (3, "cat bat"),           # substitution
+            (4, "cart cat"),          # deletion... cart->cat is distance 1
+            (5, "unrelated words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.tok_a, r.tok_b)
+        for r in fuzzy_token_pairs(df).collect()
+    }
+    assert ("color", "colour") in pairs
+    assert ("bat", "cat") in pairs
+    assert ("cart", "cat") in pairs
+    assert ("recieve", "receive") not in pairs  # distance 2
+    assert all(a < b for a, b in pairs)
+
+
+def test_fuzzy_token_pairs_no_quadratic_join(spark):
+    from alphalens_spark import plans
+    from alphalens_spark.scale.dedup import fuzzy_token_pairs
+
+    df = spark.createDataFrame([(1, "a few words")], "doc_id bigint, text string")
+    s = plans.plan_summary(fuzzy_token_pairs(df))
+    assert s.quadratic_joins == 0  # neighborhood equi-join, not all-pairs
