@@ -4039,6 +4039,65 @@ SELECT tok_a, tok_b, count_a, count_b
 FROM cand WHERE levenshtein(tok_a, tok_b) = 1"""
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Hilbert layout key over (l_orderkey, l_partkey)
+    (storage.hilbert_values, bits=8): exact-integer scaling + the classic
+    quadrant-rotation recurrence as a single struct-accumulator fold —
+    better locality than the Morton key (every curve step is distance 1)."""
+    from alphalens_spark.storage import hilbert_values
+
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return hilbert_values(li, ["l_orderkey", "l_partkey"], bits=8)
+
+
+def _hilbert_sql(bits: int = 8) -> str:
+    """hilbert_values replayed in DuckDB: identical scaling, then the
+    xy→d rotation recurrence unrolled as one chained CTE per bit."""
+    m = (1 << bits) - 1
+    ctes = [
+        f"""c0 AS (
+  SELECT l_orderkey, l_partkey,
+         coalesce(((l_orderkey - min_o) * {m}) // nullif(max_o - min_o, 0), 0) AS x,
+         coalesce(((l_partkey - min_p) * {m}) // nullif(max_p - min_p, 0), 0) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM lineitem CROSS JOIN s
+)"""
+    ]
+    for step, i in enumerate(range(bits - 1, -1, -1)):
+        sv = 1 << i
+        prev = f"c{step}"
+        ctes.append(
+            f"""c{step + 1} AS (
+  SELECT l_orderkey, l_partkey,
+    CASE WHEN (y & {sv}) = 0
+         THEN CASE WHEN (x & {sv}) > 0 THEN {sv} - 1 - y ELSE y END
+         ELSE x END AS x,
+    CASE WHEN (y & {sv}) = 0
+         THEN CASE WHEN (x & {sv}) > 0 THEN {sv} - 1 - x ELSE x END
+         ELSE y END AS y,
+    d + {sv * sv} * xor(3 * (CASE WHEN (x & {sv}) > 0 THEN 1 ELSE 0 END),
+                        CASE WHEN (y & {sv}) > 0 THEN 1 ELSE 0 END) AS d
+  FROM {prev}
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH s AS (
+  SELECT CAST(min(l_orderkey) AS BIGINT) AS min_o,
+         CAST(max(l_orderkey) AS BIGINT) AS max_o,
+         CAST(min(l_partkey) AS BIGINT) AS min_p,
+         CAST(max(l_partkey) AS BIGINT) AS max_p
+  FROM lineitem
+),
+{chain}
+SELECT l_orderkey, l_partkey, CAST(d AS BIGINT) AS hvalue FROM c{bits}"""
+
+
+ORACLES["hilbert_key"] = _hilbert_sql(8)
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -4157,4 +4216,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_cube": q_event_cube,
     "curation_report": q_curation_report,
     "fuzzy_token_pairs": q_fuzzy_token_pairs,
+    "hilbert_key": q_hilbert_key,
 }

@@ -361,3 +361,68 @@ def read_bloom_skipping(
     if not keep:
         return spark.read.parquet(path).limit(0).where(F.col(col) == value)
     return spark.read.parquet(*keep).where(F.col(col) == value)
+
+
+def hilbert_values(
+    df: DataFrame, cols: Sequence[str], bits: int = 8
+) -> DataFrame:
+    """Attach a 2-D Hilbert-curve key over exactly two columns — the
+    space-filling layout with strictly better locality than Z-order
+    (every curve step is distance 1; Morton jumps across the domain at
+    quadrant boundaries), so range scans on either column touch even
+    fewer files once files hold contiguous key ranges.
+
+    Same exact-integer scaling as :func:`zorder_values`; the classic
+    xy→d quadrant-rotation recurrence then runs as ONE ``aggregate``
+    fold over the descending bit sequence with a (x, y, d) struct
+    accumulator — a single expression tree (a naive per-bit unroll
+    duplicates the x/y subtrees ~4× per level → 4^bits nodes). The fold
+    is interpreted, but it is bits (=8) integer steps per row with no
+    Python involved, and the key is engine-reproducible (the oracle
+    replays the identical recurrence as chained SQL CTEs).
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("hilbert_values is 2-D: pass exactly two columns")
+    if bits * 2 > 62:
+        raise ValueError("bits too large for a signed long key")
+    scale_max = (1 << bits) - 1
+    cx, cy = cols
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"_min_{c}"))
+        aggs.append(F.max(c).cast("long").alias(f"_max_{c}"))
+    j = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    scaled = {
+        c: F.coalesce(
+            F.expr(
+                f"CAST((({c} - _min_{c}) * {scale_max})"
+                f" DIV nullif(_max_{c} - _min_{c}, 0) AS BIGINT)"
+            ),
+            F.lit(0).cast("long"),
+        )
+        for c in cols
+    }
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        scaled[cx].alias("x"), scaled[cy].alias("y"), zero.alias("d")
+    )
+
+    def step(acc, s):
+        x, y, d = acc.getField("x"), acc.getField("y"), acc.getField("d")
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = d + s * s * (F.lit(3) * rx).bitwiseXOR(ry)
+        # rotate the quadrant: reflect when rx==1&ry==0, then swap x/y
+        xr = F.when((ry == 0) & (rx == 1), s - 1 - x).otherwise(x)
+        yr = F.when((ry == 0) & (rx == 1), s - 1 - y).otherwise(y)
+        xn = F.when(ry == 0, yr).otherwise(xr)
+        yn = F.when(ry == 0, xr).otherwise(yr)
+        return F.struct(xn.alias("x"), yn.alias("y"), d2.alias("d"))
+
+    # descending quadrant sizes as literals (shift amounts must be
+    # Python ints in the shiftleft API, so fold over the s values)
+    sizes = F.array(*[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)])
+    key = F.aggregate(sizes, init, step).getField("d")
+    return j.select(*df.columns, key.alias("hvalue"))

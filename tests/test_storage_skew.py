@@ -232,3 +232,39 @@ def test_bloom_manifest_point_lookup_skipping(spark, tmp_path):
         spark, path, "user_id", 999_999, blooms, m_bits=2048, k_hashes=4
     )
     assert gone.count() == 0
+
+
+def test_hilbert_values_matches_reference_recurrence(spark):
+    from alphalens_spark.storage import hilbert_values
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 4
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    # min=0 max=15: the integer scaling is the identity, so keys are
+    # directly comparable to the classic xy2d recurrence
+    out = {
+        (r.x, r.y): r.hvalue
+        for r in hilbert_values(df, ["x", "y"], bits=bits).collect()
+    }
+    assert out == {(x, y): xy2d(n, x, y) for x, y in rows}
+    # Hilbert property: consecutive keys are Manhattan-distance-1 cells
+    inv = {d: k for k, d in out.items()}
+    assert len(inv) == n * n
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(n * n - 1)
+    )
