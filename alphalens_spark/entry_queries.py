@@ -4098,6 +4098,43 @@ SELECT l_orderkey, l_partkey, CAST(d AS BIGINT) AS hvalue FROM c{bits}"""
 ORACLES["hilbert_key"] = _hilbert_sql(8)
 
 
+def q_event_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN session_window operator
+    (events.sessionize_native): Catalyst's merging-session aggregate
+    instead of the hand-built lag/running-sum plan — same sessions, end
+    reported as the close deadline (last event + gap). The oracle
+    replays that contract: boundary at gap >= 30 min (session_window
+    ends are exclusive), end = max(ts) + gap."""
+    from alphalens_spark.events import sessionize_native
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return sessionize_native(ev, gap_minutes=30)
+
+
+ORACLES["event_sessionize_native"] = r"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+l AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM l
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -4217,4 +4254,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_report": q_curation_report,
     "fuzzy_token_pairs": q_fuzzy_token_pairs,
     "hilbert_key": q_hilbert_key,
+    "event_sessionize_native": q_event_sessionize_native,
 }

@@ -220,3 +220,36 @@ def rolling_anomaly_zscores(
             ),
         )
     )
+
+
+def sessionize_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap sessionization via Spark's built-in ``session_window`` — the
+    engine-native form of :func:`sessionize`: Catalyst owns the session
+    merge (UpdatingSessionsExec + merging aggregate), the same expression
+    works under ``readStream`` with a watermark (state eviction for
+    free), and there is no lag/running-sum window pair to maintain.
+
+    Session BOUNDS differ from :func:`sessionize` by definition, not by
+    bug: session_window's end is ``last_event + gap`` (the close
+    deadline), while the lag-form reports the last EVENT time. n_events
+    and membership are identical (equality-tested); subtract the gap
+    from ``session_end`` to translate.
+
+    Output: (user, session_start, session_end, n_events).
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        events.groupBy(sw.alias("sw"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

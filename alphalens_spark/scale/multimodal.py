@@ -193,3 +193,38 @@ def resize_media(
             )
 
     return media.select("media_id", "payload").mapInPandas(_resize, out_schema)
+
+
+def chunk_udtf():
+    """SQL-callable chunking as a Python UDTF — the §2.10 table-function
+    surface: ``spark.udtf.register("chunk_doc", chunk_udtf());
+    SELECT c.* FROM docs, LATERAL chunk_doc(text, 32, 16) c``.
+
+    Semantics are DEFINED BY :func:`alphalens_spark.scale.curation.
+    chunk_documents` (equality-tested); the UDTF exists for SQL-first
+    consumers and as the documented example of the UDTF escape hatch —
+    per-row Python, so the native column-expression form is always the
+    hot-path choice.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "chunk_idx int, start_token int, n_tokens int, chunk_text string"
+    ))
+    class ChunkDoc:
+        def eval(self, text: str, size: int = 32, stride: int = 16):
+            toks = text.strip().split() or [""]
+            n = len(toks)
+            last = max(n - size, 0)
+            starts = list(range(0, last + 1, stride))
+            if last > 0 and last % stride:
+                starts.append(last)
+            for idx, st in enumerate(starts):
+                yield (
+                    idx,
+                    st,
+                    min(size, n - st),
+                    " ".join(toks[st : st + size]),
+                )
+
+    return ChunkDoc

@@ -488,3 +488,63 @@ def test_fuzzy_token_pairs_no_quadratic_join(spark):
     df = spark.createDataFrame([(1, "a few words")], "doc_id bigint, text string")
     s = plans.plan_summary(fuzzy_token_pairs(df))
     assert s.quadratic_joins == 0  # neighborhood equi-join, not all-pairs
+
+
+# --------------------------------------------------- native session_window
+def test_sessionize_native_matches_lag_form(spark):
+    from alphalens_spark.events import sessionize, sessionize_native
+
+    rows, eid = [], 0
+    import random
+
+    rng = random.Random(5)
+    for u in range(6):
+        t = 0
+        for _ in range(30):
+            t += rng.choice([60, 300, 2400])  # some gaps exceed 30 min
+            rows.append((eid, u, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec long").select(
+        "event_id", "user_id",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("sec"))).alias("ts"),
+    )
+    lag_form = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    native = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize_native(df, gap_minutes=30).collect()
+    }
+    # same sessions (keyed by start), same member counts; ends differ by
+    # definition (close deadline vs last event) — documented
+    assert native == lag_form
+
+
+# -------------------------------------------------------------- UDTF surface
+def test_chunk_udtf_matches_native_chunking(spark):
+    from alphalens_spark.scale.curation import chunk_documents
+    from alphalens_spark.scale.multimodal import chunk_udtf
+
+    spark.udtf.register("chunk_doc", chunk_udtf())
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(11))),
+            (2, "a b c"),
+            (3, "solo"),
+        ],
+        "doc_id bigint, text string",
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_idx, c.start_token, c.n_tokens, "
+            "c.chunk_text FROM udtf_docs d, LATERAL chunk_doc(d.text, 4, 3) c"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in chunk_documents(df, size=4, stride=3).collect()
+    )
+    assert got == want
