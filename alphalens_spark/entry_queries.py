@@ -4135,6 +4135,56 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid"""
 
 
+def q_interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic point-in-interval join (joins.interval_join, the public
+    §4.2 range-join rewrite): every purchase event matched to the
+    session interval containing it — day-bucketed EQUI-join + exact
+    containment verify, never a nested-loop range join."""
+    from alphalens_spark.events import sessionize
+    from alphalens_spark.joins import interval_join
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return interval_join(
+        purchases, sess, "ts", "session_start", "session_end", by=["user_id"]
+    )
+
+
+ORACLES["interval_join_sessions"] = r"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+  FROM events
+),
+l AS (
+  SELECT *,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM l
+),
+sess AS (
+  SELECT user_id, session_id, min(ts) AS session_start,
+         max(ts) AS session_end
+  FROM s GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       sess.session_id, sess.session_start, sess.session_end
+FROM e p JOIN sess
+  ON p.user_id = sess.user_id
+ AND p.ts >= sess.session_start AND p.ts <= sess.session_end
+WHERE p.event_type = 'purchase'"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -4255,4 +4305,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_token_pairs": q_fuzzy_token_pairs,
     "hilbert_key": q_hilbert_key,
     "event_sessionize_native": q_event_sessionize_native,
+    "interval_join_sessions": q_interval_join_sessions,
 }

@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
 
 
 def asof_join(
@@ -147,3 +147,61 @@ def asof_join(
         match[right_on_out].alias(right_on_out),
         *[match[out_names[c]].alias(out_names[c]) for c in payload_cols],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join — which interval contains each point — as a
+    day-bucketed EQUI-join instead of the nested-loop range join Spark
+    would otherwise plan (the §4.2 rewrite, generalized to public API;
+    event studies and the positions operator embed the same shape).
+
+    1. intervals explode to the calendar days they cover (fan-out =
+       interval length in days — bounded for session/holding-style
+       intervals; pick the bucketing to match your span distribution),
+    2. points key by their single day,
+    3. hash join on (by…, day) then verify the exact containment
+       predicate start <= t <= end.
+
+    A point has exactly ONE day bucket, so no post-join dedup is needed.
+    Day bucketing via ``to_date`` is valid for TIMESTAMP and
+    TIMESTAMP_NTZ alike (no epoch extraction). ``how='left'`` keeps
+    unmatched points with NULL interval columns (one extra anti-join —
+    matched-set complement — not an outer range join).
+
+    Output: points columns + the matched interval's columns.
+    """
+    keys = list(by)
+    p = points.withColumn("_day", F.to_date(F.col(point_ts)))
+    ivl = intervals.withColumn(
+        "_day",
+        F.explode(
+            F.sequence(
+                F.to_date(F.col(start_col)), F.to_date(F.col(end_col))
+            )
+        ),
+    )
+    cond = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) <= F.col(end_col)
+    )
+    matched = p.join(ivl, keys + ["_day"]).where(cond).drop("_day")
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError("how must be 'inner' or 'left'")
+    missing = p.join(
+        matched.select(*points.columns).dropDuplicates(points.columns),
+        points.columns,
+        "left_anti",
+    ).drop("_day")
+    for c in matched.columns:
+        if c not in missing.columns:
+            missing = missing.withColumn(c, F.lit(None))
+    return matched.unionByName(missing.select(*matched.columns))

@@ -103,3 +103,75 @@ def test_asof_single_shuffle_plan(spark):
     # one exchange for the union'd window partitioning, none after
     assert plan.count("Exchange") <= 2  # union sides shuffle to the same keying
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------ interval join
+def test_interval_join_inner_and_left(spark):
+    from alphalens_spark.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:30:00"),
+            (2, 1, "2024-01-03 09:00:00"),  # matches nothing
+            (3, 2, "2024-01-01 10:30:00"),  # right user's interval only
+        ],
+        "pid long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivl = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "a"),
+            (2, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "b"),
+            (1, "2024-01-05 00:00:00", "2024-01-06 00:00:00", "c"),
+        ],
+        "user_id long, s string, e string, tag string",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "tag",
+    )
+    inner = {
+        r.pid: r.tag
+        for r in interval_join(pts, ivl, "ts", "s", "e", by=["user_id"]).collect()
+    }
+    assert inner == {1: "a", 3: "b"}
+    left = interval_join(pts, ivl, "ts", "s", "e", by=["user_id"], how="left")
+    rows = {r.pid: r.tag for r in left.collect()}
+    assert rows == {1: "a", 3: "b", 2: None}
+
+
+def test_interval_join_multiday_interval_no_duplicates(spark):
+    from alphalens_spark.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-03 12:00:00")], "pid long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivl = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-07 00:00:00", "week")],
+        "s string, e string, tag string",
+    ).select(
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "tag",
+    )
+    out = interval_join(pts, ivl, "ts", "s", "e").collect()
+    assert len(out) == 1  # the 7-day explode cannot duplicate a point match
+
+
+def test_interval_join_plan_is_equi_not_nested_loop(spark):
+    from alphalens_spark import plans
+    from alphalens_spark.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:30:00")], "pid long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivl = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "user_id long, s string, e string",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    s = plans.plan_summary(interval_join(pts, ivl, "ts", "s", "e", by=["user_id"]))
+    assert s.quadratic_joins == 0
