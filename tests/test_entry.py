@@ -49,8 +49,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # inherit unigram CE's / carry their own 1-row totals broadcast
         "perplexity_buckets",
         "bigram_cross_entropy",
-        # per-column min/max bounds row for the bit-interleave normalizer
+        # per-column min/max bounds row for the layout-key normalizers
         "zorder_key",
+        "hilbert_key",
         # 1-row snapshot (max ts) broadcast onto the event stream
         "decayed_activity",
         # 3-row probs literal broadcast, non-equi rank-crossing condition
