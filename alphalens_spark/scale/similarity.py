@@ -803,3 +803,77 @@ def random_projection(
     s = 1.0 / math.sqrt(out_dim)
     proj = F.transform(margins, lambda x: x * F.lit(s))
     return df.select(F.col(id_col), proj.alias("projection"))
+
+
+def pca_fit(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Distributed PCA fit: the data-dependent complement to
+    :func:`random_projection` (JL preserves distances obliviously; PCA
+    finds the directions that actually carry the corpus's variance).
+
+    Spark-first split identical to MLlib's RowMatrix PCA: the cluster
+    computes the (dim, dim) second-moment matrix in ONE aggregation —
+    dim means + dim·(dim+1)/2 upper-triangle cross sums, all map-side
+    combined, only ~dim² scalars cross the wire — and the driver runs
+    the O(dim³) symmetric eigendecomposition on that tiny matrix
+    (``numpy.linalg.eigh``). No iteration over the data, no per-row
+    Python. Sign convention: each component's largest-|loading|
+    coordinate is made positive, so the fit is reproducible across runs
+    and partitionings up to fp-sum ordering.
+
+    Returns (components [out_dim×dim rows], explained_variance,
+    means).
+    """
+    import numpy as np
+
+    v = F.col(vec_col)
+    sums = [F.sum(F.element_at(v, i + 1)).alias(f"s{i}") for i in range(dim)]
+    crosses = [
+        F.sum(
+            F.element_at(v, i + 1) * F.element_at(v, j + 1)
+        ).alias(f"c{i}_{j}")
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("n"), *sums, *crosses).collect()[0]
+    n = row["n"]
+    mu = np.array([row[f"s{i}"] for i in range(dim)]) / n
+    C = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            # covariance from raw moments: E[xy] - mx*my (sample-scaled)
+            cij = row[f"c{i}_{j}"] / n - mu[i] * mu[j]
+            C[i, j] = C[j, i] = cij * n / max(n - 1, 1)
+    w, V = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:out_dim]
+    comps, ev = [], []
+    for k in order:
+        c = V[:, k]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c  # deterministic sign
+        comps.append([float(x) for x in c])
+        ev.append(float(w[k]))
+    return comps, ev, [float(x) for x in mu]
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    means: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto fitted components — (v − μ)·cᵀ as plan-folded
+    literals, the same pure-projection shape as random_projection (no
+    shuffle, no UDF). Output: (id, projection array<double>)."""
+    mu = F.array(*[F.lit(float(x)) for x in means])
+    centered = F.zip_with(F.col(vec_col), mu, lambda a, b: a - b)
+    dots = []
+    for c in components:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dots.append(_dot(centered, lit_c))
+    return df.select(F.col(id_col), F.array(*dots).alias("projection"))

@@ -548,3 +548,61 @@ def test_chunk_udtf_matches_native_chunking(spark):
         tuple(r) for r in chunk_documents(df, size=4, stride=3).collect()
     )
     assert got == want
+
+
+# ------------------------------------------------------------- distributed PCA
+def test_pca_matches_numpy_and_projects(spark):
+    import numpy as np
+
+    from alphalens_spark.scale.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic 16-dim data: variance concentrated in a few directions
+    base = rng.normal(size=(300, 16)) * np.linspace(4.0, 0.2, 16)
+    mix = rng.normal(size=(16, 16))
+    X = base @ mix
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, ev, mu = pca_fit(df, out_dim=4, dim=16)
+
+    # reference: numpy PCA on the same matrix
+    Xc = X - X.mean(axis=0)
+    C = np.cov(Xc, rowvar=False)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:4]
+    assert np.allclose(sorted(ev, reverse=True), sorted(w[order], reverse=True), rtol=1e-6)
+    assert np.allclose(mu, X.mean(axis=0), atol=1e-9)
+    for k, got in zip(order, comps):
+        ref = V[:, k]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        assert np.allclose(got, ref, atol=1e-6)
+    # components orthonormal
+    M = np.array(comps)
+    assert np.allclose(M @ M.T, np.eye(4), atol=1e-8)
+
+    proj = pca_project(df, comps, mu, vec_col="embedding")
+    P = np.array(
+        [r.projection for r in proj.orderBy("vec_id").collect()]
+    )
+    # projection variance along each component == its eigenvalue
+    assert np.allclose(P.var(axis=0, ddof=1), ev, rtol=1e-6)
+    # and equals the numpy projection
+    assert np.allclose(P, Xc @ M.T, atol=1e-6)
+
+
+def test_pca_project_plan_pure_projection(spark):
+    from alphalens_spark import plans
+    from alphalens_spark.scale.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    comps = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    s = plans.assert_scalable(
+        pca_project(df, comps, [0.0, 0.0, 0.0]),
+        max_shuffles=0, forbid_python=True,
+    )
+    assert s.scans == []  # local relation; the point is 0 shuffles, 0 python
