@@ -4185,6 +4185,36 @@ FROM e p JOIN sess
 WHERE p.event_type = 'purchase'"""
 
 
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile winsorization (scale.profile.winsorize):
+    extended prices clipped to the exact [p05, p95] of their return-flag
+    group — the row-preserving outlier transform next to the z-score
+    DROP filter the reference uses."""
+    from alphalens_spark.scale.profile import winsorize
+
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return _finalize(
+        winsorize(li, "l_extendedprice", ["l_returnflag"], 0.05, 0.95)
+    )
+
+
+ORACLES["winsorize_prices"] = r"""
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+       round(least(greatest(CAST(l.l_extendedprice AS DOUBLE), b.lo), b.hi),
+             6) AS l_extendedprice_winsorized,
+       CAST(l.l_extendedprice AS DOUBLE) < b.lo AS clipped_low,
+       CAST(l.l_extendedprice AS DOUBLE) > b.hi AS clipped_high
+FROM lineitem l JOIN b USING (l_returnflag)"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -4306,4 +4336,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hilbert_key": q_hilbert_key,
     "event_sessionize_native": q_event_sessionize_native,
     "interval_join_sessions": q_interval_join_sessions,
+    "winsorize_prices": q_winsorize_prices,
 }

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch", "cm_estimate"]
+__all__ = ["profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch", "cm_estimate", "winsorize"]
 
 
 def profile_columns(
@@ -253,4 +253,37 @@ def cm_estimate(
     return (
         looked.groupBy("item")
         .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est_count"))
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile winsorization — CLIP outliers to the exact
+    [p_lower, p_upper] interval instead of dropping them (the transform
+    complement of the reference's ``filter_zscore`` drop; winsorizing
+    keeps row counts and panel alignment intact, which matters when the
+    downstream join expects every (date, asset) present).
+
+    Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) computed per group in one aggregation and
+    broadcast back; the clip is a pure projection. Two small-keyed
+    passes total. Output: input columns + (value winsorized, clip flags).
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(float(lower))).alias("_lo"),
+        F.percentile(v, F.lit(float(upper))).alias("_hi"),
+    )
+    j = df.join(F.broadcast(bounds), group_cols)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return j.select(
+        *df.columns,
+        F.round(clipped, 6).alias(f"{value_col}_winsorized"),
+        (v < F.col("_lo")).alias("clipped_low"),
+        (v > F.col("_hi")).alias("clipped_high"),
     )
