@@ -795,27 +795,30 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs — the all-pairs VERIFICATION
-    BASELINE the LSH variant is checked against (quadratic by design; the
-    production contract is scale.dedup.embedding_near_duplicates, which
-    routes to the linear-shuffle LSH path by default)."""
-    from alphalens_spark.scale.dedup import embedding_cosine_duplicates
-
-    emb = datasets.load_table(spark, sf_dir, "embeddings")
-    return _finalize(embedding_cosine_duplicates(emb, threshold=0.4))
-
-
-def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR-amplified hyperplane-LSH near-dup. Full SQL oracle: the seeded
-    plane matrix embeds as double literals (_emb_lsh_sql), so bucket
-    membership, candidates and the exact-cosine verify all replay in
-    DuckDB; output additionally ⊆ embedding_near_dup by construction."""
-    from alphalens_spark.scale.dedup import embedding_cosine_duplicates_lsh
+    """Embedding-cosine near-dup via the PRODUCTION dispatcher
+    (scale.dedup.embedding_near_duplicates): OR-amplified hyperplane-LSH
+    candidates (banded equi-join — linear shuffle) verified with exact
+    cosine. Full SQL oracle: the seeded plane matrix embeds as double
+    literals (_emb_lsh_sql), so bucket membership, candidates and the
+    exact-cosine verify all replay in DuckDB."""
+    from alphalens_spark.scale.dedup import embedding_near_duplicates
 
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     return _finalize(
-        embedding_cosine_duplicates_lsh(emb, threshold=0.4, n_tables=8, bits=6)
+        embedding_near_duplicates(emb, threshold=0.4, n_tables=8, bits=6)
     )
+
+
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs — the all-pairs VERIFICATION
+    BASELINE the LSH variant is checked against (quadratic by design;
+    the production contract is embedding_near_dup above, which routes to
+    the linear-shuffle LSH path). Output ⊇ embedding_near_dup at the
+    same threshold."""
+    from alphalens_spark.scale.dedup import embedding_near_duplicates
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return _finalize(embedding_near_duplicates(emb, threshold=0.4, exact=True))
 
 
 def q_factor_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2133,7 +2136,7 @@ SELECT doc_id,
             + list_sum(list_transform(pieces, w -> CAST(floor(length(w) / 8) AS BIGINT)))
          AS BIGINT) AS est_bpe_tokens
 FROM p""",
-    "embedding_near_dup": """
+    "embedding_near_dup_exact": """
 WITH p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -2430,7 +2433,7 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 6) AS cos_sim
 FROM r WHERE rnk <= {k}"""
 
 
-ORACLES["embedding_near_dup_lsh"] = _emb_lsh_sql()
+ORACLES["embedding_near_dup"] = _emb_lsh_sql()
 
 ORACLES["embedding_ivf_topk"] = _ivf_topk_sql()
 
@@ -4269,6 +4272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "doc_bpe_token_count": q_doc_bpe_token_count,
     # md5-hash variants with generated full SQL oracles (the xxhash64
     # defaults stay the fast path in bench.py)
@@ -4280,7 +4284,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the deterministic coarse quantizer re-derived in unrolled CTEs
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "redact_pii": q_redact_pii,
     "token_budget_sample": q_token_budget_sample,
     "decontaminate": q_decontaminate,

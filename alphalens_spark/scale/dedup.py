@@ -50,6 +50,37 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cap_hot_grams(ex: DataFrame, max_df: int | None, what: str) -> DataFrame:
+    """Document-frequency cap on gram postings (the 100 TB guard).
+
+    A stopword-only gram shared by 10⁹ documents makes its posting list a
+    single join bucket whose self-join is quadratic IN THAT BUCKET — the
+    one way an inverted-index join degenerates to all-pairs. Grams with
+    df > ``max_df`` carry no dedup signal (they match everything), so we
+    count document frequency, anti-join the hot grams out of the postings,
+    and log how many were dropped. ``max_df=None`` disables the cap (the
+    oracle-checked default at test SF).
+
+    ``ex`` must be one row per (document, distinct gram) with the gram in
+    column ``gram`` — then count(*) per gram IS document frequency.
+    """
+    if max_df is None:
+        return ex
+    import logging
+
+    hot = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("gram")
+    )
+    logging.getLogger(__name__).info(
+        "%s: max_df=%d dropping %d hot gram(s) from postings",
+        what, max_df, hot.count(),
+    )
+    return ex.join(hot, "gram", "left_anti")
+
+
 def exact_duplicates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -63,6 +94,62 @@ def exact_duplicates(
         docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
+
+
+def _exact_group_members(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(_m_id, _rep) membership map of the exact-duplicate groups:
+    every document mapped to the min-id representative of its md5(text)
+    group. One digest groupBy + one digest equi-join — both uniform-key
+    linear shuffles."""
+    groups = exact_duplicates(docs, text_col, id_col).select(
+        "text_hash", F.col("keep_id").alias("_rep")
+    )
+    return (
+        docs.select(F.col(id_col).alias("_m_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .join(groups, "text_hash")
+        .select("_m_id", "_rep")
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, score_col: str, exact_score
+) -> DataFrame:
+    """Re-expand representative-level near-dup pairs to member level.
+
+    Cross-group: every (rep_a, rep_b, score) pair fans out to all
+    (member_a, member_b) combinations — identical text implies identical
+    signature, so the representative's score IS each member's score.
+    Within-group: members of one exact group are pairwise exact dups, so
+    they pair at ``exact_score`` (est_jaccard 1.0 / hamming 0) without
+    ever touching the band join. Both expansions are pure equi-joins
+    whose output is exactly the contracted pair set — the theoretical
+    minimum work for a pair-level contract. (For clone-heavy corpora the
+    pair set ITSELF is quadratic in the largest clone group; consume
+    :func:`exact_duplicates` + rep-level pairs directly — the star form
+    connected_components needs — when that matters.)
+    """
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_m_id").alias("_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_m_id").alias("_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            score_col,
+        )
+    )
+    wa = members.select(F.col("_rep").alias("_g"), F.col("_m_id").alias("id_a"))
+    wb = members.select(F.col("_rep").alias("_g"), F.col("_m_id").alias("id_b"))
+    score = exact_score if isinstance(exact_score, F.Column) else F.lit(exact_score)
+    within = (
+        wa.join(wb, "_g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias(score_col))
+    )
+    return cross.unionByName(within)
 
 
 def _shingles(text_col: str, k: int = 3) -> F.Column:
@@ -163,6 +250,7 @@ def minhash_lsh_duplicates(
     threshold: float = 0.7,
     broadcast_candidates: bool = True,
     shingle_hash: str = "xxhash64",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
@@ -172,10 +260,27 @@ def minhash_lsh_duplicates(
     fraction of agreeing signature positions → filter by threshold.
 
     The band join is an equi-join on a uniform hash: linear shuffle, never
-    the O(n²) all-pairs comparison. Output: (id_a, id_b, est_jaccard),
-    id_a < id_b, distinct.
+    the O(n²) all-pairs comparison — with one residual hazard: a
+    100k-copy template document puts 100k IDENTICAL rows in one
+    (band, hash) bucket and the in-bucket join goes quadratic (10¹⁰
+    candidate pairs, each paying the signature-agreement verify). Real
+    corpora have exactly such clone clusters, so ``collapse_exact``
+    (default) first collapses md5-exact duplicate groups
+    (:func:`exact_duplicates`) and bands only the one representative per
+    group — the band join then never sees two identical texts — and
+    re-expands the pair set afterwards (:func:`_expand_rep_pairs`;
+    output provably identical to the uncollapsed run, since exact dups
+    share signatures). Output: (id_a, id_b, est_jaccard), id_a < id_b,
+    distinct.
     """
     rows_per_band = num_hashes // bands
+    members = None
+    if collapse_exact:
+        members = _exact_group_members(docs, text_col, id_col)
+        reps = members.where(F.col("_m_id") == F.col("_rep")).select(
+            F.col("_m_id").alias(id_col)
+        )
+        docs = docs.join(reps, id_col)
     # persist + eager materialize: the signature projection feeds the band
     # join (twice) and the verification joins. persist() alone is lazy —
     # the self-join's two scan stages then race to fill the cache and each
@@ -218,11 +323,14 @@ def minhash_lsh_duplicates(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
-    return (
+    out = (
         pairs.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    if members is not None:
+        out = _expand_rep_pairs(out, members, "est_jaccard", 1.0)
+    return out
 
 
 def connected_components(
@@ -406,15 +514,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hash_grams: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token n-gram Jaccard for candidate pairs sharing ≥1 n-gram.
 
     Explode n-grams → self-join on the n-gram hash → count shared per pair
     → |A∩B| / (|A| + |B| − |A∩B|). The join is linear in total n-gram
-    postings (inverted-index style), not all-pairs. Suitable as the
-    verify stage after LSH at scale; standalone it assumes n-gram postings
-    lists are not pathologically hot (stopword-only grams can be dropped
-    by a document-frequency cap at scale).
+    postings (inverted-index style), not all-pairs — UNLESS a gram is
+    pathologically hot (a stopword-only 3-gram at corpus scale is a
+    10⁹-row posting list whose self-join is quadratic in-bucket). Set
+    ``max_df`` to drop grams appearing in more than that many documents
+    before the join (:func:`_cap_hot_grams`); set sizes |A|, |B| are then
+    recomputed over the CAPPED gram sets so the score stays a true
+    Jaccard of the represented sets.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     gram = (
@@ -429,6 +541,11 @@ def ngram_jaccard_pairs(
     )
     g = spread_for_compute(docs).select(F.col(id_col).alias("id"), grams.alias("_g"), F.size(grams).alias("_n"))
     ex = g.select("id", "_n", F.explode("_g").alias("gram"))
+    if max_df is not None:
+        ex = _cap_hot_grams(ex.drop("_n"), max_df, "ngram_jaccard_pairs")
+        ex = ex.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
     a = ex.select(F.col("id").alias("id_a"), F.col("_n").alias("n_a"), "gram")
     b = ex.select(F.col("id").alias("id_b"), F.col("_n").alias("n_b"), "gram")
     shared = (
@@ -452,6 +569,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: drop every document sharing ANY token
     n-gram with the benchmark corpus (the standard eval-leakage guard of
@@ -461,7 +579,11 @@ def decontaminate(
     Plan: benchmark n-grams → distinct (small side, broadcast-able) →
     explode the corpus grams → LEFT ANTI join → distinct surviving ids.
     Linear in total gram postings; ``hash_grams`` ships 8-byte posting
-    keys at scale (plain strings for the SQL-oracle path).
+    keys at scale (plain strings for the SQL-oracle path). ``max_df``
+    drops grams present in more than that many CORPUS documents from the
+    contamination check (:func:`_cap_hot_grams`) — such grams are
+    non-discriminative boilerplate whose posting list would dominate the
+    join and whose matches would flag half the corpus as dirty.
 
     Output: (id,) of the clean documents.
     """
@@ -482,6 +604,7 @@ def decontaminate(
     doc_grams = spread_for_compute(docs).select(
         F.col(id_col), F.explode(grams).alias("gram")
     )
+    doc_grams = _cap_hot_grams(doc_grams, max_df, "decontaminate")
     dirty = doc_grams.join(bench_grams, "gram").select(id_col).distinct()
     return docs.select(id_col).join(dirty, id_col, "left_anti")
 
@@ -625,6 +748,7 @@ def simhash_duplicates(
     max_hamming: int = 3,
     bands: int = 4,
     token_hash: str = "xxhash64",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via SimHash banding + Hamming verification.
 
@@ -636,6 +760,14 @@ def simhash_duplicates(
     candidate set). Verification counts differing bits via
     bit_count(xor) — pure JVM bit arithmetic, no UDF anywhere.
 
+    ``collapse_exact`` (default) guards the clone-cluster hot bucket the
+    same way as :func:`minhash_lsh_duplicates`: md5-exact duplicate
+    groups collapse to one representative before banding (identical text
+    ⇒ identical fingerprint ⇒ identical blocks, so a 100k-clone group
+    would otherwise put 100k rows in each of its 4 blocks' buckets), and
+    the pair set re-expands afterwards with hamming 0 inside groups —
+    output identical to the uncollapsed run.
+
     Output: (id_a, id_b, hamming int), id_a < id_b, hamming ≤ max_hamming.
     """
     if max_hamming >= bands:
@@ -643,6 +775,13 @@ def simhash_duplicates(
             f"max_hamming={max_hamming} needs bands > max_hamming "
             f"(pigeonhole guarantee); got bands={bands}"
         )
+    members = None
+    if collapse_exact:
+        members = _exact_group_members(docs, text_col, id_col)
+        reps = members.where(F.col("_m_id") == F.col("_rep")).select(
+            F.col("_m_id").alias(id_col)
+        )
+        docs = docs.join(reps, id_col)
     # ceil-divide so the blocks cover every fingerprint bit (64-bit family
     # → width 16 over bits 0..63; 60-bit md5 family → width 15 over 0..59)
     n_bits = simhash_bits(token_hash) + (1 if token_hash == "xxhash64" else 0)
@@ -673,7 +812,7 @@ def simhash_duplicates(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "block"
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    out = (
         a.join(b, ["band_id", "block"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -681,6 +820,9 @@ def simhash_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if members is not None:
+        out = _expand_rep_pairs(out, members, "hamming", F.lit(0).cast("int"))
+    return out
 
 
 def semantic_dedup(
@@ -756,6 +898,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hash_grams: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection by n-gram CONTAINMENT
     |A∩B| / min(|A|, |B|) — the measure that catches a document embedded
@@ -766,7 +909,9 @@ def ngram_containment_pairs(
 
     Same inverted-index shape as :func:`ngram_jaccard_pairs` — explode
     distinct grams, equi-join postings, count shared per pair — only the
-    final scoring differs. Output: (id_a, id_b, containment).
+    final scoring differs; ``max_df`` applies the same hot-gram posting
+    cap (sizes recomputed over the capped sets). Output:
+    (id_a, id_b, containment).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     gram = (
@@ -783,6 +928,11 @@ def ngram_containment_pairs(
         F.col(id_col).alias("id"), grams.alias("_g"), F.size(grams).alias("_n")
     )
     ex = g.select("id", "_n", F.explode("_g").alias("gram"))
+    if max_df is not None:
+        ex = _cap_hot_grams(ex.drop("_n"), max_df, "ngram_containment_pairs")
+        ex = ex.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
     a = ex.select(F.col("id").alias("id_a"), F.col("_n").alias("n_a"), "gram")
     b = ex.select(F.col("id").alias("id_b"), F.col("_n").alias("n_b"), "gram")
     shared = (

@@ -35,13 +35,13 @@ def test_no_quadratic_join_in_any_query_plan(spark):
     BroadcastNestedLoopJoin is allowed only where it is the documented
     intent — the 1-row pct-of-total / top-bottom-literal cross joins
     (quantile_stats, returns_table_bps) and the all-pairs exact
-    verification baseline (embedding_near_dup). Anything else appearing
-    here means a join lost its equi-condition and would go quadratic at
-    scale."""
+    verification baseline (embedding_near_dup_exact). Anything else
+    appearing here means a join lost its equi-condition and would go
+    quadratic at scale."""
     BNLJ_OK = {
         "quantile_stats",
         "returns_table_bps",
-        "embedding_near_dup",
+        "embedding_near_dup_exact",
         # 1-row corpus-stats broadcast crossJoins (N/avgdl, mixture totals)
         "bm25_scores",
         "mixture_weights",

@@ -1,0 +1,133 @@
+"""Round-3 scale-hardening tests.
+
+Adversarial shapes the VERDICT_r02 review called out: hot gram posting
+lists (a boilerplate n-gram shared by the whole corpus), clone-heavy
+corpora (thousands of md5-identical documents landing in one LSH
+bucket), and the brute-force query-set size guard. Each test pins the
+contract that the guard changes the PLAN, not the answer.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphalens_spark.scale import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- max_df
+
+
+def test_max_df_none_is_identity(spark):
+    texts = ["a b c d e f", "a b c d x y", "p q r s t u"]
+    docs = _docs(spark, texts)
+    base = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.1))
+    capped = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df=100))
+    assert base == capped  # cap above every df: same postings, same answer
+
+
+def test_max_df_drops_boilerplate_grams(spark):
+    # 30 docs share ONLY a 5-word boilerplate prefix; 2 extra docs are
+    # clones of each other. Uncapped, the boilerplate grams pair every
+    # doc with every other; capped, only the clone pair survives.
+    boiler = "terms of service apply here"
+    texts = [f"{boiler} u{i} v{i} w{i} x{i}" for i in range(30)]
+    texts += ["clone a b c d e f g", "clone a b c d e f g"]
+    docs = _docs(spark, texts)
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.2).count()
+    assert uncapped > 400  # every boilerplate doc pairs with every other
+    capped = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_df=5))
+    assert capped == [(30, 31, 1.0)]
+
+
+def test_max_df_bounds_pathological_clone_corpus(spark):
+    # 10k copies of one document: uncapped the posting self-join is
+    # ~10^8 in-bucket pairs; capped it is zero rows and returns fast.
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document").alias("text"),
+    )
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).count() == 0
+    assert (
+        dedup.ngram_containment_pairs(docs, threshold=0.5, max_df=100).count() == 0
+    )
+
+
+def test_max_df_containment_scores_capped_sets(spark):
+    boiler = "one two three four five"
+    texts = [f"{boiler} a{i} b{i} c{i}" for i in range(20)]
+    texts += ["x y z q r s", "x y z q r s t u"]  # contained pair
+    docs = _docs(spark, texts)
+    out = _pairs(dedup.ngram_containment_pairs(docs, threshold=0.5, max_df=5))
+    assert out == [(20, 21, 1.0)]  # doc 20's grams all inside doc 21's
+
+
+def test_decontaminate_max_df_ignores_boilerplate(spark):
+    # every corpus doc shares an 8-word boilerplate that also appears in
+    # the benchmark: uncapped, the whole corpus is flagged dirty; capped,
+    # the non-discriminative gram is dropped and everything stays clean.
+    boiler = "copyright notice all rights reserved by the site"
+    corpus = _docs(spark, [f"{boiler} body{i} text{i} here{i}" for i in range(50)])
+    bench = spark.createDataFrame(
+        [(0, f"{boiler} benchmark question and answer")], "doc_id long, text string"
+    )
+    assert dedup.decontaminate(corpus, bench).count() == 0
+    assert dedup.decontaminate(corpus, bench, max_df=10).count() == 50
+
+
+# ------------------------------------------------- exact-dup pre-collapse
+
+
+def test_minhash_collapse_exact_output_identical(spark):
+    words = [f"w{i}" for i in range(100)]
+    a = " ".join(words)
+    b = " ".join(words[:90] + [f"x{i}" for i in range(10)])
+    texts = [a] * 5 + [b] * 4 + ["unrelated material entirely " * 20]
+    docs = _docs(spark, texts)
+    on = _pairs(dedup.minhash_lsh_duplicates(docs, threshold=0.5, collapse_exact=True))
+    off = _pairs(
+        dedup.minhash_lsh_duplicates(docs, threshold=0.5, collapse_exact=False)
+    )
+    assert on == off and len(on) >= 9 + 6 + 20  # cross a~b + within-a + within-b
+
+
+def test_simhash_collapse_exact_output_identical(spark):
+    words = [f"tok{i}" for i in range(64)]
+    a = " ".join(words)
+    b = " ".join(words[:63] + ["changed"])
+    texts = [a] * 4 + [b] * 3 + ["something else entirely different " * 10]
+    docs = _docs(spark, texts)
+    on = _pairs(dedup.simhash_duplicates(docs, collapse_exact=True))
+    off = _pairs(dedup.simhash_duplicates(docs, collapse_exact=False))
+    assert on == off
+    assert all(h == 0 for x, y, h in on if x < 4 and y < 4)  # clones: hamming 0
+
+
+def test_minhash_clone_heavy_corpus_bounded(spark):
+    # 1000 clones + 3 distinct docs. Collapsed, the band join sees 4
+    # representatives (zero hot buckets); the expansion emits exactly the
+    # C(1000,2) contracted pairs — output-bound work, not verify-bound.
+    clones = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(" ".join(f"c{i}" for i in range(50))).alias("text"),
+    )
+    others = spark.createDataFrame(
+        [
+            (2000, "alpha " * 40),
+            (2001, "beta " * 40),
+            (2002, "gamma " * 40),
+        ],
+        "doc_id long, text string",
+    )
+    docs = clones.unionByName(others)
+    out = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
+    assert out.count() == 1000 * 999 // 2
+    assert out.where(F.col("est_jaccard") < 1.0).count() == 0
