@@ -49,7 +49,7 @@ class _FilePartition(InputPartition):
 
 @dataclass
 class _CountCommit(WriterCommitMessage):
-    path: str
+    path: str | None  # None: the task's partition was empty (no shard)
     n_rows: int
 
 
@@ -115,33 +115,59 @@ class JsonlWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl_docs requires a path")
         self.overwrite = overwrite
+        # run id fixed on the DRIVER and pickled to every task: new shards
+        # are stage-named part-<run>-*.jsonl, so commit() can swap —
+        # delete every shard of a previous run — atomically per-run
+        self.run_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
-        os.makedirs(self.path, exist_ok=True)
-        shard = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
-        n = 0
         names = [f.name for f in self.schema.fields]
-        with open(shard, "w", encoding="utf-8") as fh:
+        # open the shard lazily on the first row: at 32+ tasks per write,
+        # eager opens turn every small DataFrame into a small-file
+        # explosion of empty shards (observed 64 files for 1 row)
+        shard, fh, n = None, None, 0
+        try:
             for row in iterator:
+                if fh is None:
+                    os.makedirs(self.path, exist_ok=True)
+                    shard = os.path.join(
+                        self.path, f"part-{self.run_id}-{uuid.uuid4().hex}.jsonl"
+                    )
+                    fh = open(shard, "w", encoding="utf-8")
                 fh.write(json.dumps(dict(zip(names, row)), ensure_ascii=False))
                 fh.write("\n")
                 n += 1
+        finally:
+            if fh is not None:
+                fh.close()
         return _CountCommit(path=shard, n_rows=n)
 
     def commit(self, messages):
-        # all tasks succeeded; shard files are already in place. A
-        # production sink would publish a manifest here — we record one
-        # for inspection/tests.
+        # all tasks succeeded; this run's shards are in place. Under
+        # overwrite, the swap happens HERE: previous runs' shards (any
+        # part-*.jsonl without this run id) are removed only after every
+        # new shard is durably written — a reader before commit sees the
+        # old data, after commit the new, never a mix of neither.
+        if self.overwrite and os.path.isdir(self.path):
+            mine = f"part-{self.run_id}-"
+            for f in os.listdir(self.path):
+                if (
+                    f.endswith(".jsonl")
+                    and f.startswith("part-")
+                    and not f.startswith(mine)
+                ):
+                    os.remove(os.path.join(self.path, f))
         manifest = {
-            "shards": sorted(m.path for m in messages if m),
+            "shards": sorted(m.path for m in messages if m and m.path),
             "n_rows": sum(m.n_rows for m in messages if m),
         }
+        os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
             json.dump(manifest, fh)
 
     def abort(self, messages):
         for m in messages:
-            if m and os.path.exists(m.path):
+            if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)
 
 

@@ -348,15 +348,40 @@ def read_bloom_skipping(
 ) -> DataFrame:
     """Equality scan reading only files whose Bloom filter CAN contain
     ``value`` (all k probe bits set). The filter is re-applied after the
-    read — skipping is an optimization, never a correctness dependency."""
-    import hashlib
+    read — skipping is an optimization, never a correctness dependency.
 
+    The probe bits are computed THROUGH Spark on a literal cast to the
+    column's actual type: the build side hashed ``CAST(col AS STRING)``,
+    and Python's ``str()`` renders floats/timestamps/decimals differently
+    (1e20 → '1e+20' vs Spark's '1.0E20') — a divergent rendering would be
+    a Bloom FALSE NEGATIVE, silently pruning a file that holds the value.
+    """
     from pyspark.sql import functions as F
 
-    probe = {
-        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % m_bits
-        for i in range(k_hashes)
-    }
+    from alphalens_spark.scale.dedup import md5_long
+
+    dt = spark.read.parquet(path).schema[col].dataType
+    probe_row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    md5_long(
+                        F.concat(
+                            F.lit(f"{i}:"), F.lit(value).cast(dt).cast("string")
+                        ),
+                        15,
+                    ),
+                    F.lit(m_bits),
+                )
+                .cast("int")
+                .alias(f"b{i}")
+                for i in range(k_hashes)
+            ]
+        )
+        .first()
+    )
+    probe = {probe_row[f"b{i}"] for i in range(k_hashes)}
     keep = [f for f, bits in blooms.items() if probe <= set(bits)]
     if not keep:
         return spark.read.parquet(path).limit(0).where(F.col(col) == value)

@@ -636,8 +636,12 @@ def stream_decayed_activity(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     hl_us = half_life_hours * 3600.0 * 1e6
+    # key column keeps the INPUT's type (string/int/uuid user keys all
+    # valid) — hardcoding e.g. 'long' would corrupt or reject any
+    # non-bigint key while the batch twin accepts them all
+    key_ddl = events.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} long, anchor timestamp, n_events long, "
+        f"{user_col} {key_ddl}, anchor timestamp, n_events long, "
         "decayed_count double, decayed_value double"
     )
     state_schema = "anchor long, n long, dcount double, dvalue double"

@@ -131,3 +131,83 @@ def test_minhash_clone_heavy_corpus_bounded(spark):
     out = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
     assert out.count() == 1000 * 999 // 2
     assert out.where(F.col("est_jaccard") < 1.0).count() == 0
+
+
+# ------------------------------------------------------- ADVICE_r02 fixes
+
+
+def test_jsonl_overwrite_replaces_and_no_empty_shards(spark, tmp_path):
+    import json
+    import os
+
+    from alphalens_spark.sources.jsonl import JsonlDataSource
+
+    try:
+        spark.dataSource.register(JsonlDataSource)
+    except Exception:
+        pass  # already registered by another test module
+    out = str(tmp_path / "jl")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars int"
+    first = spark.createDataFrame([(1, "old", "en", "s", 3)], schema)
+    second = spark.createDataFrame([(2, "new", "en", "s", 3)], schema)
+    first.write.format("jsonl_docs").option("path", out).mode("overwrite").save()
+    second.write.format("jsonl_docs").option("path", out).mode("overwrite").save()
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    assert [r.doc_id for r in back.collect()] == [2]  # old run's shards gone
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(shards) == 1  # 1-row write: one shard, no empty files
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 1 and len(manifest["shards"]) == 1
+
+
+def test_plan_summary_counts_roundrobin_exchange(spark):
+    from alphalens_spark.plans import plan_summary
+
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .count()
+        .repartition(8)  # RoundRobinPartitioning on top of the hash shuffle
+    )
+    s = plan_summary(df)
+    assert s.shuffles == 2
+
+
+def test_bloom_probe_matches_spark_rendering_for_floats(spark, tmp_path):
+    from alphalens_spark.storage import collect_file_blooms, read_bloom_skipping
+
+    # 1e20 renders '1e+20' in Python but '1.0E20' in Spark CAST AS STRING;
+    # the probe must go through Spark or this is a false-negative prune
+    df = spark.createDataFrame(
+        [(1, 1e20), (2, 0.1), (3, 2.5)], "k long, v double"
+    )
+    path = str(tmp_path / "blf")
+    df.repartition(3, "k").write.parquet(path)
+    blooms = collect_file_blooms(spark, path, "v", m_bits=512, k_hashes=3)
+    out = read_bloom_skipping(spark, path, "v", 1e20, blooms, m_bits=512, k_hashes=3)
+    assert [r.k for r in out.collect()] == [1]
+
+
+def test_stream_decayed_activity_string_key(spark, tmp_path):
+    from alphalens_spark.streaming.ops import stream_decayed_activity
+
+    src = str(tmp_path / "evs")
+    spark.createDataFrame(
+        [("alice", "2024-01-01 00:00:00", 10.0), ("bob", "2024-01-01 06:00:00", 4.0)],
+        "user_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id string, ts timestamp, value double").parquet(
+        src
+    )
+    q = (
+        stream_decayed_activity(stream, half_life_hours=24.0)
+        .writeStream.format("memory")
+        .queryName("decay_stream_str")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.n_events for r in spark.sql("SELECT * FROM decay_stream_str").collect()}
+    assert got == {"alice": 1, "bob": 1}
