@@ -108,11 +108,18 @@ def write_factor_data_partitioned(
 # ---------------------------------------------------------------------------
 # Shared ANSI-SQL derivation for the DuckDB oracle. The driver pre-registers
 # the parquet tables as views named lineitem/supplier/nation/...
+#
+# Every CTE is AS MATERIALIZED: oracles reference px/fd several times, and
+# DuckDB's default inlining re-derives the whole chain per reference — worse,
+# with px inlined 3× the join-order optimizer can pick a px⋈px-on-asset-only
+# order that goes quadratic (measured: event_study_car oracle 700 s inlined
+# vs 0.5 s materialized at sf0.01). Materialization computes each stage once
+# and keeps every downstream join hash-joinable on the real keys.
 # ---------------------------------------------------------------------------
 
 # (date, asset, price, factor) — must mirror price_factor_panel() exactly.
 PANEL_CTE = """
-panel AS (
+panel AS MATERIALIZED (
   SELECT CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS date,
          l_suppkey AS asset,
          sum(l_extendedprice) / sum(l_quantity) AS price,
@@ -123,14 +130,14 @@ panel AS (
 
 # calendar dim over the panel's distinct dates — mirrors calendar_.trading_calendar
 CAL_CTE = """
-cal AS (
+cal AS MATERIALIZED (
   SELECT date, CAST(row_number() OVER (ORDER BY date) AS INT) AS day_idx
   FROM (SELECT DISTINCT date FROM panel) t
 )"""
 
 # panel with day_idx attached
 PX_CTE = """
-px AS (
+px AS MATERIALIZED (
   SELECT p.date, p.asset, p.price, p.factor, c.day_idx
   FROM panel p JOIN cal c ON p.date = c.date
 )"""
@@ -139,7 +146,7 @@ px AS (
 # calendar (missing future observation → NULL) — mirrors
 # utils.compute_forward_returns
 FWD_CTE = """
-fwd AS (
+fwd AS MATERIALIZED (
   SELECT b.date, b.asset, b.factor,
          f1.price / b.price - 1 AS fwd_1p,
          f5.price / b.price - 1 AS fwd_5p
@@ -150,7 +157,7 @@ fwd AS (
 
 # cleaned rows (inner-join semantics of ref utils.py:597-627)
 CLEAN_CTE = """
-clean AS (
+clean AS MATERIALIZED (
   SELECT * FROM fwd
   WHERE fwd_1p IS NOT NULL AND fwd_5p IS NOT NULL AND factor IS NOT NULL
 )"""
@@ -160,7 +167,7 @@ clean AS (
 # makes the order (and therefore every label) bit-identical across
 # engines; the tiebreak on asset makes it total.
 QUANT_CTE = """
-fd AS (
+fd AS MATERIALIZED (
   SELECT c.*,
          CAST(ntile(5) OVER (PARTITION BY date
                              ORDER BY round(factor, 6), asset) AS INT)
