@@ -39,6 +39,10 @@ class PlanSummary:
     cartesian_products: int = 0
     generates: int = 0
     windows: int = 0
+    # Window operators with NO partition spec: every row moves to ONE
+    # partition (the WindowExec warning) — fine for a bounded dimension
+    # (distinct-date calendar), fatal for a data-sized input
+    global_windows: int = 0
     python_evals: int = 0
     scans: list["ScanInfo"] = field(default_factory=list)
 
@@ -73,6 +77,17 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         cartesian_products=p.count("CartesianProduct"),
         generates=p.count("Generate"),
         windows=len(re.findall(r"\bWindow\b|RunningWindowFunction", p)),
+        # Window lines print [exprs], [partition], [order] with EMPTY
+        # groups omitted: 3 groups ⇒ partitioned; 2 groups is partitioned-
+        # unordered OR global-ordered — told apart by the last group
+        # (order entries carry ASC/DESC, partition columns never do)
+        global_windows=sum(
+            1
+            for line in p.splitlines()
+            if re.search(r"\bWindow(?:InPandas)? \[", line)
+            and line.count("], [") < 2
+            and re.search(r"\], \[[^\[\]]*(?:ASC|DESC)[^\[\]]*\]\s*$", line)
+        ),
         python_evals=len(re.findall(r"(?:Batch|Arrow)EvalPython|MapInPandas|FlatMapGroupsInPandas", p)),
     )
     for line in p.splitlines():

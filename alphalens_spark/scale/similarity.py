@@ -35,6 +35,23 @@ def _norm(a: F.Column) -> F.Column:
     )
 
 
+# brute-force forms broadcast/collect the ENTIRE query set to every task:
+# legitimate for a probe set, a scale-killer for query sets that are
+# themselves corpus-sized. Guard, don't guess — the error names the fix.
+MAX_BRUTE_FORCE_QUERIES = 65_536
+
+
+def _guard_query_count(n: int) -> None:
+    if n > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"brute-force top-k received {n} query vectors "
+            f"(max {MAX_BRUTE_FORCE_QUERIES}): the query set is broadcast to "
+            "every task by design, so a corpus-sized query set must go "
+            "through ivf_topk / ivfpq_topk (bucketed candidate generation) "
+            "instead."
+        )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,8 +65,11 @@ def brute_force_topk(
     the corpus streams through map-side with no shuffle until the final
     per-query top-k (rows = |queries|·k after the window filter; AQE
     coalesces). Ranking ties broken by (rounded cosine desc, neighbor id)
-    for determinism across engines.
+    for determinism across engines. Fails fast above
+    ``MAX_BRUTE_FORCE_QUERIES`` (one bounded count on the small side)
+    with guidance to the IVF paths.
     """
+    _guard_query_count(queries.count())
     # hoist the norms: ||v|| once per corpus row and ||q|| once per query,
     # instead of once per (query, neighbor) pair — the dot product is the
     # only per-pair work left
@@ -107,6 +127,7 @@ def brute_force_topk_vectorized(
     import pandas as pd
 
     q_rows = queries.select("query_id", "qv").collect()
+    _guard_query_count(len(q_rows))
     q_ids = np.array([r["query_id"] for r in q_rows])
     Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

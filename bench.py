@@ -177,9 +177,22 @@ def main() -> None:
         run_suite(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 4)
+    # stable reference-parity subtotal (ingestion + the metric DAG over
+    # the cached factor_data — the queries BASELINE.md's pandas core
+    # covers): suite `value` grows as scale entries accumulate round
+    # over round; `core_value` stays comparable across rounds and
+    # against the baseline.
+    core = [
+        "ingestion_factor_data", "mean_return_by_quantile", "factor_ic",
+        "factor_returns", "factor_alpha_beta", "quantile_turnover",
+        "rank_autocorr", "event_study",
+    ]
+    core_value = round(sum(timings.get(q, 0.0) for q in core), 4)
     print(json.dumps({
         "metric": "alphalens_spark headline suite wall time",
         "value": total,
+        "core_value": core_value,
+        "core_queries": core,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

@@ -31,13 +31,30 @@ def test_all_queries_return_rows_at_smallest_sf(spark):
 
 
 def test_no_quadratic_join_in_any_query_plan(spark):
-    """Scale guard: no entry query may plan a CartesianProduct, and
-    BroadcastNestedLoopJoin is allowed only where it is the documented
-    intent — the 1-row pct-of-total / top-bottom-literal cross joins
-    (quantile_stats, returns_table_bps) and the all-pairs exact
-    verification baseline (embedding_near_dup_exact). Anything else
-    appearing here means a join lost its equi-condition and would go
-    quadratic at scale."""
+    """Scale gate over EVERY entry query via plans.plan_summary:
+
+    - no CartesianProduct, ever;
+    - BroadcastNestedLoopJoin only on the documented 1-row/stats
+      broadcasts and the all-pairs exact verification baseline
+      (embedding_near_dup_exact) — anything else means a join lost its
+      equi-condition and goes quadratic at scale;
+    - no UNPARTITIONED data-sized Window (the move-everything-to-one-
+      partition shape) outside the date-axis cumulatives, whose input is
+      one row per trading date (dimension-sized by construction);
+    - fact-table scans must prune columns: a lineitem/orders scan that
+      reads the full width means projection pushdown broke."""
+    from alphalens_spark.plans import plan_summary
+
+    GLOBAL_WINDOW_OK = {
+        # cumsum over per-date rows: input is the date dimension, bounded
+        "pyfolio_returns",
+        "pyfolio_daily_returns",
+        "cumulative_benchmark_log_return",
+    }
+    FACT_WIDTH = {
+        t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)
+        for t in ("lineitem", "orders")
+    }
     BNLJ_OK = {
         "quantile_stats",
         "returns_table_bps",
@@ -60,10 +77,18 @@ def test_no_quadratic_join_in_any_query_plan(spark):
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
             continue  # streaming query: no batch executedPlan
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan, name
+        s = plan_summary(fn(spark, SF_DIR))
+        assert s.cartesian_products == 0, name
         if name not in BNLJ_OK:
-            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert s.nested_loop_joins == 0, name
+        if name not in GLOBAL_WINDOW_OK:
+            assert s.global_windows == 0, f"{name}: unpartitioned Window"
+        for sc in s.scans:
+            for t, w in FACT_WIDTH.items():
+                if f"/{t}.parquet" in sc.location:
+                    assert len(sc.read_columns) < w, (
+                        f"{name}: {t} scan reads all {w} columns"
+                    )
 
 
 def test_all_queries_under_driver_default_session(spark):

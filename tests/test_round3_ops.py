@@ -211,3 +211,18 @@ def test_stream_decayed_activity_string_key(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.user_id: r.n_events for r in spark.sql("SELECT * FROM decay_stream_str").collect()}
     assert got == {"alice": 1, "bob": 1}
+
+
+def test_brute_force_query_guard(spark):
+    from alphalens_spark.scale import similarity
+
+    corpus = spark.range(10).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    big_queries = spark.range(similarity.MAX_BRUTE_FORCE_QUERIES + 1).select(
+        F.col("id").alias("query_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("qv")
+    )
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.brute_force_topk(corpus, big_queries)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.brute_force_topk_vectorized(corpus, big_queries)
