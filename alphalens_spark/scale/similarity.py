@@ -216,8 +216,7 @@ def _plane_margins(vec_col: str, planes: list[list[float]]) -> F.Column:
     """Array of v·h_j for each hyperplane — the signed bucket margins."""
     dots = []
     for h in planes:
-        lit_h = F.array(*[F.lit(x) for x in h])
-        dots.append(_dot(F.col(vec_col), lit_h))
+        dots.append(_dot(F.col(vec_col), _vector_expr(h)))
     return F.array(*dots)
 
 
@@ -296,7 +295,49 @@ def kmeans_lite_centroids(
     return cents
 
 
-def _dists_to_centroids(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+def _vector_expr(vals) -> F.Column:
+    """Literal array<double> parsed from ONE SQL string. Element-wise
+    ``F.array(F.lit(x), …)`` costs a Py4J round trip per element — a
+    16×64 centroid matrix is ~1000 driver calls, measured 1.7 s of pure
+    plan-build wall per ivfpq search. One expr() is a single call + one
+    Catalyst parse; the string round-trip (repr → Java parseDouble) is
+    bit-exact for every finite double, and ConstantFolding collapses the
+    casts so the executed plan is the same literal array."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vals) + ")"
+    )
+
+
+def _matrix_expr(rows) -> F.Column:
+    """Literal array<array<double>> via one parsed SQL string (see
+    :func:`_vector_expr`)."""
+    body = ",".join(
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
+def _dists_to_centroids_sql(vec_sql: str, centroids) -> str:
+    """SQL text of the squared-L2 distance array (see
+    :func:`_dists_to_centroids`) — for hot plan-build paths where even
+    the higher-order-function Column builders' Py4J round trips matter
+    (ivfpq builds 8 of these per search batch)."""
+    body = ",".join(
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
+        for c in centroids
+    )
+    return (
+        f"transform(array({body}), c -> aggregate("
+        f"zip_with({vec_sql}, c, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def _dists_to_centroids(
+    vec: F.Column | str, centroids: list[list[float]]
+) -> F.Column:
     """Array of squared L2 distances from ``vec`` to every centroid.
 
     ONE ``transform`` lambda over a literal centroid MATRIX instead of
@@ -305,8 +346,12 @@ def _dists_to_centroids(vec: F.Column, centroids: list[list[float]]) -> F.Column
     carries one operator subtree, not n_cells of them — with 16x16-entry
     PQ codebooks the per-centroid form ballooned analysis + codegen into
     tens of seconds per stage (1.4 MiB task binaries) while this form
-    stays milliseconds."""
-    mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    stays milliseconds. Pass ``vec`` as a SQL string to build the whole
+    expression in one parse (identical semantics, fewer driver calls).
+    """
+    if isinstance(vec, str):
+        return F.expr(_dists_to_centroids_sql(vec, centroids))
+    mat = _matrix_expr(centroids)
     return F.transform(
         mat,
         lambda c: F.aggregate(
@@ -415,8 +460,11 @@ def ivf_topk(
     )
     probe_dists = []
     for c in cents:
-        lit_c = F.array(*[F.lit(x) for x in c])
-        diff = F.zip_with(F.col("qv"), lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+        diff = F.zip_with(
+            F.col("qv"),
+            _vector_expr(c),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        )
         probe_dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
     ranked_cells = F.transform(
         F.array_sort(
@@ -680,14 +728,14 @@ def ivfpq_topk(
     ranked_cells = F.transform(
         F.array_sort(
             F.arrays_zip(
-                _dists_to_centroids(F.col("qv"), cents),
+                _dists_to_centroids("qv", cents),
                 F.array(*[F.lit(i) for i in range(len(cents))]),
             )
         ),
         lambda s: s["1"],
     )
     luts = [
-        _dists_to_centroids(F.slice(F.col("qv"), m * dsub + 1, dsub), books[m]).alias(
+        _dists_to_centroids(f"slice(qv, {m * dsub + 1}, {dsub})", books[m]).alias(
             f"_lut{m}"
         )
         for m in range(m_sub)
@@ -705,10 +753,12 @@ def ivfpq_topk(
     pairs = cb.join(F.broadcast(qb), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    adc = None
-    for m in range(m_sub):
-        term = F.element_at(F.col(f"_lut{m}"), F.element_at("codes", m + 1) + 1)
-        adc = term if adc is None else adc + term
+    adc = F.expr(
+        " + ".join(
+            f"element_at(_lut{m}, element_at(codes, {m + 1}) + 1)"
+            for m in range(m_sub)
+        )
+    )
     scored = pairs.select("query_id", "neighbor_id", adc.alias("d"))
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("d"), 6).asc(), F.col("neighbor_id")
@@ -891,10 +941,9 @@ def pca_project(
     """Project vectors onto fitted components — (v − μ)·cᵀ as plan-folded
     literals, the same pure-projection shape as random_projection (no
     shuffle, no UDF). Output: (id, projection array<double>)."""
-    mu = F.array(*[F.lit(float(x)) for x in means])
+    mu = _vector_expr(float(x) for x in means)
     centered = F.zip_with(F.col(vec_col), mu, lambda a, b: a - b)
     dots = []
     for c in components:
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        dots.append(_dot(centered, lit_c))
+        dots.append(_dot(centered, _vector_expr(float(x) for x in c)))
     return df.select(F.col(id_col), F.array(*dots).alias("projection"))
