@@ -3720,6 +3720,56 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(sketch, probes, width=512, depth=4)
 
 
+def q_heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent document tokens by count-min estimate
+    (scale.profile.heavy_hitters — the CM heavy-hitters readout,
+    Cormode & Muthukrishnan 2005 §4). Top-k plans as
+    TakeOrderedAndProject, never a global window; the salted-md5 sketch
+    and every estimate replay in SQL. Streaming twin:
+    streaming.ops.stream_heavy_hitters (CM store + bounded candidates).
+    """
+    from alphalens_spark.scale.profile import heavy_hitters
+    from alphalens_spark.scale.text import _tokens
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", k=20, depth=4, width=512)
+
+
+ORACLES["heavy_hitters_terms"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+ex AS (
+  SELECT tok, unnest([0, 1, 2, 3]) AS row FROM toks
+),
+sk AS (
+  SELECT row,
+         CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || tok), 1, 15))
+              ::BIGINT % 512 AS INT) AS col,
+         count(*) AS cnt
+  FROM ex GROUP BY 1, 2
+),
+items AS (
+  SELECT DISTINCT tok AS item FROM toks
+),
+px AS (
+  SELECT item, unnest([0, 1, 2, 3]) AS row FROM items
+),
+lk AS (
+  SELECT p.item, p.row, coalesce(s.cnt, 0) AS cnt
+  FROM px p LEFT JOIN sk s
+    ON s.row = p.row
+   AND s.col = CAST(('0x' || substr(md5(CAST(p.row AS VARCHAR) || ':'
+                    || p.item), 1, 15))::BIGINT % 512 AS INT)
+),
+est AS (
+  SELECT item, min(cnt) AS est_count FROM lk GROUP BY 1
+)
+SELECT item, est_count FROM est ORDER BY est_count DESC, item LIMIT 20"""
+
+
 ORACLES["cm_frequency"] = r"""
 WITH toks AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -4328,6 +4378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_activity": q_decayed_activity,
     "histogram_quantiles": q_histogram_quantiles,
     "cm_frequency": q_cm_frequency,
+    "heavy_hitters_terms": q_heavy_hitters_terms,
     "weighted_sample": q_weighted_sample,
     "ngram_containment": q_ngram_containment,
     "rolling_anomaly": q_rolling_anomaly,

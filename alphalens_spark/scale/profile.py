@@ -256,6 +256,32 @@ def cm_estimate(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Top-k most frequent items by count-min estimate (the CM
+    heavy-hitters readout, Cormode & Muthukrishnan 2005 §4): sketch the
+    corpus, estimate every DISTINCT item's frequency against the sketch
+    (broadcast lookup — the sketch is depth×width rows), keep the k
+    largest by (est_count desc, item asc).
+
+    The top-k is ``orderBy().limit()`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k, driver merge of k·P rows), never a global
+    window, so the readout scales with the distinct-item domain the same
+    way a groupBy does. Estimates are CM upper bounds: exact for true
+    heavy hitters whenever their counts clear the collision noise
+    (ε ≈ e/width of total mass). Output: (item, est_count), the k rows.
+    """
+    sketch = cm_sketch(df, item_col, depth, width)
+    items = df.select(F.col(item_col).cast("string").alias("item")).distinct()
+    est = cm_estimate(sketch, items, width=width, depth=depth)
+    return est.orderBy(F.col("est_count").desc(), F.col("item")).limit(k)
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

@@ -569,6 +569,108 @@ def kmv_store_estimate(
     )
 
 
+def hh_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    item_col: str = "item",
+    k: int = 10,
+    depth: int = 4,
+    width: int = 1024,
+    slack: int = 8,
+) -> None:
+    """One streaming heavy-hitters maintenance step: CM counters +
+    bounded candidate set (the classic CM-plus-heap structure, kept
+    relational).
+
+    Two sub-stores under ``store_path``: ``cm/`` is the exact mergeable
+    count-min of the full history (:func:`cm_store_update`); ``cand/``
+    holds at most k·slack candidate items — each batch unions the
+    batch's distinct items into the candidates, re-estimates every
+    candidate against the MERGED sketch (so a returning item's estimate
+    reflects its whole history, not just batches where it was a
+    candidate), and prunes back to the k·slack best. State is
+    O(depth·width + k·slack) forever. The pruning is the one
+    approximation beyond CM noise: an item can only be lost while its
+    running estimate is below the current (k·slack)-th candidate —
+    growing ``slack`` buys the usual space-for-recall trade.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.profile import cm_estimate
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    cm_path = f"{store_path}/cm"
+    cand_path = f"{store_path}/cand"
+    cm_store_update(batch_df, cm_path, item_col, depth, width)
+    new_items = batch_df.select(
+        F.col(item_col).cast("string").alias("item")
+    ).distinct()
+    try:
+        cand = spark.read.parquet(cand_path).select("item").unionByName(
+            new_items
+        ).distinct()
+    except AnalysisException:
+        cand = new_items
+    sketch = spark.read.parquet(cm_path)
+    pruned = (
+        cm_estimate(sketch, cand, width=width, depth=depth)
+        .orderBy(F.col("est_count").desc(), F.col("item"))
+        .limit(k * slack)
+    )
+    pruned.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(cand_path)
+
+
+def hh_store_topk(
+    spark: SparkSession,
+    store_path: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Current top-k heavy hitters off a maintained store: re-estimate
+    the persisted candidates against the persisted counters (so the
+    readout always reflects the latest merge) and keep the k best —
+    same (est_count desc, item) order contract as the batch twin
+    :func:`alphalens_spark.scale.profile.heavy_hitters`."""
+    from alphalens_spark.scale.profile import cm_estimate
+
+    sketch = spark.read.parquet(f"{store_path}/cm")
+    cand = spark.read.parquet(f"{store_path}/cand").select("item")
+    return (
+        cm_estimate(sketch, cand, width=width, depth=depth)
+        .orderBy(F.col("est_count").desc(), F.col("item"))
+        .limit(k)
+    )
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    item_col: str = "item",
+    k: int = 10,
+    depth: int = 4,
+    width: int = 1024,
+    slack: int = 8,
+    available_now: bool = False,
+):
+    """Maintain streaming top-k heavy hitters via foreachBatch over
+    :func:`hh_store_update`; read the answer any time with
+    :func:`hh_store_topk` without stopping the stream."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        hh_store_update(batch_df, store_path, item_col, k, depth, width, slack)
+
+    w = stream_df.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_sketch_maintenance(
     stream_df: DataFrame,
     cm_path: str,

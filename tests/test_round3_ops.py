@@ -226,3 +226,42 @@ def test_brute_force_query_guard(spark):
         similarity.brute_force_topk(corpus, big_queries)
     with pytest.raises(ValueError, match="ivf_topk"):
         similarity.brute_force_topk_vectorized(corpus, big_queries)
+
+
+# ------------------------------------------- streaming heavy hitters (CM)
+
+
+def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
+    from alphalens_spark.scale.profile import heavy_hitters
+    from alphalens_spark.streaming.ops import hh_store_topk, stream_heavy_hitters
+
+    # skewed item stream across two files → two micro-batches
+    src = str(tmp_path / "items")
+    batch1 = [(f"hot{i % 3}",) for i in range(60)] + [(f"cold{i}",) for i in range(30)]
+    batch2 = [(f"hot{i % 5}",) for i in range(50)] + [(f"cold{i}",) for i in range(30, 60)]
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, "item string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)  # force multi-batch maintenance
+        .parquet(src)
+    )
+    store = str(tmp_path / "hh")
+    q = stream_heavy_hitters(
+        stream, store, str(tmp_path / "ck"), k=5, width=256, slack=8,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = [(r.item, r.est_count) for r in hh_store_topk(spark, store, k=5, width=256).collect()]
+    want = [
+        (r.item, r.est_count)
+        for r in heavy_hitters(
+            spark.read.parquet(src), "item", k=5, width=256
+        ).collect()
+    ]
+    assert got == want
+    assert got[0][0] in {"hot0", "hot1", "hot2"} and got[0][1] >= 30
