@@ -157,6 +157,7 @@ def interval_join(
     end_col: str,
     by: Sequence[str] = (),
     how: str = "inner",
+    max_span_days: int | None = 3660,
 ) -> DataFrame:
     """Point-in-interval join — which interval contains each point — as a
     day-bucketed EQUI-join instead of the nested-loop range join Spark
@@ -176,16 +177,39 @@ def interval_join(
     unmatched points with NULL interval columns (one extra anti-join —
     matched-set complement — not an outer range join).
 
+    The day fan-out is each interval's span in days, so one open-ended
+    interval (a "still active" row with a sentinel end far in the
+    future) would explode to ~unbounded rows; ``max_span_days``
+    (default 10 years) turns that silent blowup into an executor-side
+    error naming the offending span — pass ``None`` only when spans are
+    known-bounded upstream, or coarsen the bucketing for long intervals.
+
     Output: points columns + the matched interval's columns.
     """
     keys = list(by)
     p = points.withColumn("_day", F.to_date(F.col(point_ts)))
+    end_day = F.to_date(F.col(end_col))
+    if max_span_days is not None:
+        span = F.datediff(end_day, F.to_date(F.col(start_col))) + 1
+        end_day = F.when(span <= max_span_days, end_day).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_join: interval span exceeds "
+                        f"max_span_days={max_span_days} ("
+                    ),
+                    span.cast("string"),
+                    F.lit(
+                        " days): bound the span upstream or raise "
+                        "max_span_days explicitly"
+                    ),
+                )
+            ).cast("date")
+        )
     ivl = intervals.withColumn(
         "_day",
         F.explode(
-            F.sequence(
-                F.to_date(F.col(start_col)), F.to_date(F.col(end_col))
-            )
+            F.sequence(F.to_date(F.col(start_col)), end_day)
         ),
     )
     cond = (F.col(point_ts) >= F.col(start_col)) & (

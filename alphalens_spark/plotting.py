@@ -84,9 +84,12 @@ def plot_returns_table(
     mean_ret_quantile: DataFrame,
     mean_ret_spread_quantile: DataFrame,
     period_cols: Sequence[str] | None = None,
+    show: bool = False,
 ) -> pd.DataFrame:
     """Returns summary in bps (ref plotting.py:134-147): annualized alpha,
-    beta, top/bottom quantile mean returns, mean spread."""
+    beta, top/bottom quantile mean returns, mean spread. ``show=True``
+    additionally displays through utils.print_table (the reference
+    prints; we return — opt into both)."""
     ab = alpha_beta.toPandas()
     cols = period_cols or [c.split("_", 1)[1] for c in ab.columns if c.startswith("beta_")]
     mq = mean_ret_quantile.toPandas().set_index("factor_quantile").sort_index()
@@ -103,10 +106,17 @@ def plot_returns_table(
             "Mean Period Wise Spread (bps)":
                 sp[f"spread_{c}"].mean() * DECIMAL_TO_BPS if f"spread_{c}" in sp else None,
         }
-    return pd.DataFrame(rows).round(3)
+    out = pd.DataFrame(rows).round(3)
+    if show:
+        from alphalens_spark.utils import print_table
+
+        print_table(out, name="Returns Analysis")
+    return out
 
 
-def plot_information_table(ic_data: DataFrame, period_cols: Sequence[str]) -> pd.DataFrame:
+def plot_information_table(
+    ic_data: DataFrame, period_cols: Sequence[str], show: bool = False
+) -> pd.DataFrame:
     """IC summary (ref plotting.py:166-179): mean, std, IR, t-stat,
     p-value, skew, kurtosis per horizon. The p-value (ref plotting.py:172
     ttest_1samp, two-sided) is a scalar Student-t survival function over
@@ -120,11 +130,17 @@ def plot_information_table(ic_data: DataFrame, period_cols: Sequence[str]) -> pd
             if pd.notna(t) and n > 1
             else float("nan")
         )
+    if show:
+        from alphalens_spark.utils import print_table
+
+        print_table(pdf, name="Information Analysis")
     return pdf
 
 
 def plot_turnover_table(
-    autocorrelation_data: DataFrame, quantile_turnover: DataFrame
+    autocorrelation_data: DataFrame,
+    quantile_turnover: DataFrame,
+    show: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Turnover means per (quantile, period) + mean rank autocorr per
     period (ref plotting.py:150-163)."""
@@ -140,10 +156,17 @@ def plot_turnover_table(
         .toPandas()
         .set_index("period")
     )
+    if show:
+        from alphalens_spark.utils import print_table
+
+        print_table(to.round(3), name="Turnover Analysis")
+        print_table(ac.round(3), name="Autocorrelation")
     return to.round(3), ac.round(3)
 
 
-def plot_quantile_statistics_table(factor_data: DataFrame) -> pd.DataFrame:
+def plot_quantile_statistics_table(
+    factor_data: DataFrame, show: bool = False
+) -> pd.DataFrame:
     """Per-quantile factor stats incl. count %% (ref plotting.py:182-189)."""
     out = factor_data.groupBy("factor_quantile").agg(
         F.min("factor").alias("min"),
@@ -158,7 +181,12 @@ def plot_quantile_statistics_table(factor_data: DataFrame) -> pd.DataFrame:
     out = out.crossJoin(F.broadcast(tot)).withColumn(
         "count %", F.col("count") / F.col("_tot") * 100.0
     ).drop("_tot")
-    return out.toPandas().set_index("factor_quantile").sort_index()
+    pdf = out.toPandas().set_index("factor_quantile").sort_index()
+    if show:
+        from alphalens_spark.utils import print_table
+
+        print_table(pdf, name="Quantiles Statistics")
+    return pdf
 
 
 # ---------------------------------------------------------------------------

@@ -779,17 +779,37 @@ def timedelta_strings_to_integers(labels: Sequence[str]) -> list[int]:
     return [int("".join(ch for ch in s if ch.isdigit())) for s in labels]
 
 
-def print_table(df: DataFrame, n: int = 20, float_format: str = "%.6f") -> None:
+def print_table(table, name: str | None = None, fmt: str | None = None,
+                n: int = 20) -> None:
     """Render a (small) result table — the reference's display sink
-    (utils.py:419-450). Collects at most ``n`` rows to pandas; use only on
-    aggregate outputs."""
-    pdf = df.limit(n).toPandas()
-    try:
-        from IPython.display import display
+    (utils.py:419-451), full contract: ``name`` labels the upper-left
+    corner (columns.name), ``fmt`` scopes pandas' display.float_format
+    for the call and restores the prior setting, HTML ``display`` inside
+    IPython/Jupyter with plain-text fallback elsewhere. Accepts a Spark
+    DataFrame (collects at most ``n`` rows — use only on aggregate
+    outputs), a pandas DataFrame, or a Series."""
+    import pandas as pd
 
-        display(pdf.style.format(precision=6))
-    except Exception:
-        print(pdf.to_string(float_format=lambda x: float_format % x))
+    if isinstance(table, DataFrame):
+        table = table.limit(n).toPandas()
+    if isinstance(table, pd.Series):
+        table = pd.DataFrame(table)
+    if isinstance(table, pd.DataFrame):
+        table.columns.name = name
+
+    prev = pd.get_option("display.float_format")
+    if fmt is not None:
+        pd.set_option("display.float_format", lambda x: fmt.format(x))
+    try:
+        try:
+            from IPython.display import display
+
+            display(table)
+        except Exception:
+            print(table.to_string())
+    finally:
+        if fmt is not None:
+            pd.set_option("display.float_format", prev)
 
 
 def detect_non_unique_bin_edges(

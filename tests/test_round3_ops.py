@@ -265,3 +265,40 @@ def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
     ]
     assert got == want
     assert got[0][0] in {"hot0", "hot1", "hot2"} and got[0][1] >= 30
+
+
+# ------------------------------------------------- misc parity / guards
+
+
+def test_print_table_contract(spark, capsys):
+    import pandas as pd
+
+    from alphalens_spark.utils import print_table
+
+    prev = pd.get_option("display.float_format")
+    sdf = spark.createDataFrame([(1, 0.5)], "a int, b double")
+    print_table(sdf, name="T", fmt="{0:.2f}%")
+    assert pd.get_option("display.float_format") is prev  # scoped + restored
+    out = capsys.readouterr().out
+    assert "T" in out and "50.00%" not in out and "0.50%" in out
+    print_table(pd.Series([1.0, 2.0], name="s"))  # Series accepted
+    assert "s" in capsys.readouterr().out
+
+
+def test_interval_join_span_guard(spark):
+    from pyspark.sql.utils import PythonException
+
+    from alphalens_spark.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00")], "id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivl = spark.createDataFrame(
+        [(9, "2024-01-01 00:00:00", "2099-01-01 00:00:00")],
+        "ivl_id long, s string, e string",
+    ).select("ivl_id", F.col("s").cast("timestamp"), F.col("e").cast("timestamp"))
+    with pytest.raises(Exception, match="max_span_days"):
+        interval_join(pts, ivl, "ts", "s", "e", max_span_days=30).collect()
+    # within bound: joins normally
+    ok = interval_join(pts, ivl, "ts", "s", "e", max_span_days=50_000)
+    assert ok.count() == 1
