@@ -3720,6 +3720,115 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(sketch, probes, width=512, depth=4)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords over the whole corpus
+    (scale.text.tfidf_top_terms): smoothed sklearn-style idf, per-doc
+    partitioned window, deterministic (rounded score, term) tiebreak."""
+    from alphalens_spark.scale.text import tfidf_top_terms
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, n_top=3)
+
+
+ORACLES["tfidf_top_terms"] = r"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents) t
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 3"""
+
+
+def q_knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction for the probe query set
+    (scale.similarity.knn_label_predict over the labeled embeddings):
+    exact cosine top-5 neighbors → per-query label vote, deterministic
+    (votes desc, label asc) winner."""
+    from alphalens_spark.scale.similarity import knn_label_predict
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return knn_label_predict(emb, queries, k=5)
+
+
+ORACLES["knn_label_predict"] = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 20 = 0
+),
+p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cs
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY 0.0 + round(cs, 6) DESC, neighbor_id) AS rnk
+  FROM p
+),
+votes AS (
+  SELECT r.query_id, e.label AS lab, count(*) AS votes
+  FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rnk <= 5
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, lab, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, lab) AS wr
+  FROM votes
+)
+SELECT query_id, lab AS pred_label, CAST(votes AS INT) AS votes
+FROM win WHERE wr = 1"""
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-hashed train/val/test split (scale.curation.split_dataset
+    with by='source'): every document of a source lands in the same
+    split, so in-group near-duplicates can never straddle train/test."""
+    from alphalens_spark.scale.curation import split_dataset
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return split_dataset(docs, by="source")
+
+
+ORACLES["split_leakage_safe"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(source), 1, 15))::BIGINT
+           % 1000000 AS hash_bucket
+  FROM documents
+)
+SELECT doc_id, hash_bucket,
+       CASE WHEN hash_bucket < 900000 THEN 'train'
+            WHEN hash_bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b"""
+
+
 def q_heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most frequent document tokens by count-min estimate
     (scale.profile.heavy_hitters — the CM heavy-hitters readout,
@@ -4379,6 +4488,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantiles": q_histogram_quantiles,
     "cm_frequency": q_cm_frequency,
     "heavy_hitters_terms": q_heavy_hitters_terms,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "knn_label_predict": q_knn_label_predict,
+    "split_leakage_safe": q_split_leakage_safe,
     "weighted_sample": q_weighted_sample,
     "ngram_containment": q_ngram_containment,
     "rolling_anomaly": q_rolling_anomaly,

@@ -599,6 +599,7 @@ def split_dataset(
     fractions: dict[str, float] | None = None,
     id_col: str = "doc_id",
     hash_mod: int = 1_000_000,
+    by: str | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test assignment from the id hash alone —
     the split every training pipeline needs to be reproducible across
@@ -608,12 +609,19 @@ def split_dataset(
 
     Contiguous integer hash ranges per split (exact thresholds, no float
     boundaries); rows beyond the summed fractions fall into the last
-    split. Zero shuffles — a pure projection. Output: (id, hash_bucket,
-    split)."""
+    split. Zero shuffles — a pure projection.
+
+    ``by`` hashes a GROUP column instead of the row id — the
+    leakage-safe split: every document of one source/site/url lands in
+    the SAME split, so near-duplicates that cluster within a group can
+    never straddle train and test (the contamination mode a row-level
+    split invites). Split sizes then hold only in expectation over
+    groups. Output: (id, hash_bucket, split)."""
     from alphalens_spark.scale.dedup import md5_long
 
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    bucket = F.pmod(md5_long(F.col(id_col).cast("string"), 15), F.lit(hash_mod))
+    key = F.col(by if by is not None else id_col).cast("string")
+    bucket = F.pmod(md5_long(key, 15), F.lit(hash_mod))
     names = list(fractions)
     bounds = []
     acc = 0

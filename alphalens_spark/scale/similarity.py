@@ -947,3 +947,47 @@ def pca_project(
     for c in components:
         dots.append(_dot(centered, _vector_expr(float(x) for x in c)))
     return df.select(F.col(id_col), F.array(*dots).alias("projection"))
+
+
+def knn_label_predict(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label prediction over a labeled embedding
+    corpus — the semi-supervised labeling / weak-supervision primitive
+    (label the unlabeled split from its nearest labeled neighbors).
+
+    Neighbors come from the exact cosine top-k (vectorized BLAS path);
+    at corpus-sized query sets swap :func:`ivf_topk` in for the same
+    vote — the vote is agnostic to the candidate generator. Majority
+    vote per query with deterministic tie-break (votes desc, label asc);
+    the vote aggregation and the winner window are both keyed by
+    query_id — linear shuffles only.
+
+    Output: (query_id, pred_label, votes) — one row per query.
+    """
+    nbrs = brute_force_topk_vectorized(corpus, queries, k, id_col, vec_col)
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lab")
+    )
+    votes = (
+        nbrs.join(lab, "neighbor_id")
+        .groupBy("query_id", "_lab")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_lab")
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("_lab").alias("pred_label"),
+            F.col("votes").cast("int").alias("votes"),
+        )
+    )

@@ -555,3 +555,49 @@ def bigram_cross_entropy(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(ce, 6).alias("cross_entropy"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    n_top: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-n TF-IDF terms — the corpus-wide keyword
+    primitive (topical tagging, cluster naming, near-dup explanation);
+    the complement of :func:`bm25_scores`, which scores a FIXED term set
+    instead of discovering each document's own.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    strictly positive — the sklearn formulation); score = round(tf·idf,
+    6); top n per document by (score desc, term asc).
+
+    Plan shape: (doc, term) tf groupBy → df groupBy joined back on the
+    term key → 1-row N broadcast → per-document window (PARTITIONED by
+    doc — never a global sort). Every shuffle is keyed linearly; the
+    vocabulary-sized df relation joins on its own key, so AQE picks the
+    strategy by its real size.
+
+    Output: (id, term, tf, df, tfidf, rnk).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.lit(0.0) + F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= n_top)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )

@@ -9,7 +9,7 @@ plans are identical, which is how the tests validate semantics
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -567,6 +567,85 @@ def kmv_store_estimate(
         .agg(F.count(F.lit(1)).cast("int").alias("n_mins"), F.max("_h").alias("_kth"))
         .select(*group_cols, "n_mins", F.round(est, 6).alias("est_distinct"))
     )
+
+
+def hist_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> None:
+    """One incremental fixed-grid histogram maintenance step — the third
+    mergeable sketch store (CM = counter add, KMV = union→bottom-k,
+    histogram = per-bin counter add). Streaming fixes the bin GRID up
+    front (lo/hi/bins are the store's contract — batch
+    histogram_quantiles can derive the range from data; a stream cannot
+    revisit history to re-bin), values clamp into the edge bins. State
+    ≤ bins rows forever; incremental == one-shot by construction.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / float(bins)
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    batch_h = (
+        batch_df.where(v.isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(batch_h)
+            .groupBy("bin")
+            .agg(F.sum("count").alias("count"))
+        )
+    except AnalysisException:
+        merged = batch_h
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+
+def hist_store_quantiles(
+    spark: SparkSession,
+    store_path: str,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile readout off a maintained histogram store: cumulative bin
+    counts → linear interpolation inside the bin crossing each target
+    rank — the same estimator family as
+    scale.profile.histogram_quantiles, on the store's fixed grid.
+    Deterministic (a pure function of the counters). Output:
+    (prob, est_quantile)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / float(bins)
+    h = spark.read.parquet(store_path)
+    n = h.agg(F.sum("count").alias("_n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # ≤ bins rows: the ordered window is bounded by the grid, not data
+    cum = h.withColumn("_cum", F.sum("count").over(w)).crossJoin(F.broadcast(n))
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    pj = cum.join(
+        F.broadcast(probs_df), F.col("prob") * F.col("_n") <= F.col("_cum")
+    )
+    pick = Window.partitionBy("prob").orderBy("bin")
+    first = pj.withColumn("_rn", F.row_number().over(pick)).where(F.col("_rn") == 1)
+    frac = (F.col("prob") * F.col("_n") - (F.col("_cum") - F.col("count"))) / F.col(
+        "count"
+    )
+    est = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+    return first.select("prob", F.round(est, 6).alias("est_quantile"))
 
 
 def hh_store_update(

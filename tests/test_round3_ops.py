@@ -302,3 +302,38 @@ def test_interval_join_span_guard(spark):
     # within bound: joins normally
     ok = interval_join(pts, ivl, "ts", "s", "e", max_span_days=50_000)
     assert ok.count() == 1
+
+
+def test_hist_store_incremental_equals_oneshot(spark, tmp_path):
+    from alphalens_spark.streaming.ops import hist_store_quantiles, hist_store_update
+
+    rows = [(float(i % 100),) for i in range(1000)]
+    full = spark.createDataFrame(rows, "v double")
+    inc_path = str(tmp_path / "inc")
+    one_path = str(tmp_path / "one")
+    # two increments vs one shot over the same grid
+    hist_store_update(spark.createDataFrame(rows[:400], "v double"), inc_path, "v", 0.0, 100.0, bins=50)
+    hist_store_update(spark.createDataFrame(rows[400:], "v double"), inc_path, "v", 0.0, 100.0, bins=50)
+    hist_store_update(full, one_path, "v", 0.0, 100.0, bins=50)
+    inc = {(r.bin, r["count"]) for r in spark.read.parquet(inc_path).collect()}
+    one = {(r.bin, r["count"]) for r in spark.read.parquet(one_path).collect()}
+    assert inc == one
+    q = {
+        r.prob: r.est_quantile
+        for r in hist_store_quantiles(spark, inc_path, [0.5, 0.9], 0.0, 100.0, 50).collect()
+    }
+    assert abs(q[0.5] - 50.0) < 3.0 and abs(q[0.9] - 90.0) < 3.0
+
+
+def test_split_by_group_no_straddle(spark):
+    from alphalens_spark.scale.curation import split_dataset
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(200)], "doc_id long, source string"
+    )
+    out = split_dataset(docs, by="source")
+    joined = docs.join(out, "doc_id")
+    # every group maps to exactly one split
+    assert joined.groupBy("source").agg(
+        F.countDistinct("split").alias("n")
+    ).where(F.col("n") > 1).count() == 0
