@@ -3720,6 +3720,102 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(sketch, probes, width=512, depth=4)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining for the probe query set
+    (scale.similarity.hard_negatives): top-3 different-label neighbors
+    with cosine in [0.2, 0.95) — informative negatives below the
+    near-dup band."""
+    from alphalens_spark.scale.similarity import hard_negatives
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    return hard_negatives(emb, queries, k=3, lo=0.2, hi=0.95)
+
+
+ORACLES["hard_negatives"] = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+         q.qlabel,
+         0.0 + round(
+           list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         , 6) AS cs
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+f AS (
+  SELECT * FROM p
+  WHERE cs >= 0.2 AND cs < 0.95 AND neg_label <> qlabel
+),
+r AS (
+  SELECT query_id, neighbor_id, neg_label, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS rnk
+  FROM f
+)
+SELECT query_id, neighbor_id, neg_label, CAST(rnk AS INT) AS rnk, cs AS cos_sim
+FROM r WHERE rnk <= 3"""
+
+
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (scale.curation.
+    diversity_sample): 3 rows per deterministic Lloyd cell, membership by
+    md5-uniform rank — follows the embedding space's SUPPORT, not its
+    density."""
+    from alphalens_spark.scale.curation import diversity_sample
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return diversity_sample(emb, per_cell=3)
+
+
+ORACLES["diversity_sample"] = f"""
+WITH {_lloyd_cells_sql()},
+h AS (
+  SELECT vec_id, cell,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM a3
+),
+r AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell ORDER BY hv, vec_id) AS sr
+  FROM h
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(sr AS INT) AS sample_rank
+FROM r WHERE sr <= 3"""
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (scale.curation.normalize_text):
+    control-char strip + whitespace collapse + trim, pure JVM regex
+    projection (zero shuffle)."""
+    from alphalens_spark.scale.curation import normalize_text
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return normalize_text(docs)
+
+
+ORACLES["normalize_text"] = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+            regexp_replace(text,
+              '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+            '\s+', ' ', 'g')) AS text_norm,
+       length(trim(regexp_replace(
+            regexp_replace(text,
+              '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+            '\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords over the whole corpus
     (scale.text.tfidf_top_terms): smoothed sklearn-style idf, per-doc
@@ -4489,6 +4585,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cm_frequency": q_cm_frequency,
     "heavy_hitters_terms": q_heavy_hitters_terms,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "hard_negatives": q_hard_negatives,
+    "diversity_sample": q_diversity_sample,
+    "normalize_text": q_normalize_text,
     "knn_label_predict": q_knn_label_predict,
     "split_leakage_safe": q_split_leakage_safe,
     "weighted_sample": q_weighted_sample,

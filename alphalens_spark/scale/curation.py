@@ -844,3 +844,89 @@ def curation_report(
             F.col("n_kept") / F.nullif(F.col("n_in").cast("double"), F.lit(0.0)), 6
         ).alias("keep_rate"),
     )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    per_cell: int = 5,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: partition the embedding
+    space with the deterministic Lloyd quantizer and take the same
+    number of rows from every cell — the standard guard against a
+    frequency-skewed corpus collapsing a sample onto its dominant mode
+    (uniform row sampling follows the density; per-cell sampling follows
+    the SUPPORT).
+
+    Membership inside a cell is the deterministic md5 uniform (rank by
+    (hash, id)), so the sample is reproducible across runs, engines and
+    shard layouts — same discipline as split_dataset/weighted sampling.
+    The per-cell rank window partitions by cell: linear shuffle, no
+    global ordering anywhere. Output: (id, cell, sample_rank),
+    sample_rank ≤ per_cell.
+    """
+    from pyspark.sql import Window
+
+    from alphalens_spark.scale.dedup import md5_long
+    from alphalens_spark.scale.similarity import _nearest_cell, kmeans_lite_centroids
+
+    cents = kmeans_lite_centroids(emb, n_cells, iters, id_col, vec_col)
+    cells = emb.select(
+        F.col(id_col), _nearest_cell(F.col(vec_col), cents).alias("cell")
+    )
+    hv = md5_long(F.col(id_col).cast("string"), 15)
+    w = Window.partitionBy("cell").orderBy(hv.asc(), F.col(id_col))
+    return (
+        cells.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= per_cell)
+        .select(id_col, F.col("cell").cast("int").alias("cell"), "sample_rank")
+    )
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nfc: bool = False,
+) -> DataFrame:
+    """Canonical text normalization — the first stage of every corpus
+    pipeline: strip C0/C1 control characters (keeping \\t \\n), collapse
+    runs of whitespace to single spaces, trim. Pure JVM regex
+    projection, zero shuffle.
+
+    ``nfc=True`` additionally applies Unicode NFC composition through an
+    Arrow-vectorized pandas UDF (Spark has no built-in normalizer;
+    unicodedata.normalize is the same tables DuckDB's nfc_normalize
+    uses) — the documented §2.10 escape hatch: vectorized, off by
+    default, and the only non-JVM stage in the pipeline when enabled.
+
+    Output: (id, text_norm, n_chars_norm).
+    """
+    col: F.Column = F.col(text_col)
+    if nfc:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _nfc(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+            )
+
+        col = _nfc(col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(col, r"[\x00-\x08\x0B-\x1F\x7F-\x9F]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("text_norm"),
+        F.length(cleaned).alias("n_chars_norm"),
+    )

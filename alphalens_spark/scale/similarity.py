@@ -991,3 +991,66 @@ def knn_label_predict(
             F.col("votes").cast("int").alias("votes"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query, the k most
+    similar corpus vectors whose cosine lies in [lo, hi) AND whose label
+    differs from the query's — similar enough to be informative
+    negatives, below the near-duplicate band where a "negative" is
+    really an unlabeled positive (the standard curation band for
+    contrastive/embedding training data).
+
+    queries: (query_id, qv, qlabel). Same broadcast-small-side /
+    stream-corpus shape as :func:`brute_force_topk` (guarded by
+    MAX_BRUTE_FORCE_QUERIES); swap the candidate generator for
+    :func:`ivf_topk` output at corpus-sized query sets — the band/label
+    filter and ranking are generator-agnostic. Deterministic:
+    (rounded cosine desc, neighbor id) ranking.
+
+    Output: (query_id, neighbor_id, neg_label, rnk, cos_sim).
+    """
+    _guard_query_count(queries.count())
+    corpus_n = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    queries_n = queries.select(
+        "query_id", "qv", "qlabel", _norm(F.col("qv")).alias("_qn")
+    )
+    pairs = corpus_n.join(
+        F.broadcast(queries_n), F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.lit(0.0) + F.round(
+        _dot(F.col("qv"), F.col("_v")) / (F.col("_qn") * F.col("_vn")), 6
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", "neg_label", "qlabel", cos.alias("cs")
+    ).where(
+        (F.col("cs") >= lo) & (F.col("cs") < hi) & (F.col("neg_label") != F.col("qlabel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("cs").alias("cos_sim"),
+        )
+    )

@@ -337,3 +337,58 @@ def test_split_by_group_no_straddle(spark):
     assert joined.groupBy("source").agg(
         F.countDistinct("split").alias("n")
     ).where(F.col("n") > 1).count() == 0
+
+
+def test_hard_negatives_band_and_label(spark):
+    from alphalens_spark.scale.similarity import hard_negatives
+
+    # unit vectors on axes + mixtures: cosines are known
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # same label — never a negative
+        (2, [0.8, 0.2], 1),   # close, different label → hard negative
+        (3, [0.0, 1.0], 1),   # orthogonal-ish: below band
+        (4, [0.7, 0.3], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "query_id long, qv array<double>, qlabel int"
+    )
+    out = hard_negatives(emb, q, k=5, lo=0.3, hi=0.999)
+    got = {(r.neighbor_id, r.neg_label) for r in out.collect()}
+    assert got == {(2, 1), (4, 2)}  # same-label 1 and out-of-band 3 excluded
+    assert [r.neighbor_id for r in out.orderBy("rnk").collect()] == [2, 4]
+
+
+def test_diversity_sample_bounded_per_cell(spark):
+    from alphalens_spark.scale.curation import diversity_sample
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(c, 0.05) for c in ([5.0, 0.0] if i % 2 else [0.0, 5.0])])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = diversity_sample(emb, per_cell=4, n_cells=2)
+    per = {r.cell: r["count"] for r in out.groupBy("cell").count().collect()}
+    assert all(v <= 4 for v in per.values()) and len(per) == 2
+    # deterministic: second run identical
+    again = diversity_sample(emb, per_cell=4, n_cells=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_normalize_text_modes(spark):
+    from alphalens_spark.scale.curation import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "a\x00b\tc   d\n\ne\x9f"), (2, "  already clean  ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text_norm for r in normalize_text(docs).collect()}
+    assert out[1] == "ab c d e" and out[2] == "already clean"
+    # NFC path composes e + combining accent into é (pandas-UDF stage)
+    nfc_docs = spark.createDataFrame([(3, "café  x")], "doc_id long, text string")
+    out3 = normalize_text(nfc_docs, nfc=True).collect()[0]
+    assert out3.text_norm == "café x" and out3.n_chars_norm == 6
