@@ -3720,6 +3720,67 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(sketch, probes, width=512, depth=4)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-aggregation corpus health screen (scale.curation.
+    corpus_report): doc/source counts, token volume, exact-dup mass,
+    empty fraction — the pre-training numbers in one scan."""
+    from alphalens_spark.scale.curation import corpus_report
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
+ORACLES["corpus_report"] = r"""
+WITH b AS (
+  SELECT doc_id, md5(text) AS h, source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS nt,
+         CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS e
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       sum(nt) AS total_tokens,
+       round(avg(nt), 6) AS mean_tokens,
+       0.0 + round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6)
+         AS exact_dup_frac,
+       0.0 + round(sum(e) * 1.0 / count(*), 6) AS empty_frac
+FROM b"""
+
+
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores with the |z| > 3.5 Iglewicz-Hoaglin
+    outlier rule per l_returnflag (scale.profile.robust_zscore) — the
+    masking-proof companion to winsorize_prices."""
+    from alphalens_spark.scale.profile import robust_zscore
+
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return robust_zscore(li, "l_extendedprice", ["l_returnflag"])
+
+
+ORACLES["robust_zscore"] = r"""
+WITH med AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS m
+  FROM lineitem GROUP BY 1
+),
+dev AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+         CAST(l.l_extendedprice AS DOUBLE) AS v, med.m
+  FROM lineitem l JOIN med USING (l_returnflag)
+),
+mad AS (
+  SELECT l_returnflag, quantile_cont(abs(v - m), 0.5) AS md
+  FROM dev GROUP BY 1
+)
+SELECT d.l_orderkey, d.l_linenumber, d.l_returnflag, d.l_extendedprice,
+       round(0.6745 * (d.v - d.m) / nullif(mad.md, 0), 6) AS robust_z,
+       abs(round(0.6745 * (d.v - d.m) / nullif(mad.md, 0), 6)) > 3.5
+         AS is_outlier
+FROM dev d JOIN mad USING (l_returnflag)"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining for the probe query set
     (scale.similarity.hard_negatives): top-3 different-label neighbors
@@ -4586,6 +4647,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_terms": q_heavy_hitters_terms,
     "tfidf_top_terms": q_tfidf_top_terms,
     "hard_negatives": q_hard_negatives,
+    "robust_zscore": q_robust_zscore,
+    "corpus_report": q_corpus_report,
     "diversity_sample": q_diversity_sample,
     "normalize_text": q_normalize_text,
     "knn_label_predict": q_knn_label_predict,

@@ -930,3 +930,38 @@ def normalize_text(
         cleaned.alias("text_norm"),
         F.length(cleaned).alias("n_chars_norm"),
     )
+
+
+def corpus_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-aggregation corpus health screen — the numbers a pipeline
+    checks before training on a new source: document/source counts,
+    token volume, exact-duplicate mass (1 − distinct digests / docs),
+    empty-document fraction, mean document length. ONE agg over doc-
+    level projections (Catalyst evaluates everything in a single scan;
+    the two exact distincts plan via Expand — the only shuffled part).
+    Output: a single row.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.col("source"),
+        F.size(toks).alias("_nt"),
+        (F.length(F.trim(F.col(text_col))) == 0).cast("int").alias("_empty"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.avg("_nt"), 6).alias("mean_tokens"),
+        (F.lit(0.0) + F.round(
+            F.lit(1.0)
+            - F.countDistinct("_h").cast("double") / F.count(F.lit(1)),
+            6,
+        )).alias("exact_dup_frac"),
+        (F.lit(0.0) + F.round(
+            F.sum("_empty").cast("double") / F.count(F.lit(1)), 6
+        )).alias("empty_frac"),
+    )

@@ -101,15 +101,13 @@ def _exact_group_members(
 ) -> DataFrame:
     """(_m_id, _rep) membership map of the exact-duplicate groups:
     every document mapped to the min-id representative of its md5(text)
-    group. One digest groupBy + one digest equi-join — both uniform-key
-    linear shuffles."""
-    groups = exact_duplicates(docs, text_col, id_col).select(
-        "text_hash", F.col("keep_id").alias("_rep")
-    )
-    return (
-        docs.select(F.col(id_col).alias("_m_id"), F.md5(F.col(text_col)).alias("text_hash"))
-        .join(groups, "text_hash")
-        .select("_m_id", "_rep")
+    group. ONE shuffle total — a min window over the digest partition
+    (uniform 32-byte keys) — instead of the groupBy + re-join form,
+    which shuffles the corpus twice for the same answer."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return docs.select(
+        F.col(id_col).alias("_m_id"),
+        F.min(id_col).over(w).alias("_rep"),
     )
 
 

@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch", "cm_estimate", "winsorize"]
+__all__ = [
+    "profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch",
+    "cm_estimate", "winsorize", "heavy_hitters", "robust_zscore",
+]
 
 
 def profile_columns(
@@ -312,4 +315,40 @@ def winsorize(
         F.round(clipped, 6).alias(f"{value_col}_winsorized"),
         (v < F.col("_lo")).alias("clipped_low"),
         (v > F.col("_hi")).alias("clipped_high"),
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust z-scores per group — the outlier signal whose
+    baseline the outliers cannot poison: a 1000× spike shifts a mean/std
+    z-score's own denominator (masking), but moves the median and the
+    median absolute deviation almost not at all. score = 0.6745·(x −
+    med)/MAD (the normal-consistency constant) with the |z| > 3.5
+    outlier rule (Iglewicz & Hoaglin 1993); the row-preserving companion
+    to :func:`winsorize` (which clips to percentiles) and the robust
+    replacement for the reference's mean/std ``filter_zscore``.
+
+    Two grouped exact-percentile aggregations (median, then median of
+    absolute deviations) with the tiny per-group stats broadcast back —
+    the same two-pass shape as winsorize. MAD = 0 (constant-majority
+    group) yields NULL scores rather than ±inf. Output: input columns +
+    (robust_z, is_outlier).
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*group_cols).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+    dev = df.join(F.broadcast(med), group_cols)
+    mad = dev.groupBy(*group_cols).agg(
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    z = F.lit(0.6745) * (v - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0))
+    return (
+        dev.join(F.broadcast(mad), group_cols)
+        .withColumn("robust_z", F.lit(0.0) + F.round(z, 6))
+        .withColumn("is_outlier", F.abs(F.col("robust_z")) > threshold)
+        .drop("_med", "_mad")
     )
