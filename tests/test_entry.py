@@ -73,6 +73,11 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "decayed_activity",
         # 3-row probs literal broadcast, non-equi rank-crossing condition
         "histogram_quantiles",
+        # 1-row corpus-size (N) broadcast crossJoin for the idf term
+        "tfidf_top_terms",
+        # broadcast of the guarded small query set on a non-equi
+        # (neighbor != query) condition — the documented brute-force shape
+        "hard_negatives",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
