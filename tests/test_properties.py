@@ -329,3 +329,73 @@ def test_cm_never_undercounts_property(spark, items):
     truth = Counter(items)
     for it, n in truth.items():
         assert est[it] >= n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=5,
+        max_size=40,
+    ),
+    st.floats(min_value=1e7, max_value=1e9),
+)
+def test_robust_zscore_spike_magnitude_invariant(spark, values, spike):
+    """The masking-resistance property, stated exactly: median and MAD
+    depend only on value RANKS, so every other row's robust z is
+    IDENTICAL whether the injected outlier is `spike` or 100x `spike` —
+    a mean/std z-score would shrink with the outlier's magnitude."""
+    from alphalens_spark.scale.profile import robust_zscore
+
+    def zs(extra):
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in values] + [("g", float(extra))],
+            "g string, v double",
+        )
+        return {
+            r.v: r.robust_z
+            for r in robust_zscore(df, "v", ["g"]).collect()
+            if r.v != float(extra)
+        }
+
+    assert zs(spike) == zs(spike * 100.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=3, max_size=30)
+)
+def test_tfidf_ranks_dense_and_scores_positive(spark, words):
+    from alphalens_spark.scale.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "alpha other words here")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, n_top=10).collect()
+    assert all(r.tfidf > 0 for r in out)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.rnk)
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense, unique
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=1, max_value=6))
+def test_heavy_hitters_superset_guarantee(spark, k):
+    """CM estimates are upper bounds: the true top-1 item (by a wide
+    margin) must always be the first heavy hitter."""
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.scale.profile import heavy_hitters
+
+    df = spark.range(300).select(
+        F.when(F.col("id") % 3 != 0, F.lit("dominant"))
+        .otherwise(F.concat(F.lit("rare"), F.col("id")))
+        .alias("item")
+    )
+    out = heavy_hitters(df, "item", k=k, width=512)
+    rows = out.collect()
+    assert rows[0].item == "dominant" and rows[0].est_count >= 200
+    assert len(rows) == k
