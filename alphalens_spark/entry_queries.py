@@ -2723,6 +2723,41 @@ SELECT doc_id FROM documents
 WHERE doc_id % 50 <> 0
   AND doc_id NOT IN (SELECT doc_id FROM dirty)"""
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup verdict (scale.dedup.dedup_keep_list): MinHash
+    pairs → connected components → per-document (canonical_id, keep);
+    documents in no pair keep themselves. The row a pipeline actually
+    filters on."""
+    from alphalens_spark.scale.dedup import dedup_keep_list
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup_keep_list(docs, threshold=0.5, shingle_hash="md5")
+
+
+ORACLES["dedup_keep_list"] = f"""
+WITH RECURSIVE pairs AS ({{_MH}}),
+cedges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach AS (
+  SELECT s, d FROM cedges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+  FROM reach GROUP BY s
+)
+SELECT doc.doc_id,
+       coalesce(c.canonical_id, doc.doc_id) AS canonical_id,
+       coalesce(c.canonical_id, doc.doc_id) = doc.doc_id AS keep
+FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id""".replace(
+    "{_MH}", _minhash_lsh_sql()
+)
+
+
 ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
 cedges AS (
@@ -4649,6 +4684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "robust_zscore": q_robust_zscore,
     "corpus_report": q_corpus_report,
+    "dedup_keep_list": q_dedup_keep_list,
     "diversity_sample": q_diversity_sample,
     "normalize_text": q_normalize_text,
     "knn_label_predict": q_knn_label_predict,

@@ -1003,3 +1003,40 @@ def fuzzy_token_pairs(
         .distinct()
     )
     return cand.where(F.levenshtein("tok_a", "tok_b") == 1)
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """The end-to-end answer a dedup pipeline actually applies: one row
+    per document with its cluster's canonical id and the keep/drop
+    verdict. Near-dup PAIRS (default: :func:`minhash_lsh_duplicates`;
+    pass any (id_a, id_b, …) pair frame to swap the candidate generator)
+    resolve through :func:`connected_components` so chains a~b, b~c
+    collapse to ONE keeper; documents in no pair keep themselves.
+
+    keep = canonical_id == id (lowest id per cluster wins — the same
+    deterministic rule every operator in this module uses). One left
+    join of the corpus against the component map; filtering the corpus
+    is then ``where(keep)`` — no anti-join needed.
+
+    Output: (id, canonical_id, keep).
+    """
+    if pairs is None:
+        pairs = minhash_lsh_duplicates(
+            docs, text_col=text_col, id_col=id_col, **lsh_kwargs
+        )
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("canonical_id") == F.col(id_col))
+    )
