@@ -392,3 +392,64 @@ def test_normalize_text_modes(spark):
     nfc_docs = spark.createDataFrame([(3, "café  x")], "doc_id long, text string")
     out3 = normalize_text(nfc_docs, nfc=True).collect()[0]
     assert out3.text_norm == "café x" and out3.n_chars_norm == 6
+
+
+# ----------------------------------------------- real netpbm decode kernels
+
+
+def test_netpbm_roundtrip_decode_features(spark):
+    import numpy as np
+
+    from alphalens_spark.scale import multimodal as mm
+
+    rgb = np.zeros((4, 6, 3), dtype=np.uint8)
+    rgb[..., 0] = 200  # solid red-ish
+    gray = np.arange(24, dtype=np.uint8).reshape(4, 6) * 10
+    rows = [
+        (1, bytearray(mm.make_netpbm(rgb)), "image/x-portable-pixmap", 6, 4, None),
+        (2, bytearray(mm.make_netpbm(gray)), "image/x-portable-graymap", 6, 4, None),
+        (3, bytearray(b"not an image"), "application/octet-stream", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r.feature for r in mm.decode_netpbm_features(media).collect()}
+    f1 = out[1]
+    assert f1[:3] == [6.0, 4.0, 3.0]
+    assert abs(f1[3] - 200 / 255) < 1e-6 and f1[4] == 0.0 and f1[5] == 0.0
+    f2 = out[2]
+    assert f2[:3] == [6.0, 4.0, 1.0]
+    assert abs(f2[3] - gray.mean() / 255) < 1e-6  # gray mean repeated
+    assert out[3] is None  # malformed payload → NULL feature, no task error
+
+
+def test_netpbm_resize_real_pixels(spark):
+    import numpy as np
+
+    from alphalens_spark.scale import multimodal as mm
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    media = spark.createDataFrame(
+        [(7, bytearray(mm.make_netpbm(img)), "image/x-portable-graymap", 8, 8, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.resize_netpbm(media, out_w=4, out_h=4).collect()[0]
+    assert (row.width, row.height) == (4, 4)
+    small = mm.parse_netpbm(bytes(row.payload))
+    expect = img[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])]
+    assert (small[:, :, 0] == expect).all()  # exact nearest-neighbor pixels
+
+
+def test_netpbm_header_comments_and_errors():
+    import numpy as np
+
+    import pytest as _pytest
+
+    from alphalens_spark.scale.multimodal import make_netpbm, parse_netpbm
+
+    img = np.ones((2, 3), dtype=np.uint8) * 9
+    raw = make_netpbm(img)
+    commented = raw[:2] + b"\n# a comment\n" + raw[3:]
+    assert (parse_netpbm(commented) == parse_netpbm(raw)).all()
+    with _pytest.raises(ValueError, match="magic"):
+        parse_netpbm(b"P4\n1 1\n0\n\x00")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_netpbm(raw[:-2])
