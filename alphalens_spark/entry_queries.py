@@ -3755,6 +3755,35 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(sketch, probes, width=512, depth=4)
 
 
+def q_netpbm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: embeddings render as genuine binary
+    PGM files (px = floor(clip((x+1)/2,0,1)·255)), then the numpy netpbm
+    codec parses the raster back and emits exact-integer pixel stats —
+    the quantization replays in SQL, so the actual decode path value-
+    oracles (scale.multimodal.embeddings_as_netpbm/netpbm_pixel_stats)."""
+    from alphalens_spark.scale.multimodal import (
+        embeddings_as_netpbm,
+        netpbm_pixel_stats,
+    )
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return netpbm_pixel_stats(embeddings_as_netpbm(emb, w=8, h=8))
+
+
+ORACLES["netpbm_decode_stats"] = r"""
+WITH px AS (
+  SELECT vec_id AS media_id,
+         CAST(floor(least(greatest((CAST(x AS DOUBLE) + 1.0) / 2.0, 0.0), 1.0)
+                    * 255.0) AS BIGINT) AS p
+  FROM (SELECT vec_id, unnest(embedding[1:64]) AS x FROM embeddings)
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       sum(p) AS px_sum,
+       CAST(min(p) AS INT) AS px_min,
+       CAST(max(p) AS INT) AS px_max
+FROM px GROUP BY 1"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-aggregation corpus health screen (scale.curation.
     corpus_report): doc/source counts, token volume, exact-dup mass,
@@ -4685,6 +4714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_zscore": q_robust_zscore,
     "corpus_report": q_corpus_report,
     "dedup_keep_list": q_dedup_keep_list,
+    "netpbm_decode_stats": q_netpbm_decode_stats,
     "diversity_sample": q_diversity_sample,
     "normalize_text": q_normalize_text,
     "knn_label_predict": q_knn_label_predict,

@@ -381,3 +381,79 @@ def resize_netpbm(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def embeddings_as_netpbm(
+    emb: DataFrame, w: int = 8, h: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a real binary PGM image (values quantized
+    px = floor(clip((x+1)/2, 0, 1) · 255), reshaped h×w) — a
+    deterministic image corpus synthesized from driver data, so the REAL
+    decode path gets a full value oracle (the quantization replays in
+    SQL). Arrow-batched encoder; payload is a genuine P5 file."""
+    import numpy as np
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nb = [], []
+            for vec in pdf[vec_col]:
+                v = np.asarray(vec, dtype=np.float64)[: w * h]
+                px = np.floor(np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255.0)
+                img = px.astype(np.uint8).reshape(h, w)
+                p = make_netpbm(img)
+                payloads.append(p)
+                nb.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": "image/x-portable-graymap",
+                    "width": pd.array([w] * len(pdf), dtype="Int32"),
+                    "height": pd.array([h] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+def netpbm_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode summary with exact-integer outputs (oracle-friendly):
+    per item (media_id, width, height, px_sum, px_min, px_max) from the
+    actually-parsed raster. Malformed payloads → NULL stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums, mins, maxs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    img = parse_netpbm(payload)
+                    hh, ww, _ = img.shape
+                    flat = img.astype("int64")
+                    ws.append(ww)
+                    hs.append(hh)
+                    sums.append(int(flat.sum()))
+                    mins.append(int(flat.min()))
+                    maxs.append(int(flat.max()))
+                except ValueError:
+                    ws.append(None); hs.append(None)
+                    sums.append(None); mins.append(None); maxs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, width int, height int, "
+            "px_sum long, px_min int, px_max int"
+        ),
+    )
