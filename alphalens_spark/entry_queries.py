@@ -3755,6 +3755,126 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(sketch, probes, width=512, depth=4)
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (events.scd2_from_snapshots): each user's
+    daily last event_type is the state snapshot; consecutive identical
+    states collapse into (valid_from, valid_to) intervals, NULL = open."""
+    from alphalens_spark.events import scd2_from_snapshots
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    snap = (
+        ev.groupBy(
+            F.col("user_id"), F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.max(F.struct(F.col("ts"), F.col("event_type"))).alias("_last")
+        )
+        .select("user_id", "day", F.col("_last.event_type").alias("state"))
+    )
+    return scd2_from_snapshots(snap, ["user_id"], ["state"], "day")
+
+
+ORACLES["scd2_user_state"] = r"""
+WITH snap AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         arg_max(event_type, ts) AS state
+  FROM events GROUP BY 1, 2
+),
+chg AS (
+  SELECT user_id, day, state,
+         CASE WHEN lag(day) OVER w IS NULL THEN 1
+              WHEN state IS DISTINCT FROM lag(state) OVER w THEN 1
+              ELSE 0 END AS c
+  FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+runs AS (
+  SELECT user_id, day, state,
+         sum(c) OVER (PARTITION BY user_id ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS r
+  FROM chg
+),
+iv AS (
+  SELECT user_id, state, r, min(day) AS valid_from
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to
+FROM iv"""
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (events.attribute_conversions):
+    every purchase credited to the same user's most recent prior
+    click/view via the backward as-of join (ONE shuffle, zero join
+    operators); oracled against DuckDB's native ASOF LEFT JOIN."""
+    from alphalens_spark.events import attribute_conversions
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return attribute_conversions(ev, "purchase", ("click", "view"))
+
+
+ORACLES["attribution_last_touch"] = r"""
+WITH conv AS (
+  SELECT event_id AS conversion_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_event_id, event_type AS touch_type,
+         user_id, ts
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT c.conversion_id, c.user_id, c.ts,
+       t.touch_event_id, t.touch_type, t.ts AS touch_ts,
+       datediff('microsecond', t.ts, c.ts) AS micros_to_convert
+FROM conv c ASOF LEFT JOIN touch t
+  ON c.user_id = t.user_id AND t.ts <= c.ts"""
+
+
+def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (scale.profile.validate_expectations): named SQL
+    expectations over lineitem evaluated in ONE aggregation scan; NULL
+    predicates count as violations."""
+    from alphalens_spark.scale.profile import validate_expectations
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return validate_expectations(
+        li,
+        {
+            "qty_in_range": "l_quantity BETWEEN 1 AND 50",
+            "price_positive": "l_extendedprice > 0",
+            "discount_unit_interval": "l_discount BETWEEN 0 AND 1",
+            "shipdate_present": "l_shipdate IS NOT NULL",
+            "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+        },
+    )
+
+
+ORACLES["validate_expectations"] = r"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                  THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                  THEN 1 ELSE 0 END) AS v2,
+         sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, FALSE)
+                  THEN 1 ELSE 0 END) AS v3,
+         sum(CASE WHEN NOT coalesce(l_shipdate IS NOT NULL, FALSE)
+                  THEN 1 ELSE 0 END) AS v4,
+         sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+                  THEN 1 ELSE 0 END) AS v5
+  FROM lineitem
+)
+SELECT r.rule, agg.n AS n_rows, r.v AS n_violations, r.v = 0 AS pass
+FROM agg, (
+  SELECT 'qty_in_range' AS rule, v1 AS v FROM agg UNION ALL
+  SELECT 'price_positive', v2 FROM agg UNION ALL
+  SELECT 'discount_unit_interval', v3 FROM agg UNION ALL
+  SELECT 'shipdate_present', v4 FROM agg UNION ALL
+  SELECT 'returnflag_domain', v5 FROM agg
+) r"""
+
+
 def q_netpbm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: embeddings render as genuine binary
     PGM files (px = floor(clip((x+1)/2,0,1)·255)), then the numpy netpbm
@@ -4715,6 +4835,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "dedup_keep_list": q_dedup_keep_list,
     "netpbm_decode_stats": q_netpbm_decode_stats,
+    "scd2_user_state": q_scd2_user_state,
+    "attribution_last_touch": q_attribution_last_touch,
+    "validate_expectations": q_validate_expectations,
     "diversity_sample": q_diversity_sample,
     "normalize_text": q_normalize_text,
     "knn_label_predict": q_knn_label_predict,

@@ -253,3 +253,102 @@ def sessionize_native(
             "n_events",
         )
     )
+
+
+def scd2_from_snapshots(
+    snapshots: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Collapse periodic dimension snapshots into SCD2 validity intervals
+    — the slowly-changing-dimension build every warehouse needs when the
+    upstream only ships full daily states: one row per (key, run of
+    identical attributes) with ``valid_from`` (first snapshot of the
+    run) and ``valid_to`` (first snapshot of the NEXT run; NULL = still
+    current).
+
+    Change detection is a per-key lag window (attributes differ from the
+    previous snapshot), run-grouping a cumulative sum of change flags,
+    the interval a per-(key, run) min + lead — two windows and one
+    groupBy, all partitioned by the dimension key (linear shuffles; at
+    100 TB the key count is the dimension's, not the fact table's).
+
+    Output: key_cols + attr_cols + (valid_from, valid_to).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    changed = F.lit(False)
+    for a in attrs:
+        prev = F.lag(a).over(w)
+        # null-safe: NULL→value (or value→NULL) IS a change
+        changed = changed | ~F.col(a).eqNullSafe(prev)
+    changed = F.when(F.lag(ts_col).over(w).isNull(), F.lit(True)).otherwise(
+        changed
+    )
+    runs = (
+        snapshots.withColumn("_chg", changed.cast("int"))
+        .withColumn(
+            "_run",
+            F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(*keys, F.col("_run"), *attrs)
+        .agg(F.min(ts_col).alias("valid_from"))
+    )
+    wk = Window.partitionBy(*keys).orderBy("valid_from")
+    return runs.select(
+        *keys,
+        *attrs,
+        "valid_from",
+        F.lead("valid_from").over(wk).alias("valid_to"),
+    )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """LAST-TOUCH marketing attribution: each conversion event is
+    credited to the same user's most recent preceding touch event — a
+    backward as-of join, so it reuses :func:`alphalens_spark.joins.
+    asof_join` (ONE key shuffle, zero join operators) rather than a
+    bespoke window. Conversions with no prior touch stay unattributed
+    (NULL touch columns) — the left as-of contract.
+
+    Output: (conversion_id, user, conversion ts, touch_event_id,
+    touch_type, touch ts, seconds_to_convert).
+    """
+    from alphalens_spark.joins import asof_join
+
+    conv = events.where(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("conversion_id"), user_col, ts_col
+    )
+    touch = events.where(F.col("event_type").isin(list(touch_types))).select(
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        user_col,
+        F.col(ts_col).alias("touch_ts"),
+    )
+    out = asof_join(
+        conv,
+        touch.withColumnRenamed("touch_ts", ts_col),
+        on=ts_col,
+        by=[user_col],
+    )
+    touch_ts = F.col(f"{ts_col}_right")
+    # MICROSECOND diff: SECOND-granularity timestampdiff counts complete
+    # intervals in Spark but boundary crossings in DuckDB (STATE playbook)
+    micros = F.expr(f"timestampdiff(MICROSECOND, {ts_col}_right, {ts_col})")
+    return out.select(
+        "conversion_id",
+        user_col,
+        ts_col,
+        "touch_event_id",
+        "touch_type",
+        touch_ts.alias("touch_ts"),
+        micros.alias("micros_to_convert"),
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch",
     "cm_estimate", "winsorize", "heavy_hitters", "robust_zscore",
+    "validate_expectations",
 ]
 
 
@@ -352,3 +353,36 @@ def robust_zscore(
         .withColumn("is_outlier", F.abs(F.col("robust_z")) > threshold)
         .drop("_med", "_mad")
     )
+
+
+def validate_expectations(
+    df: DataFrame, rules: dict[str, str]
+) -> DataFrame:
+    """Data-quality expectation screen: each rule is a named SQL boolean
+    predicate that every row is expected to satisfy; the output is one
+    row per rule with its violation count and pass flag — the gate a
+    pipeline runs before promoting a new drop of data.
+
+    ONE aggregation evaluates every rule in a single scan (a violation
+    is ``NOT coalesce(pred, FALSE)`` — a NULL predicate is a violation,
+    not a pass); the 1-row result reshapes to per-rule rows with an
+    inline explode, the same driver-free pattern as
+    :func:`profile_columns`. Output: (rule, n_rows, n_violations, pass).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred in rules.items():
+        viol = ~F.coalesce(F.expr(pred), F.lit(False))
+        aggs.append(F.sum(viol.cast("long")).alias(f"_v_{name}"))
+    row = df.agg(*aggs)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v_{name}").alias("n_violations"),
+                (F.col(f"_v_{name}") == 0).alias("pass"),
+            )
+            for name in rules
+        ]
+    )
+    return row.select(F.explode(per_rule).alias("r")).select("r.*")
