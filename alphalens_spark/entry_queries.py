@@ -3831,6 +3831,74 @@ FROM conv c ASOF LEFT JOIN touch t
   ON c.user_id = t.user_id AND t.ts <= c.ts"""
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (scale.skew.skew_report) over the
+    lineitem supplier key: hottest keys + skew factor — the numbers that
+    pick between plain shuffle / AQE split / manual salting."""
+    from alphalens_spark.scale.skew import skew_report
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, ["l_suppkey"], top_n=5)
+
+
+ORACLES["skew_report"] = r"""
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS key_count FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT count(*) AS n_keys, sum(key_count) AS n_rows FROM counts
+),
+top AS (
+  SELECT l_suppkey, key_count,
+         row_number() OVER (ORDER BY key_count DESC, l_suppkey) AS rank
+  FROM counts
+)
+SELECT CAST(t.rank AS INT) AS rank,
+       CAST(t.l_suppkey AS VARCHAR) AS key,
+       t.key_count, s.n_keys, s.n_rows,
+       0.0 + round(s.n_rows * 1.0 / s.n_keys, 6) AS mean_per_key,
+       0.0 + round(t.key_count / (s.n_rows * 1.0 / s.n_keys), 6)
+         AS skew_factor
+FROM top t CROSS JOIN stats s WHERE t.rank <= 5"""
+
+
+def q_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (events.common_paths): the ordered
+    event-type journey per gap-session, counted corpus-wide with a
+    deterministic (ts, event_id) order tiebreak."""
+    from alphalens_spark.events import common_paths
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return common_paths(ev, gap_minutes=30, top_n=20)
+
+
+ORACLES["common_paths"] = r"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS n
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(n) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY 1, 2
+),
+c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1),
+r AS (
+  SELECT path, n_sessions,
+         row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+  FROM c
+)
+SELECT CAST(rank AS INT) AS rank, path, n_sessions
+FROM r WHERE rank <= 20"""
+
+
 def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate (scale.profile.validate_expectations): named SQL
     expectations over lineitem evaluated in ONE aggregation scan; NULL
@@ -4838,6 +4906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_state": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
     "validate_expectations": q_validate_expectations,
+    "skew_report": q_skew_report,
+    "common_paths": q_common_paths,
     "diversity_sample": q_diversity_sample,
     "normalize_text": q_normalize_text,
     "knn_label_predict": q_knn_label_predict,

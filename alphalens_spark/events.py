@@ -352,3 +352,54 @@ def attribute_conversions(
         touch_ts.alias("touch_ts"),
         micros.alias("micros_to_convert"),
     )
+
+
+def common_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Most common session PATHS — the ordered event-type sequence each
+    session walks, counted corpus-wide (the path/clickstream analysis
+    behind funnel discovery: which journeys actually happen, not which
+    one you hypothesized).
+
+    Sessions come from the same gap rule as :func:`sessionize`; the path
+    is the '>'-joined type sequence ordered by (ts, event_id) — the
+    deterministic tiebreak every engine reproduces. One user-key window
+    + one (user, session) aggregation + one path count, then a
+    TakeOrderedAndProject top-n. Per-session state is the session's own
+    events (bounded by session length, not corpus size).
+
+    Output: (rank, path, n_sessions).
+    """
+    wu = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.col(ts_col) - F.lag(ts_col).over(wu)
+    new_s = F.when(
+        gap > F.expr(f"INTERVAL {gap_minutes} MINUTES"), 1
+    ).otherwise(0)
+    s = events.withColumn("_new", new_s).withColumn(
+        "session_id", F.sum("_new").over(wu).cast("long")
+    )
+    paths = s.groupBy(user_col, "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(ts_col), F.col("event_id"), F.col(type_col))
+                    )
+                ),
+                lambda x: x[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counted.orderBy(F.col("n_sessions").desc(), "path").limit(top_n)
+    w = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "path", "n_sessions"
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,5 +87,50 @@ def salted_collect_set(
             F.array_distinct(F.flatten(F.collect_list("_partial"))).alias(
                 f"{value_col}_set"
             )
+        )
+    )
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_n: int = 5
+) -> DataFrame:
+    """Join/agg-key skew diagnostic — run it BEFORE picking a strategy:
+    per key-tuple frequencies reduced to the numbers that decide between
+    a plain shuffle, AQE skew split, and manual salting. ``skew_factor``
+    = hottest key's row count / mean rows per key (1 ≈ uniform; a
+    power-law key shows 100+); the ``top_n`` hottest keys come back
+    as rows so the hot set can feed :func:`with_salt` directly.
+
+    One groupBy on the key (map-side partial counts absorb the skew this
+    report measures) + a TakeOrderedAndProject top-k — no global window,
+    no collect. Output: (rank, key string, key_count, n_keys, n_rows,
+    mean_per_key, skew_factor).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_count"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_count").alias("n_rows"),
+    )
+    top = (
+        counts.orderBy(F.col("key_count").desc(), *key_cols)
+        .limit(top_n)
+        .crossJoin(F.broadcast(stats))
+    )
+    mean = F.col("n_rows").cast("double") / F.col("n_keys")
+    w = Window.orderBy(F.col("key_count").desc(), *key_cols)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias(
+                "key"
+            ),
+            "key_count",
+            "n_keys",
+            "n_rows",
+            (F.lit(0.0) + F.round(mean, 6)).alias("mean_per_key"),
+            (F.lit(0.0) + F.round(F.col("key_count") / mean, 6)).alias(
+                "skew_factor"
+            ),
         )
     )

@@ -50,6 +50,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "pyfolio_returns",
         "pyfolio_daily_returns",
         "cumulative_benchmark_log_return",
+        # rank over an already-LIMITed top-n frame (≤ 20 rows by plan)
+        "skew_report",
+        "common_paths",
     }
     FACT_WIDTH = {
         t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)
@@ -75,6 +78,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "histogram_quantiles",
         # 1-row corpus-size (N) broadcast crossJoin for the idf term
         "tfidf_top_terms",
+        # 1-row (n_keys, n_rows) stats broadcast onto the top-n keys
+        "skew_report",
         # broadcast of the guarded small query set on a non-equi
         # (neighbor != query) condition — the documented brute-force shape
         "hard_negatives",
