@@ -869,3 +869,63 @@ def stream_decayed_activity(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def expectations_store_update(
+    batch_df: DataFrame, store_path: str, rules: dict[str, str]
+) -> None:
+    """One incremental data-quality maintenance step: evaluate the named
+    SQL expectations over the arriving micro-batch
+    (scale.profile.validate_expectations) and MERGE the per-rule
+    violation counters into the persisted store — counts merge by
+    addition, so the store always equals the one-shot evaluation of the
+    full history (the CM-store discipline applied to quality gates: a
+    stream answers "has anything EVER violated rule X" without
+    reprocessing history). State is ≤ |rules| rows forever."""
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.profile import validate_expectations
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_counts = validate_expectations(batch_df, rules).select(
+        "rule", "n_rows", "n_violations"
+    )
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(batch_counts)
+            .groupBy("rule")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_violations").alias("n_violations"),
+            )
+        )
+    except AnalysisException:
+        merged = batch_counts
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_validate_expectations(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    rules: dict[str, str],
+    available_now: bool = False,
+):
+    """Maintain streaming data-quality counters via foreachBatch over
+    :func:`expectations_store_update`; read the verdict any time with
+    ``spark.read.parquet(store_path)`` (pass = n_violations == 0)."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        expectations_store_update(batch_df, store_path, rules)
+
+    w = stream_df.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -453,3 +453,37 @@ def test_netpbm_header_comments_and_errors():
         parse_netpbm(b"P4\n1 1\n0\n\x00")
     with _pytest.raises(ValueError, match="truncated"):
         parse_netpbm(raw[:-2])
+
+
+def test_stream_expectations_store_equals_oneshot(spark, tmp_path):
+    from alphalens_spark.scale.profile import validate_expectations
+    from alphalens_spark.streaming.ops import stream_validate_expectations
+
+    rules = {"v_positive": "v > 0", "v_bounded": "v <= 100"}
+    src = str(tmp_path / "vals")
+    rows1 = [(float(i),) for i in range(-2, 50)]
+    rows2 = [(float(i),) for i in range(50, 120)]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, "v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "exp")
+    q = stream_validate_expectations(
+        stream, store, str(tmp_path / "ck"), rules, available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        r.rule: (r.n_rows, r.n_violations)
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        r.rule: (r.n_rows, r.n_violations)
+        for r in validate_expectations(spark.read.parquet(src), rules).collect()
+    }
+    assert got == want
+    assert got["v_positive"][1] == 3 and got["v_bounded"][1] == 19
