@@ -3831,6 +3831,72 @@ FROM conv c ASOF LEFT JOIN touch t
   ON c.user_id = t.user_id AND t.ts <= c.ts"""
 
 
+def q_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing per-(user, day) activity features
+    (events.user_activity_features): 7/30-day RANGE windows over the
+    integer day number (calendar gaps count), plus recency."""
+    from alphalens_spark.events import user_activity_features
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return user_activity_features(ev, windows_days=(7, 30))
+
+
+ORACLES["user_activity_features"] = r"""
+WITH daily0 AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT *, CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+                 AS BIGINT) AS dn
+  FROM daily0
+)
+SELECT user_id, day,
+       sum(n) OVER w7 AS n_events_7d,
+       0.0 + round(sum(v) OVER w7, 6) AS value_sum_7d,
+       sum(n) OVER w30 AS n_events_30d,
+       0.0 + round(sum(v) OVER w30, 6) AS value_sum_30d,
+       dn - lag(dn) OVER (PARTITION BY user_id ORDER BY dn)
+         AS days_since_prev
+FROM daily
+WINDOW w7 AS (PARTITION BY user_id ORDER BY dn
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+       w30 AS (PARTITION BY user_id ORDER BY dn
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding
+    (scale.features.target_encode): l_returnflag encoded against the
+    l_discount target with empirical-Bayes shrinkage to the global
+    prior."""
+    from alphalens_spark.scale.features import target_encode
+
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_discount"
+    )
+    return target_encode(li, ["l_returnflag"], "l_discount", smoothing=10.0)
+
+
+ORACLES["target_encode"] = r"""
+WITH s AS (
+  SELECT l_returnflag,
+         sum(CAST(l_discount AS DOUBLE)) AS ksum,
+         count(l_discount) AS kn
+  FROM lineitem GROUP BY 1
+),
+p AS (
+  SELECT sum(CAST(l_discount AS DOUBLE)) / count(l_discount) AS prior
+  FROM lineitem
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_discount,
+       0.0 + round(
+         (s.ksum - CAST(l.l_discount AS DOUBLE) + 10.0 * p.prior)
+         / (s.kn - 1 + 10.0), 6) AS target_enc
+FROM lineitem l JOIN s USING (l_returnflag) CROSS JOIN p"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic (scale.skew.skew_report) over the
     lineitem supplier key: hottest keys + skew factor — the numbers that
@@ -4907,6 +4973,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_last_touch": q_attribution_last_touch,
     "validate_expectations": q_validate_expectations,
     "skew_report": q_skew_report,
+    "user_activity_features": q_user_activity_features,
+    "target_encode": q_target_encode,
     "common_paths": q_common_paths,
     "diversity_sample": q_diversity_sample,
     "normalize_text": q_normalize_text,

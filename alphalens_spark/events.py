@@ -403,3 +403,56 @@ def common_paths(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", "path", "n_sessions"
     )
+
+
+def user_activity_features(
+    events: DataFrame,
+    windows_days: Sequence[int] = (7, 30),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(user, day) trailing activity features — the feature-store
+    primitive behind churn/abuse/engagement models: for each day a user
+    was active, event counts and value sums over each trailing window,
+    plus recency (days since the previous active day).
+
+    Two stages, both linear: a daily pre-aggregation (one shuffle on
+    (user, day) — the raw event stream is touched once, window state
+    then spans DAYS not events), then per-user RANGE windows over the
+    integer day number (``rangeBetween(-(w-1), 0)``, so calendar gaps
+    count as real elapsed days — a rows-window would wrongly treat the
+    k-th previous ACTIVE day as k days ago).
+
+    Output: (user, day, n_events_<w>d, value_sum_<w>d per window,
+    days_since_prev).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        events.groupBy(F.col(user_col), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(value_col).alias("_v"),
+        )
+        .withColumn("_dn", F.unix_date(F.to_date("day")))
+    )
+    out = daily
+    for w in windows_days:
+        rw = (
+            Window.partitionBy(user_col)
+            .orderBy("_dn")
+            .rangeBetween(-(w - 1), 0)
+        )
+        out = out.withColumn(f"n_events_{w}d", F.sum("_n").over(rw)).withColumn(
+            f"value_sum_{w}d", F.lit(0.0) + F.round(F.sum("_v").over(rw), 6)
+        )
+    wo = Window.partitionBy(user_col).orderBy("_dn")
+    out = out.withColumn(
+        "days_since_prev", F.col("_dn") - F.lag("_dn").over(wo)
+    )
+    return out.select(
+        user_col,
+        "day",
+        *[c for w in windows_days for c in (f"n_events_{w}d", f"value_sum_{w}d")],
+        "days_since_prev",
+    )
