@@ -80,6 +80,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "tfidf_top_terms",
         # 1-row (n_keys, n_rows) stats broadcast onto the top-n keys
         "skew_report",
+        # 1-row global-prior broadcast for the shrinkage term
+        "target_encode",
         # broadcast of the guarded small query set on a non-equi
         # (neighbor != query) condition — the documented brute-force shape
         "hard_negatives",
