@@ -929,3 +929,86 @@ def stream_validate_expectations(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def scd2_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "day",
+) -> None:
+    """One incremental SCD2 maintenance step over a snapshot stream.
+
+    The store is the full SCD2 table (keys + attrs + valid_from +
+    valid_to, NULL = open). Each micro-batch of snapshots touches ONLY
+    its own keys: the store splits into untouched rows (pass through
+    unchanged — at scale this is a partition-pruned anti-set, not a
+    rewrite) and affected keys, whose OPEN rows re-enter the run
+    computation as pseudo-snapshots at their own valid_from — so a
+    state that continues across the batch boundary extends its open
+    interval instead of opening a duplicate, and a changed state closes
+    it at the new snapshot's time. Closed history rows are immutable by
+    construction (SCD2's defining property), so the merge never revisits
+    them.
+
+    REQUIREMENT: snapshots must arrive time-monotonic per key (the same
+    watermark contract as stream_factor_data_maintenance) — a late
+    snapshot BEFORE a closed interval would have to rewrite history,
+    which is a batch rebuild (events.scd2_from_snapshots), not a stream.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.events import scd2_from_snapshots
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    keys = list(key_cols)
+    snap = batch_df.select(*keys, *attr_cols, ts_col)
+    try:
+        store = spark.read.parquet(store_path)
+        bkeys = snap.select(*keys).distinct()
+        affected = store.join(bkeys, keys, "left_semi")
+        untouched = store.join(bkeys, keys, "left_anti")
+        # open rows of affected keys re-enter as pseudo-snapshots at
+        # their valid_from; closed rows are immutable history
+        reopened = affected.where(F.col("valid_to").isNull()).select(
+            *keys, *attr_cols, F.col("valid_from").alias(ts_col)
+        )
+        closed = affected.where(F.col("valid_to").isNotNull())
+        recomputed = scd2_from_snapshots(
+            reopened.unionByName(snap), keys, list(attr_cols), ts_col
+        )
+        merged = untouched.unionByName(closed).unionByName(recomputed)
+    except AnalysisException:  # first batch
+        merged = scd2_from_snapshots(snap, keys, list(attr_cols), ts_col)
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_scd2(
+    snapshot_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "day",
+    available_now: bool = False,
+):
+    """Maintain an SCD2 dimension from a snapshot stream via foreachBatch
+    over :func:`scd2_store_update`; the store at ``store_path`` always
+    equals the batch :func:`alphalens_spark.events.scd2_from_snapshots`
+    of every snapshot seen (tested), queryable without stopping the
+    stream."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        scd2_store_update(batch_df, store_path, key_cols, attr_cols, ts_col)
+
+    w = snapshot_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -487,3 +487,49 @@ def test_stream_expectations_store_equals_oneshot(spark, tmp_path):
     }
     assert got == want
     assert got["v_positive"][1] == 3 and got["v_bounded"][1] == 19
+
+
+def test_stream_scd2_equals_batch(spark, tmp_path):
+    from alphalens_spark.events import scd2_from_snapshots
+    from alphalens_spark.streaming.ops import stream_scd2
+
+    src = str(tmp_path / "snap")
+    batch1 = [
+        (1, "2024-01-01", "A"), (1, "2024-01-02", "A"), (1, "2024-01-03", "B"),
+        (2, "2024-01-01", "X"),
+    ]
+    batch2 = [
+        (1, "2024-01-04", "B"), (1, "2024-01-05", "A"),  # continue then flip
+        (2, "2024-01-04", "X"),                            # state continues
+        (3, "2024-01-05", "Q"),                            # brand-new key
+    ]
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, "user_id long, day string, state string").withColumn(
+            "day", F.col("day").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, day timestamp, state string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "scd2")
+    q = stream_scd2(
+        stream, store, str(tmp_path / "ck"), ["user_id"], ["state"],
+        ts_col="day", available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(store).collect()))
+    want = sorted(
+        map(
+            tuple,
+            scd2_from_snapshots(
+                spark.read.parquet(src), ["user_id"], ["state"], "day"
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the continuing state did NOT reopen: key 2 has exactly one open row
+    opens = [r for r in got if r[0] == 2 and r[3] is None]
+    assert len(opens) == 1
