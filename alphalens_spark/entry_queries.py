@@ -3831,6 +3831,60 @@ FROM conv c ASOF LEFT JOIN touch t
   ON c.user_id = t.user_id AND t.ts <= c.ts"""
 
 
+def q_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (scale.profile.kmv_set_estimates,
+    Beyer et al. 2007): how many users the click and purchase segments
+    share — distinct/union/Jaccard/intersection from two bottom-32
+    sketches (k=32 < |segments| so the ESTIMATOR branch is what the
+    driver certifies)."""
+    from alphalens_spark.scale.profile import kmv_set_estimates
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    buys = ev.where(F.col("event_type") == "purchase")
+    return kmv_set_estimates(clicks, buys, "user_id", k=32)
+
+
+ORACLES["kmv_segment_overlap"] = r"""
+WITH ka AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'click' ORDER BY h LIMIT 32
+),
+kb AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT 32
+),
+u AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 32
+),
+t AS (
+  SELECT u.h,
+         u.h IN (SELECT h FROM ka) AS ia,
+         u.h IN (SELECT h FROM kb) AS ib
+  FROM u
+),
+sa AS (SELECT count(*) AS na, max(h) AS ha FROM ka),
+sb AS (SELECT count(*) AS nb, max(h) AS hb FROM kb),
+su AS (
+  SELECT count(*) AS nu, max(h) AS hu,
+         sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS nboth
+  FROM t
+)
+SELECT CAST(na AS INT) AS n_a_mins, CAST(nb AS INT) AS n_b_mins,
+       0.0 + round(CASE WHEN na < 32 THEN na
+            ELSE 31.0 / (ha / 1152921504606846976.0) END, 6) AS est_a,
+       0.0 + round(CASE WHEN nb < 32 THEN nb
+            ELSE 31.0 / (hb / 1152921504606846976.0) END, 6) AS est_b,
+       0.0 + round(CASE WHEN nu < 32 THEN nu
+            ELSE 31.0 / (hu / 1152921504606846976.0) END, 6) AS est_union,
+       0.0 + round(nboth * 1.0 / nu, 6) AS est_jaccard,
+       0.0 + round((nboth * 1.0 / nu)
+             * CASE WHEN nu < 32 THEN nu
+                    ELSE 31.0 / (hu / 1152921504606846976.0) END, 6)
+         AS est_intersection
+FROM su CROSS JOIN sa CROSS JOIN sb"""
+
+
 def q_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing per-(user, day) activity features
     (events.user_activity_features): 7/30-day RANGE windows over the
@@ -4974,6 +5028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_expectations": q_validate_expectations,
     "skew_report": q_skew_report,
     "user_activity_features": q_user_activity_features,
+    "kmv_segment_overlap": q_kmv_segment_overlap,
     "target_encode": q_target_encode,
     "common_paths": q_common_paths,
     "diversity_sample": q_diversity_sample,

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch",
     "cm_estimate", "winsorize", "heavy_hitters", "robust_zscore",
-    "validate_expectations",
+    "validate_expectations", "kmv_set_estimates",
 ]
 
 
@@ -386,3 +386,79 @@ def validate_expectations(
         ]
     )
     return row.select(F.explode(per_rule).alias("r")).select("r.*")
+
+
+def kmv_set_estimates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-OPERATION estimates between two populations (Beyer et al.
+    2007): distinct count of each side, of the union, the Jaccard, and
+    the intersection — all from two bottom-k hash sketches, never from
+    the raw sets. This is the estimator that answers "how many users do
+    segments A and B share" at 100 TB with k rows of state per side:
+    the union sketch is the bottom-k of (A's mins ∪ B's mins), its k-th
+    smallest hash h_k anchors the density estimate, and Jaccard is the
+    fraction of the union sketch present in BOTH sides' sketches.
+
+    Everything is the deterministic 60-bit md5 uniform (engine-
+    reproducible, same as :func:`kmv_distinct`), bottom-k via
+    orderBy/limit (TakeOrderedAndProject) — after that every frame is
+    ≤ k rows and the arithmetic is a driver-free 1-row aggregate.
+    Exact-count fallback when a sketch holds the whole set (< k mins).
+    Output: one row (n_a_mins, n_b_mins, est_a, est_b, est_union,
+    est_jaccard, est_intersection).
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    h_max = float(1 << 60)
+
+    def mins(df):
+        h = md5_long(F.col(value_col).cast("string"), 15)
+        return df.select(h.alias("_h")).distinct().orderBy("_h").limit(k)
+
+    ka = mins(df_a).withColumn("_in_a", F.lit(1))
+    kb = mins(df_b).withColumn("_in_b", F.lit(1))
+    u = (
+        ka.select("_h")
+        .unionByName(kb.select("_h"))
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+    )
+    tagged = (
+        u.join(ka, "_h", "left").join(kb, "_h", "left")
+    )
+
+    def est(n_mins, kth):
+        return F.when(n_mins < k, n_mins.cast("double")).otherwise(
+            F.lit(float(k - 1)) / (kth.cast("double") / F.lit(h_max))
+        )
+
+    stats_a = ka.agg(
+        F.count(F.lit(1)).alias("na"), F.max("_h").alias("ha")
+    )
+    stats_b = kb.agg(
+        F.count(F.lit(1)).alias("nb"), F.max("_h").alias("hb")
+    )
+    stats_u = tagged.agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.max("_h").alias("hu"),
+        F.sum(
+            (F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()).cast("int")
+        ).alias("nboth"),
+    )
+    row = stats_u.crossJoin(F.broadcast(stats_a)).crossJoin(F.broadcast(stats_b))
+    est_u = est(F.col("nu"), F.col("hu"))
+    jac = F.col("nboth").cast("double") / F.col("nu")
+    return row.select(
+        F.col("na").cast("int").alias("n_a_mins"),
+        F.col("nb").cast("int").alias("n_b_mins"),
+        (F.lit(0.0) + F.round(est(F.col("na"), F.col("ha")), 6)).alias("est_a"),
+        (F.lit(0.0) + F.round(est(F.col("nb"), F.col("hb")), 6)).alias("est_b"),
+        (F.lit(0.0) + F.round(est_u, 6)).alias("est_union"),
+        (F.lit(0.0) + F.round(jac, 6)).alias("est_jaccard"),
+        (F.lit(0.0) + F.round(jac * est_u, 6)).alias("est_intersection"),
+    )

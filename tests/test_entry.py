@@ -82,6 +82,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "skew_report",
         # 1-row global-prior broadcast for the shrinkage term
         "target_encode",
+        # two 1-row per-sketch stats broadcasts onto the union sketch
+        "kmv_segment_overlap",
         # broadcast of the guarded small query set on a non-equi
         # (neighbor != query) condition — the documented brute-force shape
         "hard_negatives",

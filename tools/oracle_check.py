@@ -5,6 +5,9 @@ SQL in DuckDB over the same parquet, and compares row count, column names,
 and order-insensitive values (NaN≡NULL, floats to 6 dp).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Set ORACLE_CHECK_TIME=1 to append per-query spark/oracle wall times —
+the numbers that decide which oracles need cheapening for the driver's
+per-round budget (round 3 found one 700 s oracle this way).
 """
 
 from __future__ import annotations
@@ -55,15 +58,21 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import os
+    import time
+
+    timing = os.environ.get("ORACLE_CHECK_TIME") == "1"
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        t1 = time.time()
         if name not in oracles:
             print(f"{name:35s} rows-only: {len(srows)} rows")
             continue
@@ -75,6 +84,7 @@ def main() -> int:
             print(f"{name:35s} ORACLE SQL ERROR: {e}")
             failures.append(name)
             continue
+        t2 = time.time()
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
@@ -95,7 +105,8 @@ def main() -> int:
             print(f"{name:35s} FAIL  " + "; ".join(problems[:3]))
             failures.append(name)
         else:
-            print(f"{name:35s} OK    ({len(srows)} rows)")
+            extra = f"  spark={t1-t0:5.2f}s oracle={t2-t1:5.2f}s" if timing else ""
+            print(f"{name:35s} OK    ({len(srows)} rows){extra}")
     print()
     if failures:
         print(f"FAILURES: {failures}")
