@@ -136,6 +136,12 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
     timed("kmv_distinct",
           lambda: prof.kmv_distinct(docs, ["source"], "text", k=64).count())
 
+    # --- round-3 scale ops ---
+    timed("heavy_hitters",
+          lambda: prof.heavy_hitters(toks, "tok", k=20, width=512).count())
+    timed("tfidf_top_terms",
+          lambda: text.tfidf_top_terms(docs, n_top=3).count())
+
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
           lambda: similarity.ivfpq_topk(
