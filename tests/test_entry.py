@@ -138,3 +138,18 @@ def test_all_queries_under_driver_default_session(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_never_certified_queries_run_first():
+    """The driver walks QUERIES in order under a budget: every query NOT
+    yet driver-certified (rounds 1-2) must come before every certified
+    one, or a registry edit silently pushes new queries back out of the
+    certification window."""
+    from alphalens_spark.entry_queries import _DRIVER_CERTIFIED, QUERIES
+
+    names = list(QUERIES)
+    first_certified = next(i for i, n in enumerate(names) if n in _DRIVER_CERTIFIED)
+    late_uncertified = [
+        n for n in names[first_certified:] if n not in _DRIVER_CERTIFIED
+    ]
+    assert late_uncertified == [], late_uncertified
