@@ -4906,6 +4906,127 @@ SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
 FROM lineitem l JOIN b USING (l_returnflag)"""
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot audit (scale.cdc.snapshot_diff): classify every order key
+    across two deterministic snapshot derivations of ``orders`` as
+    added / deleted / changed, naming the moved columns. ONE full-outer
+    key join; comparisons are null-safe projections on the joined row."""
+    from alphalens_spark.scale.cdc import snapshot_diff
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_orderpriority",
+    )
+    return _finalize(snapshot_diff(old, new, ["o_orderkey"]))
+
+
+ORACLES["snapshot_diff"] = r"""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+n AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         list_sort(list_filter([
+           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END,
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'o_orderpriority' END
+         ], x -> x IS NOT NULL)) AS diffs
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+),
+c AS (
+  SELECT o_orderkey,
+         CASE WHEN in_old AND NOT in_new THEN 'deleted'
+              WHEN in_new AND NOT in_old THEN 'added'
+              WHEN len(diffs) > 0 THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         diffs
+  FROM j
+)
+SELECT o_orderkey, status,
+       CASE WHEN status = 'changed' THEN array_to_string(diffs, ',')
+            ELSE '' END AS changed_cols,
+       CAST(CASE WHEN status = 'changed' THEN len(diffs) ELSE 0 END AS INT)
+         AS n_changed
+FROM c WHERE status <> 'unchanged'"""
+
+
+def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog merge (scale.cdc.apply_cdc): fold an (op, seq) change
+    feed derived from ``orders`` into the ``customer`` snapshot —
+    latest seq per key wins, 'D' drops the key, unknown keys insert.
+    One window shuffle reduces the feed + one key join applies it."""
+    from alphalens_spark.scale.cdc import apply_cdc
+
+    cust = datasets.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cust#"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return _finalize(apply_cdc(cust, changes, ["c_custkey"]))
+
+
+ORACLES["apply_cdc"] = r"""
+WITH ch AS (
+  SELECT o_custkey AS c_custkey,
+         'cust#' || CAST(o_custkey AS VARCHAR) AS c_name,
+         o_totalprice AS c_acctbal,
+         o_orderpriority AS c_mktsegment,
+         CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_orderkey AS seq
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+b AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+merged AS (
+  SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey, l.op,
+         CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+         CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END
+           AS c_acctbal,
+         CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE b.c_mktsegment END
+           AS c_mktsegment
+  FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+)
+SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal, c_mktsegment
+FROM merged WHERE op IS NULL OR op <> 'D'"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5047,6 +5168,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessionize_native": q_event_sessionize_native,
     "interval_join_sessions": q_interval_join_sessions,
     "winsorize_prices": q_winsorize_prices,
+    "snapshot_diff": q_snapshot_diff,
+    "apply_cdc": q_apply_cdc,
 }
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,116 @@
+"""Round-3 continuation: CDC merge/diff + graph/set-similarity operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphalens_spark.scale import cdc
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, price double, status string"
+    )
+
+
+# ------------------------------------------------------------ snapshot_diff
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    old = _snap(spark, [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")])
+    new = _snap(spark, [(2, 25.0, "B"), (3, 30.0, "C"), (4, 40.0, "D")])
+    out = {
+        r["k"]: (r["status"], r["changed_cols"], r["n_changed"])
+        for r in cdc.snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+    }
+    assert out[1] == ("deleted", "", 0)
+    assert out[2] == ("changed", "price", 1)
+    assert out[3] == ("unchanged", "", 0)
+    assert out[4] == ("added", "", 0)
+
+
+def test_snapshot_diff_excludes_unchanged_by_default(spark):
+    old = _snap(spark, [(1, 10.0, "A"), (2, 20.0, "B")])
+    new = _snap(spark, [(1, 10.0, "A"), (2, 21.0, "B")])
+    ks = [r["k"] for r in cdc.snapshot_diff(old, new, ["k"]).collect()]
+    assert ks == [2]
+
+
+def test_snapshot_diff_null_transitions_count_as_change(spark):
+    old = _snap(spark, [(1, None, "A"), (2, 20.0, None), (3, None, None)])
+    new = _snap(spark, [(1, 10.0, "A"), (2, None, None), (3, None, None)])
+    out = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in cdc.snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+    }
+    assert out[1] == ("changed", "price")
+    assert out[2] == ("changed", "price")
+    assert out[3] == ("unchanged", "")
+
+
+def test_snapshot_diff_multi_change_sorted_cols(spark):
+    old = _snap(spark, [(1, 10.0, "A")])
+    new = _snap(spark, [(1, 11.0, "Z")])
+    r = cdc.snapshot_diff(old, new, ["k"]).collect()[0]
+    assert (r["changed_cols"], r["n_changed"]) == ("price,status", 2)
+
+
+# ---------------------------------------------------------------- apply_cdc
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, price double, status string, op string, seq long"
+    )
+
+
+def test_apply_cdc_upsert_insert_delete(spark):
+    base = _snap(spark, [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")])
+    changes = _chg(
+        spark,
+        [
+            (2, 99.0, "B2", "U", 5),   # update existing
+            (3, 0.0, "", "D", 6),      # delete existing
+            (4, 40.0, "D", "I", 7),    # insert new key
+        ],
+    )
+    out = {
+        r["k"]: (r["price"], r["status"])
+        for r in cdc.apply_cdc(base, changes, ["k"]).collect()
+    }
+    assert out == {1: (10.0, "A"), 2: (99.0, "B2"), 4: (40.0, "D")}
+
+
+def test_apply_cdc_latest_seq_wins(spark):
+    base = _snap(spark, [(1, 10.0, "A")])
+    changes = _chg(
+        spark,
+        [(1, 50.0, "mid", "U", 2), (1, 70.0, "late", "U", 9), (1, 30.0, "early", "U", 1)],
+    )
+    out = cdc.apply_cdc(base, changes, ["k"]).collect()
+    assert [(r["price"], r["status"]) for r in out] == [(70.0, "late")]
+
+
+def test_apply_cdc_delete_then_reinsert_by_seq(spark):
+    base = _snap(spark, [(1, 10.0, "A")])
+    # delete at seq 5, re-insert at seq 8: latest wins -> row present
+    changes = _chg(spark, [(1, 0.0, "", "D", 5), (1, 11.0, "re", "I", 8)])
+    out = cdc.apply_cdc(base, changes, ["k"]).collect()
+    assert [(r["price"], r["status"]) for r in out] == [(11.0, "re")]
+    # and the reverse order deletes
+    changes2 = _chg(spark, [(1, 11.0, "re", "I", 5), (1, 0.0, "", "D", 8)])
+    assert cdc.apply_cdc(base, changes2, ["k"]).count() == 0
+
+
+def test_apply_cdc_delete_unknown_key_is_noop(spark):
+    base = _snap(spark, [(1, 10.0, "A")])
+    changes = _chg(spark, [(99, 0.0, "", "D", 1)])
+    out = cdc.apply_cdc(base, changes, ["k"]).collect()
+    assert [(r["k"], r["price"]) for r in out] == [(1, 10.0)]
+
+
+def test_apply_cdc_idempotent_reapply(spark):
+    base = _snap(spark, [(1, 10.0, "A"), (2, 20.0, "B")])
+    changes = _chg(spark, [(1, 15.0, "A2", "U", 3), (2, 0.0, "", "D", 4)])
+    once = cdc.apply_cdc(base, changes, ["k"])
+    twice = cdc.apply_cdc(once, changes, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
