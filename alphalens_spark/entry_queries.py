@@ -5027,6 +5027,42 @@ SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal, c_mktsegment
 FROM merged WHERE op IS NULL OR op <> 'D'"""
 
 
+def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered all-pairs Jaccard (scale.dedup.allpairs_jaccard_pairs,
+    Bayardo et al. WWW'07): same answer as the inverted-index join but the
+    candidate self-join runs over df-ordered PREFIXES, so hot boilerplate
+    grams (highest df, sorted last) never generate candidates — the
+    hot-posting hazard self-mitigates without max_df. Oracle is the exact
+    distinct-word-set Jaccard, which the prefix theorem guarantees."""
+    from alphalens_spark.scale.dedup import allpairs_jaccard_pairs
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    out = allpairs_jaccard_pairs(docs, n=2, threshold=0.6, hash_grams=False)
+    return _finalize(out)
+
+
+ORACLES["allpairs_jaccard"] = r"""
+WITH tok0 AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1) + 1),
+             i -> array_to_string(toks[i:i+1], ' '))) AS grams
+  FROM tok0
+),
+gx AS (SELECT id, len(grams) AS n, unnest(grams) AS gram FROM tok),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+  FROM gx a JOIN gx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+FROM shared WHERE inter / (n_a + n_b - inter) >= 0.6"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5170,6 +5206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_prices": q_winsorize_prices,
     "snapshot_diff": q_snapshot_diff,
     "apply_cdc": q_apply_cdc,
+    "allpairs_jaccard": q_allpairs_jaccard,
 }
 
 # ---------------------------------------------------------------------------

@@ -114,3 +114,66 @@ def test_apply_cdc_idempotent_reapply(spark):
     once = cdc.apply_cdc(base, changes, ["k"])
     twice = cdc.apply_cdc(once, changes, ["k"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ---------------------------------------------------- allpairs prefix filter
+
+
+from alphalens_spark.scale import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _pairs(df):
+    return sorted((r[0], r[1], round(r[2], 9)) for r in df.collect())
+
+
+def test_allpairs_matches_inverted_index(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "pack my box with five dozen liquor jars",
+        "completely different words here entirely",
+    ]
+    docs = _docs(spark, texts)
+    for t in (0.3, 0.5, 0.8):
+        base = _pairs(dedup.ngram_jaccard_pairs(docs, n=1, threshold=t))
+        pf = _pairs(dedup.allpairs_jaccard_pairs(docs, n=1, threshold=t))
+        assert pf == base, f"threshold {t}"
+
+
+def test_allpairs_matches_on_ngrams(spark):
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g z",
+        "p q r s t u v w",
+    ]
+    docs = _docs(spark, texts)
+    base = _pairs(dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4))
+    pf = _pairs(dedup.allpairs_jaccard_pairs(docs, n=3, threshold=0.4))
+    assert pf == base
+
+
+def test_allpairs_prefix_shrinks_hot_gram_candidates(spark):
+    # 30 docs share ONLY a boilerplate prefix (high-df grams); with the
+    # inverted index every boilerplate doc pairs with every other at the
+    # candidate stage. Prefix filtering puts the rare per-doc suffix
+    # grams in the prefix instead, so the hot grams never generate
+    # candidates — same final answer, no max_df needed.
+    boiler = "terms of service apply here"
+    texts = [f"{boiler} u{i} v{i} w{i} x{i}" for i in range(30)]
+    texts += ["clone a b c d e f g", "clone a b c d e f g"]
+    docs = _docs(spark, texts)
+    out = _pairs(dedup.allpairs_jaccard_pairs(docs, n=1, threshold=0.8))
+    assert out == [(30, 31, 1.0)]
+
+
+def test_allpairs_threshold_validation(spark):
+    docs = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError):
+        dedup.allpairs_jaccard_pairs(docs, threshold=0.0)
