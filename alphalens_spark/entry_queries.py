@@ -5063,6 +5063,36 @@ SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
 FROM shared WHERE inter / (n_a + n_b - inter) >= 0.6"""
 
 
+def q_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey centrality: weighted PageRank (graph.pagerank, 10 power
+    iterations, dangling-mass redistribution) over the session-bounded
+    event-type transition graph (events.transition_edges, 30-min gap).
+    Iterations are localCheckpointed node-key joins; the oracle replays
+    the identical fixed-point as an unrolled MATERIALIZED-CTE chain."""
+    from alphalens_spark import graph
+    from alphalens_spark.events import transition_edges
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    edges = transition_edges(ev, gap_minutes=30)
+    return _finalize(graph.pagerank(edges, n_iter=10, weight_col="weight"))
+
+
+def _transition_pagerank_oracle() -> str:
+    from alphalens_spark.graph import pagerank_sql
+
+    edges_cte = r"""
+SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+  SELECT lag(event_type) OVER w AS src, event_type AS dst,
+         lag(ts) OVER w AS pts, ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE src IS NOT NULL AND ts - pts <= INTERVAL 30 MINUTE
+GROUP BY 1, 2"""
+    return pagerank_sql(edges_cte, n_iter=10)
+
+
+ORACLES["transition_pagerank"] = _transition_pagerank_oracle()
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5207,6 +5237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "apply_cdc": q_apply_cdc,
     "allpairs_jaccard": q_allpairs_jaccard,
+    "transition_pagerank": q_transition_pagerank,
 }
 
 # ---------------------------------------------------------------------------

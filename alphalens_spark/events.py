@@ -456,3 +456,40 @@ def user_activity_features(
         *[c for w in windows_days for c in (f"n_events_{w}d", f"value_sum_{w}d")],
         "days_since_prev",
     )
+
+
+def transition_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: int | None = None,
+) -> DataFrame:
+    """Event-type transition graph: one weighted edge per ordered pair of
+    CONSECUTIVE events in a user's stream (same (ts, id) tiebreak as
+    :func:`common_paths`). With ``gap_minutes`` set, transitions across a
+    session gap are dropped — edges then live within sessions, matching
+    the :func:`sessionize` boundary rule.
+
+    One user-key window + one (src, dst) aggregation; feeds
+    :func:`alphalens_spark.graph.pagerank` (journey centrality) or any
+    Markov-chain analysis. Output: (src, dst, weight).
+    """
+    wu = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_type = F.lag(type_col).over(wu)
+    prev_ts = F.lag(ts_col).over(wu)
+    e = events.select(
+        prev_type.alias("src"),
+        F.col(type_col).alias("dst"),
+        prev_ts.alias("_pts"),
+        F.col(ts_col).alias("_ts"),
+    ).where(F.col("src").isNotNull())
+    if gap_minutes is not None:
+        e = e.where(
+            F.col("_ts") - F.col("_pts") <= F.expr(f"INTERVAL {gap_minutes} MINUTES")
+        )
+    return (
+        e.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )

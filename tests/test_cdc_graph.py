@@ -177,3 +177,113 @@ def test_allpairs_threshold_validation(spark):
     docs = _docs(spark, ["a b c"])
     with pytest.raises(ValueError):
         dedup.allpairs_jaccard_pairs(docs, threshold=0.0)
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+import numpy as np
+
+from alphalens_spark import events as ev
+from alphalens_spark import graph
+
+
+def _pr_numpy(edges, n_iter=10, d=0.85):
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    W = np.zeros((N, N))
+    for s, t, w in edges:
+        W[idx[s], idx[t]] += w
+    out = W.sum(axis=1)
+    pr = np.full(N, 1.0 / N)
+    for _ in range(n_iter):
+        dang = pr[out == 0].sum()
+        contrib = np.zeros(N)
+        for i in range(N):
+            if out[i] > 0:
+                contrib += pr[i] * W[i] / out[i]
+        pr = (1 - d) / N + d * (contrib + dang / N)
+    return {n: pr[idx[n]] for n in nodes}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+             ("a", "c", 2.0), ("d", "a", 1.0)]  # d has in-degree 0? no: d->a, a,b,c cycle
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank(df, n_iter=10, weight_col="w").collect()
+    }
+    want = _pr_numpy(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12, n
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # b is dangling (no out-edges): its mass must spread uniformly, and
+    # total rank must stay 1.
+    edges = [("a", "b", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank(df, n_iter=10, weight_col="w").collect()
+    }
+    want = _pr_numpy(edges)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12, n
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_unweighted_counts_parallel_edges(spark):
+    dup = [("a", "b"), ("a", "b"), ("a", "c"), ("c", "a"), ("b", "a")]
+    df = spark.createDataFrame(dup, "src string, dst string")
+    got = {
+        r["node"]: r["pagerank"] for r in graph.pagerank(df, n_iter=8).collect()
+    }
+    want = _pr_numpy([(s, t, 1.0) for s, t in dup], n_iter=8)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12, n
+
+
+def test_pagerank_sql_twin_matches_spark(spark):
+    import duckdb
+
+    edges = [("a", "b", 3.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "c", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r["node"]: round(r["pagerank"], 6)
+        for r in graph.pagerank(df, n_iter=10, weight_col="w").collect()
+    }
+    vals = ", ".join(f"('{s}', '{t}', {w})" for s, t, w in edges)
+    sql = graph.pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS v(src, dst, w)", n_iter=10
+    )
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == {k: round(v, 6) for k, v in want.items()}
+
+
+def test_transition_edges_gap_rule(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:05:00", 7, "click"),     # view->click (5m)
+        (3, "2024-01-01 12:00:00", 7, "purchase"),  # >30m gap: dropped
+        (4, "2024-01-01 12:10:00", 7, "view"),      # purchase->view (10m)
+        (5, "2024-01-01 10:00:00", 8, "view"),
+        (6, "2024-01-01 10:01:00", 8, "click"),     # view->click
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in ev.transition_edges(df, gap_minutes=30).collect()
+    }
+    assert got == {("view", "click"): 2.0, ("purchase", "view"): 1.0}
+    nogap = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in ev.transition_edges(df).collect()
+    }
+    assert nogap[("click", "purchase")] == 1.0

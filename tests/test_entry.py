@@ -87,6 +87,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # broadcast of the guarded small query set on a non-equi
         # (neighbor != query) condition — the documented brute-force shape
         "hard_negatives",
+        # two 1-row broadcasts per power iteration (node count, dangling
+        # mass) riding along the node-key joins
+        "transition_pagerank",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
