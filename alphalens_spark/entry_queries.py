@@ -5093,6 +5093,51 @@ GROUP BY 1, 2"""
 ORACLES["transition_pagerank"] = _transition_pagerank_oracle()
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep: frequency-ranked vocabulary (min_df=2, top 500 —
+    scale.text.build_vocab assigns GLOBAL contiguous ids via the
+    range-repartition + per-partition-offset zipWithIndex pattern, no
+    term-sized global window) + per-document id-sequence encoding with
+    OOV=-1 (scale.text.encode_documents, posexplode keeps order through
+    the term join)."""
+    from alphalens_spark.scale.text import build_vocab, encode_documents
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_df=2, max_size=500)
+    return _finalize(encode_documents(docs, vocab))
+
+
+ORACLES["vocab_encode"] = r"""
+WITH tok0 AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+                i -> struct_pack(pos := i, term := toks[i]))) AS s
+  FROM tok0
+),
+e2 AS MATERIALIZED (SELECT doc_id, s.pos AS pos, s.term AS term FROM ex),
+counts AS (
+  SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS df
+  FROM e2 GROUP BY 1
+),
+vocab AS MATERIALIZED (
+  SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS term_id
+  FROM counts WHERE df >= 2
+),
+v2 AS (SELECT * FROM vocab WHERE term_id <= 500)
+SELECT e2.doc_id,
+       array_to_string(
+         list(CAST(coalesce(v2.term_id, -1) AS VARCHAR) ORDER BY e2.pos), ' ')
+         AS encoded,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v2.term_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM e2 LEFT JOIN v2 USING (term) GROUP BY 1"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5238,6 +5283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_cdc": q_apply_cdc,
     "allpairs_jaccard": q_allpairs_jaccard,
     "transition_pagerank": q_transition_pagerank,
+    "vocab_encode": q_vocab_encode,
 }
 
 # ---------------------------------------------------------------------------

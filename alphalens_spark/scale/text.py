@@ -7,7 +7,7 @@ no Python in the hot path. Inputs: the driver ``documents`` table
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is"]
@@ -600,4 +600,119 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= n_top)
         .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Frequency-ranked vocabulary with GLOBAL contiguous ids — the
+    word2id table a tokenizer/embedding pipeline trains against.
+
+    id = 1-based rank by (term count DESC, term ASC); ``min_df`` drops
+    terms seen in fewer than that many documents; ``max_size`` truncates
+    to the top ids. Output: (term, term_id, count, df).
+
+    Scale note — global ranking WITHOUT a global window: terms are
+    range-repartitioned on the rank key, ranked per partition, and
+    shifted by per-partition offsets (the zipWithIndex pattern in pure
+    DataFrame ops). The only unpartitioned window runs over ONE ROW PER
+    PARTITION (≤ a few thousand rows at any scale), never over terms;
+    every term-sized stage stays key-partitioned.
+    """
+    toks = _tokens(text_col)
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+    counts = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count_distinct(F.col("_id")).alias("df"),
+    )
+    if min_df > 1:
+        counts = counts.where(F.col("df") >= min_df)
+
+    ranked = counts.repartitionByRange(
+        F.col("count").desc(), F.col("term").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    # per-partition sizes -> cumulative offsets: bounded by the partition
+    # count (the one legal unpartitioned window here)
+    offsets = (
+        ranked.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_sz").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    w_in = Window.partitionBy("_pid").orderBy(F.col("count").desc(), F.col("term").asc())
+    out = (
+        ranked.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "term",
+            (F.col("_off") + F.col("_rn")).cast("long").alias("term_id"),
+            "count",
+            "df",
+        )
+    )
+    if max_size is not None:
+        out = out.where(F.col("term_id") <= max_size)
+    return out
+
+
+def encode_documents(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document as its vocabulary-id sequence (order
+    preserved; out-of-vocabulary tokens become ``oov_id``) — the id
+    stream a sequence-packing / training-data step consumes.
+
+    posexplode keeps token order through the term-key join (ONE shuffle
+    on term, linear in corpus tokens); per-doc reassembly is an
+    array_sort over (pos, id) structs — bounded by document length.
+    Output: (doc_id, encoded [space-joined ids], n_tokens, n_oov).
+    """
+    toks = _tokens(text_col)
+    ex = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    )
+    joined = ex.join(vocab.select("term", "term_id"), "term", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.coalesce(F.col("term_id"), F.lit(oov_id)).alias(
+                                    "tid"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["tid"].cast("string"),
+                ),
+                " ",
+            ).alias("encoded"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("term_id").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
     )

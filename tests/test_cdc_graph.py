@@ -287,3 +287,59 @@ def test_transition_edges_gap_rule(spark):
         for r in ev.transition_edges(df).collect()
     }
     assert nogap[("click", "purchase")] == 1.0
+
+
+# ------------------------------------------------------------- vocab encode
+
+
+from alphalens_spark.scale import text as stext
+
+
+def test_build_vocab_global_rank_without_global_window(spark):
+    docs = _docs(spark, [
+        "b b b c c a", "c c d a", "e b c",
+    ])
+    got = {
+        r["term"]: (r["term_id"], r["count"], r["df"])
+        for r in stext.build_vocab(docs).collect()
+    }
+    # counts: c=5, b=4, a=2, d=1, e=1 -> rank by (count desc, term asc)
+    assert got == {
+        "c": (1, 5, 3), "b": (2, 4, 2), "a": (3, 2, 2),
+        "d": (4, 1, 1), "e": (5, 1, 1),
+    }
+
+
+def test_build_vocab_min_df_and_max_size(spark):
+    docs = _docs(spark, ["b b b c c a", "c c d a", "e b c"])
+    v = {
+        r["term"]: r["term_id"]
+        for r in stext.build_vocab(docs, min_df=2, max_size=2).collect()
+    }
+    assert v == {"c": 1, "b": 2}
+
+
+def test_build_vocab_ids_contiguous_on_larger_corpus(spark):
+    # enough distinct terms to span several range partitions
+    docs = _docs(spark, [" ".join(f"w{i:03d}" for i in range(k, k + 40))
+                         for k in range(0, 200, 7)])
+    v = stext.build_vocab(docs).collect()
+    ids = sorted(r["term_id"] for r in v)
+    assert ids == list(range(1, len(v) + 1))  # contiguous, no dup/gap
+    # and ordering is by (count desc, term asc)
+    by_id = sorted(v, key=lambda r: r["term_id"])
+    keys = [(-r["count"], r["term"]) for r in by_id]
+    assert keys == sorted(keys)
+
+
+def test_encode_documents_roundtrip_and_oov(spark):
+    docs = _docs(spark, ["a b c", "c x a", "b b"])
+    vocab = stext.build_vocab(docs.filter("doc_id = 0"))  # only a, b, c in vocab
+    enc = {
+        r["doc_id"]: (r["encoded"], r["n_tokens"], r["n_oov"])
+        for r in stext.encode_documents(docs, vocab).collect()
+    }
+    ids = {r["term"]: r["term_id"] for r in vocab.collect()}
+    assert enc[0] == (f"{ids['a']} {ids['b']} {ids['c']}", 3, 0)
+    assert enc[1] == (f"{ids['c']} -1 {ids['a']}", 3, 1)
+    assert enc[2] == (f"{ids['b']} {ids['b']}", 2, 0)

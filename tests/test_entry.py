@@ -53,6 +53,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # rank over an already-LIMITed top-n frame (≤ 20 rows by plan)
         "skew_report",
         "common_paths",
+        # offsets cumsum over ONE ROW PER PARTITION (zipWithIndex pattern;
+        # bounded by partition count, never by terms)
+        "vocab_encode",
     }
     FACT_WIDTH = {
         t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)
