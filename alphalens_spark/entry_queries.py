@@ -5037,7 +5037,7 @@ def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alphalens_spark.scale.dedup import allpairs_jaccard_pairs
 
     docs = datasets.load_table(spark, sf_dir, "documents")
-    out = allpairs_jaccard_pairs(docs, n=2, threshold=0.6, hash_grams=False)
+    out = allpairs_jaccard_pairs(docs, n=3, threshold=0.6, hash_grams=False)
     return _finalize(out)
 
 
@@ -5049,8 +5049,8 @@ WITH tok0 AS (
 tok AS (
   SELECT id,
          list_distinct(list_transform(
-             range(1, greatest(len(toks) - 1, 1) + 1),
-             i -> array_to_string(toks[i:i+1], ' '))) AS grams
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
   FROM tok0
 ),
 gx AS (SELECT id, len(grams) AS n, unnest(grams) AS gram FROM tok),

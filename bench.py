@@ -132,15 +132,43 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
           ).count())
     toks = docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
     timed("cm_sketch_tokens",
-          lambda: prof.cm_sketch(toks, "tok", depth=4, width=1024).count())
+          lambda: prof.cm_sketch(
+              toks, "tok", depth=4, width=1024, hasher="xxhash64"
+          ).count())
     timed("kmv_distinct",
           lambda: prof.kmv_distinct(docs, ["source"], "text", k=64).count())
 
     # --- round-3 scale ops ---
     timed("heavy_hitters",
-          lambda: prof.heavy_hitters(toks, "tok", k=20, width=512).count())
+          lambda: prof.heavy_hitters(
+              toks, "tok", k=20, width=512, hasher="xxhash64"
+          ).count())
     timed("tfidf_top_terms",
           lambda: text.tfidf_top_terms(docs, n_top=3).count())
+
+    # --- round-3 continuation: CDC, graph, set-similarity join ---
+    from alphalens_spark import events as evops
+    from alphalens_spark import graph
+    from alphalens_spark.scale import cdc
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    snap_old = orders.where(F.col("o_orderkey") % 13 != 0)
+    snap_new = orders.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    timed("snapshot_diff",
+          lambda: cdc.snapshot_diff(snap_old, snap_new, ["o_orderkey"]).count())
+    timed("transition_pagerank",
+          lambda: graph.pagerank(
+              evops.transition_edges(ev, gap_minutes=30),
+              n_iter=10, weight_col="weight",
+          ).count())
+    timed("allpairs_jaccard",
+          lambda: dedup.allpairs_jaccard_pairs(
+              docs, n=3, threshold=0.6
+          ).count())
 
     timed("ivfpq_build", _build)
     timed("ivfpq_search",

@@ -343,3 +343,35 @@ def test_encode_documents_roundtrip_and_oov(spark):
     assert enc[0] == (f"{ids['a']} {ids['b']} {ids['c']}", 3, 0)
     assert enc[1] == (f"{ids['c']} -1 {ids['a']}", 3, 1)
     assert enc[2] == (f"{ids['b']} {ids['b']}", 2, 0)
+
+
+# ----------------------------------------------------- CM xxhash fast path
+
+
+def test_cm_xxhash_upper_bound_and_topk(spark):
+    from alphalens_spark.scale import profile as prof
+
+    rows = [("hot",)] * 50 + [(f"w{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "tok string")
+    hh = prof.heavy_hitters(df, "tok", k=1, width=256, hasher="xxhash64").collect()
+    assert hh[0]["item"] == "hot" and hh[0]["est_count"] >= 50
+    # upper-bound property holds under either hash family
+    est = {
+        r["item"]: r["est_count"]
+        for r in prof.cm_estimate(
+            prof.cm_sketch(df, "tok", width=256, hasher="xxhash64"),
+            df.selectExpr("tok as item").distinct(),
+            width=256, depth=4, hasher="xxhash64",
+        ).collect()
+    }
+    assert est["hot"] >= 50
+    assert all(v >= 1 for v in est.values())
+
+
+def test_cm_hasher_mismatch_guard(spark):
+    from alphalens_spark.scale import profile as prof
+
+    with pytest.raises(ValueError):
+        prof.cm_sketch(
+            spark.createDataFrame([("a",)], "tok string"), "tok", hasher="bogus"
+        )
