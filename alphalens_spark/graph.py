@@ -71,27 +71,38 @@ def pagerank(
     dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint(
         eager=True
     )
+    # No dangling nodes (the common case for transition graphs, where
+    # every type also appears as a source): D_t ≡ 0, so drop the
+    # per-iteration mass aggregation + broadcast entirely. The count is
+    # free — dangling_nodes is already materialized.
+    any_dangling = dangling_nodes.count() > 0
 
     for _ in range(n_iter):
-        dang = dangling_nodes.join(ranks, "node").agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang")
-        )  # 1 row
         contrib = (
             norm.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("p")).alias("_c"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = (
+        nxt = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(n_nodes))
-            .crossJoin(F.broadcast(dang))
-            .select(
+        )
+        if any_dangling:
+            dang = dangling_nodes.join(ranks, "node").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang")
+            )  # 1 row
+            nxt = nxt.crossJoin(F.broadcast(dang))
+            dang_term = F.col("_dang") / F.col("_n")
+        else:
+            dang_term = F.lit(0.0)
+        ranks = (
+            nxt.select(
                 "node",
                 (
                     (1.0 - damping) / F.col("_n")
                     + damping
-                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dang") / F.col("_n"))
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + dang_term)
                 ).alias("pr"),
             )
             .localCheckpoint(eager=True)
