@@ -1012,3 +1012,68 @@ def stream_scd2(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def cdc_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> None:
+    """One incremental merge step of a CDC feed into a keyed snapshot
+    store — the streaming twin of :func:`alphalens_spark.scale.cdc.apply_cdc`.
+
+    The store at ``store_path`` is the CURRENT snapshot (keys + payload,
+    no op/seq). Each micro-batch reduces to its latest change per key and
+    merges: untouched keys pass through, winning upserts replace/insert,
+    winning deletes drop. Applying batches in feed order leaves the store
+    equal to the one-shot ``apply_cdc(base, whole_feed)`` (tested).
+
+    REQUIREMENT: per-key ``seq`` must be monotone ACROSS batches (the
+    same contract every CDC consumer has — a change arriving after a
+    higher-seq change for the same key was already applied would need a
+    base + full-log rebuild, which is the batch operator's job).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.cdc import apply_cdc, latest_changes
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    keys = list(key_cols)
+    payload = [c for c in batch_df.columns if c not in (*keys, op_col, seq_col)]
+    try:
+        store = spark.read.parquet(store_path)
+        merged = apply_cdc(store, batch_df, keys, op_col=op_col, seq_col=seq_col)
+    except AnalysisException:  # first batch: empty base
+        latest = latest_changes(batch_df, keys, seq_col)
+        merged = latest.where(F.col(op_col) != "D").select(*keys, *payload)
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_apply_cdc(
+    changes_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    available_now: bool = False,
+):
+    """Maintain a current-snapshot store from a CDC change stream via
+    foreachBatch over :func:`cdc_store_update`; the store is queryable
+    with ``spark.read.parquet(store_path)`` without stopping the stream."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        cdc_store_update(batch_df, store_path, key_cols, op_col, seq_col)
+
+    w = changes_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

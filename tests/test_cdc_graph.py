@@ -375,3 +375,51 @@ def test_cm_hasher_mismatch_guard(spark):
         prof.cm_sketch(
             spark.createDataFrame([("a",)], "tok string"), "tok", hasher="bogus"
         )
+
+
+# --------------------------------------------------------- streaming CDC
+
+
+def test_stream_apply_cdc_equals_batch(spark, tmp_path):
+    from alphalens_spark.streaming.ops import stream_apply_cdc
+
+    src = str(tmp_path / "changes")
+    batch1 = [
+        (1, 10.0, "A", "I", 1), (2, 20.0, "B", "I", 2),
+        (1, 11.0, "A2", "U", 3),
+    ]
+    batch2 = [
+        (2, 0.0, "", "D", 4),          # delete key 2
+        (3, 30.0, "C", "I", 5),        # new key
+        (1, 12.0, "A3", "U", 6),       # update key 1 again
+    ]
+    schema = "k long, price double, status string, op string, seq long"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "snap")
+    q = stream_apply_cdc(
+        stream, store, str(tmp_path / "ck"), ["k"], available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(store).collect()))
+    # one-shot batch merge of the whole feed over an empty base
+    base = spark.createDataFrame([], "k long, price double, status string")
+    want = sorted(
+        map(
+            tuple,
+            cdc.apply_cdc(
+                base, spark.read.parquet(src), ["k"]
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert got == [(1, 12.0, "A3"), (3, 30.0, "C")]
