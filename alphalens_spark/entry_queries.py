@@ -5138,6 +5138,36 @@ SELECT e2.doc_id,
 FROM e2 LEFT JOIN v2 USING (term) GROUP BY 1"""
 
 
+def q_bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered fact⋈dim join (joins.bloom_filtered_join): a
+    1-row broadcast Bloom of the BUILDING-segment customer keys prunes
+    orders BEFORE the join shuffle (no false negatives ⇒ row-identical
+    to the plain join, which is exactly what the oracle checks); the few
+    false positives fall out in the real join. Aggregated per priority
+    to keep the certified surface small."""
+    from alphalens_spark.joins import bloom_filtered_join
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    cust = datasets.load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    joined = bloom_filtered_join(orders, cust, ["o_custkey"])
+    return _finalize(
+        joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+ORACLES["bloom_filtered_orders"] = r"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5284,6 +5314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "allpairs_jaccard": q_allpairs_jaccard,
     "transition_pagerank": q_transition_pagerank,
     "vocab_encode": q_vocab_encode,
+    "bloom_filtered_orders": q_bloom_filtered_orders,
 }
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,96 @@ def interval_join(
         if c not in missing.columns:
             missing = missing.withColumn(c, F.lit(None))
     return matched.unionByName(missing.select(*matched.columns))
+
+
+def keyed_bloom(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_cols`` as ONE ROW holding a
+    map<word, 64-bit mask> — pure built-in expressions (xxhash64 +
+    bit_or), so it computes distributed, broadcasts in O(n_bits/8)
+    bytes, and has the no-false-negative guarantee by construction.
+
+    depth hash positions per key: pos_i = xxhash64(i, key) mod n_bits;
+    word = pos div 64, mask bit = pos mod 64. groupBy(word) bit_or is
+    map-side combinable; the map never exceeds n_bits/64 entries.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    ex = df.select(key.alias("_k")).select(
+        "_k", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("_i")
+    )
+    pos = F.pmod(F.xxhash64(F.col("_i"), F.col("_k")), F.lit(n_bits))
+    words = ex.select(pos.alias("_pos")).select(
+        (F.col("_pos") / 64).cast("int").alias("word"),
+        # shiftleft by a COLUMN needs the SQL form (the Python helper
+        # only takes a literal shift amount)
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias(
+            "bit"
+        ),
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("_bf")
+        )
+    )
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+) -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the big side — the classic
+    100 TB shuffle reducer: when ``small`` matches only a fraction of
+    ``big``'s keys, most big-side rows can be discarded BEFORE the join
+    shuffle by probing a broadcast Bloom of the small side's keys.
+
+    Result is row-identical to ``big.join(small, on, how)`` (Bloom
+    filters have no false negatives; false positives just ride through
+    to the real join and fall out there). Supported ``how``: inner /
+    left_semi — shapes where dropping non-matching big rows early is
+    legal. The filter is a 1-row broadcast (n_bits/8 bytes ≪ the small
+    side itself) probed with O(depth) constant-time bit tests per row —
+    cheaper than broadcasting ``small`` when the small side is below
+    shuffle-join size but above broadcast size.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"how={how!r}: Bloom pre-filtering only preserves inner/left_semi"
+        )
+    on = list(on)
+    bf = keyed_bloom(small, on, n_bits=n_bits, depth=depth)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+    probe = big.crossJoin(F.broadcast(bf)).withColumn("_k", key)
+    hit = None
+    for i in range(depth):
+        probe = probe.withColumn(
+            f"_pos{i}",
+            F.pmod(F.xxhash64(F.lit(i), F.col("_k")), F.lit(n_bits)),
+        )
+        t = F.coalesce(
+            F.expr(
+                # try_element_at: a missing word is NULL (-> no hit) in
+                # BOTH ANSI and non-ANSI sessions; plain element_at
+                # throws under the driver's ANSI default
+                f"try_element_at(_bf, CAST(_pos{i} / 64 AS INT)) "
+                f"& shiftleft(CAST(1 AS BIGINT), CAST(_pos{i} % 64 AS INT))"
+            )
+            != 0,
+            F.lit(False),
+        )
+        hit = t if hit is None else (hit & t)
+    filtered = probe.where(hit).drop(
+        "_bf", "_k", *[f"_pos{i}" for i in range(depth)]
+    )
+    return filtered.join(small, on, how)

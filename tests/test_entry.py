@@ -93,6 +93,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # two 1-row broadcasts per power iteration (node count, dangling
         # mass) riding along the node-key joins
         "transition_pagerank",
+        # the 1-row Bloom-mask broadcast probed before the real join
+        "bloom_filtered_orders",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
