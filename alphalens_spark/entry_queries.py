@@ -5168,6 +5168,116 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1"""
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (scale.similarity.mmr_rerank, Carbonell
+    & Goldstein SIGIR'98): top-8 cosine pool per query (distributed
+    brute force) re-ranked greedily by λ·rel − (1−λ)·max-sim-to-selected
+    with λ=0.7, k=3. Scoring uses integer-scaled λ and 6dp-rounded
+    inputs so the Arrow-batched greedy replays exactly as unrolled SQL."""
+    from alphalens_spark.scale.similarity import mmr_rerank
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return _finalize(mmr_rerank(emb, q, k=3, pool=8, lam=0.7))
+
+
+ORACLES["mmr_rerank"] = r"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 20 = 0
+),
+p AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+           AS rel
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT query_id, cand_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand_id) AS rnk
+    FROM p) WHERE rnk <= 8
+),
+cv AS MATERIALIZED (
+  SELECT c.query_id, c.cand_id, c.rel, e.embedding AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.cand_id
+),
+cc AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS ida, b.cand_id AS idb,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+             i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+           AS sim
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, cand_id,
+         700000 * rel / CAST(1000000 AS DOUBLE) AS score
+  FROM (
+    SELECT query_id, cand_id, rel,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY 700000 * rel / CAST(1000000 AS DOUBLE) DESC,
+                        cand_id) AS rn
+    FROM cand) WHERE rn = 1
+),
+m2 AS MATERIALIZED (
+  SELECT c.query_id, c.cand_id, c.rel, cc.sim AS maxsim
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.cand_id <> s1.cand_id
+  JOIN cc ON cc.query_id = c.query_id AND cc.ida = c.cand_id
+         AND cc.idb = s1.cand_id
+),
+s2 AS MATERIALIZED (
+  SELECT query_id, cand_id, score FROM (
+    SELECT query_id, cand_id,
+           (700000 * rel - 300000 * maxsim)
+                 / CAST(1000000 AS DOUBLE) AS score,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY (700000 * rel - 300000 * maxsim)
+                              / CAST(1000000 AS DOUBLE) DESC,
+                        cand_id) AS rn
+    FROM m2) WHERE rn = 1
+),
+m3 AS MATERIALIZED (
+  SELECT c.query_id, c.cand_id, c.rel,
+         greatest(c1.sim, c2.sim) AS maxsim
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.cand_id <> s1.cand_id
+  JOIN s2 ON c.query_id = s2.query_id AND c.cand_id <> s2.cand_id
+  JOIN cc c1 ON c1.query_id = c.query_id AND c1.ida = c.cand_id
+            AND c1.idb = s1.cand_id
+  JOIN cc c2 ON c2.query_id = c.query_id AND c2.ida = c.cand_id
+            AND c2.idb = s2.cand_id
+),
+s3 AS MATERIALIZED (
+  SELECT query_id, cand_id, score FROM (
+    SELECT query_id, cand_id,
+           (700000 * rel - 300000 * maxsim)
+                 / CAST(1000000 AS DOUBLE) AS score,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY (700000 * rel - 300000 * maxsim)
+                              / CAST(1000000 AS DOUBLE) DESC,
+                        cand_id) AS rn
+    FROM m3) WHERE rn = 1
+)
+SELECT query_id, cand_id AS neighbor_id, CAST(1 AS INT) AS mmr_rank,
+       CAST(round(score * 10000000) AS BIGINT) AS mmr_score_e7 FROM s1
+UNION ALL
+SELECT query_id, cand_id, CAST(2 AS INT),
+       CAST(round(score * 10000000) AS BIGINT) FROM s2
+UNION ALL
+SELECT query_id, cand_id, CAST(3 AS INT),
+       CAST(round(score * 10000000) AS BIGINT) FROM s3"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5315,6 +5425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_pagerank": q_transition_pagerank,
     "vocab_encode": q_vocab_encode,
     "bloom_filtered_orders": q_bloom_filtered_orders,
+    "mmr_rerank": q_mmr_rerank,
 }
 
 # ---------------------------------------------------------------------------

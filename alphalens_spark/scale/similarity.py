@@ -1054,3 +1054,97 @@ def hard_negatives(
             F.col("cs").alias("cos_sim"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): pick ``k`` results per query that trade relevance against
+    redundancy — ``score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)``,
+    greedily, starting from the most relevant candidate. The standard
+    post-retrieval diversification for RAG/context assembly (don't feed
+    the model five near-copies of the same passage).
+
+    Scale shape: retrieval stays the existing distributed top-k
+    (:func:`brute_force_topk_vectorized` — swap in ivf/lsh upstream for
+    bigger corpora); only the per-query candidate POOL (``pool`` rows,
+    bounded) enters the greedy, which runs as one Arrow-batched
+    ``applyInPandas`` over query groups — state is pool×dim per group,
+    never corpus-sized, and queries parallelize across the cluster.
+
+    Determinism/oracle contract: rel and pairwise sims round to 6dp
+    BEFORE scoring; with integer-scaled λ the raw score is then
+    bit-identical on every IEEE engine, so candidates rank by
+    (score DESC, id ASC) and the score exports as an exact integer
+    micro-score. Output: (query_id, neighbor_id, mmr_rank,
+    mmr_score_e7 = score·10⁷ as a long).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = brute_force_topk_vectorized(corpus, queries, pool, id_col, vec_col)
+    cand_v = cand.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cos_sim", "_v")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cos_sim"].to_numpy().round(6)
+        V = np.array(list(pdf["_v"]), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = (Vn @ Vn.T).round(6)
+        n = len(ids)
+        chosen: list[int] = []
+        scores: list[float] = []
+        maxsim = np.zeros(n)  # real values install on the first pick
+        picked = np.zeros(n, dtype=bool)
+        # integer-scaled λ: (lam_n·rel − (10⁶−lam_n)·maxsim)/10⁶ uses only
+        # exactly-representable coefficients, so any IEEE engine (numpy
+        # here, DuckDB in the oracle) computes the bit-identical score —
+        # a bare (1−λ) differs between binary-double and decimal engines.
+        lam_n = round(lam * 1_000_000)
+        for t in range(min(k, n)):
+            # raw score, no re-round: on 6dp-rounded inputs with integer
+            # coefficients every IEEE engine produces the bit-identical
+            # double, so ranking and the integer micro-score replay
+            # exactly. (Rounding HERE would land on exact .5 boundaries
+            # of the 1e-7 score grid, where numpy half-even and SQL
+            # half-away diverge — measured 45/75 rows off by 1e-6.)
+            if t == 0:
+                score = lam_n * rel / 1e6  # no selected set yet
+            else:
+                score = (lam_n * rel - (1_000_000 - lam_n) * maxsim) / 1e6
+            # argmax by (score desc, id asc) over unpicked candidates
+            order = np.lexsort((ids, -score))
+            best = next(i for i in order if not picked[i])
+            picked[best] = True
+            chosen.append(int(ids[best]))
+            scores.append(int(round(score[best] * 1e7)))
+            # max over the SELECTED SET only — sims can be negative, so
+            # the first pick INSTALLS its column rather than maxing
+            # against the zero init (which would clamp at 0)
+            maxsim = S[:, best] if t == 0 else np.maximum(maxsim, S[:, best])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": chosen,
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "mmr_score_e7": scores,
+            }
+        )
+
+    out_schema = (
+        "query_id long, neighbor_id long, mmr_rank int, mmr_score_e7 long"
+    )
+    return cand_v.groupBy("query_id").applyInPandas(greedy, out_schema)

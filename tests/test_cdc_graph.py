@@ -486,3 +486,64 @@ def test_bloom_filtered_join_rejects_outer(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         bloom_filtered_join(df, df, ["k"], how="left")
+
+
+# ------------------------------------------------------------------ MMR
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    from alphalens_spark.scale.similarity import mmr_rerank
+
+    # corpus: two near-identical highly-relevant vectors + one distinct
+    # moderately-relevant one; relevance-only top-2 = the twins, MMR
+    # (lam=0.5) must swap the redundant twin for the distinct vector.
+    rows = [
+        (100, [1.0, 0.0, 0.0]),            # the query
+        (1, [0.99, 0.14, 0.0]),            # twin A
+        (2, [0.99, 0.141, 0.001]),         # twin B (near-copy of A)
+        (3, [0.7, 0.0, 0.71]),             # distinct, less relevant
+        (4, [-1.0, 0.0, 0.0]),             # irrelevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 100").selectExpr(
+        "vec_id as query_id", "embedding as qv"
+    )
+    out = (
+        mmr_rerank(emb, q, k=2, pool=4, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in out] == [1, 3]
+    assert out[0]["mmr_rank"] == 1 and out[1]["mmr_rank"] == 2
+
+
+def test_mmr_rank1_is_relevance_argmax_and_scores_monotone_rule(spark):
+    from alphalens_spark.scale.similarity import (
+        brute_force_topk_vectorized,
+        mmr_rerank,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where("vec_id % 10 = 0").selectExpr(
+        "vec_id as query_id", "embedding as qv"
+    )
+    top = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in brute_force_topk_vectorized(emb, q, 1).collect()
+    }
+    out = mmr_rerank(emb, q, k=3, pool=6, lam=0.7).collect()
+    for r in out:
+        if r["mmr_rank"] == 1:
+            assert r["neighbor_id"] == top[(r["query_id"], 1)]
+    # every query returns exactly k distinct neighbors
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 3 and len(set(v)) == 3 for v in by_q.values())
