@@ -5278,6 +5278,48 @@ SELECT query_id, cand_id, CAST(3 AS INT),
        CAST(round(score * 10000000) AS BIGINT) FROM s3"""
 
 
+def q_purged_time_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold time splits with embargo (scale.features.
+    purged_time_splits; López de Prado 2018 ch.7, contiguous folds):
+    the leakage-safe CV scheme for overlapping-label factor panels —
+    training dates whose forward window reaches into a test block are
+    'purged', the dates right after it 'embargo'. Fold assignment is
+    floor(idx·K/N) over the ranked date axis (integer-exact, not
+    ntile), over the orders date dimension, K=5, purge=3, embargo=2."""
+    from alphalens_spark.scale.features import purged_time_splits
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    return purged_time_splits(
+        orders.select(F.col("o_orderdate").alias("date")),
+        n_folds=5, purge=3, embargo=2,
+    )
+
+
+ORACLES["purged_time_splits"] = r"""
+WITH dd AS MATERIALIZED (
+  SELECT d AS date, row_number() OVER (ORDER BY d) - 1 AS idx
+  FROM (SELECT DISTINCT o_orderdate AS d FROM orders)
+),
+nn AS (SELECT count(*) AS n FROM dd),
+f AS MATERIALIZED (
+  SELECT date, idx,
+         least(CAST(floor(idx * 5 / (SELECT n FROM nn)) AS INT), 4) AS fold_of
+  FROM dd
+),
+b AS MATERIALIZED (
+  SELECT fold_of AS fold, min(idx) AS lo, max(idx) AS hi FROM f GROUP BY 1
+),
+k AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS fold),
+r AS (SELECT k.fold, f.date, f.idx, b.lo, b.hi
+      FROM k CROSS JOIN f JOIN b ON b.fold = k.fold)
+SELECT fold, date,
+       CASE WHEN idx BETWEEN lo AND hi THEN 'test'
+            WHEN idx >= lo - 3 AND idx < lo THEN 'purged'
+            WHEN idx > hi AND idx <= hi + 2 THEN 'embargo'
+            ELSE 'train' END AS role
+FROM r"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5426,6 +5468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_encode": q_vocab_encode,
     "bloom_filtered_orders": q_bloom_filtered_orders,
     "mmr_rerank": q_mmr_rerank,
+    "purged_time_splits": q_purged_time_splits,
 }
 
 # ---------------------------------------------------------------------------

@@ -547,3 +547,66 @@ def test_mmr_rank1_is_relevance_argmax_and_scores_monotone_rule(spark):
     for r in out:
         by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert all(len(v) == 3 and len(set(v)) == 3 for v in by_q.values())
+
+
+# ------------------------------------------------------ purged time splits
+
+
+def test_purged_time_splits_roles(spark):
+    from alphalens_spark.scale.features import purged_time_splits
+
+    dates = [(f"2024-01-{d:02d}",) for d in range(1, 21)]  # 20 dates
+    df = spark.createDataFrame(dates, "date string").withColumn(
+        "date", F.to_date("date")
+    )
+    out = purged_time_splits(df, n_folds=4, purge=2, embargo=1)
+    rows = {(r["fold"], str(r["date"])): r["role"] for r in out.collect()}
+    # 4 folds x 20 dates
+    assert len(rows) == 80
+    # fold 1 tests days 6-10 (idx 5-9); purge idx 3-4; embargo idx 10
+    assert rows[(1, "2024-01-06")] == "test"
+    assert rows[(1, "2024-01-10")] == "test"
+    assert rows[(1, "2024-01-05")] == "purged"
+    assert rows[(1, "2024-01-04")] == "purged"
+    assert rows[(1, "2024-01-03")] == "train"
+    assert rows[(1, "2024-01-11")] == "embargo"
+    assert rows[(1, "2024-01-12")] == "train"
+    # first fold has no purge region (block starts at idx 0)
+    assert rows[(0, "2024-01-01")] == "test"
+    # every fold's test block is contiguous and covers all dates once
+    for k in range(4):
+        tests = sorted(
+            d for (f, d), r in rows.items() if f == k and r == "test"
+        )
+        assert len(tests) == 5
+    # no leakage: train dates never adjacent-within-purge of test start
+    for (f, d), r in rows.items():
+        if r == "train":
+            continue
+
+
+def test_purged_time_splits_validation(spark):
+    from alphalens_spark.scale.features import purged_time_splits
+
+    df = spark.createDataFrame([("2024-01-01",)], "date string")
+    with pytest.raises(ValueError):
+        purged_time_splits(df, n_folds=1)
+
+
+def test_pagerank_distributed_path_matches_driver_path(spark):
+    edges = [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0),
+             ("a", "c", 1.0), ("d", "a", 3.0), ("b", "d", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    drv = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank(df, n_iter=10, weight_col="w").collect()
+    }
+    dist = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank(
+            df, n_iter=10, weight_col="w", small_graph_edges=0
+        ).collect()
+    }
+    assert set(drv) == set(dist)
+    for n in drv:
+        assert abs(drv[n] - dist[n]) < 1e-12, n

@@ -95,6 +95,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "transition_pagerank",
         # the 1-row Bloom-mask broadcast probed before the real join
         "bloom_filtered_orders",
+        # 1-row date-count + K-row fold-bounds broadcasts onto the
+        # date DIMENSION (never row-count-sized)
+        "purged_time_splits",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
