@@ -5320,6 +5320,149 @@ SELECT fold, date,
 FROM r"""
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names (scale.linkage
+    .record_linkage_pairs): token blocking (candidates share a
+    normalized token, inverted-index equi-join — the ngram-posting
+    shape, max_df-cappable), distinct pair reduction, then JVM-native
+    Levenshtein ≤ 2 over the full normalized name. No all-pairs stage,
+    no Python."""
+    from alphalens_spark.scale.linkage import record_linkage_pairs
+
+    part = datasets.load_table(spark, sf_dir, "part")
+    return _finalize(record_linkage_pairs(part, "p_partkey", "p_name", max_distance=2))
+
+
+ORACLES["record_linkage"] = r"""
+WITH base AS MATERIALIZED (
+  SELECT p_partkey AS id,
+         regexp_replace(lower(trim(p_name)), '\s+', ' ', 'g') AS norm
+  FROM part
+),
+tok AS MATERIALIZED (
+  SELECT id, norm, unnest(list_distinct(string_split(norm, ' '))) AS bk
+  FROM base
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.norm AS na, b.norm AS nb
+  FROM tok a JOIN tok b ON a.bk = b.bk AND a.id < b.id
+  WHERE a.bk <> ''
+)
+SELECT id_a, id_b, levenshtein(na, nb) AS distance
+FROM cand WHERE levenshtein(na, nb) <= 2"""
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the co-purchase graph: edges are part
+    pairs bought together in ≥2 distinct orders
+    (scale.affinity.cooccurrence_pairs — within-basket pair join,
+    quadratic only in basket size), triangles counted per node by the
+    degree-ordered orientation join (graph.triangle_count, Suri &
+    Vassilvitskii WWW'11: oriented out-degree is O(√m), so the wedge
+    join survives power-law hubs). Output includes the local clustering
+    coefficient."""
+    from alphalens_spark.graph import triangle_count
+    from alphalens_spark.scale.affinity import cooccurrence_pairs
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    out = triangle_count(
+        edges.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return _finalize(out)
+
+
+ORACLES["copurchase_triangles"] = r"""
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT a.item AS u, b.item AS v
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS lo,
+         CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS hi,
+         CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN dv.degree ELSE du.degree END AS hd
+  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+tri AS MATERIALIZED (
+  SELECT w.a, w.b, w.c FROM (
+    SELECT e1.lo AS a, e1.hi AS b, e1.hd AS bd, e2.hi AS c, e2.hd AS cd
+    FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+    WHERE (e1.hd, e1.hi) < (e2.hd, e2.hi)
+  ) w JOIN o cl ON w.b = cl.lo AND w.c = cl.hi
+),
+pn AS MATERIALIZED (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node, deg.degree, coalesce(pn.triangles, 0) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN round(2.0 * coalesce(pn.triangles, 0)
+                       / (deg.degree * (deg.degree - 1.0)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pn ON deg.node = pn.node"""
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level association rules (scale.affinity.association_rules):
+    support / confidence / lift over distinct order baskets, brand
+    dimension broadcast onto lineitem, pair join bounded by basket size,
+    marginals joined back on the item key, total basket count a 1-row
+    broadcast."""
+    from alphalens_spark.scale.affinity import association_rules
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    part = datasets.load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    out = association_rules(
+        joined, "l_orderkey", "p_brand", min_pair_count=5
+    )
+    return _finalize(out)
+
+
+ORACLES["basket_rules"] = r"""
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS MATERIALIZED (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_baskets
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+marg AS MATERIALIZED (
+  SELECT item, count(*) AS item_baskets FROM bi GROUP BY 1
+),
+total AS MATERIALIZED (SELECT count(DISTINCT basket) AS n FROM bi),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_baskets FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, pair_baskets FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.pair_baskets,
+       round(d.pair_baskets / t.n, 6) AS support,
+       round(d.pair_baskets / ma.item_baskets, 6) AS confidence,
+       round((d.pair_baskets / ma.item_baskets)
+             / (mc.item_baskets / t.n), 6) AS lift
+FROM directed d
+JOIN marg ma ON d.antecedent = ma.item
+JOIN marg mc ON d.consequent = mc.item
+CROSS JOIN total t"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5469,6 +5612,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_filtered_orders": q_bloom_filtered_orders,
     "mmr_rerank": q_mmr_rerank,
     "purged_time_splits": q_purged_time_splits,
+    "record_linkage": q_record_linkage,
+    "copurchase_triangles": q_copurchase_triangles,
+    "basket_rules": q_basket_rules,
 }
 
 # ---------------------------------------------------------------------------

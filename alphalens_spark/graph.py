@@ -165,6 +165,105 @@ def _pagerank_driver(
     )
 
 
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    UNDIRECTED simple graph (direction and parallel edges in the input
+    are collapsed; self-loops dropped).
+
+    Algorithm is the degree-ordered orientation join (Suri & Vassilvitskii
+    WWW'11 "Counting triangles and the curse of the last reducer"): every
+    undirected edge is oriented from its lower-(degree, node) endpoint to
+    the higher one, wedges are enumerated by joining oriented edges on
+    the middle vertex, and a wedge (a→b, a→c) closes iff oriented edge
+    (b→c) exists (semi-joinable equi-key). Orientation bounds each
+    node's oriented out-degree by O(√m), so wedge count is O(m^{3/2})
+    even with power-law hubs — the reducer that would explode on a raw
+    hub join stays bounded.
+
+    Scale shape: two groupBys (edge dedup, degrees), one broadcast-or-
+    shuffle degree join, one wedge equi-join on the pivot key, one
+    closing equi-join on (lo, hi), one explode-by-3 + final node groupBy
+    — all linear shuffles except the wedge join, which the orientation
+    bounds. No all-pairs stage anywhere.
+
+    Output: (node, degree, triangles, clustering) where clustering =
+    2·triangles / (degree·(degree−1)) (0.0 for degree < 2).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient u—v from the (degree, node) smaller endpoint to the larger:
+    # total order, so every triangle appears as exactly one wedge with a
+    # closing edge. Node id breaks degree ties deterministically.
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    fwd = F.struct("_du", "u") < F.struct("_dv", "v")
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("hi_deg"),
+    )
+    oriented = oriented.localCheckpoint(eager=True)
+    # Wedges pivoted at `lo`: (lo→b, lo→c) with b before c in the SAME
+    # (degree, node) total order the orientation used — a canonical
+    # candidate per unordered pair, and the closing edge between b and c
+    # can then ONLY be oriented b→c, so one equi-join closes it.
+    e1 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"),
+        F.col("hi_deg").alias("_bd"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"),
+        F.col("hi_deg").alias("_cd"),
+    )
+    wedges = (
+        e1.join(e2, "a")
+        .where(F.struct("_bd", "b") < F.struct("_cd", "c"))
+        .select("a", "b", "c")
+    )
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+    return out
+
+
 def pagerank_sql(
     edges_cte: str,
     n_iter: int = 10,

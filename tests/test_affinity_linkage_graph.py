@@ -1,0 +1,219 @@
+"""Round-3 third-session operators: triangle counting, record linkage,
+market-basket affinity."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphalens_spark import graph
+from alphalens_spark.scale import affinity, linkage
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by literal enumeration (driver-side)."""
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    deg = {n: len(adj[n]) for n in adj}
+    return tri, deg
+
+
+def test_triangle_count_k4(spark):
+    # K4: every node is in C(3,2)=3 triangles, clustering 1.0.
+    edges = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r for r in graph.triangle_count(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for n in got:
+        assert got[n]["triangles"] == 3
+        assert got[n]["degree"] == 3
+        assert got[n]["clustering"] == 1.0
+
+
+def test_triangle_count_random_vs_brute(spark):
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = set()
+    while len(edges) < 160:
+        u, v = rng.sample(nodes, 2)
+        edges.add((u, v))
+    edges = sorted(edges)
+    # include direction duplicates + self loops: must collapse
+    noisy = edges + [(v, u) for u, v in edges[:30]] + [(5, 5), (9, 9)]
+    df = spark.createDataFrame(noisy, "src int, dst int")
+    got = {r["node"]: r for r in graph.triangle_count(df).collect()}
+    tri, deg = _brute_triangles(edges)
+    assert set(got) == set(tri)
+    for n in tri:
+        assert got[n]["triangles"] == tri[n], n
+        assert got[n]["degree"] == deg[n], n
+        if deg[n] >= 2:
+            expect = round(2.0 * tri[n] / (deg[n] * (deg[n] - 1)), 6)
+            assert got[n]["clustering"] == pytest.approx(expect)
+
+
+def test_triangle_count_no_triangles(spark):
+    # a path graph has zero triangles
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src int, dst int"
+    )
+    rows = graph.triangle_count(df).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    assert all(r["clustering"] == 0.0 for r in rows)
+
+
+# ------------------------------------------------------------- record linkage
+
+
+LINK_ROWS = [
+    (1, "Acme Widgets Inc"),
+    (2, "ACME  widgets inc"),       # normalizes to distance 0 of row 1
+    (3, "Acme Widget Co"),          # distance 4 from "acme widgets inc"
+    (4, "Globex Corporation"),
+    (5, "Globex Corpration"),       # typo, distance 1
+    (6, "Initech"),                 # shares no token with anyone
+]
+
+
+def test_record_linkage_basic(spark):
+    df = spark.createDataFrame(LINK_ROWS, "id int, name string")
+    out = linkage.record_linkage_pairs(
+        df, "id", "name", max_distance=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in out}
+    assert got[(1, 2)] == 0
+    assert got[(4, 5)] == 1
+    assert (1, 3) not in got  # distance 4 > threshold
+    assert all(6 not in k for k in got)
+
+
+def test_record_linkage_distance_threshold(spark):
+    df = spark.createDataFrame(LINK_ROWS, "id int, name string")
+    out = linkage.record_linkage_pairs(
+        df, "id", "name", max_distance=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in out}
+    assert got[(1, 3)] == 4
+    assert got[(2, 3)] == 4
+
+
+def test_record_linkage_max_df_drops_hot_token(spark):
+    # every record shares token "co"; with max_df=2 that block vanishes
+    rows = [(i, f"co name{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    # without cap: "co" blocks all 45 pairs as candidates (distance 1-2
+    # between consecutive single-digit names)
+    uncapped = linkage.record_linkage_pairs(df, "id", "name", max_distance=1)
+    assert uncapped.count() > 0
+    capped = linkage.record_linkage_pairs(
+        df, "id", "name", max_distance=1, max_df=2
+    )
+    # nameN tokens are all distinct -> no blocks survive
+    assert capped.count() == 0
+
+
+def test_record_linkage_block_expr(spark):
+    df = spark.createDataFrame(LINK_ROWS, "id int, name string")
+    out = linkage.record_linkage_pairs(
+        df,
+        "id",
+        "name",
+        max_distance=2,
+        block_expr=F.substring(F.lower(F.trim(F.col("name"))), 1, 3),
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got and (4, 5) in got
+
+
+def test_blocking_stats_pair_volume(spark):
+    df = spark.createDataFrame(LINK_ROWS, "id int, name string")
+    stats = {
+        r["block_key"]: (r["n_records"], r["n_pairs"])
+        for r in linkage.blocking_stats(df, "id", "name").collect()
+    }
+    assert stats["acme"] == (3, 3)
+    assert stats["widgets"] == (2, 1)
+    assert stats["globex"] == (2, 1)
+    assert stats["initech"] == (1, 0)
+
+
+# ------------------------------------------------------------------ affinity
+
+
+BASKETS = [
+    # basket, item
+    (1, "a"), (1, "b"), (1, "c"),
+    (2, "a"), (2, "b"),
+    (3, "a"), (3, "c"),
+    (4, "b"), (4, "c"),
+    (5, "a"),
+    (5, "a"),  # duplicate line: must count once
+]
+
+
+def test_cooccurrence_counts(spark):
+    df = spark.createDataFrame(BASKETS, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in affinity.cooccurrence_pairs(df, "basket", "item").collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2}
+
+
+def test_association_rules_values(spark):
+    df = spark.createDataFrame(BASKETS, "basket int, item string")
+    out = affinity.association_rules(df, "basket", "item").collect()
+    got = {(r["antecedent"], r["consequent"]): r for r in out}
+    # supports: a in 4 baskets, b in 3, c in 3, total 5 baskets
+    r = got[("a", "b")]
+    assert r["pair_baskets"] == 2
+    assert r["support"] == pytest.approx(2 / 5)
+    assert r["confidence"] == pytest.approx(2 / 4)
+    assert r["lift"] == pytest.approx((2 / 4) / (3 / 5))
+    r = got[("b", "a")]
+    assert r["confidence"] == pytest.approx(2 / 3)
+    assert r["lift"] == pytest.approx((2 / 3) / (4 / 5))
+    # both directions present for every pair
+    assert len(out) == 6
+
+
+def test_association_rules_thresholds(spark):
+    df = spark.createDataFrame(BASKETS, "basket int, item string")
+    out = affinity.association_rules(
+        df, "basket", "item", min_confidence=0.6
+    ).collect()
+    assert all(r["confidence"] >= 0.6 for r in out)
+    assert {(r["antecedent"], r["consequent"]) for r in out} == {
+        ("b", "a"), ("c", "a"), ("b", "c"), ("c", "b"),
+    }
+
+
+def test_max_basket_guard(spark):
+    rows = BASKETS + [(9, x) for x in "abcdefghij"]  # one 10-item basket
+    df = spark.createDataFrame(rows, "basket int, item string")
+    full = affinity.cooccurrence_pairs(df, "basket", "item")
+    assert full.count() > 3  # the big basket adds 45 pairs
+    guarded = affinity.cooccurrence_pairs(
+        df, "basket", "item", max_basket=5
+    )
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"] for r in guarded.collect()
+    }
+    # big basket dropped entirely -> identical to the small corpus
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2}

@@ -98,6 +98,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # 1-row date-count + K-row fold-bounds broadcasts onto the
         # date DIMENSION (never row-count-sized)
         "purged_time_splits",
+        # 1-row total-basket-count broadcast for the support denominator
+        "basket_rules",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
