@@ -5463,6 +5463,120 @@ JOIN marg mc ON d.consequent = mc.item
 CROSS JOIN total t"""
 
 
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (events.attribute_conversions_multitouch):
+    linear / U-shaped-position / exponential-decay credit for every
+    click+view touch in the 72 h window before a purchase. One user-key
+    join with the window predicate inside it, one conversion-key window;
+    each model's credits sum to 1 per conversion."""
+    from alphalens_spark.events import attribute_conversions_multitouch
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(
+        attribute_conversions_multitouch(
+            ev, lookback_hours=72, half_life_hours=12.0
+        )
+    )
+
+
+ORACLES["attribution_multitouch"] = r"""
+WITH conv AS MATERIALIZED (
+  SELECT event_id AS conversion_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS MATERIALIZED (
+  SELECT event_id AS touch_event_id, event_type AS touch_type,
+         user_id, ts AS touch_ts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS MATERIALIZED (
+  SELECT c.conversion_id, c.user_id, c.conv_ts,
+         t.touch_event_id, t.touch_type, t.touch_ts
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+  WHERE t.touch_ts <= c.conv_ts
+    AND t.touch_ts > c.conv_ts - INTERVAL 72 HOUR
+),
+w AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY conversion_id) AS n,
+         row_number() OVER (
+           PARTITION BY conversion_id ORDER BY touch_ts, touch_event_id
+         ) AS pos,
+         pow(0.5, date_diff('microsecond', touch_ts, conv_ts)
+                  / 43200000000.0) AS wd,
+         sum(pow(0.5, date_diff('microsecond', touch_ts, conv_ts)
+                      / 43200000000.0))
+           OVER (PARTITION BY conversion_id) AS sd
+  FROM j
+)
+SELECT conversion_id, user_id, conv_ts, touch_event_id, touch_type, touch_ts,
+       round(1.0 / n, 6) AS credit_linear,
+       round(CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END, 6) AS credit_position,
+       round(wd / sd, 6) AS credit_decay
+FROM w"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (scale.features.rfm_scores): one
+    customer-key groupBy, one 1-row aggregate computing all three exact
+    quantile threshold arrays (6dp-snapped for engine-stable boundary
+    comparisons), scoring as a pure projection under the broadcast."""
+    from alphalens_spark.scale.features import rfm_scores
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    return _finalize(
+        rfm_scores(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    )
+
+
+ORACLES["rfm_segments"] = r"""
+WITH agg AS MATERIALIZED (
+  SELECT o_custkey AS customer, max(o_orderdate) AS last_d,
+         count(*) AS frequency, round(sum(o_totalprice), 6) AS monetary
+  FROM orders GROUP BY 1
+),
+anchor AS MATERIALIZED (SELECT max(o_orderdate) AS a FROM orders),
+base AS MATERIALIZED (
+  SELECT customer,
+         date_diff('day', last_d, (SELECT a FROM anchor)) AS recency_days,
+         frequency, monetary
+  FROM agg
+),
+th AS MATERIALIZED (
+  SELECT
+    list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round(x, 6)) AS tr,
+    list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round(x, 6)) AS tf,
+    list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round(x, 6)) AS tm
+  FROM base
+),
+scored AS (
+  SELECT customer, recency_days, frequency, monetary,
+         6 - (1 + CAST(recency_days >= tr[1] AS INT)
+                + CAST(recency_days >= tr[2] AS INT)
+                + CAST(recency_days >= tr[3] AS INT)
+                + CAST(recency_days >= tr[4] AS INT)) AS r_score,
+         1 + CAST(frequency >= tf[1] AS INT)
+           + CAST(frequency >= tf[2] AS INT)
+           + CAST(frequency >= tf[3] AS INT)
+           + CAST(frequency >= tf[4] AS INT) AS f_score,
+         1 + CAST(monetary >= tm[1] AS INT)
+           + CAST(monetary >= tm[2] AS INT)
+           + CAST(monetary >= tm[3] AS INT)
+           + CAST(monetary >= tm[4] AS INT) AS m_score
+  FROM base CROSS JOIN th
+)
+SELECT customer, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_segment
+FROM scored"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5615,6 +5729,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_linkage": q_record_linkage,
     "copurchase_triangles": q_copurchase_triangles,
     "basket_rules": q_basket_rules,
+    "attribution_multitouch": q_attribution_multitouch,
+    "rfm_segments": q_rfm_segments,
 }
 
 # ---------------------------------------------------------------------------

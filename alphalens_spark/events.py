@@ -354,6 +354,82 @@ def attribute_conversions(
     )
 
 
+def attribute_conversions_multitouch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    lookback_hours: int = 72,
+    half_life_hours: float = 12.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MULTI-TOUCH attribution: every touch in the ``lookback_hours``
+    window before a conversion gets fractional credit under three
+    standard models at once —
+
+    - ``credit_linear``: 1/n equal split,
+    - ``credit_position``: U-shaped 40/20/40 (first and last touch 40%
+      each, middles share 20%; n=1 → 1.0, n=2 → 0.5/0.5),
+    - ``credit_decay``: exponential time decay, weight
+      0.5^(age/half_life), normalized per conversion.
+
+    Credits of each model sum to 1 per attributed conversion;
+    conversions with no touch in the window emit nothing (inner
+    contract — the last-touch variant keeps them as NULL rows).
+
+    Scale shape: one user-key equi-join (conversions ⋈ touches) with
+    the window predicate applied inside the join — fan-out is bounded
+    by per-user activity in the lookback, the same bound the event
+    interval joins document — then one conversion-key window to rank
+    touches and one broadcast-free projection for the credits. Touch
+    order (ts, event_id) matches the sessionize tiebreak.
+    """
+    conv = events.where(F.col("event_type") == conversion_type).select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("conv_ts"),
+    )
+    touch = events.where(F.col("event_type").isin(list(touch_types))).select(
+        F.col(id_col).alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("touch_ts"),
+    )
+    j = conv.join(touch, "_u").where(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            > F.col("conv_ts") - F.expr(f"INTERVAL {lookback_hours} HOURS")
+        )
+    )
+    wc = Window.partitionBy("conversion_id")
+    wo = wc.orderBy("touch_ts", "touch_event_id")
+    n = F.count(F.lit(1)).over(wc)
+    pos = F.row_number().over(wo)
+    age_us = F.expr("timestampdiff(MICROSECOND, touch_ts, conv_ts)")
+    half_us = half_life_hours * 3_600_000_000.0
+    w_decay = F.pow(F.lit(0.5), age_us / F.lit(half_us))
+    sum_decay = F.sum(w_decay).over(wc)
+    position = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return j.select(
+        "conversion_id",
+        F.col("_u").alias(user_col),
+        "conv_ts",
+        "touch_event_id",
+        "touch_type",
+        "touch_ts",
+        F.round(F.lit(1.0) / n, 6).alias("credit_linear"),
+        F.round(position, 6).alias("credit_position"),
+        F.round(w_decay / sum_decay, 6).alias("credit_decay"),
+    )
+
+
 def common_paths(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -9,7 +9,7 @@ on must not let a row see its own label.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,6 +52,88 @@ def target_encode(
     return j.withColumn(
         "target_enc", F.lit(0.0) + F.round(num / den, 6)
     ).drop("_ksum", "_kn", "_prior")
+
+
+def rfm_scores(
+    orders: DataFrame,
+    customer_col: str,
+    date_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic behavioral feature triple, binned 1..``n_bins`` by exact
+    quantile thresholds.
+
+    Per customer: ``recency_days`` (days from their last order to the
+    corpus max date), ``frequency`` (order count), ``monetary`` (amount
+    sum). Scores: threshold t_k = exact linear-interpolated quantile
+    k/n_bins of the metric across customers; score = 1 + #{t_k ≤ x}
+    for frequency/monetary (higher is better) and the REVERSED
+    ``n_bins+1 − score`` for recency (smaller gap is better). The
+    combined ``rfm_segment`` concatenates r·100 + f·10 + m (for
+    n_bins ≤ 9).
+
+    Scale shape: one groupBy on the customer key, then a SINGLE 1-row
+    aggregate computing all three threshold arrays (exact
+    ``percentile`` — swap for approx_percentile at extreme cardinality)
+    broadcast back via crossJoin; scoring is a pure projection. No
+    global window, no per-row Python.
+    """
+    agg = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(F.col(date_col)).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col(amount_col)), 6).alias("monetary"),
+    )
+    anchor = orders.agg(F.max(F.col(date_col)).alias("_anchor"))
+    base = agg.crossJoin(F.broadcast(anchor)).select(
+        "customer",
+        F.datediff(F.col("_anchor"), F.col("_last")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = [k / n_bins for k in range(1, n_bins)]
+    qarr = "array(" + ", ".join(f"{q}D" for q in qs) + ")"
+    # Thresholds round to 6 dp: the metrics are integers / 6dp-rounded
+    # doubles, so snapping the interpolated quantiles to the same grid
+    # makes the >= boundary comparisons reproducible across engines
+    # (different-but-equivalent interpolation arithmetic can differ by
+    # 1 ulp, which would flip a score exactly on a threshold).
+    thresholds = base.agg(
+        F.expr(
+            f"transform(percentile(recency_days, {qarr}), x -> round(x, 6))"
+        ).alias("_tr"),
+        F.expr(
+            f"transform(percentile(frequency, {qarr}), x -> round(x, 6))"
+        ).alias("_tf"),
+        F.expr(
+            f"transform(percentile(monetary, {qarr}), x -> round(x, 6))"
+        ).alias("_tm"),
+    )
+
+    def score(col: str, tcol: str) -> Column:
+        s = F.lit(1)
+        for i in range(len(qs)):
+            s = s + F.when(
+                F.col(col) >= F.col(tcol)[i], F.lit(1)
+            ).otherwise(F.lit(0))
+        return s
+
+    scored = base.crossJoin(F.broadcast(thresholds)).select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(n_bins + 1) - score("recency_days", "_tr")).alias("r_score"),
+        score("frequency", "_tf").alias("f_score"),
+        score("monetary", "_tm").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
 
 
 def purged_time_splits(

@@ -129,17 +129,33 @@ def record_linkage_pairs(
     b = blocks.select(
         "block_key", F.col("id").alias("id_b"), F.col("norm").alias("_nb")
     )
+    # Length filter BEFORE the distinct pair reduction: edit distance is
+    # bounded below by the length difference, so |len a − len b| >
+    # max_distance can never match — pruned inside the block join,
+    # result-identical, and it shrinks both the shuffle into distinct()
+    # and the Levenshtein workload.
     cands = (
         a.join(b, "block_key")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.length("_na") - F.length("_nb"))
+                <= F.lit(max_distance)
+            )
+        )
         .select("id_a", "id_b", "_na", "_nb")
         .distinct()
     )
+    # Thresholded levenshtein (Spark ≥3.5): banded O(threshold·n) per
+    # pair instead of the full O(n²) DP table; returns −1 above the
+    # threshold and the exact distance at or below it.
     return (
         cands.select(
             "id_a",
             "id_b",
-            F.levenshtein("_na", "_nb").alias("distance"),
+            F.levenshtein(
+                F.col("_na"), F.col("_nb"), max_distance
+            ).alias("distance"),
         )
-        .where(F.col("distance") <= max_distance)
+        .where(F.col("distance") >= 0)
     )

@@ -1,0 +1,154 @@
+"""Multi-touch attribution and RFM segmentation."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from alphalens_spark.events import attribute_conversions_multitouch
+from alphalens_spark.scale.features import rfm_scores
+
+
+def _ev(eid, ts, user, etype):
+    return (eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=ts), user, etype)
+
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def test_multitouch_three_touches(spark):
+    rows = [
+        _ev(1, 0.0, 1, "click"),
+        _ev(2, 10.0, 1, "view"),
+        _ev(3, 20.0, 1, "click"),
+        _ev(4, 24.0, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = attribute_conversions_multitouch(
+        df, lookback_hours=72, half_life_hours=12.0
+    ).collect()
+    assert len(out) == 3
+    by_touch = {r["touch_event_id"]: r for r in out}
+    for r in out:
+        assert r["credit_linear"] == pytest.approx(1 / 3, abs=1e-6)
+    assert by_touch[1]["credit_position"] == pytest.approx(0.4)
+    assert by_touch[2]["credit_position"] == pytest.approx(0.2)
+    assert by_touch[3]["credit_position"] == pytest.approx(0.4)
+    ages = {1: 24.0, 2: 14.0, 3: 4.0}
+    w = {k: 0.5 ** (v / 12.0) for k, v in ages.items()}
+    tot = sum(w.values())
+    for k in w:
+        assert by_touch[k]["credit_decay"] == pytest.approx(
+            w[k] / tot, abs=1e-6
+        )
+
+
+def test_multitouch_single_and_pair(spark):
+    rows = [
+        _ev(1, 0.0, 1, "click"),
+        _ev(2, 1.0, 1, "purchase"),
+        _ev(3, 0.0, 2, "view"),
+        _ev(4, 5.0, 2, "click"),
+        _ev(5, 6.0, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = attribute_conversions_multitouch(df).collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert len(u1) == 1
+    assert u1[0]["credit_position"] == 1.0
+    assert u1[0]["credit_linear"] == 1.0
+    assert u1[0]["credit_decay"] == 1.0
+    u2 = sorted(
+        (r for r in out if r["user_id"] == 2), key=lambda r: r["touch_event_id"]
+    )
+    assert [r["credit_position"] for r in u2] == [0.5, 0.5]
+
+
+def test_multitouch_lookback_and_order(spark):
+    rows = [
+        _ev(1, 0.0, 1, "click"),      # outside 24h lookback
+        _ev(2, 30.0, 1, "view"),      # inside
+        _ev(3, 50.0, 1, "purchase"),
+        _ev(4, 60.0, 1, "click"),     # after conversion: excluded
+        _ev(5, 0.0, 9, "purchase"),   # no touches at all
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = attribute_conversions_multitouch(df, lookback_hours=24).collect()
+    assert len(out) == 1
+    assert out[0]["touch_event_id"] == 2
+    assert {r["conversion_id"] for r in out} == {3}
+
+
+def test_multitouch_credit_sums(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for _ in range(rng.randint(1, 8)):
+            eid += 1
+            rows.append(_ev(eid, rng.uniform(0, 48), u, "click"))
+        eid += 1
+        rows.append(_ev(eid, rng.uniform(49, 60), u, "purchase"))
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = attribute_conversions_multitouch(
+        df, lookback_hours=100
+    ).toPandas()
+    sums = out.groupby("conversion_id")[
+        ["credit_linear", "credit_position", "credit_decay"]
+    ].sum()
+    assert np.allclose(sums.values, 1.0, atol=1e-4)
+
+
+# ------------------------------------------------------------------- RFM
+
+
+def test_rfm_scores(spark):
+    base = dt.date(2024, 1, 1)
+    rows = []
+    # customer c gets c orders (frequency 1..10), amounts 100*c each,
+    # last order c days before the corpus max date
+    for c in range(1, 11):
+        for i in range(c):
+            rows.append((c, base + dt.timedelta(days=30 - c - i), 100.0 * c))
+    orders = spark.createDataFrame(rows, "cust long, d date, amt double")
+    out = {
+        r["customer"]: r
+        for r in rfm_scores(orders, "cust", "d", "amt").collect()
+    }
+    assert len(out) == 10
+    rec = {c: out[c]["recency_days"] for c in out}
+    freq = np.array([out[c]["frequency"] for c in range(1, 11)])
+    mon = np.array([out[c]["monetary"] for c in range(1, 11)])
+    assert list(freq) == list(range(1, 11))
+    assert np.allclose(mon, [100.0 * c * c for c in range(1, 11)])
+    # recency: customer 1's last order is most recent (anchor = its date)
+    assert rec[1] == 0 and rec[10] == 9
+    # scores replicate numpy linear-interpolation quantiles
+    for metric, col, reverse in (
+        (np.array([rec[c] for c in range(1, 11)]), "r_score", True),
+        (freq, "f_score", False),
+        (mon, "m_score", False),
+    ):
+        qs = np.percentile(metric, [20, 40, 60, 80], method="linear")
+        for idx, c in enumerate(range(1, 11)):
+            raw = 1 + int(np.sum(metric[idx] >= qs))
+            expect = 6 - raw if reverse else raw
+            assert out[c][col] == expect, (col, c)
+    for c in out:
+        r = out[c]
+        assert r["rfm_segment"] == (
+            r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        )
+
+
+def test_rfm_bins_param(spark):
+    base = dt.date(2024, 1, 1)
+    rows = [(c, base, float(c)) for c in range(1, 9)]
+    orders = spark.createDataFrame(rows, "cust long, d date, amt double")
+    out = rfm_scores(orders, "cust", "d", "amt", n_bins=4).collect()
+    assert {r["m_score"] for r in out} <= {1, 2, 3, 4}
+    # same date everywhere: all-tied recency collapses every customer to
+    # one (identical) score — ties land in the top raw bin, reversed to 1
+    assert {r["r_score"] for r in out} == {1}

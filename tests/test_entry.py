@@ -100,6 +100,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "purged_time_splits",
         # 1-row total-basket-count broadcast for the support denominator
         "basket_rules",
+        # 1-row anchor-date + 1-row threshold-arrays broadcasts
+        "rfm_segments",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
