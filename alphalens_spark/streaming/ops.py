@@ -1077,3 +1077,74 @@ def stream_apply_cdc(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def cooccurrence_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+) -> None:
+    """One incremental co-occurrence maintenance step: pair-count the
+    arriving micro-batch's baskets and MERGE into the persisted pair
+    store — pair counts merge by addition (same contract as the CM /
+    KMV / histogram stores), so the store equals the one-shot
+    :func:`alphalens_spark.scale.affinity.cooccurrence_pairs` of the
+    full history PROVIDED each basket arrives within one batch (basket
+    fragments split across batches under-count their cross-batch pairs;
+    batch on a basket-complete boundary — e.g. foreachBatch over a
+    sessionized or order-complete feed).
+
+    Store size is bounded by the distinct-pair universe, not history
+    length; merge cost is O(|batch pairs| + |store|) per batch.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.affinity import cooccurrence_pairs
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_pairs = cooccurrence_pairs(
+        batch_df, basket_col, item_col, max_basket=max_basket
+    )
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(batch_pairs)
+            .groupBy("item_a", "item_b")
+            .agg(F.sum("n_baskets").alias("n_baskets"))
+        )
+    except AnalysisException:  # first batch
+        merged = batch_pairs
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_cooccurrence(
+    baskets_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+    available_now: bool = False,
+):
+    """Maintain the pair co-occurrence store from a basket stream via
+    foreachBatch over :func:`cooccurrence_store_update`; the store
+    feeds :func:`alphalens_spark.scale.affinity.association_rules`-style
+    readouts with ``spark.read.parquet(store_path)``."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        cooccurrence_store_update(
+            batch_df, store_path, basket_col, item_col, max_basket
+        )
+
+    w = baskets_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -170,6 +170,23 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
               docs, n=3, threshold=0.6
           ).count())
 
+    # --- round-3 third batch: entity resolution, basket affinity ---
+    from alphalens_spark.scale import affinity, linkage
+
+    part = datasets.load_table(spark, sf_dir, "part")
+    timed("record_linkage",
+          lambda: linkage.record_linkage_pairs(
+              part, "p_partkey", "p_name", max_distance=2
+          ).count())
+    li_brand = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    timed("basket_rules",
+          lambda: affinity.association_rules(
+              li_brand, "l_orderkey", "p_brand", min_pair_count=5
+          ).count())
+
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
           lambda: similarity.ivfpq_topk(

@@ -217,3 +217,27 @@ def test_max_basket_guard(spark):
     }
     # big basket dropped entirely -> identical to the small corpus
     assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2}
+
+
+def test_cooccurrence_store_incremental_equals_oneshot(spark, tmp_path):
+    from alphalens_spark.scale.affinity import cooccurrence_pairs
+    from alphalens_spark.streaming.ops import cooccurrence_store_update
+
+    df = spark.createDataFrame(BASKETS, "basket int, item string")
+    store = str(tmp_path / "cooc")
+    # basket-complete splits (the documented contract): baskets 1-2,
+    # then 3-5
+    first = [r for r in BASKETS if r[0] <= 2]
+    second = [r for r in BASKETS if r[0] > 2]
+    for chunk in (first, second):
+        cooccurrence_store_update(
+            spark.createDataFrame(chunk, "basket int, item string"),
+            store,
+            "basket",
+            "item",
+        )
+    got = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    want = sorted(
+        tuple(r) for r in cooccurrence_pairs(df, "basket", "item").collect()
+    )
+    assert got == want
