@@ -5577,6 +5577,46 @@ SELECT customer, recency_days, frequency, monetary,
 FROM scored"""
 
 
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesive-subgraph mining: the 3-core of the co-purchase graph
+    (graph.k_core — peel nodes of degree < k to the unique fixpoint;
+    each round is one degree groupBy + two node-key semi-joins,
+    localCheckpointed). The oracle replays the identical monotone
+    peeling as 20 unrolled MATERIALIZED-CTE rounds (converges in 11 at
+    sf0.01; extra rounds are no-ops)."""
+    from alphalens_spark.graph import k_core
+    from alphalens_spark.scale.affinity import cooccurrence_pairs
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    return _finalize(
+        k_core(
+            edges.select(
+                F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+            ),
+            k=3,
+        )
+    )
+
+
+def _copurchase_kcore_oracle() -> str:
+    from alphalens_spark.graph import k_core_sql
+
+    edges_cte = r"""
+SELECT item_a AS src, item_b AS dst FROM (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c FROM
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+    JOIN
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+    return k_core_sql(edges_cte, k=3, n_rounds=20)
+
+
+ORACLES["copurchase_kcore"] = _copurchase_kcore_oracle()
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5731,6 +5771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_rules": q_basket_rules,
     "attribution_multitouch": q_attribution_multitouch,
     "rfm_segments": q_rfm_segments,
+    "copurchase_kcore": q_copurchase_kcore,
 }
 
 # ---------------------------------------------------------------------------

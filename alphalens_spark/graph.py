@@ -264,6 +264,103 @@ def triangle_count(
     return out
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """k-core of an undirected simple graph: the maximal subgraph in
+    which every node has degree ≥ k, found by the standard peeling
+    fixpoint (repeatedly delete nodes of degree < k; the survivor set
+    is unique, so the result is iteration-order independent and
+    oracle-replayable round by round).
+
+    Output: (node, degree) for surviving nodes, degree measured INSIDE
+    the k-core. Empty result when the graph has no k-core.
+
+    Scale shape: each round is one degree groupBy + two semi-joins
+    keyed on node (all linear shuffles), with the edge set
+    localCheckpointed per round so lineage stays flat; rounds stop at
+    the fixpoint (checked by a bounded count, the cm_estimate scalar
+    contract). Peeling removes ≥1 node per non-final round, but in
+    practice converges in a handful of rounds — ``max_rounds`` is a
+    runaway guard, and hitting it raises rather than returning a
+    non-core.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return deg.where(F.col("degree") >= k)
+        e, n_edges = e2, n2
+    if n_edges == 0:
+        return e.sparkSession.createDataFrame(
+            [], "node " + dict(edges.dtypes)[src_col] + ", degree long"
+        )
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+
+
+def k_core_sql(edges_cte: str, k: int, n_rounds: int = 16) -> str:
+    """Unrolled-CTE SQL twin of :func:`k_core` for DuckDB oracles:
+    ``n_rounds`` peel rounds (must be ≥ the convergence round count of
+    the target graph — peeling is monotone, so extra rounds are
+    no-ops). ``edges_cte`` must produce (src, dst)."""
+    parts = [
+        f"WITH eraw AS MATERIALIZED ({edges_cte})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM eraw WHERE src <> dst)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS degree FROM "
+            f"(SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}) "
+            f"GROUP BY 1)"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED "
+            f"(SELECT node FROM d{i} WHERE degree >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT u, v FROM e{i} "
+            f"WHERE u IN (SELECT node FROM k{i}) "
+            f"AND v IN (SELECT node FROM k{i}))"
+        )
+    n = n_rounds
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, degree FROM (SELECT node, count(*) AS degree FROM "
+        f"(SELECT u AS node FROM e{n} UNION ALL SELECT v FROM e{n}) "
+        f"GROUP BY 1) WHERE degree >= {k}"
+    )
+
+
 def pagerank_sql(
     edges_cte: str,
     n_iter: int = 10,

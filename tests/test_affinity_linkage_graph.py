@@ -241,3 +241,50 @@ def test_cooccurrence_store_incremental_equals_oneshot(spark, tmp_path):
         tuple(r) for r in cooccurrence_pairs(df, "basket", "item").collect()
     )
     assert got == want
+
+
+def _brute_kcore(edges, k):
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        adj = {n: s for n, s in adj.items() if s}
+    return {n: len(s) for n, s in adj.items() if len(s) >= k}
+
+
+def test_k_core_triangle_plus_tail(spark):
+    # triangle 1-2-3 with a tail 3-4-5: 2-core is exactly the triangle
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    got = {r["node"]: r["degree"] for r in graph.k_core(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_random_vs_brute(spark):
+    rng = random.Random(11)
+    edges = set()
+    while len(edges) < 150:
+        u, v = rng.sample(range(30), 2)
+        edges.add((u, v))
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    for k in (2, 3, 5):
+        want = _brute_kcore(edges, k)
+        got = {r["node"]: r["degree"] for r in graph.k_core(df, k).collect()}
+        assert got == want, k
+
+
+def test_k_core_empty(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    out = graph.k_core(df, 3)
+    assert out.count() == 0
+    assert out.columns == ["node", "degree"]
