@@ -5617,6 +5617,78 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_kcore"] = _copurchase_kcore_oracle()
 
 
+def q_quantile_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown + trough date of each quantile's compounded daily
+    mean return (performance.max_drawdown — log-space running peak, so
+    every intermediate stays in (0,1]; window rides the bounded date
+    axis per quantile)."""
+    fd = _fd(spark, sf_dir)
+    daily = fd.groupBy("factor_quantile", "date").agg(
+        F.avg("1D").alias("qret")
+    )
+    return _finalize(
+        perf.max_drawdown(daily, "qret", by=["factor_quantile"])
+    )
+
+
+def q_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars of the event value stream per event type
+    (events.ohlc_bars): ONE map-side-combinable groupBy with
+    min_by/max_by over the (ts, id) order struct for open/close — no
+    window, no self-join."""
+    from alphalens_spark.events import ohlc_bars
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(ohlc_bars(ev, by=["event_type"]))
+
+
+ORACLES["quantile_drawdown"] = f"""{_P},
+qd AS (SELECT factor_quantile, date, avg(fwd_1p) AS qret FROM fd GROUP BY 1, 2),
+s1 AS (
+  SELECT factor_quantile, date,
+         sum(ln(1 + qret)) OVER (PARTITION BY factor_quantile ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ll
+  FROM qd
+),
+s2 AS (
+  SELECT factor_quantile, date,
+         round(exp(ll - greatest(max(ll) OVER (PARTITION BY factor_quantile
+           ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           0.0)) - 1.0, 6) AS dd
+  FROM s1
+)
+SELECT factor_quantile, max_drawdown, trough_date FROM (
+  SELECT factor_quantile, dd AS max_drawdown, date AS trough_date,
+         row_number() OVER (PARTITION BY factor_quantile
+                            ORDER BY dd, date) AS rn
+  FROM s2
+) WHERE rn = 1"""
+
+
+ORACLES["event_ohlc"] = r"""
+WITH b AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts, event_type,
+         ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT bar_ts, event_type, value,
+         row_number() OVER (PARTITION BY bar_ts, event_type
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY bar_ts, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM b
+)
+SELECT bar_ts, event_type,
+       round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+       count(*) AS n,
+       round(sum(value), 6) AS volume
+FROM r GROUP BY 1, 2"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5772,6 +5844,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_multitouch": q_attribution_multitouch,
     "rfm_segments": q_rfm_segments,
     "copurchase_kcore": q_copurchase_kcore,
+    "quantile_drawdown": q_quantile_drawdown,
+    "event_ohlc": q_event_ohlc,
 }
 
 # ---------------------------------------------------------------------------

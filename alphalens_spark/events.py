@@ -430,6 +430,39 @@ def attribute_conversions_multitouch(
     )
 
 
+def ohlc_bars(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    unit: str = "day",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Resample a point series into OHLC bars: per ``unit`` bucket (and
+    ``by`` keys), the first/max/min/last observed value plus count and
+    sum — the candlestick aggregation every market/telemetry dashboard
+    runs. First/last tie-break inside a bucket is (ts, id), the same
+    total order sessionize uses.
+
+    ONE groupBy, with open/close as ``min_by``/``max_by`` over the
+    (ts, id) struct — no window, no self-join, map-side combinable.
+    Output: (bar_ts, by…, open, high, low, close, n, volume).
+    """
+    keys = [F.date_trunc(unit, F.col(ts_col)).alias("bar_ts")] + [
+        F.col(c) for c in by
+    ]
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return events.groupBy(*keys).agg(
+        F.round(F.min_by(v, order), 6).alias("open"),
+        F.round(F.max(v), 6).alias("high"),
+        F.round(F.min(v), 6).alias("low"),
+        F.round(F.max_by(v, order), 6).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(v), 6).alias("volume"),
+    )
+
+
 def common_paths(
     events: DataFrame,
     gap_minutes: int = 30,

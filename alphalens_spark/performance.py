@@ -799,3 +799,51 @@ def positions(
     )
     out = held.groupBy(DAY_IDX, "asset").agg(F.sum("_w").alias("position"))
     return out.join(F.broadcast(calendar), DAY_IDX).select("date", "asset", "position")
+
+
+def max_drawdown(
+    returns: DataFrame,
+    return_col: str,
+    date_col: str = "date",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Maximum drawdown of a compounded return series (per ``by`` group):
+    the deepest peak-to-trough decline of the cumulative level
+    ``prod(1+r)``, with the trough date (earliest, on ties).
+
+    Computed in log space — ``dd_t = exp(loglevel_t − runningmax) − 1``
+    keeps every intermediate in (0, 1] regardless of series length, the
+    same overflow posture as :func:`cumulative_returns` (levels reach
+    1e17 on this data). Contract: returns must be > −1 (a wipeout's
+    log1p is undefined; the sub-−1 sign algebra lives only in
+    `cumulative_returns`, which tear sheets use for plotting).
+
+    Scale shape: one ordered window per group over the DATE AXIS (the
+    bounded dimension every cumulative op here rides), then one groupBy
+    for the min — no global row-count-sized window when ``by`` is set.
+    Output: (by…, max_drawdown, trough_date).
+    """
+    keys = list(by) if by else []
+    w = (
+        Window.partitionBy(*keys).orderBy(date_col)
+        if keys
+        else Window.orderBy(date_col)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ll = F.sum(F.log1p(F.col(return_col))).over(w)
+    # the running peak includes the INITIAL level 1.0 (log 0): a loss in
+    # the very first period is already a drawdown from starting capital
+    staged = returns.select(
+        *keys,
+        F.col(date_col),
+        ll.alias("_ll"),
+        F.greatest(F.max(ll).over(w), F.lit(0.0)).alias("_peak"),
+    )
+    dd = F.round(F.exp(F.col("_ll") - F.col("_peak")) - 1.0, 6)
+    per_date = staged.select(*keys, F.col(date_col), dd.alias("_dd"))
+    agg = per_date.groupBy(*keys) if keys else per_date.groupBy()
+    return agg.agg(
+        F.min("_dd").alias("max_drawdown"),
+        F.min_by(
+            F.col(date_col), F.struct(F.col("_dd"), F.col(date_col))
+        ).alias("trough_date"),
+    )

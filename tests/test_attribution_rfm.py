@@ -152,3 +152,82 @@ def test_rfm_bins_param(spark):
     # same date everywhere: all-tied recency collapses every customer to
     # one (identical) score — ties land in the top raw bin, reversed to 1
     assert {r["r_score"] for r in out} == {1}
+
+
+# ----------------------------------------------------------- ohlc / drawdown
+
+
+def test_ohlc_bars(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 5, "a", 10.0),
+        (2, dt.datetime(2024, 1, 1, 12), 5, "a", 30.0),
+        (3, dt.datetime(2024, 1, 1, 15), 5, "a", 20.0),
+        (4, dt.datetime(2024, 1, 2, 9), 5, "a", 7.0),
+        (5, dt.datetime(2024, 1, 1, 9), 5, "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from alphalens_spark.events import ohlc_bars
+
+    out = {
+        (r["bar_ts"].day, r["event_type"]): r
+        for r in ohlc_bars(df, by=["event_type"]).collect()
+    }
+    r = out[(1, "a")]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (10.0, 30.0, 10.0, 20.0)
+    assert r["n"] == 3 and r["volume"] == 60.0
+    assert out[(2, "a")]["open"] == out[(2, "a")]["close"] == 7.0
+    assert out[(1, "b")]["n"] == 1
+
+
+def test_ohlc_tiebreak_on_id(spark):
+    # two events at the identical timestamp: id breaks the tie
+    t = dt.datetime(2024, 1, 1, 9)
+    rows = [(2, t, 1, "a", 99.0), (1, t, 1, "a", 5.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from alphalens_spark.events import ohlc_bars
+
+    r = ohlc_bars(df, by=["event_type"]).collect()[0]
+    assert r["open"] == 5.0 and r["close"] == 99.0
+
+
+def test_max_drawdown_known_series(spark):
+    from alphalens_spark.performance import max_drawdown
+
+    # levels: 1.1 -> 0.88 -> 0.792 -> 0.9504 at d1..d4; peak 1.1 at d1,
+    # trough 0.792 at d3 -> dd = 0.792/1.1 - 1 = -0.28
+    rets = [0.10, -0.20, -0.10, 0.20]
+    rows = [
+        ("g", dt.date(2024, 1, d + 1), r) for d, r in enumerate(rets)
+    ]
+    df = spark.createDataFrame(rows, "grp string, date date, ret double")
+    out = max_drawdown(df, "ret", by=["grp"]).collect()
+    assert len(out) == 1
+    assert out[0]["max_drawdown"] == pytest.approx(-0.28, abs=1e-6)
+    assert out[0]["trough_date"] == dt.date(2024, 1, 3)
+
+
+def test_max_drawdown_monotone_up(spark):
+    from alphalens_spark.performance import max_drawdown
+
+    rows = [("g", dt.date(2024, 1, d + 1), 0.01) for d in range(5)]
+    df = spark.createDataFrame(rows, "grp string, date date, ret double")
+    out = max_drawdown(df, "ret", by=["grp"]).collect()
+    # never below the running peak: drawdown 0 at every date; trough =
+    # earliest date by the (dd, date) tiebreak
+    assert out[0]["max_drawdown"] == 0.0
+    assert out[0]["trough_date"] == dt.date(2024, 1, 1)
+
+
+def test_max_drawdown_multi_group(spark):
+    from alphalens_spark.performance import max_drawdown
+
+    rows = [("a", dt.date(2024, 1, 1), 0.5), ("a", dt.date(2024, 1, 2), -0.5),
+            ("b", dt.date(2024, 1, 1), -0.4), ("b", dt.date(2024, 1, 2), 1.0)]
+    df = spark.createDataFrame(rows, "grp string, date date, ret double")
+    out = {r["grp"]: r for r in max_drawdown(df, "ret", by=["grp"]).collect()}
+    assert out["a"]["max_drawdown"] == pytest.approx(-0.5)
+    assert out["b"]["max_drawdown"] == pytest.approx(-0.4)
