@@ -84,6 +84,19 @@ def blocking_stats(
     )
 
 
+def _score_pairs(cands: DataFrame, max_distance: int) -> DataFrame:
+    """(…, _na, _nb) candidates → rows within ``max_distance``, scored.
+
+    Thresholded levenshtein (Spark ≥3.5): banded O(threshold·n) per
+    pair instead of the full O(n²) DP table; returns −1 above the
+    threshold and the exact distance at or below it.
+    """
+    return cands.withColumn(
+        "distance",
+        F.levenshtein(F.col("_na"), F.col("_nb"), max_distance),
+    ).where(F.col("distance") >= 0)
+
+
 def record_linkage_pairs(
     df: DataFrame,
     id_col: str,
@@ -91,6 +104,7 @@ def record_linkage_pairs(
     max_distance: int = 2,
     max_df: int | None = None,
     block_expr: Column | None = None,
+    expand: bool = True,
 ) -> DataFrame:
     """Blocked fuzzy record matching: candidate pairs share a blocking
     key (default: any normalized token; or a caller-supplied
@@ -98,16 +112,33 @@ def record_linkage_pairs(
     distance over the FULL normalized text, kept iff distance ≤
     ``max_distance``.
 
-    Output: (id_a, id_b, distance) with id_a < id_b, one row per
-    matched pair regardless of how many blocks it co-occurred in.
+    Output with ``expand=True``: (id_a, id_b, distance), id_a < id_b,
+    one row per matched RECORD pair — identical-text pairs included at
+    distance 0. With ``expand=False``: (norm_a, norm_b, distance,
+    n_a, n_b) — one row per matched DISTINCT-TEXT pair with group
+    sizes, the scale-sane output when duplicate-heavy data makes the
+    record-pair set quadratic in group size (n·(n−1)/2 rows for an
+    n-record identical-name group; prefer this + a keep-list join at
+    corpus scale).
 
-    Scale shape: inverted-index equi-join on the blocking key (linear in
-    posting-list mass, ``max_df``-capped), distinct pair reduction
-    BEFORE the Levenshtein score so each pair is scored once, and the
-    scoring itself is the JVM built-in — no Python, no all-pairs.
+    Scale shape (the minhash collapse_exact lesson, applied at birth):
+    blocking, candidate generation, and Levenshtein all run over
+    DISTINCT normalized texts — duplicate-heavy corpora collapse to
+    their name vocabulary before any quadratic stage, so a million
+    copies of one name cost ONE blocking row, not a 10¹²-pair block.
+    Record pairs re-expand through the exact-text groups afterwards
+    (join fan-out sized by the answer itself). Candidate generation is
+    an inverted-index equi-join (``max_df``-capped against hot tokens,
+    length-difference prune inside the join), never all-pairs.
+
+    A caller-supplied ``block_expr`` is evaluated against the full
+    record (it may key on other columns), so that path blocks records
+    directly without the distinct-text collapse.
     """
+    norm = normalize_record(text_col)
+    base = df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+
     if block_expr is not None:
-        norm = normalize_record(text_col)
         blocks = df.select(
             block_expr.alias("block_key"),
             F.col(id_col).alias("id"),
@@ -121,41 +152,85 @@ def record_linkage_pairs(
                 .select("block_key")
             )
             blocks = blocks.join(hot, "block_key", "left_anti")
-    else:
-        blocks = token_blocks(df, id_col, text_col, max_df=max_df)
-    a = blocks.select(
-        "block_key", F.col("id").alias("id_a"), F.col("norm").alias("_na")
-    )
-    b = blocks.select(
-        "block_key", F.col("id").alias("id_b"), F.col("norm").alias("_nb")
-    )
-    # Length filter BEFORE the distinct pair reduction: edit distance is
-    # bounded below by the length difference, so |len a − len b| >
-    # max_distance can never match — pruned inside the block join,
-    # result-identical, and it shrinks both the shuffle into distinct()
-    # and the Levenshtein workload.
+        a = blocks.select(
+            "block_key", F.col("id").alias("id_a"), F.col("norm").alias("_na")
+        )
+        b = blocks.select(
+            "block_key", F.col("id").alias("id_b"), F.col("norm").alias("_nb")
+        )
+        cands = (
+            a.join(b, "block_key")
+            .where(
+                (F.col("id_a") < F.col("id_b"))
+                & (
+                    F.abs(F.length("_na") - F.length("_nb"))
+                    <= F.lit(max_distance)
+                )
+            )
+            .select("id_a", "id_b", "_na", "_nb")
+            .distinct()
+        )
+        return _score_pairs(cands, max_distance).select(
+            "id_a", "id_b", "distance"
+        )
+
+    # --- distinct-text collapse path (default) ---
+    names = base.groupBy("norm").agg(F.count(F.lit(1)).alias("_g"))
+    names = names.localCheckpoint(eager=True)
+    nb = names.select(
+        "norm", "_g",
+        F.explode(F.array_distinct(F.split("norm", " "))).alias("block_key"),
+    ).where(F.col("block_key") != "")
+    if max_df is not None:
+        hot = (
+            nb.groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("block_key")
+        )
+        nb = nb.join(hot, "block_key", "left_anti")
+    a = nb.select("block_key", F.col("norm").alias("_na"), F.col("_g").alias("n_a"))
+    b = nb.select("block_key", F.col("norm").alias("_nb"), F.col("_g").alias("n_b"))
     cands = (
         a.join(b, "block_key")
         .where(
-            (F.col("id_a") < F.col("id_b"))
+            (F.col("_na") < F.col("_nb"))
             & (
                 F.abs(F.length("_na") - F.length("_nb"))
                 <= F.lit(max_distance)
             )
         )
-        .select("id_a", "id_b", "_na", "_nb")
+        .select("_na", "_nb", "n_a", "n_b")
         .distinct()
     )
-    # Thresholded levenshtein (Spark ≥3.5): banded O(threshold·n) per
-    # pair instead of the full O(n²) DP table; returns −1 above the
-    # threshold and the exact distance at or below it.
-    return (
-        cands.select(
-            "id_a",
-            "id_b",
-            F.levenshtein(
-                F.col("_na"), F.col("_nb"), max_distance
-            ).alias("distance"),
+    cross = _score_pairs(cands, max_distance)
+    if not expand:
+        return cross.select(
+            F.col("_na").alias("norm_a"),
+            F.col("_nb").alias("norm_b"),
+            "distance",
+            "n_a",
+            "n_b",
         )
-        .where(F.col("distance") >= 0)
+    # within-group pairs (identical normalized text, distance 0)
+    ga = base.select(F.col("norm"), F.col("id").alias("id_a"))
+    gb = base.select(F.col("norm"), F.col("id").alias("id_b"))
+    within = (
+        ga.join(gb, "norm")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("distance"))
     )
+    # cross-group expansion: every member of group a × every member of
+    # group b — join fan-out sized by the answer
+    ma = base.select(F.col("norm").alias("_na"), F.col("id").alias("_ia"))
+    mb = base.select(F.col("norm").alias("_nb"), F.col("id").alias("_ib"))
+    expanded = (
+        cross.join(ma, "_na")
+        .join(mb, "_nb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+    return within.unionByName(expanded)
