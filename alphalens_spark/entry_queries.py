@@ -5689,6 +5689,85 @@ SELECT bar_ts, event_type,
 FROM r GROUP BY 1, 2"""
 
 
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (scale.text.bigram_pmi): PMI + NPMI of
+    adjacent word pairs seen ≥ 10 times — bigram/unigram counting
+    joins onto token marginals with the totals as 1-row broadcasts."""
+    from alphalens_spark.scale.text import bigram_pmi
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(bigram_pmi(docs, min_count=10))
+
+
+ORACLES["bigram_collocations"] = r"""
+WITH base AS MATERIALIZED (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents
+),
+bi AS MATERIALIZED (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM base, unnest(range(1, greatest(len(ts), 1))) AS t(i)
+),
+pairs AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
+  HAVING count(*) >= 10
+),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS cw FROM (SELECT unnest(ts) AS w FROM base) GROUP BY 1
+),
+nu AS MATERIALIZED (SELECT sum(cw) AS v FROM uni),
+nb AS MATERIALIZED (
+  SELECT sum(greatest(len(ts) - 1, 0)) AS v FROM base
+)
+SELECT p.w1, p.w2, p.n_pair,
+       round(ln((p.n_pair / nb.v) / ((a.cw / nu.v) * (b.cw / nu.v))), 6)
+         AS pmi,
+       round(ln((p.n_pair / nb.v) / ((a.cw / nu.v) * (b.cw / nu.v)))
+             / -ln(p.n_pair / nb.v), 6) AS npmi
+FROM pairs p
+JOIN uni a ON p.w1 = a.w
+JOIN uni b ON p.w2 = b.w
+CROSS JOIN nu CROSS JOIN nb"""
+
+
+def q_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item similarity of co-purchased parts
+    (scale.affinity.item_similarity): cosine / Jaccard / PMI over
+    distinct order baskets, pairs co-occurring ≥ 3 times."""
+    from alphalens_spark.scale.affinity import item_similarity
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return _finalize(
+        item_similarity(li, "l_orderkey", "l_partkey", min_pair_count=3)
+    )
+
+
+ORACLES["copurchase_similarity"] = r"""
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+pairs AS MATERIALIZED (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_baskets
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+marg AS MATERIALIZED (
+  SELECT item, count(*) AS item_baskets FROM bi GROUP BY 1
+),
+total AS MATERIALIZED (SELECT count(DISTINCT basket) AS n FROM bi)
+SELECT p.item_a, p.item_b, p.pair_baskets,
+       round(p.pair_baskets / sqrt(ma.item_baskets * mb.item_baskets), 6)
+         AS cosine,
+       round(p.pair_baskets
+             / (ma.item_baskets + mb.item_baskets - p.pair_baskets), 6)
+         AS jaccard,
+       round(ln(p.pair_baskets * t.n
+                / (ma.item_baskets * mb.item_baskets)), 6) AS pmi
+FROM pairs p
+JOIN marg ma ON p.item_a = ma.item
+JOIN marg mb ON p.item_b = mb.item
+CROSS JOIN total t"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5846,6 +5925,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_kcore": q_copurchase_kcore,
     "quantile_drawdown": q_quantile_drawdown,
     "event_ohlc": q_event_ohlc,
+    "bigram_collocations": q_bigram_collocations,
+    "copurchase_similarity": q_copurchase_similarity,
 }
 
 # ---------------------------------------------------------------------------

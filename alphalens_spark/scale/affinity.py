@@ -148,3 +148,51 @@ def association_rules(
     if min_confidence > 0.0:
         out = out.where(F.col("confidence") >= min_confidence)
     return out.drop("_n")
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Symmetric item-item similarity from basket co-occurrence — the
+    counting form of collaborative filtering's item-item step and the
+    edge weighting for co-occurrence embeddings:
+
+    - ``cosine = c_ab / sqrt(c_a·c_b)`` (Ochiai over basket sets),
+    - ``jaccard = c_ab / (c_a + c_b − c_ab)``,
+    - ``pmi = ln(c_ab·N / (c_a·c_b))`` over distinct baskets.
+
+    One unordered row per co-occurring pair (item_a < item_b; all three
+    measures are symmetric). Scale shape is association_rules' exactly:
+    within-basket pair join (``max_basket``-guarded), item-key marginal
+    joins, 1-row total broadcast.
+    """
+    bi = _basket_items(df, basket_col, item_col, max_basket)
+    bi = bi.localCheckpoint(eager=True)
+    pairs = (
+        bi.select("basket", F.col("item").alias("item_a"))
+        .join(bi.select("basket", F.col("item").alias("item_b")), "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        .where(F.col("pair_baskets") >= min_pair_count)
+    )
+    marg = bi.groupBy("item").agg(F.count(F.lit(1)).alias("item_baskets"))
+    total = bi.agg(F.count_distinct("basket").alias("_n"))
+    ma = marg.select(F.col("item").alias("item_a"), F.col("item_baskets").alias("_ca"))
+    mb = marg.select(F.col("item").alias("item_b"), F.col("item_baskets").alias("_cb"))
+    j = pairs.join(ma, "item_a").join(mb, "item_b").crossJoin(F.broadcast(total))
+    c = F.col("pair_baskets")
+    return j.select(
+        "item_a",
+        "item_b",
+        "pair_baskets",
+        F.round(c / F.sqrt(F.col("_ca") * F.col("_cb")), 6).alias("cosine"),
+        F.round(c / (F.col("_ca") + F.col("_cb") - c), 6).alias("jaccard"),
+        F.round(
+            F.log(c * F.col("_n") / (F.col("_ca") * F.col("_cb"))), 6
+        ).alias("pmi"),
+    )

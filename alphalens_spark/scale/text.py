@@ -716,3 +716,78 @@ def encode_documents(
             ).cast("long").alias("n_oov"),
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs (Church & Hanks 1990), the classic signal for multi-word
+    expressions — tokenizer-vocab seeding, stop-phrase discovery,
+    keyphrase candidates.
+
+    ``pmi = ln(P(ab) / (P(a)·P(b)))`` with P(ab) over the corpus bigram
+    stream and P(a) over the unigram stream; ``npmi = pmi / −ln P(ab)``
+    normalizes to [−1, 1] (Bouma 2009) so rankings compare across corpus
+    sizes. ``min_count`` drops rare pairs (PMI's low-count pathology).
+
+    Scale shape: one bigram explode → pair groupBy (map-side partials),
+    one unigram explode → token groupBy, two linear equi-joins of pair
+    rows onto the token marginals, totals as a 1-row broadcast. No
+    pair appears that did not occur — this is a counting join, never a
+    cross of the vocabulary.
+    """
+    ts = _tokens(text_col)
+    base = docs.select(ts.alias("_ts"))
+    grams = F.when(
+        F.size("_ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ts") - 1),
+            lambda i: F.struct(
+                F.element_at("_ts", i).alias("w1"),
+                F.element_at("_ts", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = (
+        base.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        base.select(F.explode("_ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    totals = uni.agg(F.sum("cw").alias("_nu"))
+    # bigram total = Σ per-doc (len−1); count it exactly from the pair
+    # stream BEFORE the min_count filter
+    nb = (
+        base.select(
+            F.greatest(F.size("_ts") - 1, F.lit(0)).alias("_k")
+        ).agg(F.sum("_k").alias("_nb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("_ca"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("_cb"))
+    j = (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nb))
+    )
+    p_ab = F.col("n_pair") / F.col("_nb")
+    p_a = F.col("_ca") / F.col("_nu")
+    p_b = F.col("_cb") / F.col("_nu")
+    pmi = F.log(p_ab / (p_a * p_b))
+    return j.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.round(pmi, 6).alias("pmi"),
+        F.round(pmi / -F.log(p_ab), 6).alias("npmi"),
+    )

@@ -288,3 +288,44 @@ def test_k_core_empty(spark):
     out = graph.k_core(df, 3)
     assert out.count() == 0
     assert out.columns == ["node", "degree"]
+
+
+def test_item_similarity_values(spark):
+    import math
+
+    from alphalens_spark.scale.affinity import item_similarity
+
+    df = spark.createDataFrame(BASKETS, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in item_similarity(df, "basket", "item").collect()
+    }
+    # c_a=4, c_b=3, c_ab=2, N=5
+    r = got[("a", "b")]
+    assert r["cosine"] == pytest.approx(2 / math.sqrt(12), abs=1e-6)
+    assert r["jaccard"] == pytest.approx(2 / 5, abs=1e-6)
+    assert r["pmi"] == pytest.approx(math.log(2 * 5 / 12), abs=1e-6)
+
+
+def test_bigram_pmi(spark):
+    import math
+
+    from alphalens_spark.scale.text import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "new york is big"), (2, "new york sleeps"), (3, "big city")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in bigram_pmi(docs, min_count=2).collect()
+    }
+    # only ("new","york") occurs >= 2 times
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    # unigrams: 9 tokens total; new=2, york=2. bigrams: 3+2+1=6; pair=2
+    p_ab, p_a, p_b = 2 / 6, 2 / 9, 2 / 9
+    want = math.log(p_ab / (p_a * p_b))
+    assert r["n_pair"] == 2
+    assert r["pmi"] == pytest.approx(want, abs=1e-6)
+    assert r["npmi"] == pytest.approx(want / -math.log(p_ab), abs=1e-6)

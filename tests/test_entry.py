@@ -102,6 +102,10 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "basket_rules",
         # 1-row anchor-date + 1-row threshold-arrays broadcasts
         "rfm_segments",
+        # 1-row unigram/bigram-total broadcasts for the probability terms
+        "bigram_collocations",
+        # 1-row total-basket-count broadcast for the pmi term
+        "copurchase_similarity",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
