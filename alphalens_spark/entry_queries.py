@@ -5768,6 +5768,51 @@ JOIN marg mb ON p.item_b = mb.item
 CROSS JOIN total t"""
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan-heavy OLAP
+    aggregate (filter → groupBy → eight aggregates) proving the engine's
+    bread-and-butter path — the shipdate filter and the 7-column
+    projection both push into the parquet scan (plan-gated), partial
+    aggregation is map-side, ONE shuffle on the 6-group key."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return _finalize(
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # sums reach 1e9 over ~1e5 rows: summation-ORDER float error
+            # (~1e-6) sits exactly at the 6dp compare grid, so the sum
+            # columns round to 2dp (500x safety margin); the 1e4-scale
+            # averages keep the standard 6dp
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLES["pricing_summary"] = r"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY 1, 2"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5927,6 +5972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_ohlc": q_event_ohlc,
     "bigram_collocations": q_bigram_collocations,
     "copurchase_similarity": q_copurchase_similarity,
+    "pricing_summary": q_pricing_summary,
 }
 
 # ---------------------------------------------------------------------------

@@ -1148,3 +1148,46 @@ def stream_cooccurrence(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_ohlc(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Streaming OHLC bars: the watermarked tumbling-window twin of
+    :func:`alphalens_spark.events.ohlc_bars`. min_by/max_by over the
+    (ts, id) order struct are declarative aggregates, so open/close
+    maintain incrementally inside the windowed state — no custom
+    stateful operator needed; late data beyond ``watermark`` is
+    dropped by contract.
+
+    Output matches the batch op: (bar_ts, by…, open, high, low, close,
+    n, volume) with bar_ts = window start.
+    """
+    keys = [F.window(ts_col, window).alias("win")] + [
+        F.col(c) for c in (by or [])
+    ]
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.round(F.min_by(v, order), 6).alias("open"),
+            F.round(F.max(v), 6).alias("high"),
+            F.round(F.min(v), 6).alias("low"),
+            F.round(F.max_by(v, order), 6).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(v), 6).alias("volume"),
+        )
+        .select(
+            F.col("win.start").alias("bar_ts"),
+            *[F.col(c) for c in (by or [])],
+            "open", "high", "low", "close", "n", "volume",
+        )
+    )

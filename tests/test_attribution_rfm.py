@@ -231,3 +231,42 @@ def test_max_drawdown_multi_group(spark):
     out = {r["grp"]: r for r in max_drawdown(df, "ret", by=["grp"]).collect()}
     assert out["a"]["max_drawdown"] == pytest.approx(-0.5)
     assert out["b"]["max_drawdown"] == pytest.approx(-0.4)
+
+
+def test_stream_ohlc_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.events import ohlc_bars
+    from alphalens_spark.streaming.ops import stream_ohlc
+
+    rows = [
+        (1, "2024-01-01 09:00:00", "a", 10.0),
+        (2, "2024-01-01 12:00:00", "a", 30.0),
+        (3, "2024-01-01 15:00:00", "a", 20.0),
+        (4, "2024-01-02 09:00:00", "a", 7.0),
+        (5, "2024-01-01 10:00:00", "b", 1.0),
+        (6, "2024-01-01 11:00:00", "b", 2.0),
+    ]
+    src = str(tmp_path / "ohlc_src")
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = (
+        stream_ohlc(stream, by=["event_type"])
+        .writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ohlc_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    )
+    want = sorted(tuple(r) for r in ohlc_bars(batch, by=["event_type"]).collect())
+    assert got == want
