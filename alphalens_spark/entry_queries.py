@@ -5813,6 +5813,31 @@ WHERE l_shipdate <= TIMESTAMP '2001-09-01'
 GROUP BY 1, 2"""
 
 
+def q_balance_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank feature encoding (scale.features.rank_normalize):
+    within-nation average-tie rank of customer balances mapped to
+    (0, 1) — the distribution-free transform feature pipelines apply
+    before gauss-rank. Window partitioned by the group key; NULLS LAST
+    so missing values never shift real ranks."""
+    from alphalens_spark.scale.features import rank_normalize
+
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    out = rank_normalize(cust, "c_acctbal", by=["c_nationkey"])
+    return _finalize(
+        out.select("c_custkey", "c_nationkey", "c_acctbal", "pct_rank")
+    )
+
+
+ORACLES["balance_rank_features"] = r"""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       round((rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+              + (count(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1) / 2.0
+              - 0.5)
+             / count(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
+         AS pct_rank
+FROM customer"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5973,6 +5998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_collocations": q_bigram_collocations,
     "copurchase_similarity": q_copurchase_similarity,
     "pricing_summary": q_pricing_summary,
+    "balance_rank_features": q_balance_rank_features,
 }
 
 # ---------------------------------------------------------------------------

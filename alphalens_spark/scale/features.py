@@ -9,7 +9,7 @@ on must not let a row see its own label.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -197,3 +197,39 @@ def purged_time_splits(
         .otherwise("train")
     )
     return j.select("fold", "date", role.alias("role"))
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Percentile-rank normalization: map a numeric column to (0, 1) by
+    its within-group average rank, ``(avg_rank − 0.5) / n`` — the
+    distribution-free feature transform (ties share their average rank,
+    so the output is symmetric under permutation; follow with a probit
+    for gauss-rank encoding).
+
+    Window partitioned by ``by`` (REQUIRED for row-count-sized inputs:
+    an unpartitioned rank over a fact table is the move-everything-to-
+    one-partition shape the plan gate rejects; pass by=None only for
+    dimension-sized frames). Appends ``out_col``; rows with NULL value
+    get NULL rank.
+    """
+    keys = list(by) if by else []
+    w = Window.partitionBy(*keys)
+    # NULLS LAST so missing values never shift the ranks of real ones
+    # (ascending rank puts NULLs first by default)
+    wo = w.orderBy(F.col(value_col).asc_nulls_last())
+    n = F.count(F.col(value_col)).over(w)
+    # average rank under ties = rank + (tie_count - 1)/2
+    tie_n = F.count(F.lit(1)).over(
+        Window.partitionBy(*(keys + [value_col]))
+    )
+    avg_rank = F.rank().over(wo) + (tie_n - 1) / 2.0
+    out = F.when(
+        F.col(value_col).isNotNull(),
+        F.round((avg_rank - 0.5) / n, 6) + F.lit(0.0),
+    )
+    return df.withColumn(out_col, out)

@@ -270,3 +270,24 @@ def test_stream_ohlc_equals_batch(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in ohlc_bars(batch, by=["event_type"]).collect())
     assert got == want
+
+
+def test_rank_normalize(spark):
+    from alphalens_spark.scale.features import rank_normalize
+
+    rows = [("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 40.0),
+            ("h", 1.0), ("h", None)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = rank_normalize(df, "x", by=["grp"]).collect()
+    got = sorted(
+        ((r["grp"], r["x"], r["pct_rank"]) for r in out),
+        key=lambda t: (t[0], t[1] is None, t[1] or 0),
+    )
+    # g: ranks 1, 2.5, 2.5, 4 over n=4 -> (r-0.5)/4
+    assert got[0] == ("g", 10.0, pytest.approx(0.125))
+    assert got[1][2] == pytest.approx(0.5)
+    assert got[2][2] == pytest.approx(0.5)
+    assert got[3][2] == pytest.approx(0.875)
+    # h: single non-null value -> 0.5; NULL stays NULL
+    assert got[4] == ("h", 1.0, pytest.approx(0.5))
+    assert got[5][2] is None
