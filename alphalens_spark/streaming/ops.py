@@ -1118,9 +1118,11 @@ def cooccurrence_store_update(
         )
     except AnalysisException:  # first batch
         merged = batch_pairs
-    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
-        store_path
-    )
+    # NO coalesce(1) here, unlike the fixed-size sketch stores: the pair
+    # universe grows with the item catalog, so the store keeps its
+    # key-partitioned layout (single-file would serialize every merge
+    # through one task at scale)
+    merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
 
 
 def stream_cooccurrence(
@@ -1191,3 +1193,81 @@ def stream_ohlc(
             "open", "high", "low", "close", "n", "volume",
         )
     )
+
+
+def sample_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    weight_col: str,
+    k: int = 100,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """One incremental weighted-reservoir maintenance step: A-ES
+    priorities (Efraimidis & Spirakis) are MERGEABLE — the weighted
+    sample of the full history is exactly the top-k of the union of
+    priorities, and the md5-deterministic uniforms make that identical
+    to the one-shot :func:`alphalens_spark.scale.curation.
+    weighted_priority_sample` of everything seen (tested) no matter how
+    the stream was batched. Merge = union → per-group top-k, the KMV
+    bottom-k pattern with the order flipped.
+
+    The store stays ≤ k rows per group forever. Each item's id must be
+    unique across the stream's lifetime (re-sent ids dedupe by id, so
+    replays are harmless but true duplicates under one id collapse).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.curation import weighted_priority_sample
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    gcols = list(group_cols or [])
+    batch_top = weighted_priority_sample(
+        batch_df, weight_col, k=k, group_cols=gcols, id_col=id_col
+    )
+    try:
+        old = spark.read.parquet(store_path)
+        both = old.unionByName(batch_top).dropDuplicates(gcols + [id_col])
+        w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy(
+            F.col("priority_key").desc(), F.col(id_col)
+        )
+        merged = (
+            both.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    except AnalysisException:  # first batch
+        merged = batch_top
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_weighted_sample(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    weight_col: str,
+    k: int = 100,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    available_now: bool = False,
+):
+    """Maintain the k-item weighted reservoir from a document stream via
+    foreachBatch over :func:`sample_store_update`; read the current
+    sample any time with ``spark.read.parquet(store_path)``."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        sample_store_update(
+            batch_df, store_path, weight_col, k, group_cols, id_col
+        )
+
+    w = docs_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

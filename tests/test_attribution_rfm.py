@@ -291,3 +291,30 @@ def test_rank_normalize(spark):
     # h: single non-null value -> 0.5; NULL stays NULL
     assert got[4] == ("h", 1.0, pytest.approx(0.5))
     assert got[5][2] is None
+
+
+def test_sample_store_incremental_equals_oneshot(spark, tmp_path):
+    from alphalens_spark.scale.curation import weighted_priority_sample
+    from alphalens_spark.streaming.ops import sample_store_update
+
+    rows = [(f"d{i}", "s1" if i % 3 else "s2", float(1 + i % 7)) for i in range(200)]
+    schema = "doc_id string, source string, w double"
+    df = spark.createDataFrame(rows, schema)
+    store = str(tmp_path / "aes")
+    # three uneven batches
+    for lo, hi in [(0, 50), (50, 60), (60, 200)]:
+        sample_store_update(
+            spark.createDataFrame(rows[lo:hi], schema),
+            store,
+            "w",
+            k=8,
+            group_cols=["source"],
+        )
+    got = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    want = sorted(
+        tuple(r)
+        for r in weighted_priority_sample(
+            df, "w", k=8, group_cols=["source"]
+        ).collect()
+    )
+    assert got == want
