@@ -5838,6 +5838,79 @@ SELECT c_custkey, c_nationkey, c_acctbal,
 FROM customer"""
 
 
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy name pairs at the
+    DISTINCT-NAME level (record_linkage_pairs expand=False — the
+    scale-sane form) → connected components over the name graph →
+    every record mapped to its cluster's canonical id (min member id).
+    The component propagation runs on the name vocabulary (64 nodes
+    here, never the record count); records attach via two linear
+    joins."""
+    from alphalens_spark.scale.dedup import connected_components
+    from alphalens_spark.scale.linkage import (
+        normalize_record,
+        record_linkage_pairs,
+    )
+
+    part = datasets.load_table(spark, sf_dir, "part")
+    name_pairs = record_linkage_pairs(
+        part, "p_partkey", "p_name", max_distance=1, expand=False
+    )
+    comp = connected_components(name_pairs, "norm_a", "norm_b")
+    base = part.select(
+        F.col("p_partkey").alias("record_id"),
+        normalize_record("p_name").alias("norm"),
+    )
+    withc = base.join(
+        comp.withColumnRenamed("node", "norm"), "norm", "left"
+    ).select(
+        "record_id",
+        F.coalesce(F.col("comp"), F.col("norm")).alias("_cluster"),
+    )
+    canon = withc.groupBy("_cluster").agg(
+        F.min("record_id").alias("canonical_id")
+    )
+    return _finalize(withc.join(canon, "_cluster").select("record_id", "canonical_id"))
+
+
+ORACLES["entity_clusters"] = r"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT p_partkey AS id,
+         regexp_replace(lower(trim(p_name)), '\s+', ' ', 'g') AS norm
+  FROM part
+),
+nd AS MATERIALIZED (SELECT DISTINCT norm FROM base),
+tok AS MATERIALIZED (
+  SELECT norm, unnest(list_distinct(string_split(norm, ' '))) AS bk FROM nd
+),
+np AS MATERIALIZED (
+  SELECT DISTINCT a.norm AS na, b.norm AS nb
+  FROM tok a JOIN tok b ON a.bk = b.bk AND a.norm < b.norm
+  WHERE a.bk <> '' AND abs(len(a.norm) - len(b.norm)) <= 1
+    AND levenshtein(a.norm, b.norm) <= 1
+),
+cedges AS (
+  SELECT na AS s, nb AS d FROM np UNION SELECT nb, na FROM np
+),
+reach AS (
+  SELECT s, d FROM cedges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s
+),
+ccomp AS (
+  SELECT s AS norm, least(s, min(d)) AS comp FROM reach GROUP BY s
+),
+withc AS (
+  SELECT b.id, coalesce(c.comp, b.norm) AS cluster
+  FROM base b LEFT JOIN ccomp c ON b.norm = c.norm
+),
+canon AS (
+  SELECT cluster, min(id) AS canonical_id FROM withc GROUP BY cluster
+)
+SELECT w.id AS record_id, c.canonical_id
+FROM withc w JOIN canon c ON w.cluster = c.cluster"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -5999,6 +6072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_similarity": q_copurchase_similarity,
     "pricing_summary": q_pricing_summary,
     "balance_rank_features": q_balance_rank_features,
+    "entity_clusters": q_entity_clusters,
 }
 
 # ---------------------------------------------------------------------------
