@@ -5911,6 +5911,30 @@ SELECT w.id AS record_id, c.canonical_id
 FROM withc w JOIN canon c ON w.cluster = c.cluster"""
 
 
+def q_supplier_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier price~quantity regression
+    (scale.features.groupwise_ols): thousands of independent OLS fits as
+    ONE aggregation over the five sufficient sums — no window, no
+    per-group iteration, no applyInPandas. Oracle is DuckDB's native
+    regr_slope/regr_intercept/regr_r2."""
+    from alphalens_spark.scale.features import groupwise_ols
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return _finalize(
+        groupwise_ols(li, "l_quantity", "l_extendedprice", by=["l_suppkey"])
+    )
+
+
+ORACLES["supplier_price_ols"] = r"""
+SELECT l_suppkey,
+       count(CASE WHEN l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY 1"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6073,6 +6097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
+    "supplier_price_ols": q_supplier_price_ols,
 }
 
 # ---------------------------------------------------------------------------

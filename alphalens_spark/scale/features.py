@@ -233,3 +233,53 @@ def rank_normalize(
         F.round((avg_rank - 0.5) / n, 6) + F.lit(0.0),
     )
     return df.withColumn(out_col, out)
+
+
+def groupwise_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Per-group simple linear regression y = a + b·x by the closed
+    form — thousands of independent regressions in ONE aggregation
+    (slope = cov/var from the five sufficient sums; the same
+    closed-form-OLS move as performance.factor_alpha_beta, grouped).
+
+    Output: (by…, n, slope, intercept, r2); groups with zero x-variance
+    emit NULL slope/intercept/r2 (try_divide semantics), n counts rows
+    where both x and y are present.
+
+    Scale shape: one groupBy with map-side partial sums — no window, no
+    per-group iteration, no driver loop. The sufficient-statistics
+    trick is what makes \"fit a model per key\" a linear-shuffle
+    aggregation instead of an applyInPandas escape hatch.
+    """
+    keys = list(by) if by else []
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    xx = F.when(both, x)
+    yy = F.when(both, y)
+    agg = df.groupBy(*keys).agg(
+        F.count(xx).alias("n"),
+        F.sum(xx).alias("_sx"),
+        F.sum(yy).alias("_sy"),
+        F.sum(xx * yy).alias("_sxy"),
+        F.sum(xx * xx).alias("_sxx"),
+        F.sum(yy * yy).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    ssx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    ssy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    slope = F.try_divide(sxy, ssx)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.try_divide(sxy * sxy, ssx * ssy)
+    return agg.select(
+        *keys,
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )

@@ -318,3 +318,31 @@ def test_sample_store_incremental_equals_oneshot(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_groupwise_ols(spark):
+    from alphalens_spark.scale.features import groupwise_ols
+
+    rng = np.random.RandomState(5)
+    rows = []
+    # group a: y = 2 + 3x exactly; group b: noisy y = 1 - 0.5x;
+    # group c: zero x-variance
+    for i in range(20):
+        x = float(i)
+        rows.append(("a", x, 2 + 3 * x))
+        rows.append(("b", x, 1 - 0.5 * x + float(rng.randn()) * 0.1))
+        rows.append(("c", 4.0, float(i)))
+    rows.append(("a", None, 99.0))  # null x ignored
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r["grp"]: r for r in groupwise_ols(df, "x", "y", by=["grp"]).collect()}
+    assert out["a"]["n"] == 20
+    assert out["a"]["slope"] == pytest.approx(3.0, abs=1e-6)
+    assert out["a"]["intercept"] == pytest.approx(2.0, abs=1e-6)
+    assert out["a"]["r2"] == pytest.approx(1.0, abs=1e-6)
+    xs = np.arange(20.0)
+    ys = np.array([r[2] for r in rows if r[0] == "b"])
+    want_slope, want_int = np.polyfit(xs, ys, 1)
+    assert out["b"]["slope"] == pytest.approx(want_slope, abs=1e-5)
+    assert out["b"]["intercept"] == pytest.approx(want_int, abs=1e-5)
+    assert 0.9 < out["b"]["r2"] <= 1.0
+    assert out["c"]["slope"] is None and out["c"]["r2"] is None
