@@ -5935,6 +5935,54 @@ SELECT l_suppkey,
 FROM lineitem GROUP BY 1"""
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance duplication matrix
+    (scale.dedup.cross_source_dup_matrix at 8-gram shingle granularity):
+    verbatim-content pair mass between every source pair, computed from
+    per-(digest, source) counts — the join fans out over
+    sources-per-digest, never over occurrence pairs. The which-feed-
+    mirrors-which view a training-mix decision reads."""
+    from alphalens_spark.scale.dedup import cross_source_dup_matrix
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    k = 8
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    u = docs.select("source", F.explode(shingles).alias("g"))
+    return _finalize(cross_source_dup_matrix(u, text_col="g"))
+
+
+ORACLES["cross_source_dups"] = r"""
+WITH d AS MATERIALIZED (
+  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents
+),
+u AS MATERIALIZED (
+  SELECT source, array_to_string(ts[i:i+7], ' ') AS g
+  FROM d, unnest(range(1, greatest(len(ts) - 7, 0) + 1)) AS t(i)
+),
+per AS MATERIALIZED (
+  SELECT md5(g) AS h, source AS src, count(*) AS c
+  FROM u GROUP BY 1, 2
+),
+j AS (
+  SELECT a.h, a.src AS source_a, b.src AS source_b,
+         CASE WHEN a.src = b.src THEN a.c * (a.c - 1) / 2
+              ELSE a.c * b.c END AS contrib
+  FROM per a JOIN per b ON a.h = b.h AND a.src <= b.src
+)
+SELECT source_a, source_b,
+       CAST(sum(contrib) AS BIGINT) AS dup_pairs,
+       count(CASE WHEN contrib > 0 THEN 1 END) AS n_texts
+FROM j GROUP BY 1, 2 HAVING sum(contrib) > 0"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6098,6 +6146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,
+    "cross_source_dups": q_cross_source_dups,
 }
 
 # ---------------------------------------------------------------------------

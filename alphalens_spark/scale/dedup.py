@@ -1147,3 +1147,49 @@ def allpairs_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-governance view: how much exact duplication flows BETWEEN
+    sources — for every unordered source pair (and each source with
+    itself), the number of md5-identical document pairs split across
+    them. The matrix that answers "which feeds are mirroring which"
+    before a training-mix decision. ``text_col`` can be any unit —
+    whole documents, sentences, or n-gram shingles (feed an exploded
+    frame for sub-document granularity).
+
+    Per md5 digest, per-source member counts c_s; pair contribution is
+    c_a·c_b for a < b and C(c_s, 2) on the diagonal — computed from the
+    per-(digest, source) count table, so nothing document-pair-sized
+    ever materializes: the join fan-out is (digest × sources present),
+    bounded by the source dimension per digest.
+
+    Output: (source_a, source_b, dup_pairs, n_texts) with source_a ≤
+    source_b; n_texts = distinct shared digests.
+    """
+    per = (
+        docs.groupBy(
+            F.md5(F.col(text_col)).alias("_h"),
+            F.col(source_col).alias("src"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per.select("_h", F.col("src").alias("source_a"), F.col("c").alias("_ca"))
+    b = per.select("_h", F.col("src").alias("source_b"), F.col("c").alias("_cb"))
+    joined = a.join(b, "_h").where(F.col("source_a") <= F.col("source_b"))
+    pair_contrib = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("_ca") * (F.col("_ca") - 1) / 2,
+    ).otherwise(F.col("_ca") * F.col("_cb"))
+    return (
+        joined.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(pair_contrib).cast("long").alias("dup_pairs"),
+            F.count(F.when(pair_contrib > 0, 1)).alias("n_texts"),
+        )
+        .where(F.col("dup_pairs") > 0)
+    )

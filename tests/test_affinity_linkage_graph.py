@@ -329,3 +329,25 @@ def test_bigram_pmi(spark):
     assert r["n_pair"] == 2
     assert r["pmi"] == pytest.approx(want, abs=1e-6)
     assert r["npmi"] == pytest.approx(want / -math.log(p_ab), abs=1e-6)
+
+
+def test_cross_source_dup_matrix(spark):
+    from alphalens_spark.scale.dedup import cross_source_dup_matrix
+
+    rows = [
+        (1, "s1", "hello"), (2, "s1", "hello"), (3, "s2", "hello"),
+        (4, "s2", "world"), (5, "s3", "world"),
+        (6, "s3", "unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["dup_pairs"], r["n_texts"])
+        for r in cross_source_dup_matrix(df).collect()
+    }
+    # "hello": s1 x2, s2 x1 -> (s1,s1): 1 pair; (s1,s2): 2 pairs
+    # "world": s2 x1, s3 x1 -> (s2,s3): 1 pair
+    assert got == {
+        ("s1", "s1"): (1, 1),
+        ("s1", "s2"): (2, 1),
+        ("s2", "s3"): (1, 1),
+    }
