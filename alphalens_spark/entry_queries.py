@@ -5983,6 +5983,38 @@ SELECT source_a, source_b,
 FROM j GROUP BY 1, 2 HAVING sum(contrib) > 0"""
 
 
+def q_rolling_mean_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily IC with its 1-month (22-obs) trailing mean — certifies the
+    rolling-window layer the plot functions compute
+    (plotting.plot_ic_ts / _roll22; reference plotting.py:219-224),
+    previously covered only by unit tests. The ordered window rides the
+    per-date IC series (one row per trading date — dimension-sized by
+    construction, the documented global-window exception)."""
+    from pyspark.sql import Window
+
+    fd = _fd(spark, sf_dir)
+    ic = perf.factor_information_coefficient(fd, PERIOD_COLS)
+    w = Window.orderBy("date").rowsBetween(-21, 0)
+    return _finalize(
+        ic.select(
+            "date",
+            *[
+                F.avg(f"ic_{c}").over(w).alias(f"ic_roll_{ALIAS[c]}")
+                for c in PERIOD_COLS
+            ],
+        )
+    )
+
+
+ORACLES["rolling_mean_ic"] = f"""{_P}, {_RANKS}
+SELECT date,
+       round(avg(ic_1p) OVER (ORDER BY date
+             ROWS BETWEEN 21 PRECEDING AND CURRENT ROW), 6) AS ic_roll_1p,
+       round(avg(ic_5p) OVER (ORDER BY date
+             ROWS BETWEEN 21 PRECEDING AND CURRENT ROW), 6) AS ic_roll_5p
+FROM ic"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6147,6 +6179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,
     "cross_source_dups": q_cross_source_dups,
+    "rolling_mean_ic": q_rolling_mean_ic,
 }
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # offsets cumsum over ONE ROW PER PARTITION (zipWithIndex pattern;
         # bounded by partition count, never by terms)
         "vocab_encode",
+        # trailing mean over the per-date IC series (one row per date)
+        "rolling_mean_ic",
     }
     FACT_WIDTH = {
         t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)
