@@ -186,6 +186,10 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
           lambda: affinity.association_rules(
               li_brand, "l_orderkey", "p_brand", min_pair_count=5
           ).count())
+    from alphalens_spark.entry_queries import q_pricing_summary
+
+    timed("pricing_summary",
+          lambda: q_pricing_summary(spark, sf_dir).collect())
 
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
