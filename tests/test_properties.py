@@ -399,3 +399,63 @@ def test_heavy_hitters_superset_guarantee(spark, k):
     rows = out.collect()
     assert rows[0].item == "dominant" and rows[0].est_count >= 200
     assert len(rows) == k
+
+
+# ---------------------------------------------------------------- graph ops
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_strategy)
+def test_triangle_count_matches_brute(spark, edges):
+    import itertools
+
+    from alphalens_spark import graph
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in graph.triangle_count(df).collect()}
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_strategy, st.integers(min_value=2, max_value=4))
+def test_k_core_matches_brute(spark, edges, k):
+    from alphalens_spark import graph
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["degree"] for r in graph.k_core(df, k).collect()}
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        adj = {n: s for n, s in adj.items() if s}
+    want = {n: len(s) for n, s in adj.items() if len(s) >= k}
+    assert got == want
