@@ -53,9 +53,12 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
             timings[name] = min(timings.get(name, dt), dt)
         return out
 
-    # --- ingestion: build + materialize the canonical factor_data ---
+    # --- ingestion: build + materialize the canonical factor_data and the
+    # prices table (the two inputs every downstream metric reuses — the
+    # reference holds both in memory the same way) ---
     fd = datasets.factor_data(spark, sf_dir).persist()
-    timed("ingestion_factor_data", lambda: fd.count())
+    px = datasets.prices(spark, sf_dir).persist()
+    timed("ingestion_factor_data", lambda: (fd.count(), px.count()))
 
     # --- metric queries over the cached factor_data ---
     timed("mean_return_by_quantile",
@@ -72,7 +75,7 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
           lambda: perf.factor_rank_autocorrelation(fd, 1).collect())
     timed("event_study",
           lambda: perf.average_cumulative_return_by_quantile(
-              fd, datasets.prices(spark, sf_dir), 2, 4, demeaned=False
+              fd, px, 2, 4, demeaned=False
           ).collect())
 
     # --- scale ops ---
@@ -200,6 +203,7 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
           ).count())
     built["idx"].unpersist()
     fd.unpersist()
+    px.unpersist()
 
 
 def main() -> None:
