@@ -6015,6 +6015,50 @@ SELECT date,
 FROM ic"""
 
 
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-engine surface over the prebuilt inverted index
+    (scale.text.build_inverted_index + search_terms): the query's term
+    filter prunes the postings scan, doc frequencies and build-time
+    corpus stats broadcast, and the top-k is orderBy+limit —
+    TakeOrderedAndProject, never a global sort. Ties break on rounded
+    score then id (engine-stable)."""
+    from alphalens_spark.scale.text import build_inverted_index, search_terms
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    postings, stats = build_inverted_index(docs)
+    return _finalize(
+        search_terms(postings, stats, ["join", "scan", "window"], k=15)
+    )
+
+
+ORACLES["search_bm25_topk"] = r"""
+WITH dl AS MATERIALIZED (
+  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\s+')) AS dl
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, t, count(*) AS tf
+  FROM w WHERE t IN ('join', 'scan', 'window') GROUP BY 1, 2
+),
+stats AS MATERIALIZED (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS MATERIALIZED (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         count(*) AS n_terms_matched,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, n_terms_matched, bm25
+FROM sc ORDER BY bm25 DESC, doc_id LIMIT 15"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6180,6 +6224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_price_ols": q_supplier_price_ols,
     "cross_source_dups": q_cross_source_dups,
     "rolling_mean_ic": q_rolling_mean_ic,
+    "search_bm25_topk": q_search_bm25_topk,
 }
 
 # ---------------------------------------------------------------------------

@@ -791,3 +791,83 @@ def bigram_pmi(
         F.round(pmi, 6).alias("pmi"),
         F.round(pmi / -F.log(p_ab), 6).alias("npmi"),
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable retrieval artifact: ``(postings, stats)``.
+
+    postings = (term, doc_id, tf, dl) — one row per distinct term
+    occurrence set, the classic inverted index denormalized with the
+    document length so scoring needs no side join. stats = the 1-row
+    (n_docs, avgdl) corpus aggregate captured AT BUILD TIME (search must
+    not rescan the corpus for it).
+
+    At scale: write postings bucketed (or partitioned) by ``term`` so a
+    query's scan prunes to its terms' posting lists;
+    :func:`alphalens_spark.storage` has the bucketed-writer machinery.
+    One explode + one (term, doc) groupBy — linear, map-side partials.
+    """
+    toks = _tokens(text_col)
+    base = docs.select(F.col(id_col), F.size(toks).alias("dl"), toks.alias("_ts"))
+    postings = (
+        base.select(id_col, "dl", F.explode("_ts").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return postings, stats
+
+
+def search_terms(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    require_all: bool = False,
+) -> DataFrame:
+    """Top-k BM25 search over a prebuilt inverted index — the query-time
+    half of :func:`build_inverted_index`, same scoring model as
+    :func:`bm25_scores` (probabilistic idf with Lucene's +1 floor).
+
+    Plan shape: the term filter lands on the postings scan (partition/
+    bucket pruning when the index is laid out by term), document
+    frequencies are a ≤|terms|-row broadcast, corpus stats the build-time
+    1-row broadcast, and the final top-k is orderBy+limit —
+    TakeOrderedAndProject (per-partition heaps + driver merge of k·P
+    rows), never a global sort or single-partition window.
+    ``require_all=True`` keeps only docs matching every query term
+    (conjunctive / AND semantics). Ties break on rounded score then id —
+    deterministic across engines and partitionings.
+
+    Output: (doc_id, n_terms_matched, bm25), k rows.
+    """
+    q = sorted(set(terms))
+    cand = postings.where(F.col("term").isin(q))
+    dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        cand.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6
+            ).alias("bm25"),
+        )
+    )
+    if require_all:
+        scored = scored.where(F.col("n_terms_matched") == len(q))
+    return scored.orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    ).limit(k)

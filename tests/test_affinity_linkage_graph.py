@@ -351,3 +351,42 @@ def test_cross_source_dup_matrix(spark):
         ("s1", "s2"): (2, 1),
         ("s2", "s3"): (1, 1),
     }
+
+
+def test_inverted_index_search(spark):
+    from alphalens_spark.scale.text import (
+        bm25_scores,
+        build_inverted_index,
+        search_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join scan window join"),
+            (2, "join the window"),
+            (3, "scan scan scan"),
+            (4, "nothing relevant here"),
+            (5, "join scan window all three"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, stats = build_inverted_index(docs)
+    # index shape: tf of ("join", doc 1) is 2; dl carried on the posting
+    prow = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in postings.collect()
+    }
+    assert prow[("join", 1)] == (2, 5)
+    terms = ["join", "scan", "window"]
+    top = search_terms(postings, stats, terms, k=10).collect()
+    # search scores equal the corpus-scan scorer for matched docs
+    want = {
+        r["doc_id"]: round(r["bm25"], 6)
+        for r in bm25_scores(docs, terms).collect()
+        if r["n_terms_matched"] > 0
+    }
+    got = {r["doc_id"]: r["bm25"] for r in top}
+    assert got == want
+    # conjunctive mode keeps only docs matching all three terms
+    allm = search_terms(postings, stats, terms, k=10, require_all=True).collect()
+    assert {r["doc_id"] for r in allm} == {1, 5}
