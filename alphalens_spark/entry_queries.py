@@ -6059,6 +6059,29 @@ SELECT doc_id, n_terms_matched, bm25
 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 15"""
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge training (scale.text.bpe_train, Sennrich
+    et al. 2016): 6 merge rounds over the word-frequency table — the
+    only corpus-sized stage is the initial token count; each round is a
+    vocabulary-sized pair groupBy, a 1-row argmax, and an array-HOF
+    greedy merge, localCheckpointed. Deterministic tie-break
+    (count DESC, pair ASC); the oracle replays the identical fold as
+    unrolled list-lambda CTEs (scale.text.bpe_sql)."""
+    from alphalens_spark.scale.text import bpe_train
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=6)
+
+
+def _bpe_merges_oracle() -> str:
+    from alphalens_spark.scale.text import bpe_sql
+
+    return bpe_sql(6)
+
+
+ORACLES["bpe_merges"] = _bpe_merges_oracle()
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6225,6 +6248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_source_dups": q_cross_source_dups,
     "rolling_mean_ic": q_rolling_mean_ic,
     "search_bm25_topk": q_search_bm25_topk,
+    "bpe_merges": q_bpe_merges,
 }
 
 # ---------------------------------------------------------------------------

@@ -871,3 +871,261 @@ def search_terms(
     return scored.orderBy(
         F.col("bm25").desc(), F.col(id_col)
     ).limit(k)
+
+
+def _bpe_word_table(
+    docs: DataFrame, text_col: str, id_col: str, min_freq: int
+) -> DataFrame:
+    """(syms, freq) word-frequency table: each distinct corpus token as
+    its character-symbol array + '</w>' end marker, weighted by corpus
+    occurrence count. BPE training state is VOCABULARY-sized — the one
+    corpus-sized stage is this initial token count."""
+    w = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if min_freq > 1:
+        w = w.where(F.col("freq") >= min_freq)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return w.select(
+        F.concat(chars, F.array(F.lit("</w>"))).alias("syms"), "freq"
+    )
+
+
+def _bpe_apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
+    """Apply one BPE merge (a, b) → ab to a symbol array, greedy
+    left-to-right non-overlapping — the Sennrich reference semantics.
+
+    Pure array HOFs: candidate positions (j, j+1), a fold selecting the
+    greedy non-overlapping subset (a position is taken iff it doesn't
+    touch the previously taken one), then a rebuild that emits the
+    merged symbol at taken positions and drops their right halves.
+    Everything is per-word (≤ word length) — vocabulary-sized work.
+    """
+    av, bv = F.lit(a), F.lit(b)
+    js = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(syms) - 1, F.lit(1))),
+        lambda j: (F.size(syms) >= 2)
+        & (F.element_at(syms, j) == av)
+        & (F.element_at(syms, F.least(j + 1, F.size(syms))) == bv),
+    )
+    sel = F.aggregate(
+        js,
+        F.array(F.lit(-2)),
+        lambda acc, j: F.when(
+            j > F.element_at(acc, F.size(acc)) + 1, F.concat(acc, F.array(j))
+        ).otherwise(acc),
+    )
+    sel = F.slice(sel, 2, F.greatest(F.size(sel) - 1, F.lit(0)))
+    rebuilt = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms)),
+            lambda i: F.when(
+                F.array_contains(sel, i),
+                F.concat(
+                    F.element_at(syms, i),
+                    F.element_at(syms, F.least(i + 1, F.size(syms))),
+                ),
+            )
+            .when(F.array_contains(sel, i - 1), F.lit(None))
+            .otherwise(F.element_at(syms, i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return rebuilt
+
+
+def _bpe_driver(vocab: dict, n_merges: int) -> list[tuple]:
+    """Driver-local merge rounds over a BOUNDED collected vocabulary
+    (callers guard size). Identical recurrence and tie-break as the
+    distributed loop."""
+    from collections import Counter
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, int(cnt)))
+        new_vocab: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 1,
+    small_vocab: int = 200_000,
+) -> DataFrame:
+    """Distributed BPE-merge training (Sennrich et al. 2016): repeat
+    n_merges times — count adjacent symbol pairs weighted by word
+    frequency, take the most frequent (ties: lexicographically smallest
+    (a, b) — fully deterministic), merge it greedily left-to-right in
+    every word.
+
+    Scale shape: the ONLY corpus-sized stage is the initial token
+    count; every training round runs on the word-frequency table
+    (vocabulary-sized) — one pair-explode groupBy (map-side partials),
+    a 1-row argmax collected to the driver (the bounded-scalar
+    contract), and a pure array-HOF merge projection, with the state
+    localCheckpointed per round (iterative-algorithm discipline).
+    Matches a pure-Python reference implementation symbol-for-symbol
+    (tested); replays in SQL via :func:`bpe_sql`.
+
+    Output: (step, a, b, merged, pair_count) — one row per learned
+    merge, the tokenizer's merge table.
+
+    Small-vocabulary fast path (``small_vocab`` guard): when the DISTINCT
+    word table is bounded, the merge rounds run driver-local on the
+    collected frequency dict — the same guarded bounded-state precedent
+    as pagerank's small-graph solve and pca_fit's driver eigh; the
+    distributed loop pays ~3 scheduled jobs per round for microseconds
+    of arithmetic. Both paths are equality-tested against the
+    pure-Python reference.
+    """
+    words = _bpe_word_table(docs, text_col, id_col, min_freq)
+    spark = docs.sparkSession
+    if small_vocab:
+        head = words.limit(small_vocab + 1).collect()
+        if len(head) <= small_vocab:
+            vocab = {tuple(r["syms"]): r["freq"] for r in head}
+            return spark.createDataFrame(
+                _bpe_driver(vocab, n_merges),
+                "step int, a string, b string, merged string, pair_count long",
+            )
+    words = words.localCheckpoint(eager=True)
+    out = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda j: F.struct(
+                                F.element_at("syms", j).alias("a"),
+                                F.element_at(
+                                    "syms", (j + 1).cast("int")
+                                ).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a"), F.col("b")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        out.append((step, a, b, a + b, int(cnt)))
+        words = words.select(
+            _bpe_apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "step int, a string, b string, merged string, pair_count long"
+    )
+
+
+def bpe_sql(
+    n_merges: int = 6,
+    table: str = "documents",
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`bpe_train` for value oracles:
+    each merge round is a pair-count CTE, a 1-row argmax CTE, and a
+    list-lambda merge-apply CTE (list_reduce greedy selection — the
+    exact fold :func:`_bpe_apply_merge` runs). Returns the same
+    (step, a, b, merged, pair_count) merge table.
+    """
+    minf = f"HAVING count(*) >= {min_freq}" if min_freq > 1 else ""
+    parts = [
+        f"""WITH wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS word
+    FROM {table}
+  ) WHERE word <> '' GROUP BY word {minf}
+),
+w0 AS MATERIALIZED (
+  SELECT list_append(
+           list_transform(range(1, len(word) + 1), i -> word[i:i]), '</w>'
+         ) AS syms, freq
+  FROM wf
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT syms[j] AS a, syms[j + 1] AS b, sum(freq) AS cnt
+  FROM w{p}, unnest(range(1, len(syms))) AS t(j)
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+),
+m{i} AS MATERIALIZED (
+  SELECT syms, freq,
+         CASE WHEN len(js) = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_reduce(
+                     list_transform(js, j -> [j]),
+                     (acc, x) -> CASE WHEN x[1] > acc[-1] + 1
+                                      THEN list_concat(acc, x)
+                                      ELSE acc END)
+         END AS sel
+  FROM (
+    SELECT syms, freq,
+           CASE WHEN len(syms) < 2 THEN CAST([] AS BIGINT[])
+                ELSE list_filter(range(1, len(syms)),
+                       j -> syms[j] = best{i}.a
+                            AND syms[j + 1] = best{i}.b)
+           END AS js
+    FROM w{p} CROSS JOIN best{i})
+),
+w{i} AS MATERIALIZED (
+  SELECT list_filter(
+           list_transform(range(1, len(syms) + 1),
+             i2 -> CASE WHEN list_contains(sel, i2)
+                        THEN syms[i2] || syms[i2 + 1]
+                        WHEN list_contains(sel, i2 - 1) THEN NULL
+                        ELSE syms[i2] END),
+           x -> x IS NOT NULL) AS syms, freq
+  FROM m{i}
+)"""
+        )
+    body = ",\n".join(parts)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, a, b, a || b AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"{body}\n{selects}"

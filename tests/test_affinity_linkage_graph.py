@@ -390,3 +390,65 @@ def test_inverted_index_search(spark):
     # conjunctive mode keeps only docs matching all three terms
     allm = search_terms(postings, stats, terms, k=10, require_all=True).collect()
     assert {r["doc_id"] for r in allm} == {1, 5}
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python Sennrich BPE on word frequencies."""
+    from collections import Counter
+
+    freq = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                freq[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in freq.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((step, a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from alphalens_spark.scale.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "a tall tale to tell",
+        "lower lowest low low lower",
+        "aaa aa aaaa",  # adjacent-overlap chains exercise greedy merge
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (3, 8):
+        want = _bpe_reference(texts, n)
+        # driver fast path (default guard) and distributed loop
+        # (small_vocab=0) must both match the reference
+        got_fast = [tuple(r) for r in bpe_train(docs, n_merges=n).collect()]
+        got_dist = [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=n, small_vocab=0).collect()
+        ]
+        assert got_fast == want, n
+        assert got_dist == want, n
