@@ -6082,6 +6082,27 @@ def _bpe_merges_oracle() -> str:
 ORACLES["bpe_merges"] = _bpe_merges_oracle()
 
 
+def q_bpe_vocab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application (scale.text.bpe_segment_vocab): every
+    vocabulary word segmented with the 6 learned BPE merges — each merge
+    is one array-HOF projection chained over the vocabulary table; an
+    encoder joins this (word → pieces) map onto documents
+    order-preservingly, so encode cost is one broadcast join."""
+    from alphalens_spark.scale.text import bpe_segment_vocab
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(bpe_segment_vocab(docs, n_merges=6))
+
+
+def _bpe_segments_oracle() -> str:
+    from alphalens_spark.scale.text import bpe_segment_sql
+
+    return bpe_segment_sql(6)
+
+
+ORACLES["bpe_vocab_segments"] = _bpe_segments_oracle()
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6249,6 +6270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_mean_ic": q_rolling_mean_ic,
     "search_bm25_topk": q_search_bm25_topk,
     "bpe_merges": q_bpe_merges,
+    "bpe_vocab_segments": q_bpe_vocab_segments,
 }
 
 # ---------------------------------------------------------------------------

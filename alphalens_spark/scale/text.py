@@ -1129,3 +1129,84 @@ w{i} AS MATERIALIZED (
         for i in range(1, n_merges + 1)
     )
     return f"{body}\n{selects}"
+
+
+def bpe_segment_vocab(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Tokenizer application: segment every vocabulary word with the
+    merges :func:`bpe_train` learns — the (word → pieces) table an
+    encoder joins onto documents (order-preserving, the vocab_encode
+    pattern), so encoding N tokens costs one broadcast join no matter
+    how long the merge list is.
+
+    Each learned merge applies as one array-HOF projection over the
+    vocabulary table (chained, n_merges deep — vocabulary-sized work).
+    Output: (word, pieces, n_pieces, freq), pieces space-joined.
+    """
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe_train(
+            docs, n_merges, text_col, id_col, min_freq
+        ).collect()
+    ]
+    w = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if min_freq > 1:
+        w = w.where(F.col("freq") >= min_freq)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    out = w.select(
+        "word",
+        F.concat(chars, F.array(F.lit("</w>"))).alias("syms"),
+        "freq",
+    )
+    for a, b in merges:
+        out = out.select(
+            "word", _bpe_apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
+        )
+    return out.select(
+        "word",
+        F.concat_ws(" ", "syms").alias("pieces"),
+        F.size("syms").alias("n_pieces"),
+        "freq",
+    )
+
+
+def bpe_segment_sql(
+    n_merges: int = 6,
+    table: str = "documents",
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> str:
+    """SQL twin of :func:`bpe_segment_vocab`: the :func:`bpe_sql` round
+    chain with the word key carried through, final select = the
+    segmented vocabulary."""
+    sql = bpe_sql(n_merges, table, text_col, min_freq)
+    # carry the word through every round CTE
+    sql = sql.replace(
+        "SELECT list_append(\n           list_transform(range(1, len(word) + 1), i -> word[i:i]), '</w>'\n         ) AS syms, freq\n  FROM wf",
+        "SELECT word, list_append(\n           list_transform(range(1, len(word) + 1), i -> word[i:i]), '</w>'\n         ) AS syms, freq\n  FROM wf",
+    )
+    sql = sql.replace("SELECT syms, freq,", "SELECT word, syms, freq,")
+    sql = sql.replace(
+        "  SELECT list_filter(", "  SELECT word, list_filter("
+    )
+    # replace the merge-table union tail with the segments select
+    tail_start = sql.index("\nSELECT 1 AS step,")
+    n = n_merges
+    return (
+        sql[:tail_start]
+        + f"\nSELECT word, array_to_string(syms, ' ') AS pieces, "
+        f"len(syms) AS n_pieces, freq FROM w{n}"
+    )
