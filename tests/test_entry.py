@@ -108,6 +108,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "bigram_collocations",
         # 1-row total-basket-count broadcast for the pmi term
         "copurchase_similarity",
+        # the build-time 1-row corpus-stats broadcast (n_docs, avgdl)
+        "search_bm25_topk",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
