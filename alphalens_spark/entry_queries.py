@@ -6103,6 +6103,79 @@ def _bpe_segments_oracle() -> str:
 ORACLES["bpe_vocab_segments"] = _bpe_segments_oracle()
 
 
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout (events.ab_test_ztest): user-level
+    view→purchase conversion per md5-hash-bucket variant, pooled
+    two-proportion z between the buckets. One user aggregation, one
+    variant groupBy, a variant-dimension pair join — nothing user-sized
+    past the first shuffle."""
+    from alphalens_spark.events import ab_test_ztest
+    from alphalens_spark.scale.dedup import md5_long
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    assignment = F.pmod(
+        md5_long(F.col("user_id").cast("string"), 15), F.lit(2)
+    ).cast("int")
+    return _finalize(ab_test_ztest(ev, assignment))
+
+
+ORACLES["ab_test_ztest"] = r"""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2 AS INT) AS variant,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+pv AS MATERIALIZED (
+  SELECT variant, count(*) AS n, sum(conv) AS conv
+  FROM per_user WHERE exposed = 1 GROUP BY 1
+)
+SELECT a.variant AS variant_a, b.variant AS variant_b,
+       a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+       round(a.conv / a.n, 6) AS rate_a,
+       round(b.conv / b.n, 6) AS rate_b,
+       round((a.conv / a.n - b.conv / b.n)
+             / sqrt(((a.conv + b.conv) / (a.n + b.n))
+                    * (1 - (a.conv + b.conv) / (a.n + b.n))
+                    * (1.0 / a.n + 1.0 / b.n)), 6) AS z
+FROM pv a JOIN pv b ON a.variant < b.variant"""
+
+
+def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline scoring (events.seasonal_naive_eval): daily
+    event volume vs its 7-day-lagged seasonal-naive prediction —
+    MAE/RMSE/sMAPE per event type, calendar lag via a day−7 self-join
+    on the daily rollup (date-dimension-sized)."""
+    from alphalens_spark.events import seasonal_naive_eval
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(seasonal_naive_eval(ev, season_days=7))
+
+
+ORACLES["seasonal_naive_eval"] = r"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS etype,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.etype, d.n, p.n AS n_pred
+  FROM daily d JOIN daily p
+    ON d.etype = p.etype AND p.day = d.day - INTERVAL 7 DAY
+)
+SELECT etype, count(*) AS n_days,
+       round(avg(abs(n - n_pred)), 6) AS mae,
+       round(sqrt(avg((n - n_pred) * (n - n_pred))), 6) AS rmse,
+       round(avg(abs(n - n_pred) / ((abs(n) + abs(n_pred)) / 2)), 6)
+         AS smape
+FROM scored GROUP BY 1"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6271,6 +6344,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_bm25_topk": q_search_bm25_topk,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab_segments": q_bpe_vocab_segments,
+    "ab_test_ztest": q_ab_test_ztest,
+    "seasonal_naive_eval": q_seasonal_naive_eval,
 }
 
 # ---------------------------------------------------------------------------

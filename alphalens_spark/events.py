@@ -602,3 +602,109 @@ def transition_edges(
         e.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
+
+
+def ab_test_ztest(
+    events: DataFrame,
+    assignment: Column,
+    success_type: str = "purchase",
+    exposure_type: str = "view",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion z-test over an experiment assignment — the classic
+    A/B readout: per variant, exposed users and converted users
+    (user-level, not event-level: a user converts once no matter how
+    many purchases), then the pooled two-proportion z statistic between
+    every variant pair.
+
+    ``assignment`` is any deterministic Column over the user key (e.g. a
+    hash-bucket expression — pass ``F.pmod(xxhash64(user), 2)`` — or a
+    real variant column). Output: one row per ordered variant pair
+    (variant_a, variant_b, n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+    z) with z = (p_a − p_b) / sqrt(p(1−p)(1/n_a + 1/n_b)), p pooled;
+    NULL when a variant has no exposure (try_divide contract).
+
+    Scale shape: one user-level aggregation (exposed/converted flags by
+    max — map-side combinable), one variant groupBy on its output, and
+    a variant×variant join over the VARIANT DIMENSION (a handful of
+    rows). Nothing user-sized past the first aggregation.
+    """
+    per_user = (
+        events.where(F.col(type_col).isin([success_type, exposure_type]))
+        .select(
+            F.col(user_col).alias("_u"),
+            assignment.alias("variant"),
+            (F.col(type_col) == exposure_type).cast("int").alias("_e"),
+            (F.col(type_col) == success_type).cast("int").alias("_s"),
+        )
+        .groupBy("_u", "variant")
+        .agg(F.max("_e").alias("_exposed"), F.max("_s").alias("_conv"))
+        .where(F.col("_exposed") == 1)
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_conv").alias("conv"),
+    )
+    a = per_variant.select(
+        F.col("variant").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("conv").alias("conv_a"),
+    )
+    b = per_variant.select(
+        F.col("variant").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("conv").alias("conv_b"),
+    )
+    j = a.join(b, F.col("variant_a") < F.col("variant_b"))
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return j.select(
+        "variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
+        (F.round(p_a, 6) + F.lit(0.0)).alias("rate_a"),
+        (F.round(p_b, 6) + F.lit(0.0)).alias("rate_b"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+def seasonal_naive_eval(
+    events: DataFrame,
+    season_days: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Forecast-baseline evaluation: score the seasonal-naive predictor
+    (count(day) ≈ count(day − season)) per event type — the sanity
+    baseline every volume-forecasting pipeline must beat, and a drift
+    alarm when a series stops being seasonal.
+
+    Per (type, day): actual count and the season-lagged prediction
+    (calendar LAG via a self-join on day − season, so missing days
+    predict nothing rather than silently shifting the series); then per
+    type: n scored days, MAE, RMSE and sMAPE over days with a
+    prediction. One date-dimension-sized aggregation after the daily
+    rollup — nothing event-sized past the first groupBy.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("etype"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pred = daily.select(
+        "etype",
+        (F.col("day") + F.expr(f"INTERVAL {season_days} DAYS")).alias("day"),
+        F.col("n").alias("n_pred"),
+    )
+    scored = daily.join(pred, ["etype", "day"])
+    err = F.col("n") - F.col("n_pred")
+    smape_term = F.abs(err) / ((F.abs(F.col("n")) + F.abs(F.col("n_pred"))) / 2)
+    return scored.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.round(F.avg(F.abs(err)), 6) + F.lit(0.0)).alias("mae"),
+        (F.round(F.sqrt(F.avg(err * err)), 6) + F.lit(0.0)).alias("rmse"),
+        (F.round(F.avg(smape_term), 6) + F.lit(0.0)).alias("smape"),
+    )

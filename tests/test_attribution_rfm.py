@@ -346,3 +346,53 @@ def test_groupwise_ols(spark):
     assert out["b"]["intercept"] == pytest.approx(want_int, abs=1e-5)
     assert 0.9 < out["b"]["r2"] <= 1.0
     assert out["c"]["slope"] is None and out["c"]["r2"] is None
+
+
+def test_ab_test_ztest_known_values(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.events import ab_test_ztest
+
+    rows = []
+    eid = 0
+    # variant 0: users 0..9 exposed, 4 convert; variant 1: users 10..19
+    # exposed, 8 convert
+    for u in range(20):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1), u, "view"))
+        converts = (u < 4) if u < 10 else (u < 18)
+        if converts:
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 2), u, "purchase"))
+    # a purchase by an unexposed user is excluded from rates
+    rows.append((999, dt.datetime(2024, 1, 2), 99, "purchase"))
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = ab_test_ztest(df, (F.col("user_id") >= 10).cast("int")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (10, 4, 10, 8)
+    p, q = 0.4, 0.8
+    pool = 0.6
+    want_z = (p - q) / math.sqrt(pool * (1 - pool) * (1 / 10 + 1 / 10))
+    assert r["z"] == pytest.approx(want_z, abs=1e-6)
+
+
+def test_seasonal_naive_eval(spark):
+    from alphalens_spark.events import seasonal_naive_eval
+
+    rows = []
+    eid = 0
+    # perfectly weekly series: counts 1,2,3,... repeating with period 7
+    for d in range(21):
+        for _ in range(1 + d % 7):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + d), 1, "click"))
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = seasonal_naive_eval(df, season_days=7).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 14 scored days (days 8..21), all predictions exact
+    assert r["n_days"] == 14
+    assert r["mae"] == 0.0 and r["rmse"] == 0.0 and r["smape"] == 0.0
