@@ -6176,6 +6176,48 @@ SELECT etype, count(*) AS n_days,
 FROM scored GROUP BY 1"""
 
 
+def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (events.funnel within_hours=48): each
+    hop must land within 48 h of the previous stage — the
+    Amplitude-style bounded funnel; same chained conditional-min plan
+    as the unbounded form."""
+    from alphalens_spark.events import funnel
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "view", "purchase"], within_hours=48)
+
+
+ORACLES["event_funnel_windowed"] = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM e GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, s1.t_signup,
+         min(CASE WHEN e.event_type = 'view' AND e.ts > s1.t_signup
+                   AND e.ts <= s1.t_signup + INTERVAL 48 HOUR
+                  THEN e.ts END) AS t_view
+  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2
+),
+s3 AS (
+  SELECT e.user_id, s2.t_signup, s2.t_view,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_view
+                   AND e.ts <= s2.t_view + INTERVAL 48 HOUR
+                  THEN e.ts END) AS t_purchase
+  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3
+)
+SELECT user_id, t_signup, t_view, t_purchase,
+       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                 WHEN t_view IS NOT NULL THEN 2
+                 WHEN t_signup IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM s3"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6346,6 +6388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_vocab_segments": q_bpe_vocab_segments,
     "ab_test_ztest": q_ab_test_ztest,
     "seasonal_naive_eval": q_seasonal_naive_eval,
+    "event_funnel_windowed": q_event_funnel_windowed,
 }
 
 # ---------------------------------------------------------------------------

@@ -53,10 +53,14 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_hours: float | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: stage k's time is the MIN event time
-    strictly after stage k-1's. One conditional-min aggregation per
-    stage, chained by per-user joins (tiny per-user dims). Output:
+    strictly after stage k-1's — and, with ``within_hours``, no later
+    than that many hours after it (the Amplitude-style conversion
+    window: a purchase a month after the click is not a funnel
+    conversion). One conditional-min aggregation per stage, chained by
+    per-user joins (tiny per-user dims). Output:
     (user, t_<stage>..., stage int = how far the user got)."""
     if not stages:
         raise ValueError("at least one stage required")
@@ -74,7 +78,16 @@ def funnel(
                 F.min(
                     F.when(
                         (F.col(type_col) == cur)
-                        & (F.col(ts_col) > F.col(f"t_{prev}")),
+                        & (F.col(ts_col) > F.col(f"t_{prev}"))
+                        & (
+                            F.lit(True)
+                            if within_hours is None
+                            else F.col(ts_col)
+                            <= F.col(f"t_{prev}")
+                            + F.expr(
+                                f"INTERVAL {int(within_hours * 3600)} SECONDS"
+                            )
+                        ),
                         F.col(ts_col),
                     )
                 ).alias(f"t_{cur}")

@@ -396,3 +396,22 @@ def test_seasonal_naive_eval(spark):
     # 14 scored days (days 8..21), all predictions exact
     assert r["n_days"] == 14
     assert r["mae"] == 0.0 and r["rmse"] == 0.0 and r["smape"] == 0.0
+
+
+def test_funnel_within_hours(spark):
+    from alphalens_spark.events import funnel
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, "signup"),
+        (2, dt.datetime(2024, 1, 1, 10), 1, "view"),      # within 48h
+        (3, dt.datetime(2024, 1, 5, 0), 1, "purchase"),   # > 48h after view
+        (4, dt.datetime(2024, 1, 1, 0), 2, "signup"),
+        (5, dt.datetime(2024, 1, 4, 0), 2, "view"),       # > 48h after signup
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    unbounded = {r["user_id"]: r["stage"] for r in funnel(
+        df, ["signup", "view", "purchase"]).collect()}
+    bounded = {r["user_id"]: r["stage"] for r in funnel(
+        df, ["signup", "view", "purchase"], within_hours=48).collect()}
+    assert unbounded == {1: 3, 2: 2}
+    assert bounded == {1: 2, 2: 1}
