@@ -6218,6 +6218,43 @@ SELECT user_id, t_signup, t_view, t_purchase,
 FROM s3"""
 
 
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under a full value oracle: embeddings render as
+    genuine RIFF/WAVE PCM16 clips (scale.multimodal.embeddings_as_wav),
+    the numpy RIFF chunk-walker parses them back (parse_wav), and the
+    exact-integer sample stats + zero-crossing counts replay in SQL.
+    With netpbm (images) and WAV (audio) both real, the multimodal stub
+    boundary is entropy-coded formats only."""
+    from alphalens_spark.scale.multimodal import (
+        embeddings_as_wav,
+        wav_sample_stats,
+    )
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    media = embeddings_as_wav(emb, n_samples=64, sample_rate=8000)
+    return wav_sample_stats(media)
+
+
+ORACLES["wav_decode_stats"] = r"""
+WITH sm AS MATERIALIZED (
+  SELECT vec_id AS media_id,
+         list_transform(embedding[1:64], x ->
+           CAST(floor(least(greatest(CAST(x AS DOUBLE), -1.0), 1.0)
+                      * 32767.0) AS BIGINT)) AS s
+  FROM embeddings
+)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(len(s) AS INT) AS n_samples,
+       CAST(list_sum(s) AS BIGINT) AS s_sum,
+       CAST(list_min(s) AS INT) AS s_min,
+       CAST(list_max(s) AS INT) AS s_max,
+       CAST(len(list_filter(range(1, len(s)),
+                 i -> (s[i] >= 0) <> (s[i + 1] >= 0))) AS INT)
+         AS zero_crossings
+FROM sm"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6389,6 +6426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_test_ztest": q_ab_test_ztest,
     "seasonal_naive_eval": q_seasonal_naive_eval,
     "event_funnel_windowed": q_event_funnel_windowed,
+    "wav_decode_stats": q_wav_decode_stats,
 }
 
 # ---------------------------------------------------------------------------

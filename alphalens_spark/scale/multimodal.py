@@ -457,3 +457,166 @@ def netpbm_pixel_stats(media: DataFrame) -> DataFrame:
             "px_sum long, px_min int, px_max int"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL audio codec: RIFF/WAVE PCM16 (pure numpy + struct — PCM is not
+# entropy-coded, so like netpbm it needs no external library; the stub
+# boundary shrinks to entropy-coded formats: JPEG/PNG, MP3/AAC, video)
+# --------------------------------------------------------------------------
+
+WAV_SCHEMA = (
+    "media_id bigint, payload binary, mime string, sample_rate int, "
+    "n_samples int, n_bytes bigint"
+)
+
+
+def make_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode an int16 mono sample array as a genuine RIFF/WAVE PCM
+    file (44-byte canonical header + little-endian samples)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def parse_wav(payload: bytes):
+    """Decode RIFF/WAVE PCM16 mono bytes → (int16 numpy array,
+    sample_rate). Walks the chunk list (fmt may be followed by LIST/fact
+    chunks before data). Raises ValueError on malformed or unsupported
+    input — errors surface per item, never kill the task."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    if payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, channels, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError("only PCM16 mono supported")
+    if len(data) % 2:
+        raise ValueError("odd data length for 16-bit samples")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def embeddings_as_wav(
+    emb: DataFrame,
+    n_samples: int = 64,
+    sample_rate: int = 8000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a real PCM16 WAV clip (samples quantized
+    s = floor(clip(x, −1, 1) · 32767)) — a deterministic audio corpus
+    synthesized from driver data so the REAL decode path gets a full
+    value oracle (the quantization replays in SQL). Arrow-batched."""
+    import numpy as np
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nb = [], []
+            for vec in pdf[vec_col]:
+                v = np.asarray(vec, dtype=np.float64)[:n_samples]
+                s = np.floor(np.clip(v, -1.0, 1.0) * 32767.0).astype("<i2")
+                p = make_wav(s, sample_rate)
+                payloads.append(p)
+                nb.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "sample_rate": pd.array(
+                        [sample_rate] * len(pdf), dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [n_samples] * len(pdf), dtype="Int32"
+                    ),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(_encode, schema=WAV_SCHEMA)
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode audio summary with exact-integer outputs
+    (oracle-friendly): per clip (media_id, sample_rate, n_samples,
+    s_sum, s_min, s_max, zero_crossings) from the actually-parsed PCM —
+    zero_crossings counts sign-boundary flips ((s_i ≥ 0) ≠ (s_{i+1} ≥ 0)),
+    the classic cheap voiced/unvoiced feature. Malformed payloads →
+    NULL stats."""
+    import struct
+
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, sums, mins, maxs, zcs = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    s, rate = parse_wav(payload)
+                    if len(s) == 0:
+                        raise ValueError("empty clip")
+                    nn = (s >= 0).astype(np.int8)
+                    rates.append(rate)
+                    ns.append(len(s))
+                    sums.append(int(s.astype(np.int64).sum()))
+                    mins.append(int(s.min()))
+                    maxs.append(int(s.max()))
+                    zcs.append(int(np.count_nonzero(nn[1:] != nn[:-1])))
+                except (ValueError, struct.error):
+                    rates.append(None)
+                    ns.append(None)
+                    sums.append(None)
+                    mins.append(None)
+                    maxs.append(None)
+                    zcs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                    "s_sum": pd.array(sums, dtype="Int64"),
+                    "s_min": pd.array(mins, dtype="Int32"),
+                    "s_max": pd.array(maxs, dtype="Int32"),
+                    "zero_crossings": pd.array(zcs, dtype="Int32"),
+                }
+            )
+
+    out_schema = (
+        "media_id bigint, sample_rate int, n_samples int, s_sum bigint, "
+        "s_min int, s_max int, zero_crossings int"
+    )
+    return media.select("media_id", "payload").mapInPandas(
+        _stats, schema=out_schema
+    )

@@ -234,3 +234,48 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.table("sij").collect()
     }
     assert got == batch
+
+
+def test_wav_roundtrip_and_malformed(spark):
+    import numpy as np
+
+    from alphalens_spark.scale.multimodal import make_wav, parse_wav
+
+    s = np.array([0, 100, -200, 32767, -32768, 5], dtype="<i2")
+    payload = make_wav(s, 8000)
+    back, rate = parse_wav(payload)
+    assert rate == 8000
+    assert np.array_equal(back, s)
+    import pytest as _pytest
+
+    for bad in (b"", b"RIFFxxxx", payload[:40], b"RIFF" + payload[4:8] + b"AIFF"):
+        with _pytest.raises(ValueError):
+            parse_wav(bad)
+
+
+def test_wav_stats_end_to_end(spark):
+    import numpy as np
+
+    from alphalens_spark.scale.multimodal import (
+        embeddings_as_wav,
+        wav_sample_stats,
+    )
+
+    rows = [
+        (1, [0.5, -0.5, 1.5, -2.0]),    # clipped at +-1
+        (2, [0.0, 0.1, -0.1, 0.2]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    media = embeddings_as_wav(emb, n_samples=4, sample_rate=4000)
+    got = {r["media_id"]: r for r in wav_sample_stats(media).collect()}
+    q = lambda x: int(np.floor(np.clip(x, -1, 1) * 32767))
+    s1 = [q(x) for x in rows[0][1]]
+    assert got[1]["s_sum"] == sum(s1)
+    assert got[1]["s_min"] == min(s1) and got[1]["s_max"] == max(s1)
+    # signs: + - + - -> 3 crossings
+    assert got[1]["zero_crossings"] == 3
+    assert got[1]["sample_rate"] == 4000 and got[1]["n_samples"] == 4
+    s2 = [q(x) for x in rows[1][1]]
+    # signs: + + - + -> 2 crossings (0 counts as non-negative)
+    assert got[2]["zero_crossings"] == 2
+    assert got[2]["s_sum"] == sum(s2)
