@@ -34,10 +34,18 @@ Modules:
                 deploy gate, per-scan pruning/pushdown reports
   sources       Python DataSource V2: JSONL corpus source/sink with filter
                 pushdown; deterministic synthetic events batch + stream
+  graph         PageRank, triangle counting / clustering coefficients,
+                k-core peeling — each with an unrolled-CTE SQL twin
   scale         LLM-data-pipeline extensions: dedup, similarity (LSH/IVF/
-                IVF-PQ/JL), text (quality/BM25/LM-score), curation (Gopher/
-                C4/spans/chunking/packing/mixing/splits/funnel-report),
-                profile (sketches + histogram quantiles), skew, multimodal
+                IVF-PQ/JL), text (quality/BM25/LM-score, BPE training +
+                segmentation, inverted-index search, PMI collocations),
+                curation (Gopher/C4/spans/chunking/packing/mixing/splits),
+                profile (sketches + histogram quantiles), affinity (basket
+                co-occurrence / association rules / item similarity),
+                linkage (record matching + entity clusters), features
+                (target encoding, RFM, purged CV, rank normalization,
+                group-wise OLS), cdc, skew, multimodal (REAL netpbm + WAV
+                codecs; entropy-coded formats stubbed)
 """
 
 from alphalens_spark import calendar_ as calendar  # noqa: F401
