@@ -110,6 +110,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "copurchase_similarity",
         # the build-time 1-row corpus-stats broadcast (n_docs, avgdl)
         "search_bm25_topk",
+        # variant-dimension pair join (a handful of rows, non-equi <)
+        "ab_test_ztest",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
