@@ -1271,3 +1271,69 @@ def stream_weighted_sample(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def ivfpq_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One incremental vector-index maintenance step: encode the
+    arriving embeddings against FROZEN quantizers
+    (scale.similarity.encode_pq — cell assignment + PQ codes are pure
+    functions of the vector once training is done) and merge into the
+    persisted compressed index, deduping by id so checkpoint replays
+    are idempotent (newest batch wins).
+
+    This completes the ANN story for a live corpus: train once
+    (build_ivfpq), then stream adds at encode cost — the standard
+    IVF-ADC deployment (retrain only when the data distribution
+    drifts; compare cell-occupancy skew via skew_report to decide).
+    Store stays (id, cell, codes) — ~32x compressed; searches read it
+    with ivfpq_topk(index=...).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.similarity import encode_pq
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    enc = encode_pq(batch_df, centroids, codebooks, id_col, vec_col)
+    try:
+        old = spark.read.parquet(store_path)
+        merged = enc.unionByName(old).dropDuplicates([id_col])
+    except AnalysisException:  # first batch
+        merged = enc
+    merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+
+def stream_index_maintenance(
+    emb_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = False,
+):
+    """Maintain the IVF-PQ index store from an embedding stream via
+    foreachBatch over :func:`ivfpq_store_update`; searches read the
+    live index with ``spark.read.parquet(store_path)`` →
+    ``ivfpq_topk(index=...)`` without stopping the stream."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        ivfpq_store_update(
+            batch_df, store_path, centroids, codebooks, id_col, vec_col
+        )
+
+    w = emb_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

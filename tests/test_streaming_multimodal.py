@@ -279,3 +279,31 @@ def test_wav_stats_end_to_end(spark):
     # signs: + + - + -> 2 crossings (0 counts as non-negative)
     assert got[2]["zero_crossings"] == 2
     assert got[2]["s_sum"] == sum(s2)
+
+
+def test_ivfpq_store_incremental_equals_oneshot(spark, tmp_path):
+    from alphalens_spark.scale.similarity import build_ivfpq, encode_pq
+    from alphalens_spark.streaming.ops import ivfpq_store_update
+
+    from alphalens_spark import datasets
+
+    emb = datasets.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, books, _ = build_ivfpq(emb, n_cells=4, m_sub=4, ksub=8, iters=1)
+    rows = emb.collect()
+    store = str(tmp_path / "ivfpq")
+    schema = emb.schema
+    # three uneven batches, one id re-sent (replay must be idempotent)
+    batches = [rows[:100], rows[100:150], rows[150:] + rows[:1]]
+    for chunk in batches:
+        ivfpq_store_update(
+            spark.createDataFrame(chunk, schema), store, cents, books
+        )
+    got = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(store).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in encode_pq(emb, cents, books).collect()
+    )
+    assert got == want
