@@ -6255,6 +6255,65 @@ SELECT media_id,
 FROM sm"""
 
 
+def q_net_factor_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-adjusted factor returns (performance.net_factor_returns):
+    gross factor-weighted return minus 10 bps two-way cost on the
+    book's per-date weight turnover (full-outer adjacency join over the
+    broadcast date index — entering assets cost |w_t|, exiting
+    |w_{t−1}|) — the first-order realism check on the factor's
+    capturable alpha."""
+    from alphalens_spark import performance as p
+
+    fd = _fd(spark, sf_dir)
+    out = p.net_factor_returns(fd, PERIOD_COLS, cost_bps=10.0)
+    sel = [F.col("date"), F.col("turnover")]
+    for c in PERIOD_COLS:
+        sel.append(F.col(f"ret_{c}").alias(f"ret_{ALIAS[c]}"))
+        sel.append(F.col(f"net_{c}").alias(f"net_{ALIAS[c]}"))
+    return _finalize(out.select(*sel))
+
+
+ORACLES["net_factor_returns"] = f"""{_P},
+w AS (
+  SELECT date, asset, fwd_1p, fwd_5p,
+         factor - avg(factor) OVER (PARTITION BY date) AS fdm
+  FROM fd
+),
+w2 AS MATERIALIZED (
+  SELECT date, asset, fwd_1p, fwd_5p,
+         fdm / NULLIF(sum(abs(fdm)) OVER (PARTITION BY date), 0) AS wt
+  FROM w
+),
+di AS MATERIALIZED (
+  SELECT date, row_number() OVER (ORDER BY date) AS i
+  FROM (SELECT DISTINCT date FROM fd)
+),
+wts AS MATERIALIZED (
+  SELECT w2.asset, di.i, w2.wt FROM w2 JOIN di USING (date)
+),
+grid AS (
+  SELECT coalesce(c.asset, p.asset) AS asset, coalesce(c.i, p.i) AS i,
+         coalesce(c.wt, 0) AS wc, coalesce(p.wt, 0) AS wp
+  FROM wts c FULL OUTER JOIN
+       (SELECT asset, i + 1 AS i, wt FROM wts) p
+    ON c.asset = p.asset AND c.i = p.i
+),
+tov AS MATERIALIZED (
+  SELECT di.date, 0.5 * sum(abs(g.wc - g.wp)) AS turnover
+  FROM grid g JOIN di ON g.i = di.i GROUP BY 1
+),
+gross AS MATERIALIZED (
+  SELECT date, sum(wt * fwd_1p) AS r1, sum(wt * fwd_5p) AS r5
+  FROM w2 GROUP BY 1
+)
+SELECT g.date, round(t.turnover, 6) AS turnover,
+       round(g.r1, 6) AS ret_1p,
+       round(g.r1 - 0.002 * t.turnover, 6) AS net_1p,
+       round(g.r5, 6) AS ret_5p,
+       round(g.r5 - 0.002 * t.turnover, 6) AS net_5p
+FROM gross g JOIN tov t USING (date)"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6427,6 +6486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_naive_eval": q_seasonal_naive_eval,
     "event_funnel_windowed": q_event_funnel_windowed,
     "wav_decode_stats": q_wav_decode_stats,
+    "net_factor_returns": q_net_factor_returns,
 }
 
 # ---------------------------------------------------------------------------

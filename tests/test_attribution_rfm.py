@@ -415,3 +415,23 @@ def test_funnel_within_hours(spark):
         df, ["signup", "view", "purchase"], within_hours=48).collect()}
     assert unbounded == {1: 3, 2: 2}
     assert bounded == {1: 2, 2: 1}
+
+
+def test_weight_turnover_properties(spark):
+    from alphalens_spark.performance import weight_turnover
+
+    rows = []
+    # two dates, same 4 assets, factors flip sign between dates -> the
+    # long/short book fully reverses: turnover = gross (1.0)
+    for a, f1 in zip("abcd", [2.0, 1.0, -1.0, -2.0]):
+        rows.append((dt.datetime(2024, 1, 1), a, f1, 0.0))
+        rows.append((dt.datetime(2024, 1, 2), a, -f1, 0.0))
+        rows.append((dt.datetime(2024, 1, 3), a, -f1, 0.0))
+    fd = spark.createDataFrame(rows, "date timestamp, asset string, factor double, `1D` double")
+    out = {r["date"].day: r["turnover"] for r in weight_turnover(fd).collect()}
+    # day 1: establishing a gross-1 book costs 0.5
+    assert out[1] == pytest.approx(0.5)
+    # day 2: full reversal trades 2x gross -> one-way turnover 1.0
+    assert out[2] == pytest.approx(1.0)
+    # day 3: unchanged book -> zero turnover
+    assert out[3] == pytest.approx(0.0)
