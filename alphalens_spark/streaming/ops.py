@@ -1337,3 +1337,86 @@ def stream_index_maintenance(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def ab_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    assignment,
+    success_type: str = "purchase",
+    exposure_type: str = "view",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> None:
+    """One incremental experiment-readout maintenance step: fold the
+    arriving events into the per-(user, variant) exposure/conversion
+    flag store — flags merge by MAX (a user exposed once is exposed
+    forever), so the store equals the one-shot user aggregation of the
+    full history no matter how the stream was batched, and checkpoint
+    replays are idempotent. Store size is bounded by the exposed
+    population, not event volume.
+
+    ``assignment`` is the same deterministic Column contract as
+    :func:`alphalens_spark.events.ab_test_ztest`.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    flags = (
+        batch_df.where(F.col(type_col).isin([success_type, exposure_type]))
+        .select(
+            F.col(user_col).alias("user"),
+            assignment.alias("variant"),
+            (F.col(type_col) == exposure_type).cast("int").alias("exposed"),
+            (F.col(type_col) == success_type).cast("int").alias("conv"),
+        )
+        .groupBy("user", "variant")
+        .agg(F.max("exposed").alias("exposed"), F.max("conv").alias("conv"))
+    )
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(flags)
+            .groupBy("user", "variant")
+            .agg(F.max("exposed").alias("exposed"), F.max("conv").alias("conv"))
+        )
+    except AnalysisException:  # first batch
+        merged = flags
+    merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+
+def ab_store_ztest(spark: SparkSession, store_path: str) -> DataFrame:
+    """Readout over the experiment store: per-variant exposed/converted
+    counts and the pooled two-proportion z per variant pair — identical
+    output contract to the batch :func:`alphalens_spark.events.
+    ab_test_ztest` (incremental == one-shot tested)."""
+    per_user = spark.read.parquet(store_path).where(F.col("exposed") == 1)
+    pv = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("conv")
+    )
+    a = pv.select(
+        F.col("variant").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("conv").alias("conv_a"),
+    )
+    b = pv.select(
+        F.col("variant").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("conv").alias("conv_b"),
+    )
+    j = a.join(b, F.col("variant_a") < F.col("variant_b"))
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return j.select(
+        "variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
+        (F.round(p_a, 6) + F.lit(0.0)).alias("rate_a"),
+        (F.round(p_b, 6) + F.lit(0.0)).alias("rate_b"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )

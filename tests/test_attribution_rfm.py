@@ -435,3 +435,33 @@ def test_weight_turnover_properties(spark):
     assert out[2] == pytest.approx(1.0)
     # day 3: unchanged book -> zero turnover
     assert out[3] == pytest.approx(0.0)
+
+
+def test_ab_store_incremental_equals_oneshot(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.events import ab_test_ztest
+    from alphalens_spark.streaming.ops import ab_store_update, ab_store_ztest
+
+    rng = random.Random(9)
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(rng.randint(1, 5)):
+            eid += 1
+            etype = rng.choice(["view", "purchase", "click", "error"])
+            rows.append(_ev(eid, rng.uniform(0, 100), u, etype))
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    assign = F.pmod(F.col("user_id"), F.lit(3)).cast("int")
+    store = str(tmp_path / "ab")
+    # uneven batches, plus a full replay of the middle batch
+    chunks = [rows[:30], rows[30:45], rows[30:45], rows[45:]]
+    for chunk in chunks:
+        ab_store_update(
+            spark.createDataFrame(chunk, EVENTS_SCHEMA), store, assign
+        )
+    got = sorted(tuple(r) for r in ab_store_ztest(spark, store).collect())
+    want = sorted(tuple(r) for r in ab_test_ztest(df, assign).collect())
+    assert got == want
