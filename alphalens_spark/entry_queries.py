@@ -6314,6 +6314,44 @@ SELECT g.date, round(t.turnover, 6) AS turnover,
 FROM gross g JOIN tov t USING (date)"""
 
 
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling (scale.profile.column_entropy): exact
+    Shannon + normalized entropy per column from value counts — the
+    one-pass H = ln N − (Σ n·ln n)/N form, one value-dimension groupBy
+    per column, unioned."""
+    from alphalens_spark.scale.profile import column_entropy
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return _finalize(column_entropy(ev, ["event_type", "user_id"]))
+
+
+ORACLES["column_entropy"] = r"""
+WITH et AS MATERIALIZED (
+  SELECT count(*) AS n FROM events GROUP BY event_type
+),
+uid AS MATERIALIZED (
+  SELECT count(*) AS n FROM events GROUP BY user_id
+),
+a1 AS (
+  SELECT 'event_type' AS "column", sum(n) AS n_rows,
+         count(*) AS n_distinct,
+         ln(sum(n)) - sum(n * ln(n)) / sum(n) AS h
+  FROM et
+),
+a2 AS (
+  SELECT 'user_id' AS "column", sum(n) AS n_rows,
+         count(*) AS n_distinct,
+         ln(sum(n)) - sum(n * ln(n)) / sum(n) AS h
+  FROM uid
+),
+u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+SELECT "column", n_rows, n_distinct,
+       round(h, 6) AS entropy,
+       CASE WHEN n_distinct > 1 THEN round(h / ln(n_distinct), 6)
+            ELSE 0.0 END AS h_norm
+FROM u"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6487,6 +6525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel_windowed": q_event_funnel_windowed,
     "wav_decode_stats": q_wav_decode_stats,
     "net_factor_returns": q_net_factor_returns,
+    "column_entropy": q_column_entropy,
 }
 
 # ---------------------------------------------------------------------------

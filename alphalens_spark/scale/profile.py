@@ -475,3 +475,52 @@ def kmv_set_estimates(
         (F.lit(0.0) + F.round(jac, 6)).alias("est_jaccard"),
         (F.lit(0.0) + F.round(jac * est_u, 6)).alias("est_intersection"),
     )
+
+
+def column_entropy(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Shannon entropy (nats) + normalized entropy per column — the
+    profiling signal that separates near-constant columns (entropy → 0,
+    drop or dictionary-encode) from high-cardinality identifiers
+    (normalized entropy → 1), and the drift alarm when a feed's
+    category mix shifts.
+
+    Exact, from value counts: H = −Σ p·ln p over the distinct-value
+    distribution (NULL is a category of its own); ``h_norm`` divides by
+    ln(n_distinct) (0.0 for a single-valued column). One groupBy per
+    column, each over that column's value dimension; the per-column
+    results union into one frame — columns are independent aggregations,
+    so Spark schedules them as parallel job chains.
+
+    Output: (column, n_rows, n_distinct, entropy, h_norm).
+    """
+    outs = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        agg = counts.agg(
+            F.sum("_n").alias("_total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("_n") * F.log("_n")).alias("_sum_nlogn"),
+        )
+        # H = ln(total) − (Σ n·ln n)/total  (algebraic form of −Σ p ln p:
+        # one pass, no second join against the total)
+        h = F.log("_total") - F.col("_sum_nlogn") / F.col("_total")
+        outs.append(
+            agg.select(
+                F.lit(c).alias("column"),
+                F.col("_total").alias("n_rows"),
+                "n_distinct",
+                (F.round(h, 6) + F.lit(0.0)).alias("entropy"),
+                F.when(F.col("n_distinct") > 1, F.round(h / F.log("n_distinct"), 6) + F.lit(0.0))
+                .otherwise(F.lit(0.0))
+                .alias("h_norm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -3,6 +3,8 @@ mixture weights normalization."""
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -75,3 +77,21 @@ def test_unigram_cross_entropy_orders_quality(spark):
     pa, pb = 4.5 / 16, 2.5 / 16
     want = -(4 * math.log(pa) + 2 * math.log(pb)) / 6
     assert abs(out["common"]["cross_entropy"] - round(want, 6)) < 1e-9
+
+
+def test_column_entropy(spark):
+    import math
+
+    from alphalens_spark.scale.profile import column_entropy
+
+    rows = [("a", 1), ("a", 1), ("a", 1), ("b", 1), (None, 1)]
+    df = spark.createDataFrame(rows, "cat string, const int")
+    out = {r["column"]: r for r in column_entropy(df, ["cat", "const"]).collect()}
+    # cat: counts 3/1/1 over 5 -> H = ln5 - (3ln3)/5
+    want = math.log(5) - (3 * math.log(3)) / 5
+    assert out["cat"]["n_distinct"] == 3  # NULL is its own category
+    assert out["cat"]["entropy"] == pytest.approx(want, abs=1e-6)
+    assert out["cat"]["h_norm"] == pytest.approx(want / math.log(3), abs=1e-6)
+    # constant column: zero entropy, zero normalized entropy
+    assert out["const"]["entropy"] == 0.0
+    assert out["const"]["h_norm"] == 0.0
