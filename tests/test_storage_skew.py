@@ -268,3 +268,48 @@ def test_hilbert_values_matches_reference_recurrence(spark):
         abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
         for i in range(n * n - 1)
     )
+
+
+def test_bucketed_inverted_index_prunes_buckets(spark, tmp_path):
+    """The search-index deployment path: postings written bucketed by
+    term let a query's term filter prune to its terms' buckets —
+    SelectedBucketsCount in the scan proves the layout pays off."""
+    from alphalens_spark import storage
+    from alphalens_spark.scale.text import build_inverted_index, search_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 40} shared word{i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    postings, stats = build_inverted_index(docs)
+    storage.write_bucketed(
+        postings, "idx_postings_test", ["term"], n_buckets=16
+    )
+    # autoBucketedScan drops the bucketed read when no exchange is
+    # saved, which also forfeits filter bucket-pruning — disable it for
+    # the pruning path (the production search session would too)
+    old_conf = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        stored = storage.read_table(spark, "idx_postings_test")
+        q = stored.where(F.col("term").isin(["term1", "term2"]))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, "bucket pruning not visible in plan"
+        assert int(m.group(1)) < int(m.group(2))
+        assert int(m.group(1)) <= 2
+        # and the search still answers correctly off the stored index
+        top = search_terms(stored, stats, ["term1", "shared"], k=3).collect()
+        assert len(top) == 3
+        assert all(r["n_terms_matched"] >= 1 for r in top)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_conf
+        )
+        spark.sql("DROP TABLE IF EXISTS idx_postings_test")
