@@ -6352,6 +6352,47 @@ SELECT "column", n_rows, n_distinct,
 FROM u"""
 
 
+def q_rank_autocorr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-decay profile (performance.rank_autocorr_profile): mean
+    rank autocorrelation at lags 1/2/3/5 from ONE rank pass (the ranked
+    frame is checkpointed; each lag is a broadcast-date-index equi-join
+    + per-date corr + mean) — the turnover/half-life curve that prices
+    a factor against net_factor_returns' cost model."""
+    fd = _fd(spark, sf_dir)
+    return _finalize(perf.rank_autocorr_profile(fd, lags=(1, 2, 3, 5)))
+
+
+def _rank_autocorr_profile_oracle() -> str:
+    lag_selects = "\nUNION ALL\n".join(
+        f"""SELECT {lag} AS period,
+       round(avg(ac), 6) AS mean_autocorr, count(ac) AS n_dates
+FROM (
+  SELECT c.date, corr(c.rnk, p.rnk) AS ac
+  FROM rkx c JOIN rkx p ON p.asset = c.asset AND p.di = c.di - {lag}
+  GROUP BY c.date
+)"""
+        for lag in (1, 2, 3, 5)
+    )
+    return f"""{_P},
+rkd AS MATERIALIZED (
+  SELECT date, asset,
+         rank() OVER (PARTITION BY date ORDER BY factor)
+           + (count(*) OVER (PARTITION BY date, factor) - 1) / 2.0 AS rnk
+  FROM fd
+),
+didx AS MATERIALIZED (
+  SELECT date, CAST(row_number() OVER (ORDER BY date) AS INT) AS di
+  FROM (SELECT DISTINCT date FROM fd) t
+),
+rkx AS MATERIALIZED (
+  SELECT r.asset, r.rnk, d.di, r.date FROM rkd r JOIN didx d ON r.date = d.date
+)
+{lag_selects}"""
+
+
+ORACLES["rank_autocorr_profile"] = _rank_autocorr_profile_oracle()
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6526,6 +6567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wav_decode_stats": q_wav_decode_stats,
     "net_factor_returns": q_net_factor_returns,
     "column_entropy": q_column_entropy,
+    "rank_autocorr_profile": q_rank_autocorr_profile,
 }
 
 # ---------------------------------------------------------------------------

@@ -536,6 +536,60 @@ def factor_rank_autocorrelation(
     )
 
 
+def rank_autocorr_profile(
+    factor_data: DataFrame, lags: Sequence[int] = (1, 2, 3, 5, 10)
+) -> DataFrame:
+    """Signal-decay profile: mean rank autocorrelation at several lags in
+    one pass — the curve that prices a factor's turnover/half-life
+    trade-off (a lag-10 autocorr near lag-1's means a slow signal you
+    can trade cheaply; a fast drop-off means the alpha must be captured
+    immediately, cf. net_factor_returns).
+
+    The rank window runs ONCE; each lag is one broadcast-date-index
+    equi-join + per-date corr off the same ranked frame (not |lags|
+    recomputations), then the per-date series collapses to its mean.
+    Output: (period, mean_autocorr, n_dates).
+    """
+    didx = _factor_dates_idx(factor_data)
+    ranked = (
+        factor_data.select(
+            "date", "asset", _avg_rank("factor", ["date"]).alias("_rank")
+        )
+        .join(F.broadcast(didx), "date")
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for period in lags:
+        prev = ranked.select(
+            F.col("asset").alias("_a"),
+            (F.col("_didx") + period).alias("_t"),
+            F.col("_rank").alias("_prev_rank"),
+        )
+        per_date = (
+            ranked.join(
+                prev,
+                (F.col("asset") == F.col("_a"))
+                & (F.col("_didx") == F.col("_t")),
+            )
+            .groupBy("date")
+            .agg(_corr_safe("_rank", "_prev_rank").alias("_ac"))
+        )
+        outs.append(
+            per_date.agg(
+                F.round(F.avg("_ac"), 6).alias("mean_autocorr"),
+                F.count("_ac").alias("n_dates"),
+            ).select(
+                F.lit(int(period)).alias("period"),
+                "mean_autocorr",
+                "n_dates",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def cumulative_returns(
     returns: DataFrame, ret_col: str, keys: Sequence[str] = (),
     starting_value: float = 1.0,
