@@ -198,3 +198,68 @@ def create_event_returns_tear_sheet(
         )
     }
     return {k: v.toPandas() for k, v in out.items()} if collect else out
+
+
+def create_corpus_tear_sheet(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    collect: bool = True,
+) -> dict:
+    """Data-pipeline tear sheet — the corpus-side analogue of the factor
+    tear sheets: one call returns the health views a training-mix
+    decision reads.
+
+    - ``report``: one-aggregation corpus screen (docs, tokens, dup
+      mass, empties — scale.curation.corpus_report)
+    - ``entropy``: distribution profile of source/lang columns
+      (scale.profile.column_entropy)
+    - ``top_terms``: corpus-wide TF-IDF keywords per document, top
+      rows by score (scale.text.tfidf_top_terms)
+    - ``cross_source_dups``: 8-gram shingle duplication matrix between
+      sources (scale.dedup.cross_source_dup_matrix)
+    - ``quality``: per-document quality rubric summary (mean rubric
+      score per source)
+
+    Each view is an independent job chain over the same table; with
+    ``collect=False`` the lazy DataFrames return for the caller to
+    schedule (they share the scan via cache if persisted).
+    """
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.scale.curation import corpus_report
+    from alphalens_spark.scale.dedup import cross_source_dup_matrix
+    from alphalens_spark.scale.profile import column_entropy
+    from alphalens_spark.scale.text import quality_score, tfidf_top_terms
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = 8
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    units = docs.select(source_col, F.explode(shingles).alias("g"))
+    quality = (
+        quality_score(docs, text_col, id_col)
+        .join(docs.select(id_col, source_col), id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        )
+    )
+    out = {
+        "report": corpus_report(docs),
+        "entropy": column_entropy(docs, [source_col, "lang"]),
+        "top_terms": tfidf_top_terms(docs, n_top=3),
+        "cross_source_dups": cross_source_dup_matrix(
+            units, source_col=source_col, text_col="g"
+        ),
+        "quality": quality,
+    }
+    return {k: v.toPandas() for k, v in out.items()} if collect else out

@@ -129,3 +129,20 @@ def test_factor_cumulative_returns_compounds(spark):
     for row in out:
         acc *= 1.0 + row["ret"]
         assert math.isclose(row["cum_ret"], acc, rel_tol=1e-9)
+
+
+def test_corpus_tear_sheet_smoke(spark):
+    from alphalens_spark import datasets, tears
+
+    docs = datasets.load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = tears.create_corpus_tear_sheet(docs)
+    assert set(out) == {
+        "report", "entropy", "top_terms", "cross_source_dups", "quality"
+    }
+    assert out["report"].shape[0] == 1
+    assert set(out["entropy"]["column"]) == {"source", "lang"}
+    assert out["quality"].shape[0] == 20  # one row per source
+    assert (out["quality"]["mean_quality"] >= 0).all()
+    # lazy mode returns DataFrames, not pandas
+    lazy = tears.create_corpus_tear_sheet(docs, collect=False)
+    assert hasattr(lazy["report"], "sparkSession")
