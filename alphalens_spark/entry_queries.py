@@ -6393,6 +6393,56 @@ rkx AS MATERIALIZED (
 ORACLES["rank_autocorr_profile"] = _rank_autocorr_profile_oracle()
 
 
+def q_stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars run to completion with availableNow
+    (streaming.stream_ohlc — watermarked tumbling windows;
+    min_by/max_by maintain open/close incrementally in windowed state).
+    Complete-mode stream == batch is the contract, so the oracle is the
+    plain daily OHLC SQL."""
+    from alphalens_spark.streaming.ops import stream_ohlc
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = datasets.normalize_ts(
+        spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    )
+    base = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    name = f"stream_ohlc_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        stream_ohlc(base, by=["event_type"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _finalize(spark.table(name))
+
+
+ORACLES["stream_ohlc_daily"] = r"""
+WITH b AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts, event_type,
+         ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT bar_ts, event_type, value,
+         row_number() OVER (PARTITION BY bar_ts, event_type
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY bar_ts, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM b
+)
+SELECT bar_ts, event_type,
+       round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+       count(*) AS n,
+       round(sum(value), 6) AS volume
+FROM r GROUP BY 1, 2"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6568,6 +6618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "net_factor_returns": q_net_factor_returns,
     "column_entropy": q_column_entropy,
     "rank_autocorr_profile": q_rank_autocorr_profile,
+    "stream_ohlc_daily": q_stream_ohlc_daily,
 }
 
 # ---------------------------------------------------------------------------
