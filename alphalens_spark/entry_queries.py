@@ -6443,6 +6443,64 @@ SELECT bar_ts, event_type,
 FROM r GROUP BY 1, 2"""
 
 
+def q_quantile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile migration matrix: P(q_t = j | q_{t−1} = i) over
+    consecutive factor dates — the full Q×Q generalization of
+    quantile_turnover (its diagonal complement), the stability view
+    that says WHERE leavers go. One broadcast-date-index adjacency
+    self-join + one (from, to) groupBy; row-normalized per origin
+    quantile."""
+    fd = _fd(spark, sf_dir)
+    from pyspark.sql import Window
+
+    didx = perf._factor_dates_idx(fd)
+    cur = fd.select("asset", "date", "factor_quantile").join(
+        F.broadcast(didx), "date"
+    )
+    prev = cur.select(
+        F.col("asset").alias("_a"),
+        (F.col("_didx") + 1).alias("_t"),
+        F.col("factor_quantile").alias("q_from"),
+    )
+    moved = cur.join(
+        prev,
+        (F.col("asset") == F.col("_a")) & (F.col("_didx") == F.col("_t")),
+    ).select("q_from", F.col("factor_quantile").alias("q_to"))
+    counts = moved.groupBy("q_from", "q_to").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("q_from")
+    return _finalize(
+        counts.select(
+            "q_from",
+            "q_to",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w), 6).alias("prob"),
+        )
+    )
+
+
+ORACLES["quantile_migration"] = f"""{_P},
+didx AS MATERIALIZED (
+  SELECT date, CAST(row_number() OVER (ORDER BY date) AS INT) AS di
+  FROM (SELECT DISTINCT date FROM fd) t
+),
+qx AS MATERIALIZED (
+  SELECT f.asset, f.factor_quantile, d.di
+  FROM fd f JOIN didx d ON f.date = d.date
+),
+mv AS (
+  SELECT p.factor_quantile AS q_from, c.factor_quantile AS q_to
+  FROM qx c JOIN qx p ON p.asset = c.asset AND p.di = c.di - 1
+),
+cnt AS (
+  SELECT q_from, q_to, count(*) AS n FROM mv GROUP BY 1, 2
+)
+SELECT q_from, q_to, n,
+       round(n / sum(n) OVER (PARTITION BY q_from), 6) AS prob
+FROM cnt"""
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -6619,6 +6677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_entropy": q_column_entropy,
     "rank_autocorr_profile": q_rank_autocorr_profile,
     "stream_ohlc_daily": q_stream_ohlc_daily,
+    "quantile_migration": q_quantile_migration,
 }
 
 # ---------------------------------------------------------------------------
