@@ -459,3 +459,56 @@ def test_k_core_matches_brute(spark, edges, k):
         adj = {n: s for n, s in adj.items() if s}
     want = {n: len(s) for n, s in adj.items() if len(s) >= k}
     assert got == want
+
+
+basket_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # basket
+        st.integers(min_value=0, max_value=5),   # item id
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(basket_strategy)
+def test_association_rule_invariants(spark, rows):
+    from alphalens_spark.scale.affinity import association_rules
+
+    df = spark.createDataFrame(
+        [(b, f"i{i}") for b, i in rows], "basket int, item string"
+    )
+    out = association_rules(df, "basket", "item").collect()
+    for r in out:
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+        assert r["pair_baskets"] >= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rank_normalize_invariants(spark, rows):
+    from alphalens_spark.scale.features import rank_normalize
+
+    df = spark.createDataFrame(
+        [(f"g{g}", v) for g, v in rows], "grp string, x double"
+    )
+    out = rank_normalize(df, "x", by=["grp"]).collect()
+    by_grp = {}
+    for r in out:
+        assert 0 < r["pct_rank"] < 1
+        by_grp.setdefault(r["grp"], []).append(r["pct_rank"])
+    # within each group the mean percentile rank is exactly 0.5
+    for vals in by_grp.values():
+        assert abs(sum(vals) / len(vals) - 0.5) < 1e-4
