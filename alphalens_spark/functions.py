@@ -42,6 +42,9 @@ __all__ = [
     "decay_weight",
     "bps",
     "zscore_bounds",
+    "normalize_record_text",
+    "shingles",
+    "hash_bucket",
 ]
 
 
@@ -83,3 +86,26 @@ def zscore_bounds(mean: Column, std: Column, z: float) -> tuple[Column, Column]:
     """(lower, upper) clip bounds at ``z`` standard deviations — the
     filter_zscore / anomaly-threshold helper."""
     return mean - F.lit(float(z)) * std, mean + F.lit(float(z)) * std
+
+
+def normalize_record_text(col: str | Column) -> Column:
+    """Record-linkage canonical normalization (lower, trim, collapse
+    whitespace) — re-export of scale.linkage.normalize_record."""
+    from alphalens_spark.scale.linkage import normalize_record
+
+    return normalize_record(col)
+
+
+def shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-gram shingle array (the dedup family's unit) —
+    re-export of scale.dedup._shingles."""
+    from alphalens_spark.scale.dedup import _shingles
+
+    return _shingles(text_col, k)
+
+
+def hash_bucket(col: Column, n: int) -> Column:
+    """Deterministic engine-reproducible bucket assignment
+    md5_long(x) % n — the A/B-assignment / sharding expression
+    (events.ab_test_ztest's contract)."""
+    return F.pmod(md5_long(col.cast("string"), 15), F.lit(n)).cast("int")

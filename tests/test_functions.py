@@ -62,3 +62,21 @@ def test_tokens_words_lines(spark):
     assert r.t == ["hello", "world", "second", "line"]
     assert r.w == ["hello", "world", "second", "line"]
     assert r.l == ["Hello World", "second LINE"]
+
+
+def test_hash_bucket_and_normalize(spark):
+    from pyspark.sql import functions as F
+
+    from alphalens_spark import functions as AF
+
+    df = spark.createDataFrame(
+        [(1, "  Acme   Widgets "), (2, "acme widgets")], "id long, name string"
+    )
+    out = df.select(
+        AF.normalize_record_text("name").alias("norm"),
+        AF.hash_bucket(F.col("id"), 4).alias("b"),
+        AF.shingles("name", 2).alias("sh"),
+    ).collect()
+    assert out[0]["norm"] == out[1]["norm"] == "acme widgets"
+    assert all(0 <= r["b"] < 4 for r in out)
+    assert out[1]["sh"] == ["acme widgets"]
