@@ -452,3 +452,37 @@ def test_bpe_train_matches_reference(spark):
         ]
         assert got_fast == want, n
         assert got_dist == want, n
+
+
+def test_bpe_segment_vocab_matches_reference(spark):
+    from alphalens_spark.scale.text import bpe_segment_vocab
+
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = _bpe_reference(texts, 5)
+    # apply reference merges to every distinct word
+    def seg(word):
+        syms = list(word) + ["</w>"]
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return " ".join(syms)
+
+    got = {
+        r["word"]: (r["pieces"], r["n_pieces"])
+        for r in bpe_segment_vocab(docs, n_merges=5).collect()
+    }
+    vocab = {w for t in texts for w in t.split()}
+    assert set(got) == vocab
+    for w in vocab:
+        expect = seg(w)
+        assert got[w] == (expect, len(expect.split())), w
