@@ -4112,10 +4112,12 @@ WITH b AS (
 SELECT count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        sum(nt) AS total_tokens,
-       round(avg(nt), 6) AS mean_tokens,
-       0.0 + round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6)
-         AS exact_dup_frac,
-       0.0 + round(sum(e) * 1.0 / count(*), 6) AS empty_frac
+       CAST(round(CAST(sum(nt) AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
+         / 1e6 AS mean_tokens,
+       CAST(round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) * 1e6
+                  / count(*)) AS BIGINT) / 1e6 AS exact_dup_frac,
+       CAST(round(CAST(sum(e) AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
+         / 1e6 AS empty_frac
 FROM b"""
 
 
@@ -6682,31 +6684,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # ---------------------------------------------------------------------------
 # Driver certification order. The per-round correctness harness walks this
-# dict in order under a budget that stopped at ~50 queries in rounds 1-2, so
-# queries that have ALREADY been driver-certified (CORRECTNESS_r01/r02 green)
-# yield their slots: never-certified queries run first. All 112 pass the
-# identical local harness (tools/oracle_check.py) at sf0.001 and sf0.01 —
-# this is purely about which subset the driver's budget reaches.
+# dict in order under a budget of ~50 queries/round, so queries that have
+# ALREADY been driver-certified (a green row in CORRECTNESS_r01/r02/r03)
+# yield their slots: never-certified queries run first. This set is the
+# exact union of green rows across the three rounds — 103 names. NOT in it:
+# `corpus_report` (r3 driver hash FAIL — stays in the front queue until a
+# green row lands) and `embedding_ivf_topk` (its only driver row was r1
+# `err: no_oracle`; it has had a full oracle since round 3 and must get a
+# real green row). Every registered query passes the identical local
+# harness (tools/oracle_check.py) at sf0.001 and sf0.01 — this ordering is
+# purely about which subset the driver's budget reaches.
 # ---------------------------------------------------------------------------
 _DRIVER_CERTIFIED = {
-    "asof_next_click_1h", "asof_purchase_view", "cohort_retention",
+    "asof_next_click_1h", "asof_purchase_view", "backshift_returns",
+    "bigram_cross_entropy", "bm25_scores", "chunk_documents",
+    "cm_frequency", "cohort_retention", "common_start_returns_raw",
     "cumulative_benchmark_log_return", "cumulative_return_by_quantile_log",
-    "dedup_exact", "doc_bpe_token_count", "doc_fingerprint", "doc_token_stats",
-    "embedding_centroids", "embedding_ivf_topk", "embedding_near_dup",
-    "embedding_topk", "event_counts_daily", "event_funnel",
-    "event_pivot_daily", "event_props_extract", "event_rollup",
-    "event_sessionize", "event_study_car", "event_type_user_stats",
-    "factor_alpha_beta", "factor_ic", "factor_returns", "forward_returns",
-    "forward_returns_noncumulative", "forward_returns_zscore", "ic_by_group",
-    "ic_group_adjusted", "ic_summary", "infer_holidays", "lang_stopword_id",
-    "mean_ic_monthly", "mean_return_by_quantile",
-    "mean_return_by_quantile_by_group", "mean_return_spread",
-    "minhash_lsh_dups", "ngram_jaccard", "positions", "quality_score",
-    "quantile_stats", "quantile_turnover", "quantize_bins",
-    "quantize_bins_seq", "quantize_by_group", "quantize_factor",
-    "quantize_fraction_seq", "quantize_zero_aware", "rank_autocorr",
-    "returns_table_bps", "rolling_active_users", "simhash", "simhash_dups",
-    "stream_interval_join", "turnover_summary",
+    "decayed_activity", "decontaminate", "dedup_clusters", "dedup_exact",
+    "dedupe_words_within_doc", "doc_bpe_token_count", "doc_fingerprint",
+    "doc_token_stats", "dup_span_stats", "embedding_centroids",
+    "embedding_ivfpq_topk", "embedding_near_dup",
+    "embedding_near_dup_exact", "embedding_topk", "event_counts_daily",
+    "event_funnel", "event_pivot_daily", "event_props_extract",
+    "event_rollup", "event_sessionize", "event_study_car",
+    "event_type_user_stats", "factor_alpha_beta", "factor_ic",
+    "factor_returns", "factor_returns_equal_weight", "factor_weights",
+    "forward_returns", "forward_returns_noncumulative",
+    "forward_returns_zscore", "gopher_quality", "groupby_labels_remap",
+    "hard_negatives", "heavy_hitters_terms", "histogram_quantiles",
+    "ic_by_group", "ic_group_adjusted", "ic_summary", "infer_holidays",
+    "intraday_ingestion", "kmv_distinct", "lang_stopword_id",
+    "mean_ic_by_group_monthly", "mean_ic_monthly",
+    "mean_return_by_quantile", "mean_return_by_quantile_by_group",
+    "mean_return_spread", "minhash_lsh_dups", "mixture_weights",
+    "multimodal_features", "ngram_jaccard", "pack_sequences",
+    "per_source_cap", "perplexity_buckets", "positions",
+    "profile_lineitem", "pyfolio_daily_returns", "pyfolio_positions",
+    "pyfolio_returns", "quality_classifier", "quality_score",
+    "quantile_returns_one_period", "quantile_stats", "quantile_turnover",
+    "quantize_bins", "quantize_bins_seq", "quantize_by_group",
+    "quantize_factor", "quantize_fraction_seq", "quantize_zero_aware",
+    "random_projection", "rank_autocorr", "redact_pii",
+    "remove_boilerplate", "returns_table_bps", "robust_zscore",
+    "rolling_active_users", "semantic_dedup", "simhash", "simhash_dups",
+    "split_dataset", "stratified_sample", "stream_dedup_minhash",
+    "stream_interval_join", "stream_sessionize", "tfidf_top_terms",
+    "time_varying_groups", "token_budget_sample", "top_terms_per_source",
+    "turnover_summary", "unigram_cross_entropy", "zorder_key",
 }
 QUERIES = {
     name: QUERIES[name]

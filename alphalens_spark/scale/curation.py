@@ -951,17 +951,27 @@ def corpus_report(
         F.size(toks).alias("_nt"),
         (F.length(F.trim(F.col(text_col))) == 0).cast("int").alias("_empty"),
     )
+    n = F.count(F.lit(1))
+
+    def _micro(numer):
+        # Snap ratio floats to the 1e-6 grid through exact-integer
+        # numerators: numer*1e6 is exact in a double for any corpus
+        # < 9e9 in the numerator unit, the single division and the
+        # round-to-integer are then the same IEEE ops in every engine,
+        # and BIGINT/1e6 reconstructs a bit-identical double. F.round
+        # on a pre-divided double is NOT reproducible across engines
+        # (last-ulp inputs round differently — this was a certified
+        # driver hash failure).
+        return (
+            F.round(numer.cast("double") * F.lit(1e6) / n).cast("bigint")
+            / F.lit(1e6)
+        )
+
     return base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        n.alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
         F.sum("_nt").alias("total_tokens"),
-        F.round(F.avg("_nt"), 6).alias("mean_tokens"),
-        (F.lit(0.0) + F.round(
-            F.lit(1.0)
-            - F.countDistinct("_h").cast("double") / F.count(F.lit(1)),
-            6,
-        )).alias("exact_dup_frac"),
-        (F.lit(0.0) + F.round(
-            F.sum("_empty").cast("double") / F.count(F.lit(1)), 6
-        )).alias("empty_frac"),
+        _micro(F.sum("_nt")).alias("mean_tokens"),
+        _micro(n - F.countDistinct("_h")).alias("exact_dup_frac"),
+        _micro(F.sum("_empty")).alias("empty_frac"),
     )

@@ -88,9 +88,13 @@ def stream_sessionize(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    # key column keeps the INPUT's type (string/int/uuid user keys all
+    # valid) — hardcoding 'long' would corrupt or reject any non-bigint
+    # key while the batch twin accepts them all
+    key_ddl = events.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} long, session_start timestamp, session_end timestamp, "
-        "n_events long"
+        f"{user_col} {key_ddl}, session_start timestamp, "
+        "session_end timestamp, n_events long"
     )
     state_schema = "session_start long, session_end long, n_events long"
 

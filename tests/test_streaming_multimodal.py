@@ -141,6 +141,39 @@ def test_stream_sessionize_stateful(spark):
     assert got[0]["session_end"] == base + dt.timedelta(minutes=5)
 
 
+def test_stream_sessionize_string_key(spark):
+    """The state-output key column must take the INPUT's type: a string
+    user key through the stateful sessionizer (regression — the out
+    schema used to hardcode `long`, corrupting any non-bigint key)."""
+    from alphalens_spark.streaming import stream_sessionize
+
+    base = dt.datetime(2020, 1, 1, 9, 0)
+    rows = [
+        ("u-alpha", base),
+        ("u-alpha", base + dt.timedelta(minutes=5)),
+        ("u-alpha", base + dt.timedelta(hours=2)),   # closes session 1
+        ("u-beta", base),                             # stays open
+    ]
+    batch = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("sess_str")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sess_str").collect()
+    assert [(r["user_id"], r["n_events"]) for r in got] == [("u-alpha", 2)]
+    assert got[0]["session_start"] == base
+    assert got[0]["session_end"] == base + dt.timedelta(minutes=5)
+
+
 def test_stream_dedup_exact_first_arrival(spark):
     """Streaming dedup keeps only the first arrival per text (bounded
     state via dropDuplicatesWithinWatermark); batch path implements the

@@ -2,7 +2,14 @@
 
 Runs every __spark_entry__ query at the given SF, runs the matching oracle
 SQL in DuckDB over the same parquet, and compares row count, column names,
-and order-insensitive values (NaN≡NULL, floats to 6 dp).
+and order-insensitive values (NaN≡NULL, -0.0≡0.0, floats EXACT).
+
+Floats are compared at full precision by default, because that is what the
+driver's value-hash sees: round 3's `corpus_report` passed this tool while
+it still re-rounded both sides to 6 dp in Python, then FAILED the driver's
+hash on a last-ulp difference. Local green must predict driver green, so
+the re-rounding comparator is now opt-in (ORACLE_CHECK_LOOSE=1) for
+debugging only — a query that needs it to pass is NOT done.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 Set ORACLE_CHECK_TIME=1 to append per-query spark/oracle wall times —
@@ -13,6 +20,7 @@ per-round budget (round 3 found one 700 s oracle this way).
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -24,6 +32,8 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+LOOSE = os.environ.get("ORACLE_CHECK_LOOSE") == "1"
+
 
 def norm_cell(v):
     if v is None:
@@ -31,7 +41,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 6)
+        if LOOSE:
+            return round(v, 6)
+        return v + 0.0  # exact compare; normalize -0.0 only
     return v
 
 
