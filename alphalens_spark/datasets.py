@@ -209,12 +209,50 @@ def factor_data(spark: SparkSession, sf_dir: str, max_loss: float | None = None)
             max_loss=max_loss,
             quantize_method="ntile",
         )
-    # fused fast path: factor rides through the forward-return grid
-    # (carry_cols) — one lineitem scan, one window shuffle, no
-    # factor⋈returns join; identical output to the general path
+    return _factor_data_from_panel(panel)
+
+
+def _factor_data_from_panel(panel: DataFrame) -> DataFrame:
+    """Fused fast path over an already-built (date, asset, price, factor)
+    panel: factor rides through the forward-return grid (carry_cols) —
+    one window shuffle, no factor⋈returns join; identical output to the
+    general loss-accounting path."""
+    from alphalens_spark.utils import (
+        compute_forward_returns,
+        period_label,
+        quantize_factor,
+    )
+
     period_cols = [period_label(k) for k in sorted(PERIODS)]
     fwd = compute_forward_returns(panel, PERIODS, carry_cols=["factor"])
     clean = fwd.na.drop(subset=[*period_cols, "factor"])
     return quantize_factor(clean, quantiles=5, method="ntile").where(
         F.col("factor_quantile").isNotNull()
+    )
+
+
+def ingest(spark: SparkSession, sf_dir: str, persist: bool = True):
+    """One-scan ingestion of BOTH canonical inputs.
+
+    ``factor_data(...)`` and ``prices(...)`` each plan their own lineitem
+    scan + (week × supplier) aggregation; a tear sheet needs both, so the
+    natural usage re-read and re-aggregated the fact table twice. Here the
+    aggregated panel is built ONCE, persisted (it is the post-aggregation
+    frame — dates × assets rows, orders of magnitude smaller than the
+    fact table, the thing you'd cache on a real cluster), and both frames
+    derive from it: prices is a narrow projection of the cached panel,
+    factor_data is one window shuffle on top.
+
+    Returns ``(factor_data, prices, panel)`` — the panel handle so the
+    caller can ``unpersist()`` the shared cache when done; the caller
+    also owns persisting factor_data for metric-fanout reuse (bench
+    does).
+    """
+    panel = price_factor_panel(spark, sf_dir)
+    if persist:
+        panel = panel.persist()
+    return (
+        _factor_data_from_panel(panel),
+        panel.select("date", "asset", "price"),
+        panel,
     )

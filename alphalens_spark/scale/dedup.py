@@ -111,6 +111,22 @@ def _exact_group_members(
     )
 
 
+def _collapse_to_reps(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative (min-id) row per distinct text, as a single
+    map-side-combinable aggregation: clone groups collapse INSIDE each
+    scan partition before anything shuffles, so a 100k-copy template
+    contributes one shuffle row per map partition, not 100k. ``first``
+    over the group text is value-deterministic — md5-exact groups share
+    the identical text by construction. This replaces the earlier
+    window-then-rejoin rep selection, which shuffled the full corpus
+    text twice (window pass + docs⋈reps join) for the same output."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .drop("_digest")
+    )
+
+
 def _expand_rep_pairs(
     rep_pairs: DataFrame, members: DataFrame, score_col: str, exact_score
 ) -> DataFrame:
@@ -274,11 +290,10 @@ def minhash_lsh_duplicates(
     rows_per_band = num_hashes // bands
     members = None
     if collapse_exact:
+        # members only feeds the final pair re-expansion joins (lazy);
+        # the rep rows come from the map-side-combined collapse, no join
         members = _exact_group_members(docs, text_col, id_col)
-        reps = members.where(F.col("_m_id") == F.col("_rep")).select(
-            F.col("_m_id").alias(id_col)
-        )
-        docs = docs.join(reps, id_col)
+        docs = _collapse_to_reps(docs, text_col, id_col)
     # persist + eager materialize: the signature projection feeds the band
     # join (twice) and the verification joins. persist() alone is lazy —
     # the self-join's two scan stages then race to fill the cache and each
@@ -776,10 +791,7 @@ def simhash_duplicates(
     members = None
     if collapse_exact:
         members = _exact_group_members(docs, text_col, id_col)
-        reps = members.where(F.col("_m_id") == F.col("_rep")).select(
-            F.col("_m_id").alias(id_col)
-        )
-        docs = docs.join(reps, id_col)
+        docs = _collapse_to_reps(docs, text_col, id_col)
     # ceil-divide so the blocks cover every fingerprint bit (64-bit family
     # → width 16 over bits 0..63; 60-bit md5 family → width 15 over 0..59)
     n_bits = simhash_bits(token_hash) + (1 if token_hash == "xxhash64" else 0)

@@ -55,9 +55,11 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
 
     # --- ingestion: build + materialize the canonical factor_data and the
     # prices table (the two inputs every downstream metric reuses — the
-    # reference holds both in memory the same way) ---
-    fd = datasets.factor_data(spark, sf_dir).persist()
-    px = datasets.prices(spark, sf_dir).persist()
+    # reference holds both in memory the same way). datasets.ingest
+    # derives BOTH from ONE persisted panel aggregation — one lineitem
+    # scan total; px reads are projections of the shared cache ---
+    fd, px, panel = datasets.ingest(spark, sf_dir)
+    fd = fd.persist()
     timed("ingestion_factor_data", lambda: (fd.count(), px.count()))
 
     # --- metric queries over the cached factor_data ---
@@ -203,7 +205,7 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
           ).count())
     built["idx"].unpersist()
     fd.unpersist()
-    px.unpersist()
+    panel.unpersist()
 
 
 def main() -> None:
