@@ -68,8 +68,10 @@ def _fd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_forward_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alphalens_spark.plans import assert_scalable
+
     fd = _fd(spark, sf_dir)
-    return _finalize(
+    out = _finalize(
         fd.select(
             "date",
             "asset",
@@ -78,6 +80,12 @@ def q_forward_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("5D").alias("fwd_5p"),
         )
     )
+    # deploy-gate in the certified path, not only in tests: the flagship
+    # ingestion plan must stay cartesian-free, nested-loop-free, and
+    # JVM-only (any Python eval here would put a row-at-a-time UDF in
+    # front of every downstream metric)
+    assert_scalable(out, forbid_python=True)
+    return out
 
 
 def q_quantize_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4092,6 +4100,37 @@ SELECT media_id, 8 AS width, 8 AS height,
 FROM px GROUP BY 1"""
 
 
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded image decode end-to-end: embeddings render as
+    genuine PNG files (IHDR/IDAT/IEND, zlib-deflated filtered
+    scanlines), then the stdlib-zlib codec inflates + unfilters the
+    raster back and emits exact-integer pixel stats. Same quantization
+    as netpbm_decode_stats, so the decode path — through a REAL
+    compression stage this time — value-oracles in SQL
+    (scale.multimodal.embeddings_as_png/png_pixel_stats)."""
+    from alphalens_spark.scale.multimodal import (
+        embeddings_as_png,
+        png_pixel_stats,
+    )
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return png_pixel_stats(embeddings_as_png(emb, w=8, h=8))
+
+
+ORACLES["png_decode_stats"] = r"""
+WITH px AS (
+  SELECT vec_id AS media_id,
+         CAST(floor(least(greatest((CAST(x AS DOUBLE) + 1.0) / 2.0, 0.0), 1.0)
+                    * 255.0) AS BIGINT) AS p
+  FROM (SELECT vec_id, unnest(embedding[1:64]) AS x FROM embeddings)
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       sum(p) AS px_sum,
+       CAST(min(p) AS INT) AS px_min,
+       CAST(max(p) AS INT) AS px_max
+FROM px GROUP BY 1"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-aggregation corpus health screen (scale.curation.
     corpus_report): doc/source counts, token volume, exact-dup mass,
@@ -6620,6 +6659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "dedup_keep_list": q_dedup_keep_list,
     "netpbm_decode_stats": q_netpbm_decode_stats,
+    "png_decode_stats": q_png_decode_stats,
     "scd2_user_state": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
     "validate_expectations": q_validate_expectations,

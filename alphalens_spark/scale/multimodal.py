@@ -2,14 +2,15 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
-``mapInPandas`` stages. The netpbm family (binary PGM/PPM) has a REAL
-numpy-only codec below (parse_netpbm / decode_netpbm_features /
-resize_netpbm) — genuine decode, featurize and nearest-neighbor resize
-with exact-pixel tests. Entropy-coded formats (JPEG/PNG, audio) still
-need PIL/torchaudio, which the container does not ship: those kernels
-stay STUBBED behind ``decoder='fake'`` (a deterministic stand-in), with
-the identical Spark-side plumbing, so dropping the library in only
-replaces the kernel body.
+``mapInPandas`` stages. Three REAL codecs live below: the netpbm
+family (binary PGM/PPM — parse_netpbm / decode_netpbm_features /
+resize_netpbm), RIFF/WAVE PCM16 audio (make_wav / parse_wav), and PNG
+(make_png / parse_png — PNG's entropy coding is stdlib zlib, full
+None/Sub/Up/Average/Paeth unfiltering). Formats whose entropy coding
+genuinely needs an external library (JPEG's Huffman-DCT, MP3/AAC,
+video) stay STUBBED behind ``decoder='fake'`` (a deterministic
+stand-in) with the identical Spark-side plumbing, so dropping the
+library in only replaces the kernel body.
 
 Scale notes: payload bytes stay in Arrow record batches end to end (no
 per-row Python); metadata-only transforms (filtering by size/mime,
@@ -76,10 +77,11 @@ def decode_and_featurize(
     """
     if decoder != "fake":
         raise NotImplementedError(
-            f"decoder={decoder!r}: JPEG/PNG/audio decoding needs "
+            f"decoder={decoder!r}: JPEG/MP3/video decoding needs "
             "PIL/torchaudio, not available in this environment; use "
-            "decode_netpbm_features for a REAL numpy-only codec or the "
-            "'fake' decoder for the identical Spark plumbing"
+            "parse_netpbm / parse_png / parse_wav for REAL stdlib-only "
+            "codecs or the 'fake' decoder for the identical Spark "
+            "plumbing"
         )
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -619,4 +621,224 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
     )
     return media.select("media_id", "payload").mapInPandas(
         _stats, schema=out_schema
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL image codec #2: PNG, stdlib-zlib only. PNG's entropy coding IS
+# zlib (RFC 2083: DEFLATE-compressed filtered scanlines), which ships in
+# the Python stdlib — so unlike JPEG/MP3 (whose arithmetic/Huffman-DCT
+# stages genuinely need an external library) a COMPLETE PNG codec needs
+# no new dependency. Encoder writes filter-0 scanlines; decoder
+# implements the full filter set (None/Sub/Up/Average/Paeth, spec §6)
+# so externally-produced 8-bit gray/RGB PNGs decode too, not just our
+# own output. The stub boundary is now: JPEG, MP3/AAC, video.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def make_png(arr) -> bytes:
+    """Encode an (h, w) uint8 grayscale or (h, w, 3) uint8 RGB array as
+    a genuine PNG file: IHDR + one zlib IDAT of filter-0 scanlines +
+    IEND, CRCs included. Round-trips through any PNG reader."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, h, w = 0, a.shape[0], a.shape[1]
+        raster = a
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, h, w = 2, a.shape[0], a.shape[1]
+        raster = a.reshape(h, w * 3)
+    else:
+        raise ValueError("expected (h,w) gray or (h,w,3) RGB uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def parse_png(payload: bytes):
+    """Decode PNG bytes → (h, w, channels) uint8 numpy array.
+
+    Full spec path for the supported profile: chunk walk with length
+    checks, IDAT concatenation (spec allows many), zlib inflate, and
+    scanline UNFILTERING for all five filter types — None and Up are
+    vectorized whole-row numpy ops; Sub is a byte-lag prefix sum
+    (cumsum mod 256 per bpp lane); Average/Paeth are sequential in the
+    horizontal direction by definition (each pixel depends on the
+    reconstructed left neighbor), so those rows pay a per-pixel loop.
+    Supported: bit depth 8, color type 0 (gray) / 2 (RGB), no
+    interlace. Palette/16-bit/Adam7 raise ValueError (surface per item,
+    never kill the task)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(bytes(body))
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            "unsupported PNG profile (need 8-bit gray/RGB, no interlace)"
+        )
+    ch = 1 if color_type == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("raster size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = int(raw[y, 0]), raw[y, 1:].copy()
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: prefix sum per bpp lane
+            rec = line.reshape(-1, ch).cumsum(axis=0, dtype=np.int64)
+            rec = (rec % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) % 256
+        elif ftype == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) % 256
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = rec
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def embeddings_as_png(
+    emb: DataFrame, w: int = 8, h: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a real PNG (same quantization as
+    embeddings_as_netpbm: px = floor(clip((x+1)/2, 0, 1) · 255)) — a
+    deterministic image corpus from driver data so the REAL
+    entropy-coded decode path gets a full value oracle."""
+    import numpy as np
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nb = [], []
+            for vec in pdf[vec_col]:
+                v = np.asarray(vec, dtype=np.float64)[: w * h]
+                px = np.floor(np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255.0)
+                p = make_png(px.astype(np.uint8).reshape(h, w))
+                payloads.append(p)
+                nb.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "width": pd.array([w] * len(pdf), dtype="Int32"),
+                    "height": pd.array([h] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode summary for PNG payloads with exact-integer outputs
+    (oracle-friendly): per item (media_id, width, height, px_sum,
+    px_min, px_max) from the actually-inflated, unfiltered raster.
+    Malformed payloads → NULL stats. Same contract as
+    netpbm_pixel_stats, different codec underneath."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums, mins, maxs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    img = parse_png(payload)
+                    hh, ww, _ = img.shape
+                    flat = img.astype(np.int64)
+                    ws.append(ww)
+                    hs.append(hh)
+                    sums.append(int(flat.sum()))
+                    mins.append(int(flat.min()))
+                    maxs.append(int(flat.max()))
+                except (ValueError, zlib.error, struct.error):
+                    ws.append(None); hs.append(None)
+                    sums.append(None); mins.append(None); maxs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, width int, height int, "
+            "px_sum long, px_min int, px_max int"
+        ),
     )

@@ -65,11 +65,16 @@ def check_timezones(
 def _format_period_seconds(total_s: float) -> str:
     """Render a horizon length as the reference's Timedelta-string
     components (timedelta_to_string, utils.py:921-951): '1D', '3h',
-    '1D21h', '2h30m'."""
-    total = int(round(total_s))
-    days, rest = divmod(total, 86400)
-    hours, rest = divmod(rest, 3600)
-    minutes, seconds = divmod(rest, 60)
+    '1D21h', '2h30m', '5m', '30s', '500ms', '250us'. Sub-second
+    components render exactly as the reference's Timedelta.components
+    walk; ns never occurs here because the engine's timestamps are
+    µs-precision (ns inputs normalize on load, datasets.normalize_ts)."""
+    total_us = int(round(total_s * 1_000_000))
+    days, rest = divmod(total_us, 86_400_000_000)
+    hours, rest = divmod(rest, 3_600_000_000)
+    minutes, rest = divmod(rest, 60_000_000)
+    seconds, rest = divmod(rest, 1_000_000)
+    millis, micros = divmod(rest, 1_000)
     out = ""
     if days:
         out += f"{days}D"
@@ -79,6 +84,10 @@ def _format_period_seconds(total_s: float) -> str:
         out += f"{minutes}m"
     if seconds:
         out += f"{seconds}s"
+    if millis:
+        out += f"{millis}ms"
+    if micros:
+        out += f"{micros}us"
     return out or "0s"
 
 

@@ -340,3 +340,106 @@ def test_ivfpq_store_incremental_equals_oneshot(spark, tmp_path):
         for r in encode_pq(emb, cents, books).collect()
     )
     assert got == want
+
+
+def test_png_codec_round_trip():
+    """make_png → parse_png is the identity for gray and RGB rasters
+    (PNG's entropy coding is stdlib zlib — a REAL compressed codec, no
+    external library)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (11, 13), dtype=np.uint8)
+    back = multimodal.parse_png(multimodal.make_png(img))
+    assert back.shape == (11, 13, 1)
+    assert (back[:, :, 0] == img).all()
+    img3 = rng.randint(0, 256, (5, 9, 3), dtype=np.uint8)
+    assert (multimodal.parse_png(multimodal.make_png(img3)) == img3).all()
+
+
+def test_png_decoder_unfilters_all_filter_types():
+    """The decoder reconstructs scanlines filtered with every spec
+    filter (None/Sub/Up/Average/Paeth) — i.e. it decodes
+    externally-produced PNGs, not just our own filter-0 output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def filt_encode(raster, ch, ftypes):
+        h, stride = raster.shape
+        prev = np.zeros(stride, dtype=np.uint8)
+        out = b""
+        for y, ft in zip(range(h), ftypes):
+            line = raster[y].astype(np.int64)
+            rec = raster[y]
+            left = np.zeros(stride, dtype=np.int64)
+            left[ch:] = rec[:-ch]
+            if ft == 0:
+                f = line
+            elif ft == 1:
+                f = line - left
+            elif ft == 2:
+                f = line - prev
+            elif ft == 3:
+                f = line - (left + prev.astype(np.int64)) // 2
+            elif ft == 4:
+                f = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = int(rec[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    f[x] = line[x] - multimodal._paeth(a, b, c)
+            out += bytes([ft]) + (f % 256).astype(np.uint8).tobytes()
+            prev = rec
+        return out
+
+    rng = np.random.RandomState(11)
+    for w, h, ch, ctype, ftypes in [
+        (7, 5, 1, 0, [0, 1, 2, 3, 4]),
+        (4, 6, 3, 2, [4, 3, 2, 1, 0, 4]),
+    ]:
+        raster = rng.randint(0, 256, (h, w * ch), dtype=np.uint8)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(
+                b"IDAT", zlib.compress(filt_encode(raster, ch, ftypes))
+            )
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        dec = multimodal.parse_png(payload)
+        assert (dec.reshape(h, w * ch) == raster).all()
+
+
+def test_png_malformed_and_unsupported_raise():
+    import numpy as np
+
+    import pytest
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    good = multimodal.make_png(img)
+    for bad in (b"", b"\x89PNGxxxx", good[:20]):
+        with pytest.raises(ValueError):
+            multimodal.parse_png(bad)
+
+
+def test_png_pixel_stats_spark(spark):
+    """End-to-end through Spark: encode rasters to PNG payloads, decode
+    via mapInPandas, exact-integer stats match numpy; malformed rows
+    yield NULL stats instead of killing the task."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    imgs = {i: rng.randint(0, 256, (6, 6), dtype=np.uint8) for i in range(4)}
+    rows = [(i, bytearray(multimodal.make_png(img))) for i, img in imgs.items()]
+    rows.append((99, bytearray(b"not a png")))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.png_pixel_stats(media).collect()}
+    for i, img in imgs.items():
+        assert got[i]["width"] == 6 and got[i]["height"] == 6
+        assert got[i]["px_sum"] == int(img.astype(np.int64).sum())
+        assert got[i]["px_min"] == int(img.min())
+        assert got[i]["px_max"] == int(img.max())
+    assert got[99]["px_sum"] is None and got[99]["width"] is None

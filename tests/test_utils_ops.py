@@ -334,6 +334,60 @@ def test_intraday_calendar_inferred_labels(spark):
     assert abs(got[dtm.datetime(2020, 1, 1, 9)]["3D"] - (1.25**24 - 1)) < 1e-6
 
 
+def test_subhour_calendar_inferred_labels(spark):
+    """Minute/second-granularity calendars label with the reference's
+    full Timedelta-component walk (timedelta_to_string, ref
+    utils.py:921-951): '5m', '30s', '2h30m' — not only h/D."""
+    import datetime as dtm
+
+    from alphalens_spark.utils import (
+        _format_period_seconds,
+        infer_period_labels,
+    )
+
+    # component-walk parity matrix: expected strings are
+    # timedelta_to_string(pd.Timedelta(seconds=s)) from the reference
+    # (ref utils.py:921-951; the reference package itself isn't
+    # installable in this container — scipy dep — so the goldens are
+    # pinned literals)
+    for secs, want in [
+        (30, "30s"),
+        (300, "5m"),
+        (9000, "2h30m"),
+        (86400 + 3600, "1D1h"),
+        (90, "1m30s"),
+        (0.5, "500ms"),
+        (0.00025, "250us"),
+        (45.125, "45s125ms"),
+    ]:
+        got = _format_period_seconds(secs)
+        assert got == want, (secs, got, want)
+
+    # 5-minute bars, 2 days x 6 bars (09:00-09:25)
+    ts = [
+        dtm.datetime(2020, 1, 1 + d, 9, 5 * b)
+        for d in range(2)
+        for b in range(6)
+    ]
+    cal = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(ts)], "date timestamp, day_idx int"
+    )
+    labels = infer_period_labels(cal, (1, 3, 6))
+    # +6 bars = next trading day, same wall-clock time → '1D'
+    assert labels == {1: "5m", 3: "15m", 6: "1D"}
+
+    # 30-second bars within one session
+    ts2 = [
+        dtm.datetime(2020, 1, 1, 9, 0) + dtm.timedelta(seconds=30 * b)
+        for b in range(10)
+    ]
+    cal2 = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(ts2)], "date timestamp, day_idx int"
+    )
+    labels2 = infer_period_labels(cal2, (1, 2, 5))
+    assert labels2 == {1: "30s", 2: "1m", 5: "2m30s"}
+
+
 def test_non_matching_timezone_error(spark):
     import pytest
 
