@@ -4131,6 +4131,60 @@ SELECT media_id, 8 AS width, 8 AS height,
 FROM px GROUP BY 1"""
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS 2023,
+    scale.curation.dsir_importance_weights): every document scored by
+    log p̂_target/q̂_raw over hashed unigram+bigram buckets — the
+    published importance-resampling recipe for domain-targeted
+    pretraining data. Target domain here: sources src0/src1."""
+    from alphalens_spark.scale.curation import dsir_importance_weights
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return dsir_importance_weights(docs, target, n_buckets=256)
+
+
+ORACLES["dsir_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(ts) AS t FROM toks
+  UNION ALL
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS t
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2) bg
+),
+fb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS INT) AS b
+  FROM feats
+),
+rawdb AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
+cr AS (SELECT b, sum(c) AS cr FROM rawdb GROUP BY 1),
+ct AS (
+  SELECT fb.b, count(*) AS ct
+  FROM fb JOIN documents d USING (doc_id)
+  WHERE d.source IN ('src0', 'src1') GROUP BY 1
+),
+counts AS (
+  SELECT coalesce(cr.b, ct.b) AS b,
+         coalesce(cr.cr, 0) AS cr, coalesce(ct.ct, 0) AS ct
+  FROM cr FULL OUTER JOIN ct ON cr.b = ct.b
+),
+totals AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+ratio AS (
+  SELECT b, ln((ct + 0.5) / (tt + 128.0)) - ln((cr + 0.5) / (tr + 128.0))
+           AS lr
+  FROM counts CROSS JOIN totals
+)
+SELECT r.doc_id, CAST(sum(r.c) AS BIGINT) AS n_features,
+       round(sum(r.c * ratio.lr), 6) + 0.0 AS log_weight
+FROM rawdb r JOIN ratio USING (b) GROUP BY 1"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-aggregation corpus health screen (scale.curation.
     corpus_report): doc/source counts, token volume, exact-dup mass,
@@ -6657,6 +6711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "robust_zscore": q_robust_zscore,
     "corpus_report": q_corpus_report,
+    "dsir_weights": q_dsir_weights,
     "dedup_keep_list": q_dedup_keep_list,
     "netpbm_decode_stats": q_netpbm_decode_stats,
     "png_decode_stats": q_png_decode_stats,

@@ -975,3 +975,149 @@ def corpus_report(
         _micro(n - F.countDistinct("_h")).alias("exact_dup_frac"),
         _micro(F.sum("_empty")).alias("empty_frac"),
     )
+
+
+def _hashed_ngram_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """One row per (id, hashed unigram/bigram feature bucket) — the DSIR
+    feature space (Xie et al. 2023 §2: hashed bag of n-grams). The md5
+    reduction keeps buckets engine-reproducible (same expression the
+    quality classifier's oracle replays in SQL)."""
+    from alphalens_spark.scale.dedup import md5_long
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col), F.explode(feats).alias("_t")
+    ).select(
+        id_col, F.pmod(md5_long(F.col("_t"), 15), F.lit(n_buckets)).alias("_b")
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how much more likely its hashed-n-gram bag is under the
+    TARGET domain's feature distribution than under the raw corpus's own
+    — log w(x) = Σ_b c_b(x)·(ln p̂_b − ln q̂_b), with p̂/q̂ the add-k
+    smoothed bucket distributions of the target/raw corpora. Selecting
+    by these weights (Gumbel top-k, :func:`dsir_select`) importance-
+    resamples raw data toward the target domain — the published recipe
+    behind domain-targeted pretraining mixes.
+
+    Scale shape: two linear shuffles (per-side bucket counts; per-doc
+    bucket counts — the raw corpus is scanned ONCE, its corpus-level
+    counts derive from the per-doc table), then a broadcast join of the
+    ``n_buckets``-row log-ratio table into the per-doc counts. Nothing
+    driver-side, nothing quadratic; at 100 TB the only corpus-sized
+    exchanges are the two hash-bucket groupBys.
+
+    Output: (id, n_features, log_weight) — log_weight in nats, rounded
+    to the 6-dp cross-engine grid.
+    """
+    rawdb = (
+        _hashed_ngram_features(raw, text_col, id_col, n_buckets)
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cr = rawdb.groupBy("_b").agg(F.sum("_c").alias("_cr"))
+    ct = (
+        _hashed_ngram_features(target, text_col, id_col, n_buckets)
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    counts = (
+        cr.join(ct, "_b", "full_outer")
+        .select(
+            "_b",
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("_cr").alias("_tr"), F.sum("_ct").alias("_tt")
+    )
+    k = F.lit(float(smoothing))
+    denom = F.lit(float(smoothing) * n_buckets)
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + k) / (F.col("_tt") + denom))
+            - F.log((F.col("_cr") + k) / (F.col("_tr") + denom))
+        ).alias("_lr"),
+    )
+    out = (
+        rawdb.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_features"),
+            F.sum(F.col("_c") * F.col("_lr")).alias("_lw"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_features",
+        (F.round("_lw", 6) + F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 256,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gumbel top-k importance RESAMPLING over :func:`dsir_importance_
+    weights` (the selection step of DSIR): key = log w + Gumbel noise,
+    keep the k largest — samples without replacement with inclusion
+    probability ∝ w, in log space so no exp() ever overflows. The
+    Gumbel uniforms are the repo's deterministic md5 scheme (same as
+    weighted_priority_sample): reproducible across runs and engines,
+    membership never flips under repartitioning.
+
+    Two-stage top-k (per-partition prune → global rank) — the same
+    no-global-sort shape as the A-ES sampler.
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    w = dsir_importance_weights(
+        raw, target, n_buckets, smoothing, text_col, id_col
+    )
+    # u in (0, 1]: (h + 1) / 2^60 over the 60-bit md5 reduction
+    u = (md5_long(F.col(id_col).cast("string"), 15) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    keyed = w.withColumn("_key", F.col("log_weight") - F.log(-F.log(u)))
+    part = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("_key"), id_col
+    )
+    pruned = keyed.withColumn("_pr", F.row_number().over(part)).where(
+        F.col("_pr") <= k
+    )
+    glob = Window.orderBy(F.desc("_key"), id_col)
+    return (
+        pruned.withColumn("_r", F.row_number().over(glob))
+        .where(F.col("_r") <= k)
+        .select(id_col, "n_features", "log_weight")
+    )

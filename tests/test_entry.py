@@ -112,6 +112,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "search_bm25_topk",
         # variant-dimension pair join (a handful of rows, non-equi <)
         "ab_test_ztest",
+        # 1-row (Tr, Tt) feature-totals broadcast onto the B-row
+        # bucket-count table (bounded by n_buckets, never corpus-sized)
+        "dsir_weights",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
