@@ -5712,6 +5712,44 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_kcore"] = _copurchase_kcore_oracle()
 
 
+def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph by synchronous
+    label propagation (graph.label_propagation — Raghavan et al. 2007
+    with the deterministic smallest-label tiebreak; per round one
+    neighbor⋈labels node-key join + two linear groupBys, labels
+    localCheckpointed). The oracle replays the identical 4 rounds as
+    unrolled MATERIALIZED CTEs (graph.label_propagation_sql)."""
+    from alphalens_spark.graph import label_propagation
+    from alphalens_spark.scale.affinity import cooccurrence_pairs
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    return label_propagation(
+        edges.select(
+            F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+        ),
+        n_iter=4,
+    )
+
+
+def _copurchase_communities_oracle() -> str:
+    from alphalens_spark.graph import label_propagation_sql
+
+    edges_cte = r"""
+SELECT item_a AS src, item_b AS dst FROM (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c FROM
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+    JOIN
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+    return label_propagation_sql(edges_cte, n_iter=4)
+
+
+ORACLES["copurchase_communities"] = _copurchase_communities_oracle()
+
+
 def q_quantile_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max drawdown + trough date of each quantile's compounded daily
     mean return (performance.max_drawdown — log-space running peak, so
@@ -6753,6 +6791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_multitouch": q_attribution_multitouch,
     "rfm_segments": q_rfm_segments,
     "copurchase_kcore": q_copurchase_kcore,
+    "copurchase_communities": q_copurchase_communities,
     "quantile_drawdown": q_quantile_drawdown,
     "event_ohlc": q_event_ohlc,
     "bigram_collocations": q_bigram_collocations,

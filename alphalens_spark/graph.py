@@ -412,3 +412,111 @@ def pagerank_sql(
         f"{body}\n"
         f"SELECT node, round(pr, {round_dp}) AS pagerank FROM r{n_iter}"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007; the GraphFrames/Pregel LPA): every node starts labeled
+    with its own id, and each round adopts the label carrying the most
+    neighbor mass (edge count, or ``weight_col`` sum), ties broken
+    toward the SMALLEST label — a total order, so each round is a pure
+    function of the previous labeling and the result is deterministic
+    and oracle-replayable round by round. Synchronous updates can
+    oscillate on bipartite-ish structures, which is why LPA is
+    specified as fixed-``n_iter`` (GraphFrames does the same) rather
+    than run to a fixpoint that may not exist.
+
+    Output: (node, label) after ``n_iter`` rounds; equal labels =
+    same community.
+
+    Scale shape: per round ONE neighbor⋈labels equi-join on the node
+    key plus two linear groupBys ((node, label) mass, then per-node
+    argmax via a min-struct — no window, no skew beyond true hub
+    degree), labels eagerly localCheckpointed so lineage stays flat —
+    the pagerank/k_core iteration pattern.
+    """
+    canon = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        *([F.col(weight_col).cast("double").alias("w")] if weight_col else []),
+    ).where(F.col("u") != F.col("v"))
+    if weight_col is None:
+        # unweighted = SIMPLE graph: duplicate edge rows carry no extra
+        # vote (integer unit mass also keeps the argmax exact cross-engine)
+        e = canon.distinct().withColumn("w", F.lit(1).cast("long"))
+    else:
+        e = canon.groupBy("u", "v").agg(F.sum("w").alias("w"))
+    nbrs = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w")
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    lab = nbrs.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iter):
+        mass = (
+            nbrs.join(
+                lab.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("m"))
+        )
+        # argmax by (mass desc, label asc) as ONE min-struct aggregate:
+        # min((-m, label)).label — deterministic tiebreak, no window
+        lab = (
+            mass.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("m")).alias("nm"), F.col("label")))
+                .alias("s")
+            )
+            .select("node", F.col("s.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return lab
+
+
+def label_propagation_sql(
+    edges_cte: str, n_iter: int = 5, weighted: bool = False
+) -> str:
+    """Unrolled-CTE SQL twin of :func:`label_propagation` for DuckDB
+    oracles: one (mass, argmax) CTE pair per round, every CTE
+    MATERIALIZED (l{i} is referenced once per round but the chain
+    depth makes default inlining re-derive everything — the pagerank
+    oracle lesson). ``edges_cte`` must produce (src, dst[, w])."""
+    parts = [
+        f"WITH eraw AS MATERIALIZED ({edges_cte})",
+        (
+            "ec AS MATERIALIZED (SELECT least(src, dst) AS u, "
+            "greatest(src, dst) AS v, sum(w) AS w "
+            "FROM eraw WHERE src <> dst GROUP BY 1, 2)"
+            if weighted
+            else "ec AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v, 1 AS w FROM eraw WHERE src <> dst)"
+        ),
+        "nbrs AS MATERIALIZED (SELECT u AS node, v AS nbr, w FROM ec "
+        "UNION ALL SELECT v, u, w FROM ec)",
+        "l0 AS MATERIALIZED "
+        "(SELECT DISTINCT node, node AS label FROM nbrs)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT n.node, l.label, sum(n.w) AS m "
+            f"FROM nbrs n JOIN l{i} l ON n.nbr = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER "
+            f"(PARTITION BY node ORDER BY m DESC, label ASC) AS rn "
+            f"FROM m{i}) WHERE rn = 1)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, label FROM l{n_iter}"

@@ -486,3 +486,74 @@ def test_bpe_segment_vocab_matches_reference(spark):
     for w in vocab:
         expect = seg(w)
         assert got[w] == (expect, len(expect.split())), w
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles bridged by one edge resolve to two communities;
+    the Spark rounds match the unrolled-CTE SQL twin exactly (incl. the
+    deterministic smallest-label tiebreak). Duplicate input edge rows
+    carry no extra vote (simple-graph contract)."""
+    import duckdb
+
+    from alphalens_spark.graph import label_propagation, label_propagation_sql
+
+    E = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (10, 11), (2, 1)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(edges, n_iter=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges_t AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in E)
+        + ") t(src,dst)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                label_propagation_sql("SELECT src, dst FROM edges_t", n_iter=4)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    lab = dict(got)
+    assert lab[1] == lab[2] == lab[3]
+    assert lab[4] == lab[5] == lab[6]
+    assert lab[1] != lab[4]
+    # the isolated PAIR oscillates under synchronous updates (period 2,
+    # the documented LPA property) — after an even round count each node
+    # holds its own label again
+    assert lab[10] == 10 and lab[11] == 11
+
+
+def test_label_propagation_weighted_matches_sql_twin(spark):
+    import duckdb
+
+    from alphalens_spark.graph import label_propagation, label_propagation_sql
+
+    EW = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (4, 5, 1.0),
+          (5, 6, 1.0), (4, 6, 1.0), (3, 4, 10.0)]
+    ew = spark.createDataFrame(EW, "src long, dst long, w double")
+    got = dict(
+        (r["node"], r["label"])
+        for r in label_propagation(ew, n_iter=4, weight_col="w").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges_w AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b},{w})" for a, b, w in EW)
+        + ") t(src,dst,w)"
+    )
+    want = dict(
+        con.execute(
+            label_propagation_sql(
+                "SELECT src, dst, w FROM edges_w", n_iter=4, weighted=True
+            )
+        ).fetchall()
+    )
+    assert got == want
