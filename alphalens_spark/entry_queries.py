@@ -6866,10 +6866,30 @@ _DRIVER_CERTIFIED = {
     "time_varying_groups", "token_budget_sample", "top_terms_per_source",
     "turnover_summary", "unigram_cross_entropy", "zorder_key",
 }
+# Within the never-certified group, these run LAST: if the driver budget
+# is query-count-bound (~50/round), the queries that overflow into round 5
+# should be the ones whose families already have a certified sibling
+# (display variants, diagnostic reports, second façades of a certified
+# operator) — NOT the judge-flagged singletons (rolling_mean_ic is the
+# only §2.5 core row without a driver green; bpe/vocab/wav/allpairs are
+# whole families riding on one query each).
+_CERTIFY_LAST = {
+    "normalize_text", "knn_label_predict", "split_leakage_safe",
+    "common_paths", "validate_expectations", "curation_report",
+    "rolling_anomaly", "winsorize_prices", "event_sessionize_native",
+    "interval_join_sessions", "fuzzy_token_pairs", "event_cube",
+    "balance_rank_features", "supplier_price_ols", "seasonal_naive_eval",
+    "quantile_drawdown",
+}
 QUERIES = {
     name: QUERIES[name]
     for group in (
-        [n for n in QUERIES if n not in _DRIVER_CERTIFIED],
+        [
+            n
+            for n in QUERIES
+            if n not in _DRIVER_CERTIFIED and n not in _CERTIFY_LAST
+        ],
+        [n for n in QUERIES if n in _CERTIFY_LAST],
         [n for n in QUERIES if n in _DRIVER_CERTIFIED],
     )
     for name in group
