@@ -1039,11 +1039,39 @@ def dsir_importance_weights(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     cr = rawdb.groupBy("_b").agg(F.sum("_c").alias("_cr"))
-    ct = (
-        _hashed_ngram_features(target, text_col, id_col, n_buckets)
+    ct = dsir_bucket_counts(target, n_buckets, text_col, id_col)
+    return _dsir_score(rawdb, cr, ct, n_buckets, smoothing, id_col)
+
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(_b, _ct) hashed-feature bucket counts of a corpus — the DSIR
+    distribution artifact. Bounded at ``n_buckets`` rows, and MERGEABLE
+    BY ADDITION across corpus shards / micro-batches (it's a plain
+    count), which is what the incremental store relies on."""
+    return (
+        _hashed_ngram_features(docs, text_col, id_col, n_buckets)
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_ct"))
     )
+
+
+def _dsir_score(
+    rawdb: DataFrame,
+    cr: DataFrame,
+    ct: DataFrame,
+    n_buckets: int,
+    smoothing: float,
+    id_col: str,
+) -> DataFrame:
+    """Score per-doc bucket counts ``rawdb`` (_b, _c per id) against raw
+    bucket counts ``cr`` (_b, _cr) and target bucket counts ``ct``
+    (_b, _ct) — the shared core of the one-shot and store-backed DSIR
+    paths."""
     counts = (
         cr.join(ct, "_b", "full_outer")
         .select(

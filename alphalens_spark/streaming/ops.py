@@ -1424,3 +1424,80 @@ def ab_store_ztest(spark: SparkSession, store_path: str) -> DataFrame:
         (F.round(p_b, 6) + F.lit(0.0)).alias("rate_b"),
         (F.round(z, 6) + F.lit(0.0)).alias("z"),
     )
+
+
+def dsir_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One incremental DSIR raw-distribution maintenance step: hashed
+    n-gram bucket counts of the arriving micro-batch MERGED into the
+    persisted counts — the distribution artifact is a plain count per
+    bucket, so merge is addition (the CM-sketch rule) and the maintained
+    store is exactly ``dsir_bucket_counts`` of the full history
+    (tested: incremental == one-shot). Store stays ≤ n_buckets rows
+    forever; per-batch cost is O(|batch| + n_buckets).
+
+    This is how the q̂ (raw corpus) side of DSIR keeps up with a
+    continuously-arriving pretraining corpus while the p̂ (target
+    domain) artifact stays frozen; score any slice against the live
+    store with :func:`dsir_store_weights`.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.curation import dsir_bucket_counts
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_counts = dsir_bucket_counts(
+        batch_df, n_buckets, text_col, id_col
+    ).select("_b", F.col("_ct").alias("n"))
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(batch_counts)
+            .groupBy("_b")
+            .agg(F.sum("n").alias("n"))
+        )
+    except AnalysisException:  # first batch
+        merged = batch_counts
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def dsir_store_weights(
+    docs: DataFrame,
+    store_path: str,
+    target: DataFrame,
+    n_buckets: int = 256,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights of ``docs`` scored against the STORE's
+    raw distribution (maintained by :func:`dsir_store_update`) and a
+    target corpus — identical output contract (and, once the store has
+    absorbed the full corpus, identical VALUES) to the one-shot
+    ``scale.curation.dsir_importance_weights``."""
+    from alphalens_spark.scale.curation import (
+        _dsir_score,
+        _hashed_ngram_features,
+        dsir_bucket_counts,
+    )
+
+    spark = docs.sparkSession
+    cr = spark.read.parquet(store_path).select(
+        "_b", F.col("n").alias("_cr")
+    )
+    rawdb = (
+        _hashed_ngram_features(docs, text_col, id_col, n_buckets)
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ct = dsir_bucket_counts(target, n_buckets, text_col, id_col)
+    return _dsir_score(rawdb, cr, ct, n_buckets, smoothing, id_col)

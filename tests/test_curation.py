@@ -333,3 +333,44 @@ class TestDSIR:
         # deterministic across invocations (md5 uniforms, no RNG state)
         sel2 = dsir_select(raw, target, k=2, n_buckets=64).collect()
         assert sorted(r["doc_id"] for r in sel2) == [2, 3]
+
+    def test_store_incremental_equals_one_shot(self, spark, tmp_path):
+        """dsir_store_update over 3 micro-batches == dsir_bucket_counts
+        of the full corpus (merge = addition), and scoring off the store
+        reproduces the one-shot dsir_importance_weights exactly."""
+        from alphalens_spark.scale.curation import (
+            dsir_bucket_counts,
+            dsir_importance_weights,
+        )
+        from alphalens_spark.streaming.ops import (
+            dsir_store_update,
+            dsir_store_weights,
+        )
+
+        full = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        target = spark.createDataFrame(self.ROWS[2:4], "doc_id long, text string")
+        store = str(tmp_path / "dsir_store")
+        for lo, hi in ((0, 2), (2, 4), (4, 5)):
+            batch = spark.createDataFrame(
+                self.ROWS[lo:hi], "doc_id long, text string"
+            )
+            dsir_store_update(batch, store, n_buckets=64)
+        got_counts = {
+            r["_b"]: r["n"] for r in spark.read.parquet(store).collect()
+        }
+        want_counts = {
+            r["_b"]: r["_ct"]
+            for r in dsir_bucket_counts(full, n_buckets=64).collect()
+        }
+        assert got_counts == want_counts
+        got_w = {
+            r["doc_id"]: (r["n_features"], r["log_weight"])
+            for r in dsir_store_weights(
+                full, store, target, n_buckets=64
+            ).collect()
+        }
+        want_w = {
+            r["doc_id"]: (r["n_features"], r["log_weight"])
+            for r in dsir_importance_weights(full, target, n_buckets=64).collect()
+        }
+        assert got_w == want_w
