@@ -978,13 +978,27 @@ def corpus_report(
 
 
 def _hashed_ngram_features(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int,
+    hasher: str = "md5",
 ) -> DataFrame:
     """One row per (id, hashed unigram/bigram feature bucket) — the DSIR
     feature space (Xie et al. 2023 §2: hashed bag of n-grams). The md5
     reduction keeps buckets engine-reproducible (same expression the
-    quality classifier's oracle replays in SQL)."""
-    from alphalens_spark.scale.dedup import md5_long
+    quality classifier's oracle replays in SQL); ``hasher="xxhash64"``
+    is the production fast path (the cm_sketch precedent — ~4× cheaper
+    per feature, Spark-only). spread_for_compute guards the CPU-bound
+    hash stage against an under-partitioned scan (a single-file corpus
+    otherwise serializes the whole explode+hash pipeline onto one core —
+    measured 7.4 s vs 0.9 s at sf0.1)."""
+    from alphalens_spark.scale.dedup import md5_long, spread_for_compute
+
+    df = spread_for_compute(df)
+    if hasher == "md5":
+        bucket = lambda c: F.pmod(md5_long(c, 15), F.lit(n_buckets))  # noqa: E731
+    elif hasher == "xxhash64":
+        bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n_tok = F.size(toks)
@@ -1000,9 +1014,7 @@ def _hashed_ngram_features(
     feats = F.concat(toks, bigrams)
     return df.select(
         F.col(id_col), F.explode(feats).alias("_t")
-    ).select(
-        id_col, F.pmod(md5_long(F.col("_t"), 15), F.lit(n_buckets)).alias("_b")
-    )
+    ).select(id_col, bucket(F.col("_t")).alias("_b"))
 
 
 def dsir_importance_weights(
@@ -1012,6 +1024,7 @@ def dsir_importance_weights(
     smoothing: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "md5",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", NeurIPS 2023): score every raw
@@ -1034,12 +1047,12 @@ def dsir_importance_weights(
     to the 6-dp cross-engine grid.
     """
     rawdb = (
-        _hashed_ngram_features(raw, text_col, id_col, n_buckets)
+        _hashed_ngram_features(raw, text_col, id_col, n_buckets, hasher)
         .groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     cr = rawdb.groupBy("_b").agg(F.sum("_c").alias("_cr"))
-    ct = dsir_bucket_counts(target, n_buckets, text_col, id_col)
+    ct = dsir_bucket_counts(target, n_buckets, text_col, id_col, hasher)
     return _dsir_score(rawdb, cr, ct, n_buckets, smoothing, id_col)
 
 
@@ -1048,13 +1061,14 @@ def dsir_bucket_counts(
     n_buckets: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "md5",
 ) -> DataFrame:
     """(_b, _ct) hashed-feature bucket counts of a corpus — the DSIR
     distribution artifact. Bounded at ``n_buckets`` rows, and MERGEABLE
     BY ADDITION across corpus shards / micro-batches (it's a plain
     count), which is what the incremental store relies on."""
     return (
-        _hashed_ngram_features(docs, text_col, id_col, n_buckets)
+        _hashed_ngram_features(docs, text_col, id_col, n_buckets, hasher)
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_ct"))
     )

@@ -175,6 +175,7 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
               docs, n=3, threshold=0.6
           ).count())
 
+
     # --- round-3 third batch: entity resolution, basket affinity ---
     from alphalens_spark.scale import affinity, linkage
 
@@ -191,6 +192,22 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
           lambda: affinity.association_rules(
               li_brand, "l_orderkey", "p_brand", min_pair_count=5
           ).count())
+    # --- round-4 scale ops: DSIR selection + LPA communities ---
+    timed("dsir_weights",
+          lambda: curation.dsir_importance_weights(
+              docs, docs.where(F.col("source").isin("src0", "src1")),
+              n_buckets=256, hasher="xxhash64",
+          ).count())
+    timed("label_propagation",
+          lambda: graph.label_propagation(
+              affinity.cooccurrence_pairs(
+                  li, "l_orderkey", "l_partkey", min_count=2
+              ).select(
+                  F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+              ),
+              n_iter=4,
+          ).count())
+
     from alphalens_spark.entry_queries import q_pricing_summary
 
     timed("pricing_summary",

@@ -85,3 +85,23 @@ def test_write_factor_data_partitioned_prunes(spark, tmp_path):
 
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_datasets_ingest_matches_separate_builders(spark):
+    """datasets.ingest derives factor_data AND prices from one shared
+    panel: outputs must equal the standalone factor_data()/prices()
+    builders row for row."""
+    from alphalens_spark import datasets
+
+    sf_dir = "/root/testdata/sf0.001"
+    fd_i, px_i, panel = datasets.ingest(spark, sf_dir)
+    fd_s = datasets.factor_data(spark, sf_dir)
+    px_s = datasets.prices(spark, sf_dir)
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert fd_i.columns == fd_s.columns
+    assert key(fd_i) == key(fd_s)
+    assert key(px_i) == key(px_s)
+    panel.unpersist()
