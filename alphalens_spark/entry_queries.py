@@ -4131,6 +4131,74 @@ SELECT media_id, 8 AS width, 8 AS height,
 FROM px GROUP BY 1"""
 
 
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (scale.text.ngram_language_id — the
+    brief's 'language-ID (n-gram heuristic)' as the real per-class
+    n-gram LM, not the stopword shortcut): profiles learn from the
+    even-id half of the labeled corpus, the odd-id half classifies by
+    min cross-entropy. NOTE on accuracy: the driver's synthetic lang
+    labels are uncorrelated with text (all five languages draw from the
+    identical 31-word vocabulary — verified), so ~chance accuracy here
+    is the data's ceiling, not the method's; the pytest corpus with
+    real per-language character distributions classifies at 100%."""
+    from alphalens_spark.scale.text import ngram_language_id
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return ngram_language_id(train, test)
+
+
+ORACLES["langid_ngram"] = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS tn
+  FROM documents
+),
+train_g AS (
+  SELECT lang AS l, substr(tn, CAST(i AS INT), 3) AS g
+  FROM (SELECT lang, tn,
+               unnest(generate_series(1, greatest(length(tn) - 2, 1))) AS i
+        FROM norm WHERE doc_id % 2 = 0) b
+),
+prof AS (SELECT l, g, count(*) AS c FROM train_g GROUP BY 1, 2),
+totals AS (SELECT l, sum(c) AS tl FROM prof GROUP BY 1),
+vocab AS (SELECT count(DISTINCT g) AS v FROM prof),
+test_g AS (
+  SELECT doc_id, g, count(*) AS n FROM (
+    SELECT doc_id, substr(tn, CAST(i AS INT), 3) AS g
+    FROM (SELECT doc_id, tn,
+                 unnest(generate_series(1, greatest(length(tn) - 2, 1))) AS i
+          FROM norm WHERE doc_id % 2 = 1) b
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT tg.doc_id, t.l, tg.n,
+         ln((coalesce(p.c, 0) + 0.5) / (t.tl + 0.5 * vb.v)) AS lp
+  FROM test_g tg
+  CROSS JOIN totals t
+  CROSS JOIN vocab vb
+  LEFT JOIN prof p ON p.l = t.l AND p.g = tg.g
+),
+ce AS (
+  SELECT doc_id, l, -sum(n * lp) / sum(n) AS ce
+  FROM scored GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, l, ce FROM (
+    SELECT doc_id, l, ce,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ce ASC, l ASC)
+             AS rn
+    FROM ce
+  ) WHERE rn = 1
+)
+SELECT b.doc_id, d.lang,
+       b.l AS lang_pred,
+       round(b.ce, 6) + 0.0 AS ce_pred,
+       b.l = d.lang AS correct
+FROM best b JOIN documents d USING (doc_id)"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. NeurIPS 2023,
     scale.curation.dsir_importance_weights): every document scored by
@@ -6750,6 +6818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_zscore": q_robust_zscore,
     "corpus_report": q_corpus_report,
     "dsir_weights": q_dsir_weights,
+    "langid_ngram": q_langid_ngram,
     "dedup_keep_list": q_dedup_keep_list,
     "netpbm_decode_stats": q_netpbm_decode_stats,
     "png_decode_stats": q_png_decode_stats,

@@ -1210,3 +1210,101 @@ def bpe_segment_sql(
         + f"\nSELECT word, array_to_string(syms, ' ') AS pieces, "
         f"len(syms) AS n_pieces, freq FROM w{n}"
     )
+
+
+def _char_trigrams(text_col: str) -> F.Column:
+    """Char-trigram array over the lowercased, whitespace-normalized
+    text (Cavnar & Trenkle 1994 feature unit; spaces collapse so
+    formatting never shifts the profile)."""
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n = F.greatest(F.length(t) - 2, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(t, i, 3)
+    )
+
+
+def ngram_language_id(
+    train: DataFrame,
+    test: DataFrame,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Char-n-gram language identification (the real n-gram method the
+    brief names, upgrading the stopword heuristic): per-language
+    char-trigram distributions learned from the LABELED ``train`` docs
+    (add-k smoothed — a per-class naive-Bayes/textcat LM, the modern
+    restatement of Cavnar-Trenkle 1994 rank profiles), then every
+    ``test`` doc takes the language minimizing its per-char
+    cross-entropy. Ties break toward the smallest language code
+    (min-struct, deterministic).
+
+    Scale shape: profile learning is one (lang, gram) groupBy over the
+    train corpus; classification explodes test docs to (doc, gram)
+    counts ONCE and left-joins the profile table (vocab-bounded —
+    char-trigram vocabulary saturates in the low 10⁴s regardless of
+    corpus size, so the profile side broadcasts) replicated per
+    language. Unseen grams score at the smoothing floor via the
+    left-join + coalesce(0). All-linear; the only corpus-sized
+    exchange is the (doc, gram) count.
+
+    Output: (id, lang, lang_pred, ce_pred, correct) — ce in
+    nats/gram, 6-dp snapped; ``lang`` is the test doc's true label
+    (NULL passes through for unlabeled corpora).
+    """
+    from alphalens_spark.scale.dedup import spread_for_compute
+
+    tri = _char_trigrams(text_col)
+    train_g = spread_for_compute(train).select(
+        F.col(lang_col).alias("_l"), F.explode(tri).alias("_g")
+    )
+    prof = train_g.groupBy("_l", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    totals = prof.groupBy("_l").agg(F.sum("_c").alias("_tl"))
+    vocab = prof.select("_g").distinct().agg(
+        F.count(F.lit(1)).alias("_v")
+    )
+    langs = totals.join(F.broadcast(vocab))
+
+    test_g = (
+        spread_for_compute(test)
+        .select(F.col(id_col), F.explode(tri).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    k = F.lit(float(smoothing))
+    # replicate each test gram across the language dimension (5-ish rows
+    # per gram), left-join the profile so unseen grams hit the floor
+    scored = (
+        test_g.join(F.broadcast(langs.select("_l", "_tl", "_v")))
+        .join(F.broadcast(prof), ["_l", "_g"], "left")
+        .select(
+            id_col,
+            "_l",
+            "_n",
+            F.log(
+                (F.coalesce(F.col("_c"), F.lit(0)) + k)
+                / (F.col("_tl") + k * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    ce = (
+        scored.groupBy(id_col, "_l")
+        .agg(
+            (-F.sum(F.col("_n") * F.col("_lp")) / F.sum("_n")).alias("_ce")
+        )
+    )
+    best = ce.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_ce"), F.col("_l"))).alias("_s")
+    )
+    truth = test.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    return (
+        best.join(truth, id_col)
+        .select(
+            id_col,
+            "lang",
+            F.col("_s._l").alias("lang_pred"),
+            (F.round(F.col("_s._ce"), 6) + F.lit(0.0)).alias("ce_pred"),
+            (F.col("_s._l") == F.col("lang")).alias("correct"),
+        )
+    )

@@ -115,6 +115,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # 1-row (Tr, Tt) feature-totals broadcast onto the B-row
         # bucket-count table (bounded by n_buckets, never corpus-sized)
         "dsir_weights",
+        # language-dimension broadcast (|langs| rows) replicated onto the
+        # per-doc gram counts + 1-row vocab-size broadcast
+        "langid_ngram",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":

@@ -480,3 +480,36 @@ def test_np_assignment_bit_identical_to_expression_form(spark):
         # exactly, so assignments must match bit-for-bit, not just mostly
         assert r["c_expr"] == r["c_np"], r
         assert r["codes_expr"] == r["codes_np"], r
+
+
+def test_ngram_language_id_separable_corpus(spark):
+    """On a corpus whose languages have genuinely distinct character
+    distributions the trigram LM classifies perfectly; ties and unseen
+    grams hit the smoothing floor instead of crashing. (The driver
+    corpus's lang labels are random — all five langs share one 31-word
+    vocabulary — so THIS is the method's correctness evidence.)"""
+    from alphalens_spark.scale.text import ngram_language_id
+
+    mk = {
+        "aa": lambda i: " ".join(["alpha beta gamma delta"] * 4) + f" x{i}",
+        "bb": lambda i: " ".join(["zulu yankee xray whisky"] * 4) + f" q{i}",
+        "cc": lambda i: " ".join(["mmmm nnnn oooo pppp"] * 4) + f" k{i}",
+    }
+    rows = [
+        (lang_i * 100 + i, mk[lang](i), lang)
+        for lang_i, lang in enumerate(mk)
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    out = ngram_language_id(train, test).collect()
+    assert len(out) == 12
+    assert all(r["correct"] for r in out)
+    assert all(r["lang_pred"] == r["lang"] for r in out)
+    # deterministic under repartitioning (sum-order independence of the
+    # argmin at this separation)
+    out2 = ngram_language_id(train.repartition(7), test.repartition(5)).collect()
+    assert sorted((r["doc_id"], r["lang_pred"]) for r in out2) == sorted(
+        (r["doc_id"], r["lang_pred"]) for r in out
+    )
