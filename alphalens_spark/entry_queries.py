@@ -4131,6 +4131,56 @@ SELECT media_id, 8 AS width, 8 AS height,
 FROM px GROUP BY 1"""
 
 
+def q_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-resistant block-level dedup via content-defined chunking
+    (scale.dedup.content_defined_chunks / cdc_chunk_duplicates — the
+    rsync/FastCDC boundary idea as a pure expression): chunk boundaries
+    fall where the 16-char window md5 has its low 6 bits zero, so
+    duplicated blocks keep their digests under prefix shifts. Output:
+    content blocks recurring in ≥ 2 documents."""
+    from alphalens_spark.scale.dedup import cdc_chunk_duplicates
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return cdc_chunk_duplicates(docs, window=16, mask_bits=6)
+
+
+ORACLES["cdc_chunk_dups"] = r"""
+WITH b AS (
+  SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(16, CAST(n - 1 AS INT))) AS p
+  FROM b WHERE n > 16
+),
+bounds AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS e FROM pos
+  WHERE ('0x' || substr(md5(substr(t, CAST(p - 15 AS INT), 16)), 1, 15))
+          ::BIGINT % 64 = 0
+  UNION ALL
+  SELECT doc_id, n FROM b
+),
+spans AS (
+  SELECT doc_id, e,
+         lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s
+  FROM bounds
+),
+chunks AS (
+  SELECT sp.doc_id,
+         CAST(sp.e - sp.s AS INT) AS chunk_len,
+         md5(substr(b.t, CAST(sp.s + 1 AS INT), CAST(sp.e - sp.s AS INT)))
+           AS chunk_digest
+  FROM spans sp JOIN b USING (doc_id)
+  WHERE sp.e - sp.s > 0
+)
+SELECT chunk_digest, chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences
+FROM chunks GROUP BY 1, 2
+HAVING count(DISTINCT doc_id) >= 2"""
+
+
 def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram language ID (scale.text.ngram_language_id — the
     brief's 'language-ID (n-gram heuristic)' as the real per-class
@@ -6819,6 +6869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "dsir_weights": q_dsir_weights,
     "langid_ngram": q_langid_ngram,
+    "cdc_chunk_dups": q_cdc_chunk_dups,
     "dedup_keep_list": q_dedup_keep_list,
     "netpbm_decode_stats": q_netpbm_decode_stats,
     "png_decode_stats": q_png_decode_stats,

@@ -1205,3 +1205,122 @@ def cross_source_dup_matrix(
         )
         .where(F.col("dup_pairs") > 0)
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    window: int = 16,
+    mask_bits: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the CDC idea behind rsync/LBFS/FastCDC,
+    expression form): a chunk boundary falls after position ``p``
+    whenever the hash of the ``window``-char context ending at ``p``
+    has its low ``mask_bits`` bits zero — so boundaries are a function
+    of LOCAL CONTENT, not offsets, and inserting/deleting a prefix
+    re-synchronizes the chunking after one window (shift-resistant,
+    where fixed-stride blocks would misalign every block downstream).
+    Expected chunk length = 2^mask_bits chars.
+
+    Deliberately the mask-only variant (no min/max clamps): clamped
+    variants make each boundary depend on the previous one (sequential
+    per doc), while the pure predicate keeps the whole operator a
+    per-row projection — boundary detection, splitting and digesting
+    all happen inside one map stage, no shuffle until a consumer
+    aggregates. The md5 window hash replays in ANSI SQL, so chunk
+    digests value-oracle end to end.
+
+    Output: (id, chunk_idx, chunk_start 1-based, chunk_len,
+    chunk_digest md5) — one row per chunk, whole doc = one chunk when
+    no position matches the mask.
+    """
+    docs = spread_for_compute(docs)  # per-position md5 is CPU-bound
+    t = F.col(text_col)
+    n = F.length(t)
+    mask = (1 << mask_bits) - 1
+    # candidate boundary positions: window..len-1 (a boundary AT len is
+    # implicit; starting before `window` would hash short contexts).
+    # Window extraction slices a PRE-SPLIT char array — substring(t, p, w)
+    # re-scans the string from the start at every position (O(len²) per
+    # doc), while array slice indexes directly (O(len·window) total).
+    # md5(array_join(slice)) ≡ md5(substring) over the same chars, so
+    # the SQL oracle keeps the plain-substr form. Remaining cost is the
+    # per-position interpreted-HOF md5 itself (~60 µs/eval — the §2.10
+    # escape-hatch candidate: a numpy gear-hash mapInPandas variant is
+    # the production upgrade when corpus-hours matter; this md5 form is
+    # the one whose digests value-oracle in SQL).
+    chars = F.split(t, "")
+    positions = F.when(
+        n > window, F.sequence(F.lit(window), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.filter(
+        positions,
+        lambda p: F.pmod(
+            md5_long(
+                F.array_join(F.slice(chars, p - window + 1, window), ""), 15
+            ),
+            F.lit(mask + 1),
+        )
+        == 0,
+    )
+    # TWO-STEP select: the boundary scan (per-position md5, the expensive
+    # part) materializes in its own projection so downstream references
+    # see a column, not the expression tree — `ends` is used twice below
+    # and inline duplication would run the whole 3M-hash filter twice
+    # (the round-2 Generate/CSE lesson)
+    base = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.concat(bounds, F.array(n)).alias("_ends"),
+    )
+    ends = F.col("_ends")
+    # previous-end array map-side (concat([0], ends[:-1])) instead of a
+    # lag window — a window would shuffle the FULL TEXT once per chunk
+    # row; this keeps the whole operator a per-row projection
+    starts = F.concat(
+        F.array(F.lit(0)), F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0)))
+    )
+    spans = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    exploded = base.select(
+        F.col(id_col), F.col("_t"), F.posexplode(spans)
+    )
+    s0 = F.col("col.s") + 1
+    ln = F.col("col.e") - F.col("col.s")
+    return exploded.select(
+        id_col,
+        F.col("pos").alias("chunk_idx"),
+        s0.alias("chunk_start"),
+        ln.alias("chunk_len"),
+        F.md5(F.substring(F.col("_t"), s0, ln)).alias("chunk_digest"),
+    ).where(F.col("chunk_len") > 0)
+
+
+def cdc_chunk_duplicates(
+    docs: DataFrame,
+    window: int = 16,
+    mask_bits: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated content at CDC-chunk granularity: which
+    content blocks recur in MORE THAN ONE document, robust to shifts
+    (a quoted/prepended/boilerplate block keeps its chunk digests even
+    when its byte offset moves — the case fixed-stride or k-gram-anchored
+    span dedup must realign for). One digest groupBy over the chunk
+    projection — 16-byte keys, uniform by construction.
+
+    Output: (chunk_digest, chunk_len, n_docs, n_occurrences) for chunks
+    seen in ≥ 2 distinct documents.
+    """
+    ch = content_defined_chunks(docs, window, mask_bits, text_col, id_col)
+    return (
+        ch.groupBy("chunk_digest", "chunk_len")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -513,3 +513,45 @@ def test_ngram_language_id_separable_corpus(spark):
     assert sorted((r["doc_id"], r["lang_pred"]) for r in out2) == sorted(
         (r["doc_id"], r["lang_pred"]) for r in out
     )
+
+
+def test_content_defined_chunks_tile_and_shift_resist(spark):
+    """CDC chunks exactly tile each document, and a prefix insertion
+    perturbs only the chunks up to the first content boundary — the
+    digests downstream re-synchronize (the property fixed-stride
+    blocking lacks)."""
+    from alphalens_spark.scale.dedup import (
+        cdc_chunk_duplicates,
+        content_defined_chunks,
+    )
+
+    A = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark woods tonight "
+    ) * 8
+    rows = [
+        (0, A),
+        (1, "PREFIX SHIFT >> " + A),
+        (2, "totally different content that shares nothing with the rest"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in content_defined_chunks(docs).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["chunk_digest"])
+        )
+    for k in out:
+        out[k].sort()
+    for i, txt in rows:
+        assert sum(c[2] for c in out[i]) == len(txt)  # exact tiling
+        assert out[i][0][1] == 1
+        # contiguity: each chunk starts right after the previous
+        for (pi, ps, pl, _), (ci, cs, cl, _) in zip(out[i], out[i][1:]):
+            assert cs == ps + pl and ci == pi + 1
+    d0 = {c[3] for c in out[0]}
+    d1 = {c[3] for c in out[1]}
+    d2 = {c[3] for c in out[2]}
+    assert len(d0 & d1) / len(d0) > 0.5   # shifted copy re-synchronizes
+    assert not (d0 & d2)                   # unrelated content disjoint
+    dups = cdc_chunk_duplicates(docs).collect()
+    assert dups and all(r["n_docs"] >= 2 for r in dups)
