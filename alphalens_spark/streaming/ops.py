@@ -1501,3 +1501,93 @@ def dsir_store_weights(
     )
     ct = dsir_bucket_counts(target, n_buckets, text_col, id_col)
     return _dsir_score(rawdb, cr, ct, n_buckets, smoothing, id_col)
+
+
+def stream_user_stats_tws(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user running totals on the Spark 4 arbitrary-stateful-v2 API
+    (``transformWithStateInPandas`` + typed ``ValueState``) — the
+    successor surface to ``applyInPandasWithState``: state is a named,
+    schema'd store the runtime owns (RocksDB-backed on a real cluster,
+    changelog-checkpointed), the processor only reads/updates it, and
+    the same processor class composes with timers and initial state.
+    Kept alongside the v1 sessionizer so the engine demonstrates both
+    stateful surfaces.
+
+    Emits, per user seen in each micro-batch, the RUNNING
+    (n_events, sum_value, last_ts) after absorbing the batch (update
+    mode). Batch-mode equivalence: groupBy(user).agg(count, sum,
+    max ts) — the stream==batch test's oracle.
+
+    ENVIRONMENT GATE: the v2 state-server protocol speaks protobuf, and
+    this container does not ship the ``protobuf`` package — so like the
+    matplotlib render lane this raises an eager, documented error here
+    and runs wherever protobuf exists (the importorskip'd test covers
+    it). The v1 ``applyInPandasWithState`` ops cover the same
+    semantics in this environment.
+    """
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(Spark's arbitrary-stateful-v2 state-server protocol); it is "
+            "not available in this environment. Use the v1 "
+            "applyInPandasWithState operators (stream_sessionize, "
+            "stream_decayed_activity) for the same semantics."
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_ddl = events.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {key_ddl}, n_events long, sum_value double, "
+        "last_ts timestamp"
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # typed value state: (n, s, last_us) — timestamps stored as
+            # µs longs (the v1 stores' convention; reconstructed on emit)
+            self._agg = handle.getValueState(
+                "agg", "n long, s double, last_us long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s, last_us = 0, 0.0, None
+            if self._agg.exists():
+                n, s, last_us = self._agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].fillna(0.0).sum())
+                if len(pdf):
+                    m = int(pd.to_datetime(pdf[ts_col]).max().value // 1000)
+                    last_us = m if last_us is None else max(last_us, m)
+            self._agg.update((n, s, last_us))
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        _RunningStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

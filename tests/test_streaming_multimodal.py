@@ -443,3 +443,58 @@ def test_png_pixel_stats_spark(spark):
         assert got[i]["px_min"] == int(img.min())
         assert got[i]["px_max"] == int(img.max())
     assert got[99]["px_sum"] is None and got[99]["width"] is None
+
+
+def test_tws_running_stats_guarded_or_matches_batch(spark):
+    """Spark-4 arbitrary-stateful-v2 surface (transformWithStateInPandas
+    + typed ValueState): in environments without the protobuf package
+    the op raises its documented gate eagerly; where protobuf exists it
+    must reproduce the batch groupBy totals (mpl-render-lane pattern)."""
+    import pytest
+
+    from alphalens_spark.streaming.ops import stream_user_stats_tws
+
+    base = dt.datetime(2020, 1, 1, 9, 0)
+    rows = [
+        ("u1", base, 1.0),
+        ("u1", base + dt.timedelta(minutes=5), 2.5),
+        ("u2", base, 10.0),
+        ("u1", base + dt.timedelta(hours=1), 4.0),
+    ]
+    batch = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_user_stats_tws(batch)
+        return
+
+    with tempfile.TemporaryDirectory() as tmp:
+        batch.write.parquet(f"{tmp}/src")
+        stream = spark.readStream.schema(batch.schema).parquet(f"{tmp}/src")
+        q = (
+            stream_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["user_id"]: r for r in spark.sql("SELECT * FROM tws_stats").collect()}
+    want = {
+        r["user_id"]: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max("ts").alias("m"),
+        )
+        .collect()
+    }
+    for u, w in want.items():
+        g = got[u]
+        assert g["n_events"] == w["n"]
+        assert abs(g["sum_value"] - w["s"]) < 1e-9
+        assert g["last_ts"] == w["m"]
