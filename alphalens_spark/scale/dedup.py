@@ -1054,6 +1054,61 @@ def dedup_keep_list(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    score_col: str,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Quality-aware variant of :func:`dedup_keep_list`: within each
+    near-dup cluster keep the HIGHEST-``score_col`` document (ties →
+    lowest id), not the lowest id — what production pipelines actually
+    do when a quality signal exists (keep the cleanest copy of the
+    boilerplate family, not the first-crawled one).
+
+    Same cluster resolution (pairs → connected components); the keeper
+    is then ONE min-struct aggregate per cluster ((-score, id) min —
+    deterministic total order, no window), broadcast back onto the
+    membership map. Unclustered documents keep themselves.
+
+    Output: (id, canonical_id, score, keep) where canonical_id is the
+    chosen keeper's id.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_duplicates(
+            docs, text_col=text_col, id_col=id_col, **lsh_kwargs
+        )
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    scored = (
+        docs.select(F.col(id_col), F.col(score_col).alias("score"))
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            "score",
+            F.coalesce("comp", F.col(id_col)).alias("_cluster"),
+        )
+    )
+    best = (
+        scored.groupBy("_cluster")
+        .agg(
+            F.min(F.struct((-F.col("score")).alias("ns"), F.col(id_col)))
+            .alias("_s")
+        )
+        .select("_cluster", F.col(f"_s.{id_col}").alias("canonical_id"))
+    )
+    return (
+        scored.join(best, "_cluster")
+        .select(
+            id_col,
+            "canonical_id",
+            "score",
+            (F.col("canonical_id") == F.col(id_col)).alias("keep"),
+        )
+    )
+
+
 def allpairs_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

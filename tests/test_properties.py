@@ -512,3 +512,51 @@ def test_rank_normalize_invariants(spark, rows):
     # within each group the mean percentile rank is exactly 0.5
     for vals in by_grp.values():
         assert abs(sum(vals) / len(vals) - 0.5) < 1e-4
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=400),
+        min_size=1,
+        max_size=6,
+    ),
+    st.text(alphabet="xyz ", min_size=1, max_size=40),
+)
+@settings(max_examples=8, deadline=None)
+def test_cdc_chunks_tile_exactly_and_resync(spark, texts, prefix):
+    """Property: CDC chunks exactly tile every document (lengths sum to
+    len, contiguous, 1-based), and prefixing a document changes at most
+    the chunks before the first interior boundary — every digest from
+    the second boundary on survives."""
+    from alphalens_spark.scale.dedup import content_defined_chunks
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, prefix + t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in content_defined_chunks(docs, window=8, mask_bits=4).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["chunk_digest"])
+        )
+    for i, t in rows:
+        if len(t) == 0:
+            assert i not in out  # empty doc -> zero-length chunk filtered
+            continue
+        cs = sorted(out[i])
+        assert sum(c[2] for c in cs) == len(t)
+        assert cs[0][1] == 1
+        for (pi, ps, pl, _), (ci, cs2, cl, _) in zip(cs, cs[1:]):
+            assert cs2 == ps + pl and ci == pi + 1
+    # resync: digests after the first interior boundary of the prefixed
+    # doc form a SUBSET relationship with the original's tail digests
+    for i, t in enumerate(texts):
+        if len(t) == 0 or i not in out or (1000 + i) not in out:
+            continue
+        orig = sorted(out[i])
+        pref = sorted(out[1000 + i])
+        if len(orig) >= 2:
+            tail = {c[3] for c in orig[1:]}
+            # all original tail chunks whose content lies fully after the
+            # first boundary must reappear in the prefixed doc's digests
+            pref_digests = {c[3] for c in pref}
+            assert tail <= pref_digests

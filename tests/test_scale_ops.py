@@ -555,3 +555,29 @@ def test_content_defined_chunks_tile_and_shift_resist(spark):
     assert not (d0 & d2)                   # unrelated content disjoint
     dups = cdc_chunk_duplicates(docs).collect()
     assert dups and all(r["n_docs"] >= 2 for r in dups)
+
+
+def test_dedup_keep_best_prefers_quality(spark):
+    """dedup_keep_best keeps the highest-score doc per near-dup cluster
+    (ties -> lowest id); unclustered docs keep themselves."""
+    from alphalens_spark.scale.dedup import dedup_keep_best
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "b", 0.9), (3, "c", 0.9), (10, "d", 0.1),
+         (11, "e", 0.05), (42, "solo", 0.0)],
+        "doc_id long, text string, quality double",
+    )
+    out = {r["doc_id"]: r for r in dedup_keep_best(
+        docs, "quality", pairs=pairs
+    ).collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> lowest id 2 wins
+    assert [out[i]["canonical_id"] for i in (1, 2, 3)] == [2, 2, 2]
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    # cluster {10,11}: 10 wins on score
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[11]["canonical_id"] == 10
+    # unclustered keeps itself
+    assert out[42]["keep"] and out[42]["canonical_id"] == 42
