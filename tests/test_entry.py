@@ -61,7 +61,7 @@ def test_no_quadratic_join_in_any_query_plan(spark):
     }
     FACT_WIDTH = {
         t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)
-        for t in ("lineitem", "orders")
+        for t in ("lineitem", "orders", "documents", "events")
     }
     BNLJ_OK = {
         "quantile_stats",
