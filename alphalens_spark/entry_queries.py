@@ -1489,12 +1489,12 @@ l1 AS (
 _RANKS = """
 rk AS (
   SELECT date,
-         rank() OVER (PARTITION BY date ORDER BY factor)
-           + (count(*) OVER (PARTITION BY date, factor) - 1) / 2.0 AS rf,
-         rank() OVER (PARTITION BY date ORDER BY fwd_1p)
-           + (count(*) OVER (PARTITION BY date, fwd_1p) - 1) / 2.0 AS r1,
-         rank() OVER (PARTITION BY date ORDER BY fwd_5p)
-           + (count(*) OVER (PARTITION BY date, fwd_5p) - 1) / 2.0 AS r5
+         rank() OVER (PARTITION BY date ORDER BY round(factor, 6))
+           + (count(*) OVER (PARTITION BY date, round(factor, 6)) - 1) / 2.0 AS rf,
+         rank() OVER (PARTITION BY date ORDER BY round(fwd_1p, 6))
+           + (count(*) OVER (PARTITION BY date, round(fwd_1p, 6)) - 1) / 2.0 AS r1,
+         rank() OVER (PARTITION BY date ORDER BY round(fwd_5p, 6))
+           + (count(*) OVER (PARTITION BY date, round(fwd_5p, 6)) - 1) / 2.0 AS r5
   FROM fd
 ),
 ic AS (
@@ -1621,8 +1621,8 @@ SELECT q AS factor_quantile, period, date, round(turnover, 6) AS turnover FROM t
     "rank_autocorr": f"""{_P},
 rkd AS (
   SELECT date, asset,
-         rank() OVER (PARTITION BY date ORDER BY factor)
-           + (count(*) OVER (PARTITION BY date, factor) - 1) / 2.0 AS rnk
+         rank() OVER (PARTITION BY date ORDER BY round(factor, 6))
+           + (count(*) OVER (PARTITION BY date, round(factor, 6)) - 1) / 2.0 AS rnk
   FROM fd
 ),
 didx AS (
@@ -1689,12 +1689,12 @@ grp AS (
 ),
 rkg AS (
   SELECT f.date, g.group_name,
-         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.factor)
-           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.factor) - 1) / 2.0 AS rf,
-         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.fwd_1p)
-           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.fwd_1p) - 1) / 2.0 AS r1,
-         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.fwd_5p)
-           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.fwd_5p) - 1) / 2.0 AS r5
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY round(f.factor, 6))
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, round(f.factor, 6)) - 1) / 2.0 AS rf,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY round(f.fwd_1p, 6))
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, round(f.fwd_1p, 6)) - 1) / 2.0 AS r1,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY round(f.fwd_5p, 6))
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, round(f.fwd_5p, 6)) - 1) / 2.0 AS r5
   FROM fd f JOIN grp g ON f.asset = g.asset
 ),
 icg AS (
@@ -2008,12 +2008,12 @@ ga AS (
 ),
 rka AS (
   SELECT date,
-         rank() OVER (PARTITION BY date ORDER BY factor)
-           + (count(*) OVER (PARTITION BY date, factor) - 1) / 2.0 AS rf,
-         rank() OVER (PARTITION BY date ORDER BY a1)
-           + (count(*) OVER (PARTITION BY date, a1) - 1) / 2.0 AS r1,
-         rank() OVER (PARTITION BY date ORDER BY a5)
-           + (count(*) OVER (PARTITION BY date, a5) - 1) / 2.0 AS r5
+         rank() OVER (PARTITION BY date ORDER BY round(factor, 6))
+           + (count(*) OVER (PARTITION BY date, round(factor, 6)) - 1) / 2.0 AS rf,
+         rank() OVER (PARTITION BY date ORDER BY round(a1, 6))
+           + (count(*) OVER (PARTITION BY date, round(a1, 6)) - 1) / 2.0 AS r1,
+         rank() OVER (PARTITION BY date ORDER BY round(a5, 6))
+           + (count(*) OVER (PARTITION BY date, round(a5, 6)) - 1) / 2.0 AS r5
   FROM ga
 )
 SELECT date, round(corr(rf, r1), 6) AS ic_1p, round(corr(rf, r5), 6) AS ic_5p
@@ -2605,12 +2605,12 @@ grp AS (
 ),
 rkg AS (
   SELECT f.date, g.group_name,
-         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.factor)
-           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.factor) - 1) / 2.0 AS rf,
-         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.fwd_1p)
-           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.fwd_1p) - 1) / 2.0 AS r1,
-         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY f.fwd_5p)
-           + (count(*) OVER (PARTITION BY f.date, g.group_name, f.fwd_5p) - 1) / 2.0 AS r5
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY round(f.factor, 6))
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, round(f.factor, 6)) - 1) / 2.0 AS rf,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY round(f.fwd_1p, 6))
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, round(f.fwd_1p, 6)) - 1) / 2.0 AS r1,
+         rank() OVER (PARTITION BY f.date, g.group_name ORDER BY round(f.fwd_5p, 6))
+           + (count(*) OVER (PARTITION BY f.date, g.group_name, round(f.fwd_5p, 6)) - 1) / 2.0 AS r5
   FROM fd f JOIN grp g ON f.asset = g.asset
 ),
 icg AS (
@@ -4231,7 +4231,7 @@ scored AS (
   LEFT JOIN prof p ON p.l = t.l AND p.g = tg.g
 ),
 ce AS (
-  SELECT doc_id, l, -sum(n * lp) / sum(n) AS ce
+  SELECT doc_id, l, round(-sum(n * lp) / sum(n), 6) AS ce
   FROM scored GROUP BY 1, 2
 ),
 best AS (
@@ -4244,7 +4244,7 @@ best AS (
 )
 SELECT b.doc_id, d.lang,
        b.l AS lang_pred,
-       round(b.ce, 6) + 0.0 AS ce_pred,
+       b.ce + 0.0 AS ce_pred,
        b.l = d.lang AS correct
 FROM best b JOIN documents d USING (doc_id)"""
 
@@ -6081,8 +6081,8 @@ def q_balance_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["balance_rank_features"] = r"""
 SELECT c_custkey, c_nationkey, c_acctbal,
-       round((rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
-              + (count(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1) / 2.0
+       round((rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 6))
+              + (count(*) OVER (PARTITION BY c_nationkey, round(c_acctbal, 6)) - 1) / 2.0
               - 0.5)
              / count(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
          AS pct_rank
@@ -6627,8 +6627,8 @@ FROM (
     return f"""{_P},
 rkd AS MATERIALIZED (
   SELECT date, asset,
-         rank() OVER (PARTITION BY date ORDER BY factor)
-           + (count(*) OVER (PARTITION BY date, factor) - 1) / 2.0 AS rnk
+         rank() OVER (PARTITION BY date ORDER BY round(factor, 6))
+           + (count(*) OVER (PARTITION BY date, round(factor, 6)) - 1) / 2.0 AS rnk
   FROM fd
 ),
 didx AS MATERIALIZED (

@@ -49,9 +49,22 @@ def _avg_rank(value: str, part: Sequence[str]) -> Column:
     Spark's ``rank()`` is a min-rank; pandas/scipy Spearman uses average
     ranks (SURVEY §2.5). avg_rank = min_rank + (tie_count - 1)/2 using a
     second window keyed by (partition, value).
+
+    Ranks run over the 6-dp grid (float-parity playbook): the ranked
+    columns are aggregation outputs (factor = a SUM of discounted
+    quantities), and two MATHEMATICALLY equal sums can differ by one ulp
+    between engines/summation orders — splitting a tie group in one
+    engine but not the other shifts average ranks by 0.5 and moves the
+    IC at the 1e-3 level (caught by the strict sf0.1 sweep: nine
+    rank-family queries diverged; sf0.01 had too few collisions to
+    show it). Rounding both engines' rank keys to 6 dp makes tie groups
+    exact and deterministic; sub-1e-6 TRUE differences collapsing into a
+    tie moves a 1000-asset cross-section's IC by ~1e-6 — below the
+    output grid.
     """
-    w_order = Window.partitionBy(*part).orderBy(value)
-    w_ties = Window.partitionBy(*part, value)
+    key = F.round(F.col(value), 6)
+    w_order = Window.partitionBy(*part).orderBy(key)
+    w_ties = Window.partitionBy(*part, key)
     return F.rank().over(w_order) + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0
 
 

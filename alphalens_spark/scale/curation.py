@@ -1000,18 +1000,9 @@ def _hashed_ngram_features(
     else:
         raise ValueError(f"unknown hasher {hasher!r}")
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n_tok = F.size(toks)
-    bigrams = F.when(
-        n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_tok - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
+    from alphalens_spark.scale.text import unigram_bigram_features
+
+    feats = unigram_bigram_features(text_col)
     return df.select(
         F.col(id_col), F.explode(feats).alias("_t")
     ).select(id_col, bucket(F.col("_t")).alias("_b"))

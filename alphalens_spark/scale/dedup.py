@@ -1090,11 +1090,19 @@ def dedup_keep_best(
             F.coalesce("comp", F.col(id_col)).alias("_cluster"),
         )
     )
+    # NULL scores sort LAST (a missing quality signal must never beat a
+    # real one — struct-min would otherwise put NULL first and keep the
+    # unscored copy); ties on score → lowest id
     best = (
         scored.groupBy("_cluster")
         .agg(
-            F.min(F.struct((-F.col("score")).alias("ns"), F.col(id_col)))
-            .alias("_s")
+            F.min(
+                F.struct(
+                    F.col("score").isNull().cast("int").alias("nn"),
+                    (-F.coalesce(F.col("score"), F.lit(0.0))).alias("ns"),
+                    F.col(id_col),
+                )
+            ).alias("_s")
         )
         .select("_cluster", F.col(f"_s.{id_col}").alias("canonical_id"))
     )

@@ -716,6 +716,8 @@ def parse_png(payload: bytes):
         if len(body) != ln:
             raise ValueError("truncated chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.append(bytes(body))

@@ -17,6 +17,25 @@ def _tokens(text_col: str = "text") -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def unigram_bigram_features(text_col: str = "text") -> F.Column:
+    """Whitespace unigrams + word-bigram strings as ONE array column —
+    the shared feature unit of the hashed quality classifier and DSIR.
+    (``sequence(1, 0)`` would DESCEND in Spark, so 1-token docs emit an
+    empty bigram array.)"""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Character/token/distinct-token counts per document."""
     toks = _tokens(text_col)
@@ -387,20 +406,7 @@ def hashed_linear_classifier(
         raise ValueError(f"need {n_buckets} weights, got {len(w)}")
     w_lit = F.array(*[F.lit(float(x)).cast("double") for x in w])
 
-    toks = _tokens(text_col)
-    n_tok = F.size(toks)
-    # word bigrams via an index sequence (guard: sequence(1,0) would
-    # DESCEND in Spark, so emit an empty array for 1-token docs)
-    bigrams = F.when(
-        n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_tok - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
+    feats = unigram_bigram_features(text_col)
     buckets = F.transform(feats, lambda t: F.pmod(md5_long(t, 15), F.lit(n_buckets)))
     sum_w = F.aggregate(
         buckets,
@@ -1288,10 +1294,17 @@ def ngram_language_id(
             ).alias("_lp"),
         )
     )
+    # snap ce to the 6-dp grid BEFORE the argmin: the per-language sums
+    # are summation-order dependent at the last ulp, and an ulp flip at
+    # the argmin swaps the predicted LABEL (a whole-row divergence, not
+    # a 6th-decimal one) — the same class as the rank-tie fix in
+    # performance._avg_rank
     ce = (
         scored.groupBy(id_col, "_l")
         .agg(
-            (-F.sum(F.col("_n") * F.col("_lp")) / F.sum("_n")).alias("_ce")
+            F.round(
+                -F.sum(F.col("_n") * F.col("_lp")) / F.sum("_n"), 6
+            ).alias("_ce")
         )
     )
     best = ce.groupBy(id_col).agg(
@@ -1304,7 +1317,7 @@ def ngram_language_id(
             id_col,
             "lang",
             F.col("_s._l").alias("lang_pred"),
-            (F.round(F.col("_s._ce"), 6) + F.lit(0.0)).alias("ce_pred"),
+            (F.col("_s._ce") + F.lit(0.0)).alias("ce_pred"),
             (F.col("_s._l") == F.col("lang")).alias("correct"),
         )
     )

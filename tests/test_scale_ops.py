@@ -581,3 +581,20 @@ def test_dedup_keep_best_prefers_quality(spark):
     assert out[11]["canonical_id"] == 10
     # unclustered keeps itself
     assert out[42]["keep"] and out[42]["canonical_id"] == 42
+
+
+def test_dedup_keep_best_null_scores_never_win(spark):
+    """A missing quality signal must never beat a real one (regression:
+    struct-min ordered NULL first and kept the unscored copy)."""
+    from alphalens_spark.scale.dedup import dedup_keep_best
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1, "t", None), (2, "t", 0.9), (3, "t", 0.5)],
+        "doc_id long, text string, quality double",
+    )
+    out = {r["doc_id"]: r for r in dedup_keep_best(
+        docs, "quality", pairs=pairs
+    ).collect()}
+    assert out[2]["keep"] and not out[1]["keep"]
+    assert all(out[i]["canonical_id"] == 2 for i in (1, 2, 3))
