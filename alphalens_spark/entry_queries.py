@@ -4249,6 +4249,26 @@ SELECT b.doc_id, d.lang,
 FROM best b JOIN documents d USING (doc_id)"""
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle positions (scale.curation.
+    epoch_shuffle): a reproducible per-seed global permutation via
+    keyed-hash ranking — range-repartition + per-partition offsets, no
+    global data-sized window."""
+    from alphalens_spark.scale.curation import epoch_shuffle
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, seed=7)
+
+
+ORACLES["epoch_shuffle"] = r"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT,
+                  doc_id
+       ) - 1 AS shuffle_pos
+FROM documents"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. NeurIPS 2023,
     scale.curation.dsir_importance_weights): every document scored by
@@ -6868,6 +6888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_zscore": q_robust_zscore,
     "corpus_report": q_corpus_report,
     "dsir_weights": q_dsir_weights,
+    "epoch_shuffle": q_epoch_shuffle,
     "langid_ngram": q_langid_ngram,
     "cdc_chunk_dups": q_cdc_chunk_dups,
     "dedup_keep_list": q_dedup_keep_list,

@@ -1154,3 +1154,59 @@ def dsir_select(
         .where(F.col("_r") <= k)
         .select(id_col, "n_features", "log_weight")
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle order for one training epoch: every
+    row gets a contiguous 0-based ``shuffle_pos`` by ranking the keyed
+    hash md5(seed ':' id) — a different, reproducible permutation per
+    seed, stable under partitioning/retries (no RNG state anywhere).
+    Writers `ORDER BY shuffle_pos` (or range-partition on it) to lay
+    training shards out in shuffled order; readers stream sequentially.
+
+    Scale shape — global rank WITHOUT a global window (build_vocab's
+    zipWithIndex pattern): rows range-repartition on the hash key, rank
+    per partition, and shift by per-partition offsets; the only
+    unpartitioned window runs over one row per partition. The id joins
+    the sort key as a tiebreak so the order is total even on the
+    measure-zero chance of a 60-bit hash collision.
+
+    Output: (id, shuffle_pos long).
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    key = md5_long(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string")), 15
+    )
+    keyed = docs.select(F.col(id_col), key.alias("_k")).repartitionByRange(
+        F.col("_k").asc(), F.col(id_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    offsets = (
+        keyed.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_sz").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    w_in = Window.partitionBy("_pid").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            id_col,
+            (F.col("_off") + F.col("_rn") - 1).cast("long").alias("shuffle_pos"),
+        )
+    )

@@ -374,3 +374,23 @@ class TestDSIR:
             for r in dsir_importance_weights(full, target, n_buckets=64).collect()
         }
         assert got_w == want_w
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    """epoch_shuffle emits a contiguous 0-based permutation, identical
+    under repartitioning, different across seeds."""
+    from alphalens_spark.scale.curation import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(97)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(docs, seed=1).collect()}
+    assert sorted(out.values()) == list(range(97))          # permutation
+    out_r = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in epoch_shuffle(docs.repartition(13), seed=1).collect()
+    }
+    assert out == out_r                                      # partition-stable
+    out2 = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(docs, seed=2).collect()}
+    assert sorted(out2.values()) == list(range(97))
+    assert out != out2                                       # seed changes order

@@ -54,8 +54,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "skew_report",
         "common_paths",
         # offsets cumsum over ONE ROW PER PARTITION (zipWithIndex pattern;
-        # bounded by partition count, never by terms)
+        # bounded by partition count, never by terms/rows)
         "vocab_encode",
+        "epoch_shuffle",
         # trailing mean over the per-date IC series (one row per date)
         "rolling_mean_ic",
     }
