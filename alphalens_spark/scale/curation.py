@@ -1041,6 +1041,12 @@ def dsir_importance_weights(
         _hashed_ngram_features(raw, text_col, id_col, n_buckets, hasher)
         .groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
+        # pin: rawdb feeds BOTH the corpus-level counts and the final
+        # per-doc scoring join — without the checkpoint the lazy subtree
+        # duplicates per consumer and the corpus SCANS AND HASHES TWICE
+        # (plan audit showed 5 documents scans; at 100 TB that doubles
+        # the dominant stage). Same reuse rule as minhash signatures.
+        .localCheckpoint(eager=True)
     )
     cr = rawdb.groupBy("_b").agg(F.sum("_c").alias("_cr"))
     ct = dsir_bucket_counts(target, n_buckets, text_col, id_col, hasher)

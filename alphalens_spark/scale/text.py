@@ -1265,7 +1265,14 @@ def ngram_language_id(
     train_g = spread_for_compute(train).select(
         F.col(lang_col).alias("_l"), F.explode(tri).alias("_g")
     )
-    prof = train_g.groupBy("_l", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    # pin: the profile feeds three consumers (totals, vocab size, the
+    # scoring join) — unpinned, the train-corpus explode+hash subtree
+    # would run three times (plan audit: 5 documents scans → 2)
+    prof = (
+        train_g.groupBy("_l", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     totals = prof.groupBy("_l").agg(F.sum("_c").alias("_tl"))
     vocab = prof.select("_g").distinct().agg(
         F.count(F.lit(1)).alias("_v")
