@@ -4269,6 +4269,116 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match segmentation (scale.text.
+    wordpiece_segment_vocab — the BERT tokenizer's inference rule) over
+    a corpus-derived vocabulary: top-30 words by (freq desc, word asc)
+    + every corpus character + its ##-continuation form, so every word
+    segments (multi-piece for OOV words, whole-piece for the head). The
+    oracle replays the identical candidate join + 24 unrolled greedy
+    walk rounds."""
+    from alphalens_spark.scale.text import _tokens, wordpiece_segment_vocab
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(_tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        w.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(30)
+        .select(F.col("word").alias("piece"))
+    )
+    chars = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            )
+        ).alias("piece")
+    ).distinct()
+    vocab = top.unionByName(chars).unionByName(
+        chars.select(F.concat(F.lit("##"), "piece").alias("piece"))
+    ).distinct()
+    return wordpiece_segment_vocab(docs, vocab)
+
+
+def _wordpiece_oracle(n_rounds: int = 24) -> str:
+    parts = [r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+w AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM toks WHERE word <> '' GROUP BY 1
+),
+top AS MATERIALIZED (
+  SELECT word AS piece FROM w ORDER BY freq DESC, word ASC LIMIT 30
+),
+chars AS MATERIALIZED (
+  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece
+  FROM (SELECT word, unnest(generate_series(1, length(word))) AS i FROM w)
+),
+vocab AS MATERIALIZED (
+  SELECT piece FROM top UNION SELECT piece FROM chars
+  UNION SELECT '##' || piece FROM chars
+),
+cand AS MATERIALIZED (
+  SELECT word, p, l,
+         CASE WHEN p = 1 THEN substr(word, CAST(p AS INT), CAST(l AS INT))
+              ELSE '##' || substr(word, CAST(p AS INT), CAST(l AS INT)) END
+           AS pc
+  FROM (SELECT word, p, unnest(generate_series(1, length(word) - p + 1)) AS l
+        FROM (SELECT word, unnest(generate_series(1, length(word))) AS p
+              FROM w))
+),
+best AS MATERIALIZED (
+  SELECT c.word, c.p AS pos, max(c.l) AS bl
+  FROM cand c JOIN vocab v ON c.pc = v.piece GROUP BY 1, 2
+),
+k0 AS MATERIALIZED (
+  SELECT word, length(word) AS len, 1 AS pos, '' AS pieces,
+         false AS failed, 0 AS np
+  FROM w
+)"""]
+    for i in range(n_rounds):
+        parts.append(f""",
+k{i + 1} AS MATERIALIZED (
+  SELECT k.word, k.len,
+         CASE WHEN k.failed OR k.pos > k.len OR b.bl IS NULL THEN k.pos
+              ELSE k.pos + b.bl END AS pos,
+         CASE WHEN k.failed OR k.pos > k.len OR b.bl IS NULL THEN k.pieces
+              ELSE k.pieces
+                   || CASE WHEN k.pieces = '' THEN '' ELSE ' ' END
+                   || CASE WHEN k.pos = 1
+                           THEN substr(k.word, k.pos, CAST(b.bl AS INT))
+                           ELSE '##' || substr(k.word, k.pos,
+                                               CAST(b.bl AS INT)) END
+              END AS pieces,
+         CASE WHEN k.failed THEN true
+              WHEN k.pos <= k.len AND b.bl IS NULL THEN true
+              ELSE false END AS failed,
+         CASE WHEN k.failed OR k.pos > k.len OR b.bl IS NULL THEN k.np
+              ELSE k.np + 1 END AS np
+  FROM k{i} k
+  LEFT JOIN best b ON b.word = k.word AND b.pos = k.pos
+)""")
+    parts.append(f"""
+SELECT k.word,
+       CASE WHEN k.failed OR k.pos <= k.len THEN '[UNK]' ELSE k.pieces END
+         AS pieces,
+       CASE WHEN k.failed OR k.pos <= k.len THEN 1 ELSE k.np END
+         AS n_pieces,
+       w.freq
+FROM k{n_rounds} k JOIN w USING (word)""")
+    return "".join(parts)
+
+
+ORACLES["wordpiece_segments"] = _wordpiece_oracle()
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. NeurIPS 2023,
     scale.curation.dsir_importance_weights): every document scored by
@@ -6889,6 +6999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "dsir_weights": q_dsir_weights,
     "epoch_shuffle": q_epoch_shuffle,
+    "wordpiece_segments": q_wordpiece_segments,
     "langid_ngram": q_langid_ngram,
     "cdc_chunk_dups": q_cdc_chunk_dups,
     "dedup_keep_list": q_dedup_keep_list,

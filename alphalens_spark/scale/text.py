@@ -1328,3 +1328,180 @@ def ngram_language_id(
             (F.col("_s._l") == F.col("lang")).alias("correct"),
         )
     )
+
+
+def wordpiece_segment_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    piece_col: str = "piece",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "[UNK]",
+    cont_prefix: str = "##",
+    max_pieces: int = 32,
+) -> DataFrame:
+    """WordPiece greedy longest-match-first segmentation (the BERT
+    tokenizer's inference rule, Devlin et al. 2019 / Wu et al. 2016):
+    at each position take the LONGEST vocabulary piece that matches
+    (continuation positions try the ``##``-prefixed form); if any
+    position has no match the WHOLE word becomes ``unk`` — the spec's
+    all-or-nothing rule, not a char fallback. Complements
+    :func:`bpe_segment_vocab` (BPE applies learned merges bottom-up;
+    WordPiece matches a given vocabulary top-down).
+
+    Scale shape: segmentation runs on the DISTINCT-WORD vocabulary,
+    never the corpus (the bpe/vocab_encode pattern — encoders broadcast
+    the (word → pieces) table). All (position, length) candidate
+    matches resolve in ONE equi-join against the piece vocabulary
+    (candidates are word-length × max-piece-length per distinct word,
+    bounded); the greedy walk then folds over a per-word best-match map
+    as a single JVM array aggregate — no per-round joins, no Python.
+
+    Output: (word, pieces space-joined, n_pieces, freq); unmatched
+    words emit (word, unk, 1, freq).
+    """
+    from alphalens_spark.scale.dedup import spread_for_compute
+
+    w = (
+        spread_for_compute(docs)
+        .select(F.explode(_tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # longest piece BODY length bounds the candidate lengths (1-row
+    # driver action, the cm_estimate scalar contract)
+    plen = vocab.agg(
+        F.max(
+            F.length(F.regexp_replace(F.col(piece_col), "^" + cont_prefix, ""))
+        )
+    ).collect()[0][0]
+    if plen is None:
+        raise ValueError("empty wordpiece vocabulary")
+    m = int(plen)
+
+    # every (pos, len) candidate as ONE exploded relation → equi-join
+    cand = w.select(
+        "word",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda p: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(m), F.length("word") - p + 1
+                                ),
+                            ),
+                            lambda l: F.struct(
+                                p.alias("pos"), l.alias("ln")
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["ln"] >= 1,
+            )
+        ).alias("c"),
+    ).select(
+        "word",
+        F.col("c.pos").alias("pos"),
+        F.col("c.ln").alias("ln"),
+        F.when(
+            F.col("c.pos") == 1,
+            F.expr("substring(word, c.pos, c.ln)"),
+        )
+        .otherwise(
+            F.concat(F.lit(cont_prefix), F.expr("substring(word, c.pos, c.ln)"))
+        )
+        .alias("_p"),
+    )
+    pieces = vocab.select(F.col(piece_col).alias("_p")).distinct()
+    best = (
+        cand.join(F.broadcast(pieces), "_p")
+        .groupBy("word", "pos")
+        .agg(F.max("ln").alias("best_ln"))
+    )
+    bm = best.groupBy("word").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("pos", "best_ln")))
+        ).alias("_bm")
+    )
+    # greedy walk: fold over ≤ max_pieces steps, state = (pos, pieces[],
+    # failed). No match at an in-bounds position → spec failure → unk.
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_pieces)),
+        F.struct(
+            F.lit(1).alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+            F.lit(False).alias("failed"),
+        ),
+        lambda st, _i: F.when(
+            st["failed"] | (st["pos"] > F.length("word")), st
+        ).otherwise(
+            F.when(
+                F.element_at(F.col("_bm"), st["pos"]).isNull(),
+                F.struct(
+                    st["pos"].alias("pos"),
+                    st["ps"].alias("ps"),
+                    F.lit(True).alias("failed"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (st["pos"] + F.element_at(F.col("_bm"), st["pos"])).alias(
+                        "pos"
+                    ),
+                    F.concat(
+                        st["ps"],
+                        F.array(
+                            F.when(
+                                st["pos"] == 1,
+                                F.expr(
+                                    "substring(word, 1, element_at(_bm, 1))"
+                                ),
+                            ).otherwise(
+                                F.concat(
+                                    F.lit(cont_prefix),
+                                    F.substring(
+                                        F.col("word"),
+                                        st["pos"],
+                                        F.element_at(F.col("_bm"), st["pos"]),
+                                    ),
+                                )
+                            )
+                        ),
+                    ).alias("ps"),
+                    F.lit(False).alias("failed"),
+                )
+            )
+        ),
+    )
+    out = (
+        w.join(bm, "word", "left")
+        .withColumn(
+            "_w",
+            F.when(F.col("_bm").isNull(), None).otherwise(walk),
+        )
+        .select(
+            "word",
+            F.when(
+                F.col("_w").isNull()
+                | F.col("_w.failed")
+                | (F.col("_w.pos") <= F.length("word")),
+                F.lit(unk),
+            )
+            .otherwise(F.array_join("_w.ps", " "))
+            .alias("pieces"),
+            F.when(
+                F.col("_w").isNull()
+                | F.col("_w.failed")
+                | (F.col("_w.pos") <= F.length("word")),
+                F.lit(1),
+            )
+            .otherwise(F.size("_w.ps"))
+            .alias("n_pieces"),
+            "freq",
+        )
+    )
+    return out

@@ -598,3 +598,30 @@ def test_dedup_keep_best_null_scores_never_win(spark):
     ).collect()}
     assert out[2]["keep"] and not out[1]["keep"]
     assert all(out[i]["canonical_id"] == 2 for i in (1, 2, 3))
+
+
+def test_wordpiece_segment_vocab_bert_rules(spark):
+    """Greedy longest-match-first with ## continuations and the spec's
+    all-or-nothing [UNK] rule (BERT WordpieceTokenizer semantics)."""
+    from alphalens_spark.scale.text import wordpiece_segment_vocab
+
+    docs = spark.createDataFrame(
+        [(0, "unaffable running runs xyz un"), (1, "running unaffable")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("un",), ("##aff",), ("##able",), ("runn",), ("##ing",),
+         ("runs",), ("##s",), ("run",), ("##n",)],
+        "piece string",
+    )
+    out = {
+        r["word"]: (r["pieces"], r["n_pieces"], r["freq"])
+        for r in wordpiece_segment_vocab(docs, vocab).collect()
+    }
+    assert out["unaffable"][:2] == ("un ##aff ##able", 3)
+    # longest match: 'runn' beats 'run' at position 1
+    assert out["running"][:2] == ("runn ##ing", 2)
+    assert out["runs"][:2] == ("runs", 1)        # whole-word piece
+    assert out["xyz"][:2] == ("[UNK]", 1)        # no match anywhere
+    assert out["un"][:2] == ("un", 1)
+    assert out["running"][2] == 2                # freq across docs
