@@ -4280,11 +4280,15 @@ def q_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alphalens_spark.scale.text import _tokens, wordpiece_segment_vocab
 
     docs = datasets.load_table(spark, sf_dir, "documents")
+    # pin: the word table feeds the top-30 pieces, the char pieces AND
+    # the segmentation — unpinned it would re-explode the corpus 5x
+    # (PLANS.md caught it)
     w = (
         docs.select(F.explode(_tokens("text")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
     )
     top = (
         w.orderBy(F.col("freq").desc(), F.col("word").asc())
@@ -4302,7 +4306,7 @@ def q_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = top.unionByName(chars).unionByName(
         chars.select(F.concat(F.lit("##"), "piece").alias("piece"))
     ).distinct()
-    return wordpiece_segment_vocab(docs, vocab)
+    return wordpiece_segment_vocab(docs, vocab, words=w)
 
 
 def _wordpiece_oracle(n_rounds: int = 24) -> str:

@@ -1339,6 +1339,7 @@ def wordpiece_segment_vocab(
     unk: str = "[UNK]",
     cont_prefix: str = "##",
     max_pieces: int = 32,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """WordPiece greedy longest-match-first segmentation (the BERT
     tokenizer's inference rule, Devlin et al. 2019 / Wu et al. 2016):
@@ -1362,13 +1363,19 @@ def wordpiece_segment_vocab(
     """
     from alphalens_spark.scale.dedup import spread_for_compute
 
-    w = (
-        spread_for_compute(docs)
-        .select(F.explode(_tokens(text_col)).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    if words is not None:
+        # caller-built (word, freq) table — lets a caller that ALSO
+        # derives its vocabulary from the word table share one pinned
+        # frame instead of re-exploding the corpus per consumer
+        w = words
+    else:
+        w = (
+            spread_for_compute(docs)
+            .select(F.explode(_tokens(text_col)).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
     # longest piece BODY length bounds the candidate lengths (1-row
     # driver action, the cm_estimate scalar contract)
     plen = vocab.agg(
