@@ -4383,6 +4383,124 @@ FROM k{n_rounds} k JOIN w USING (word)""")
 ORACLES["wordpiece_segments"] = _wordpiece_oracle()
 
 
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training
+    (scale.text.unigram_lm_train — Kudo 2018, hard-EM): substring seed
+    vocabulary + char coverage floor, one Viterbi E-step over integer
+    micro-nat costs, usage-count M-step. The oracle replays the seed,
+    the 12 unrolled DP rounds, the 12 backtrace rounds and the
+    re-estimation exactly (integer costs make the DP bit-exact)."""
+    from alphalens_spark.scale.text import unigram_lm_train
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return unigram_lm_train(
+        docs, seed_size=200, max_piece_len=6, n_iter=1, max_word_len=12
+    )
+
+
+def _unigram_lm_oracle(
+    seed_size: int = 200, max_piece_len: int = 6, w_rounds: int = 12
+) -> str:
+    parts = [rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+w AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM toks WHERE word <> '' GROUP BY 1
+),
+subs AS MATERIALIZED (
+  SELECT word, freq, p AS start, l,
+         substr(word, CAST(p AS INT), CAST(l AS INT)) AS piece,
+         p + l - 1 AS e
+  FROM (SELECT word, freq, p,
+               unnest(generate_series(
+                 1, least({max_piece_len}, length(word) - p + 1))) AS l
+        FROM (SELECT word, freq,
+                     unnest(generate_series(1, length(word))) AS p
+              FROM w))
+),
+weights AS MATERIALIZED (
+  SELECT piece, sum(freq) AS c FROM subs GROUP BY 1
+),
+chars AS MATERIALIZED (
+  SELECT DISTINCT piece FROM subs WHERE l = 1
+),
+top AS MATERIALIZED (
+  SELECT piece FROM weights ORDER BY c DESC, piece ASC LIMIT {seed_size}
+),
+vocab AS MATERIALIZED (
+  SELECT piece FROM top UNION SELECT piece FROM chars
+),
+counts0 AS MATERIALIZED (
+  SELECT v.piece, wt.c FROM vocab v JOIN weights wt USING (piece)
+),
+cost0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(-ln(c / (SELECT sum(c) FROM counts0)) * 1e6) AS BIGINT)
+           AS cost
+  FROM counts0
+),
+matches AS MATERIALIZED (
+  SELECT s.word, s.start, s.l, c0.cost, s.e
+  FROM subs s JOIN cost0 c0 USING (piece)
+),
+a0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS dist, 0 AS back_l FROM w
+)"""]
+    for j in range(1, w_rounds + 1):
+        parts.append(f""",
+d{j} AS MATERIALIZED (
+  SELECT word, {j} AS pos, nd AS dist, l AS back_l FROM (
+    SELECT m.word, a.dist + m.cost AS nd, m.l,
+           row_number() OVER (PARTITION BY m.word
+                              ORDER BY a.dist + m.cost ASC, m.l ASC) AS rn
+    FROM matches m
+    JOIN a{j - 1} a ON a.word = m.word AND a.pos = m.start - 1
+    WHERE m.e = {j}
+  ) WHERE rn = 1
+),
+a{j} AS MATERIALIZED (
+  SELECT * FROM a{j - 1} UNION ALL SELECT * FROM d{j}
+)""")
+    parts.append(f""",
+s0 AS MATERIALIZED (SELECT word, freq, length(word) AS pos FROM w)""")
+    for k in range(1, w_rounds + 1):
+        parts.append(f""",
+u{k} AS MATERIALIZED (
+  SELECT s.word, s.freq,
+         substr(s.word, CAST(s.pos - a.back_l + 1 AS INT),
+                CAST(a.back_l AS INT)) AS piece,
+         s.pos - a.back_l AS npos
+  FROM s{k - 1} s
+  JOIN a{w_rounds} a ON a.word = s.word AND a.pos = s.pos
+  WHERE s.pos > 0
+),
+s{k} AS MATERIALIZED (SELECT word, freq, npos AS pos FROM u{k})""")
+    used_union = " UNION ALL ".join(
+        f"SELECT piece, freq FROM u{k}" for k in range(1, w_rounds + 1)
+    )
+    parts.append(f""",
+usage AS MATERIALIZED (
+  SELECT piece, sum(freq) AS usage FROM ({used_union}) GROUP BY 1
+),
+counts1 AS MATERIALIZED (
+  SELECT coalesce(ch.piece, u.piece) AS piece,
+         coalesce(u.usage, 0)
+         + CASE WHEN length(coalesce(ch.piece, u.piece)) = 1
+                THEN 1 ELSE 0 END AS c
+  FROM chars ch FULL OUTER JOIN usage u ON ch.piece = u.piece
+)
+SELECT piece, c AS usage,
+       CAST(round(-ln(c * 1.0 / (SELECT sum(c) FROM counts1 WHERE c > 0))
+                  * 1e6) AS BIGINT) AS cost_micro
+FROM counts1 WHERE c > 0""")
+    return "".join(parts)
+
+
+ORACLES["unigram_lm_vocab"] = _unigram_lm_oracle()
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. NeurIPS 2023,
     scale.curation.dsir_importance_weights): every document scored by
@@ -7004,6 +7122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "epoch_shuffle": q_epoch_shuffle,
     "wordpiece_segments": q_wordpiece_segments,
+    "unigram_lm_vocab": q_unigram_lm_vocab,
     "langid_ngram": q_langid_ngram,
     "cdc_chunk_dups": q_cdc_chunk_dups,
     "dedup_keep_list": q_dedup_keep_list,

@@ -1512,3 +1512,285 @@ def wordpiece_segment_vocab(
         )
     )
     return out
+
+
+def _unigram_lm_driver(
+    word_rows, seed_size, max_piece_len, n_iter, max_word_len
+):
+    """Pure-Python twin of the distributed unigram-LM hard-EM — the
+    size-guarded fast path AND the semantics reference the equality
+    test pins the distributed rounds against."""
+    import math
+    from collections import Counter
+
+    words = dict(word_rows)
+    subs, chars = Counter(), set()
+    for wd, fq in words.items():
+        for p in range(len(wd)):
+            for ln in range(1, min(max_piece_len, len(wd) - p) + 1):
+                subs[wd[p:p + ln]] += fq
+                if ln == 1:
+                    chars.add(wd[p])
+    top = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size]
+    vocab = {k for k, _ in top} | chars
+    counts = {pc: subs[pc] for pc in vocab}
+
+    def costs(cnt):
+        tot = sum(cnt.values())
+        return {
+            pc: int(round(-math.log(c / tot) * 1e6)) for pc, c in cnt.items()
+        }
+
+    for _ in range(n_iter):
+        cost = costs(counts)
+
+        def viterbi(wd):
+            inf = float("inf")
+            dist = [0] + [inf] * len(wd)
+            back = [0] * (len(wd) + 1)
+            for j in range(1, len(wd) + 1):
+                best = None
+                for ln in range(1, min(max_piece_len, j) + 1):
+                    pc = wd[j - ln:j]
+                    if pc in cost and dist[j - ln] < inf:
+                        cand = (dist[j - ln] + cost[pc], ln)
+                        if best is None or cand < best:
+                            best = cand
+                dist[j], back[j] = best
+            pieces, j = [], len(wd)
+            while j > 0 and len(pieces) <= max_word_len:
+                pieces.append(wd[j - back[j]:j])
+                j -= back[j]
+            return pieces
+
+        usage = Counter()
+        for wd, fq in words.items():
+            for pc in viterbi(wd):
+                usage[pc] += fq
+        counts = {}
+        for pc in set(usage) | chars:
+            c = usage.get(pc, 0) + (1 if len(pc) == 1 else 0)
+            if c > 0:
+                counts[pc] = c
+    fc = costs(counts)
+    return [(pc, counts[pc], fc[pc]) for pc in sorted(counts)]
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    seed_size: int = 200,
+    max_piece_len: int = 6,
+    n_iter: int = 1,
+    max_word_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    driver_guard: int = 65536,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
+    hard-EM variant: seed the piece vocabulary with the corpus's
+    highest-mass substrings (plus every character — the coverage
+    floor), then alternate (E) Viterbi-segment every distinct word
+    under the current piece costs and (M) re-estimate piece
+    probabilities from the usage counts of the optimal segmentations.
+    The soft-EM/pruning schedule of the paper reduces to this hard
+    variant when the temperature → 0; one round already reallocates
+    mass from redundant substrings onto the pieces real segmentations
+    use. Complements bpe_train (bottom-up merges) and
+    wordpiece_segment_vocab (inference) — the third tokenizer-training
+    surface.
+
+    Cross-engine determinism by construction: piece costs are INTEGER
+    micro-nats (round(-ln(c/Σc)·1e6) AS BIGINT — one ln per piece, the
+    single rounding site), so the Viterbi DP is pure integer-min with a
+    (cost, last-piece-length) tie-break — no float accumulates across
+    DP steps and the oracle replays bit-exactly.
+
+    Scale shape: everything after the one corpus token-explode runs on
+    the DISTINCT-WORD table (the bpe/vocab pattern). The substring
+    relation is |words|·len·max_piece_len rows; the DP is
+    ``max_word_len`` rounds of position-keyed joins and the backtrace
+    walks the same table backwards — vocabulary-sized work throughout,
+    localCheckpointed per round.
+
+    Output: (piece, usage, cost_micro) — the trained vocabulary, its
+    hard-EM usage mass, and its final integer micro-nat cost.
+    """
+    from alphalens_spark.scale.dedup import spread_for_compute
+
+    w = (
+        spread_for_compute(docs)
+        .select(F.explode(_tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    # bounded-vocabulary fast path (the driver-BPE / small-graph-PageRank
+    # precedent): the EM state is VOCABULARY-sized, and below the guard
+    # the ~2·max_word_len per-round job latencies of the distributed DP
+    # dwarf the arithmetic a thousandfold — identical output proven by
+    # the equality test that runs BOTH paths (driver_guard=0 forces the
+    # distributed one)
+    if driver_guard and w.count() <= driver_guard:
+        rows = [(r["word"], r["freq"]) for r in w.collect()]
+        out = _unigram_lm_driver(
+            rows, seed_size, max_piece_len, n_iter, max_word_len
+        )
+        return docs.sparkSession.createDataFrame(
+            out, "piece string, usage bigint, cost_micro bigint"
+        )
+    # all substrings up to max_piece_len: (word, freq, start, l, piece)
+    subs = (
+        w.select(
+            "word",
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda p: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(max_piece_len),
+                                    F.length("word") - p + 1,
+                                ),
+                            ),
+                            lambda l: F.struct(p.alias("p"), l.alias("l")),
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+        .select(
+            "word",
+            "freq",
+            F.col("s.p").alias("start"),
+            F.col("s.l").alias("l"),
+            F.expr("substring(word, s.p, s.l)").alias("piece"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # DP/backtrace rounds are bounded by the LONGEST WORD actually in
+    # the corpus (1-row driver action, the cm_estimate scalar contract)
+    # — extra rounds would be no-op joins; the oracle unrolls a fixed
+    # superset and its surplus rounds are no-ops for the same reason
+    wl = w.agg(F.max(F.length("word"))).collect()[0][0] or 1
+    max_word_len = min(max_word_len, int(wl))
+
+    weights = subs.groupBy("piece").agg(F.sum("freq").alias("c"))
+    chars = subs.where(F.col("l") == 1).select("piece").distinct()
+    top = (
+        weights.orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(seed_size)
+        .select("piece")
+    )
+    vocab = top.unionByName(chars).distinct()
+    counts = vocab.join(weights, "piece").localCheckpoint(eager=True)
+
+    def _costs(cnt: DataFrame) -> DataFrame:
+        total = cnt.agg(F.sum("c").alias("_t"))
+        return cnt.crossJoin(F.broadcast(total)).select(
+            "piece",
+            F.round(-F.log(F.col("c") / F.col("_t")) * 1e6)
+            .cast("long")
+            .alias("cost"),
+        )
+
+    for _ in range(n_iter):
+        cost = _costs(counts)
+        matches = (
+            subs.join(F.broadcast(cost), "piece")
+            .select(
+                "word",
+                "start",
+                "l",
+                "cost",
+                (F.col("start") + F.col("l") - 1).alias("end"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Viterbi forward: acc holds (word, pos, dist, back_l) for every
+        # settled position; round j settles pos == j
+        acc = w.select(
+            "word",
+            F.lit(0).alias("pos"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(0).alias("back_l"),
+        )
+        for j in range(1, max_word_len + 1):
+            cj = (
+                matches.where(F.col("end") == j)
+                .join(
+                    acc.select(
+                        "word",
+                        (F.col("pos") + 1).alias("start"),
+                        F.col("dist").alias("_pd"),
+                    ),
+                    ["word", "start"],
+                )
+                .select(
+                    "word",
+                    (F.col("_pd") + F.col("cost")).alias("nd"),
+                    "l",
+                )
+            )
+            # checkpoint only the per-round DELTA: checkpointing the
+            # whole acc union re-materializes all settled positions
+            # every round (O(rounds²) work); the union of checkpointed
+            # deltas has flat lineage for free
+            best_j = (
+                cj.groupBy("word")
+                .agg(F.min(F.struct(F.col("nd"), F.col("l"))).alias("s"))
+                .select(
+                    "word",
+                    F.lit(j).alias("pos"),
+                    F.col("s.nd").alias("dist"),
+                    F.col("s.l").alias("back_l"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            acc = acc.unionByName(best_j)
+        # backtrace from pos == len(word), collecting the optimal pieces
+        seg = w.select("word", "freq", F.length("word").alias("pos"))
+        used = None
+        for _k in range(max_word_len):
+            # checkpoint the JOINED step once — both the piece emission
+            # and the next round's positions derive from it
+            step = (
+                seg.where(F.col("pos") > 0)
+                .join(acc, ["word", "pos"])
+                .localCheckpoint(eager=True)
+            )
+            got = step.select(
+                "word",
+                "freq",
+                F.expr(
+                    "substring(word, pos - back_l + 1, back_l)"
+                ).alias("piece"),
+            )
+            used = got if used is None else used.unionByName(got)
+            seg = step.select(
+                "word", "freq", (F.col("pos") - F.col("back_l")).alias("pos")
+            )
+        usage = used.groupBy("piece").agg(F.sum("freq").alias("usage"))
+        # M-step counts: pieces keep their usage mass; characters keep a
+        # +1 floor (always retained — the coverage guarantee), so an
+        # unused char survives with the minimum mass
+        counts = (
+            chars.join(usage, "piece", "full_outer")
+            .select(
+                "piece",
+                (
+                    F.coalesce(F.col("usage"), F.lit(0))
+                    + F.when(F.length("piece") == 1, 1).otherwise(0)
+                ).alias("c"),
+            )
+            .where(F.col("c") > 0)
+            .localCheckpoint(eager=True)
+        )
+    final_cost = _costs(counts)
+    return (
+        counts.join(final_cost, "piece")
+        .select("piece", F.col("c").alias("usage"), F.col("cost").alias("cost_micro"))
+    )

@@ -625,3 +625,88 @@ def test_wordpiece_segment_vocab_bert_rules(spark):
     assert out["xyz"][:2] == ("[UNK]", 1)        # no match anywhere
     assert out["un"][:2] == ("un", 1)
     assert out["running"][2] == 2                # freq across docs
+
+
+def test_unigram_lm_train_matches_python_reference(spark):
+    """Hard-EM unigram-LM training == the pure-Python reference (seed by
+    substring mass + char floor, integer micro-nat Viterbi with the
+    (cost, last-piece-length) tie-break, usage-count re-estimation)."""
+    import math
+    from collections import Counter
+
+    from alphalens_spark.scale.text import unigram_lm_train
+
+    texts = ["banana bandana banana nab", "banana bandana ban"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # distributed rounds (driver_guard=0 disables the fast path) AND the
+    # guarded driver path must both equal the reference
+    got = {
+        r["piece"]: (r["usage"], r["cost_micro"])
+        for r in unigram_lm_train(
+            docs, seed_size=10, max_piece_len=4, n_iter=1, max_word_len=8,
+            driver_guard=0,
+        ).collect()
+    }
+    got_driver = {
+        r["piece"]: (r["usage"], r["cost_micro"])
+        for r in unigram_lm_train(
+            docs, seed_size=10, max_piece_len=4, n_iter=1, max_word_len=8
+        ).collect()
+    }
+
+    words = Counter()
+    for t in texts:
+        words.update(t.split())
+    subs, chars = Counter(), set()
+    for wd, fq in words.items():
+        for p in range(len(wd)):
+            for ln in range(1, min(4, len(wd) - p) + 1):
+                subs[wd[p:p + ln]] += fq
+                if ln == 1:
+                    chars.add(wd[p])
+    top = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    vocab = {k for k, _ in top} | chars
+    counts = {pc: subs[pc] for pc in vocab}
+
+    def costs(cnt):
+        tot = sum(cnt.values())
+        return {pc: int(round(-math.log(c / tot) * 1e6)) for pc, c in cnt.items()}
+
+    cost = costs(counts)
+
+    def viterbi(wd):
+        inf = 10 ** 18
+        dist = [0] + [inf] * len(wd)
+        back = [0] * (len(wd) + 1)
+        for j in range(1, len(wd) + 1):
+            best = None
+            for ln in range(1, min(4, j) + 1):
+                pc = wd[j - ln:j]
+                if pc in cost and dist[j - ln] < inf:
+                    cand = (dist[j - ln] + cost[pc], ln)
+                    if best is None or cand < best:
+                        best = cand
+            dist[j], back[j] = best
+        pieces, j = [], len(wd)
+        while j > 0:
+            pieces.append(wd[j - back[j]:j])
+            j -= back[j]
+        return pieces
+
+    usage = Counter()
+    for wd, fq in words.items():
+        for pc in viterbi(wd):
+            usage[pc] += fq
+    new_counts = {}
+    for pc in set(usage) | chars:
+        c = usage.get(pc, 0) + (1 if len(pc) == 1 else 0)
+        if c > 0:
+            new_counts[pc] = c
+    fc = costs(new_counts)
+    want = {pc: (c, fc[pc]) for pc, c in new_counts.items()}
+    assert got == want
+    assert got_driver == want
+    # the banana corpus learns its real morphemes
+    assert got["ban"][0] >= 5 and got["ana"][0] >= 4
