@@ -4275,8 +4275,9 @@ def q_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus-derived vocabulary: top-30 words by (freq desc, word asc)
     + every corpus character + its ##-continuation form, so every word
     segments (multi-piece for OOV words, whole-piece for the head). The
-    oracle replays the identical candidate join + 24 unrolled greedy
-    walk rounds."""
+    oracle replays the identical candidate join + 32 unrolled greedy
+    walk rounds (== the Spark walk's max_pieces, so the give-up-to-[UNK]
+    threshold is identical on both engines)."""
     from alphalens_spark.scale.text import _tokens, wordpiece_segment_vocab
 
     docs = datasets.load_table(spark, sf_dir, "documents")
@@ -4309,7 +4310,7 @@ def q_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_segment_vocab(docs, vocab, words=w)
 
 
-def _wordpiece_oracle(n_rounds: int = 24) -> str:
+def _wordpiece_oracle(n_rounds: int = 32) -> str:
     parts = [r"""
 WITH toks AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
@@ -4387,8 +4388,10 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer training
     (scale.text.unigram_lm_train — Kudo 2018, hard-EM): substring seed
     vocabulary + char coverage floor, one Viterbi E-step over integer
-    micro-nat costs, usage-count M-step. The oracle replays the seed,
-    the 12 unrolled DP rounds, the 12 backtrace rounds and the
+    micro-nat costs, usage-count M-step. Words longer than
+    max_word_len=12 are excluded from training on BOTH engines (none
+    exist in this corpus — max word length 8). The oracle replays the
+    seed, the 12 unrolled DP rounds, the 12 backtrace rounds and the
     re-estimation exactly (integer costs make the DP bit-exact)."""
     from alphalens_spark.scale.text import unigram_lm_train
 
@@ -4407,7 +4410,8 @@ WITH toks AS (
   FROM documents
 ),
 w AS MATERIALIZED (
-  SELECT word, count(*) AS freq FROM toks WHERE word <> '' GROUP BY 1
+  SELECT word, count(*) AS freq FROM toks
+  WHERE word <> '' AND length(word) <= {w_rounds} GROUP BY 1
 ),
 subs AS MATERIALIZED (
   SELECT word, freq, p AS start, l,

@@ -1186,9 +1186,16 @@ def epoch_shuffle(
     key = md5_long(
         F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string")), 15
     )
-    keyed = docs.select(F.col(id_col), key.alias("_k")).repartitionByRange(
-        F.col("_k").asc(), F.col(id_col).asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    # pin: keyed feeds BOTH the offsets broadcast and the main rank job
+    # — unpinned, the scan + md5 + range shuffle execute twice, and the
+    # two evaluations of nondeterministic spark_partition_id() are only
+    # accidentally consistent (the dsir/langid duplicate-subtree lesson)
+    keyed = (
+        docs.select(F.col(id_col), key.alias("_k"))
+        .repartitionByRange(F.col("_k").asc(), F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     offsets = (
         keyed.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_sz"))

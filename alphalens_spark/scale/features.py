@@ -219,14 +219,17 @@ def rank_normalize(
     """
     keys = list(by) if by else []
     w = Window.partitionBy(*keys)
+    # rank over the 6-dp grid (performance._avg_rank's rule): float-SUM
+    # inputs tie non-deterministically at the ulp level across engines/
+    # summation orders, splitting tie groups and shifting average ranks
+    # by 0.5 — rounding the RANK KEY makes ties exact on both engines
+    key = F.round(F.col(value_col), 6)
     # NULLS LAST so missing values never shift the ranks of real ones
     # (ascending rank puts NULLs first by default)
-    wo = w.orderBy(F.col(value_col).asc_nulls_last())
+    wo = w.orderBy(key.asc_nulls_last())
     n = F.count(F.col(value_col)).over(w)
     # average rank under ties = rank + (tie_count - 1)/2
-    tie_n = F.count(F.lit(1)).over(
-        Window.partitionBy(*(keys + [value_col]))
-    )
+    tie_n = F.count(F.lit(1)).over(Window.partitionBy(*keys, key))
     avg_rank = F.rank().over(wo) + (tie_n - 1) / 2.0
     out = F.when(
         F.col(value_col).isNotNull(),

@@ -1378,11 +1378,11 @@ def wordpiece_segment_vocab(
         )
     # longest piece BODY length bounds the candidate lengths (1-row
     # driver action, the cm_estimate scalar contract)
-    plen = vocab.agg(
-        F.max(
-            F.length(F.regexp_replace(F.col(piece_col), "^" + cont_prefix, ""))
-        )
-    ).collect()[0][0]
+    body_len = F.when(
+        F.col(piece_col).startswith(cont_prefix),
+        F.length(piece_col) - len(cont_prefix),
+    ).otherwise(F.length(piece_col))
+    plen = vocab.agg(F.max(body_len)).collect()[0][0]
     if plen is None:
         raise ValueError("empty wordpiece vocabulary")
     m = int(plen)
@@ -1391,24 +1391,17 @@ def wordpiece_segment_vocab(
     cand = w.select(
         "word",
         F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("word")),
-                        lambda p: F.transform(
-                            F.sequence(
-                                F.lit(1),
-                                F.least(
-                                    F.lit(m), F.length("word") - p + 1
-                                ),
-                            ),
-                            lambda l: F.struct(
-                                p.alias("pos"), l.alias("ln")
-                            ),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda p: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(m), F.length("word") - p + 1),
                         ),
-                    )
-                ),
-                lambda s: s["ln"] >= 1,
+                        lambda l: F.struct(p.alias("pos"), l.alias("ln")),
+                    ),
+                )
             )
         ).alias("c"),
     ).select(
@@ -1620,7 +1613,15 @@ def unigram_lm_train(
     w = (
         spread_for_compute(docs)
         .select(F.explode(_tokens(text_col)).alias("word"))
-        .where(F.col("word") != "")
+        # words longer than max_word_len are excluded from TRAINING on
+        # every path (distributed DP, driver fast path, SQL oracle) —
+        # without the shared cap the distributed DP silently dropped
+        # them (final position never settles) while the driver path
+        # segmented them fully, so the two paths returned different
+        # vocabularies (review-confirmed divergence)
+        .where(
+            (F.col("word") != "") & (F.length("word") <= max_word_len)
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .localCheckpoint(eager=True)

@@ -710,3 +710,24 @@ def test_unigram_lm_train_matches_python_reference(spark):
     assert got_driver == want
     # the banana corpus learns its real morphemes
     assert got["ban"][0] >= 5 and got["ana"][0] >= 4
+
+
+def test_unigram_lm_long_words_excluded_consistently(spark):
+    """Words longer than max_word_len are excluded from TRAINING on both
+    paths (regression: the distributed DP silently dropped them while
+    the driver path segmented them — divergent vocabularies)."""
+    from alphalens_spark.scale.text import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(0, "extraordinary ban ban ana")], "doc_id long, text string"
+    )
+    kw = dict(seed_size=10, max_piece_len=4, n_iter=1, max_word_len=12)
+    a = sorted(
+        tuple(r) for r in unigram_lm_train(docs, driver_guard=0, **kw).collect()
+    )
+    b = sorted(tuple(r) for r in unigram_lm_train(docs, **kw).collect())
+    assert a == b
+    # 'extraordinary' (13 chars) contributed nothing: its unique
+    # letters (x, etc.) never enter the vocabulary at all
+    pieces = {p for p, _u, _c in a}
+    assert "x" not in pieces and "ban" in pieces
