@@ -2053,10 +2053,11 @@ SELECT doc_id,
        round(distinct_ratio, 6) AS distinct_token_ratio,
        round(stop_ratio, 6) AS stopword_ratio,
        round(non_alnum, 6) AS non_alnum_ratio,
-       round(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.25 ELSE 0 END
+       CAST(round(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.25 ELSE 0 END
            + CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 0.25 ELSE 0 END
            + CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0 END
-           + CASE WHEN non_alnum <= 0.3 THEN 0.25 ELSE 0 END, 6) AS quality_score
+           + CASE WHEN non_alnum <= 0.3 THEN 0.25 ELSE 0 END, 6)
+         AS DOUBLE) AS quality_score
 FROM feat""",
     "ngram_jaccard": r"""
 WITH tok AS (
@@ -2701,7 +2702,8 @@ b AS (
 c AS (
   SELECT s, t, sum(t) OVER (ORDER BY s DESC) - t AS prior FROM b
 )
-SELECT q.doc_id, q.n_tokens, round(q.quality_score, 6) AS quality_score
+SELECT q.doc_id, q.n_tokens,
+       CAST(round(q.quality_score, 6) AS DOUBLE) AS quality_score
 FROM q JOIN c ON q.quality_score = c.s
 WHERE c.prior + c.t <= 20000
    OR (c.prior < 20000 AND c.prior + c.t > 20000
@@ -2864,10 +2866,10 @@ SELECT date, round(ret, 6) AS ret,
                            WHEN 1 + ret > 0 THEN ln(1 + ret)
                            ELSE ln(-(1 + ret)) END) OVER w
              END, 6) AS cum_log_mag,
-       CASE WHEN max(CASE WHEN 1 + ret = 0 THEN 1 ELSE 0 END) OVER w = 1
+       CAST(CASE WHEN max(CASE WHEN 1 + ret = 0 THEN 1 ELSE 0 END) OVER w = 1
             THEN 0.0
             WHEN sum(CASE WHEN 1 + ret < 0 THEN 1 ELSE 0 END) OVER w % 2 = 1
-            THEN -1.0 ELSE 1.0 END AS cum_sign
+            THEN -1.0 ELSE 1.0 END AS DOUBLE) AS cum_sign
 FROM pret
 WINDOW w AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
@@ -3915,9 +3917,9 @@ daily AS (
   FROM daily0
 )
 SELECT user_id, day,
-       sum(n) OVER w7 AS n_events_7d,
+       CAST(sum(n) OVER w7 AS BIGINT) AS n_events_7d,
        0.0 + round(sum(v) OVER w7, 6) AS value_sum_7d,
-       sum(n) OVER w30 AS n_events_30d,
+       CAST(sum(n) OVER w30 AS BIGINT) AS n_events_30d,
        0.0 + round(sum(v) OVER w30, 6) AS value_sum_30d,
        dn - lag(dn) OVER (PARTITION BY user_id ORDER BY dn)
          AS days_since_prev
@@ -3983,7 +3985,7 @@ top AS (
 )
 SELECT CAST(t.rank AS INT) AS rank,
        CAST(t.l_suppkey AS VARCHAR) AS key,
-       t.key_count, s.n_keys, s.n_rows,
+       t.key_count, s.n_keys, CAST(s.n_rows AS BIGINT) AS n_rows,
        0.0 + round(s.n_rows * 1.0 / s.n_keys, 6) AS mean_per_key,
        0.0 + round(t.key_count / (s.n_rows * 1.0 / s.n_keys), 6)
          AS skew_factor
@@ -4061,7 +4063,8 @@ WITH agg AS (
                   THEN 1 ELSE 0 END) AS v5
   FROM lineitem
 )
-SELECT r.rule, agg.n AS n_rows, r.v AS n_violations, r.v = 0 AS pass
+SELECT r.rule, agg.n AS n_rows, CAST(r.v AS BIGINT) AS n_violations,
+       r.v = 0 AS pass
 FROM agg, (
   SELECT 'qty_in_range' AS rule, v1 AS v FROM agg UNION ALL
   SELECT 'price_positive', v2 FROM agg UNION ALL
@@ -4094,7 +4097,7 @@ WITH px AS (
   FROM (SELECT vec_id, unnest(embedding[1:64]) AS x FROM embeddings)
 )
 SELECT media_id, 8 AS width, 8 AS height,
-       sum(p) AS px_sum,
+       CAST(sum(p) AS BIGINT) AS px_sum,
        CAST(min(p) AS INT) AS px_min,
        CAST(max(p) AS INT) AS px_max
 FROM px GROUP BY 1"""
@@ -4125,7 +4128,7 @@ WITH px AS (
   FROM (SELECT vec_id, unnest(embedding[1:64]) AS x FROM embeddings)
 )
 SELECT media_id, 8 AS width, 8 AS height,
-       sum(p) AS px_sum,
+       CAST(sum(p) AS BIGINT) AS px_sum,
        CAST(min(p) AS INT) AS px_min,
        CAST(max(p) AS INT) AS px_max
 FROM px GROUP BY 1"""
@@ -4495,7 +4498,7 @@ counts1 AS MATERIALIZED (
                 THEN 1 ELSE 0 END AS c
   FROM chars ch FULL OUTER JOIN usage u ON ch.piece = u.piece
 )
-SELECT piece, c AS usage,
+SELECT piece, CAST(c AS BIGINT) AS usage,
        CAST(round(-ln(c * 1.0 / (SELECT sum(c) FROM counts1 WHERE c > 0))
                   * 1e6) AS BIGINT) AS cost_micro
 FROM counts1 WHERE c > 0""")
@@ -4578,7 +4581,7 @@ WITH b AS (
 )
 SELECT count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
-       sum(nt) AS total_tokens,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
        CAST(round(CAST(sum(nt) AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
          / 1e6 AS mean_tokens,
        CAST(round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) * 1e6
@@ -5151,7 +5154,9 @@ agg AS (
          sum(s0*s1*s2) AS n3, sum(s0*s1*s2*s3) AS n4
   FROM f
 )
-SELECT step_idx, step, n_in, n_kept, n_in - n_kept AS n_dropped,
+SELECT step_idx, step, CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(n_in - n_kept AS BIGINT) AS n_dropped,
        round(n_kept / CAST(n_in AS DOUBLE), 6) + 0.0 AS keep_rate
 FROM (
   SELECT 0 AS step_idx, 'min_tokens_20' AS step, n0 AS n_in, n1 AS n_kept FROM agg
@@ -5338,7 +5343,8 @@ sess AS (
   FROM s GROUP BY 1, 2
 )
 SELECT p.event_id, p.user_id, p.ts, p.value,
-       sess.session_id, sess.session_start, sess.session_end
+       CAST(sess.session_id AS BIGINT) AS session_id,
+       sess.session_start, sess.session_end
 FROM e p JOIN sess
   ON p.user_id = sess.user_id
  AND p.ts >= sess.session_start AND p.ts <= sess.session_end
@@ -6642,7 +6648,8 @@ pv AS MATERIALIZED (
   FROM per_user WHERE exposed = 1 GROUP BY 1
 )
 SELECT a.variant AS variant_a, b.variant AS variant_b,
-       a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+       a.n AS n_a, CAST(a.conv AS BIGINT) AS conv_a,
+       b.n AS n_b, CAST(b.conv AS BIGINT) AS conv_b,
        round(a.conv / a.n, 6) AS rate_a,
        round(b.conv / b.n, 6) AS rate_b,
        round((a.conv / a.n - b.conv / b.n)
@@ -6852,7 +6859,7 @@ a2 AS (
   FROM uid
 ),
 u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
-SELECT "column", n_rows, n_distinct,
+SELECT "column", CAST(n_rows AS BIGINT) AS n_rows, n_distinct,
        round(h, 6) AS entropy,
        CASE WHEN n_distinct > 1 THEN round(h / ln(n_distinct), 6)
             ELSE 0.0 END AS h_norm

@@ -53,6 +53,43 @@ def norm_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+# DuckDB output types whose pandas conversion is VERSION-DEPENDENT:
+# 1.0.0 renders HUGEINT (sum(BIGINT)) as float64; newer versions changed
+# the conversion, and DECIMAL literals (0.25, 1.0) propagate DECIMAL
+# through arithmetic. Every one of the 7 CORRECTNESS_r04 driver
+# hash-FAILs had exactly such a column while passing this tool's numeric
+# compare — so an unstable output type is a FAILURE here, not a warning.
+# Fix: CAST the oracle's output column to BIGINT/DOUBLE to match Spark.
+UNSTABLE_DUCKDB_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def value_hash(cols, rows):
+    """Order-insensitive canonical hash over normalized rows.
+
+    Unlike the numeric compare above, the serialization DISTINGUISHES
+    int from float (and None from 0) — the same distinction the
+    driver's value-hash makes — so a local hash diff between the Spark
+    and oracle sides is diagnosable from the sweep output alone.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for row in norm_rows(cols, rows):
+        for v in row:
+            if v is None:
+                h.update(b"\x00N")
+            elif isinstance(v, bool):
+                h.update(b"\x00B" + (b"1" if v else b"0"))
+            elif isinstance(v, int):
+                h.update(b"\x00I" + str(v).encode())
+            elif isinstance(v, float):
+                h.update(b"\x00F" + repr(v).encode())
+            else:
+                h.update(b"\x00S" + str(v).encode())
+        h.update(b"\x01")
+    return h.hexdigest()[:16]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -89,15 +126,25 @@ def main() -> int:
             print(f"{name:35s} rows-only: {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"{name:35s} ORACLE SQL ERROR: {e}")
             failures.append(name)
             continue
         t2 = time.time()
         problems = []
+        unstable = [
+            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            if any(t.startswith(u) for u in UNSTABLE_DUCKDB_TYPES)
+        ]
+        if unstable:
+            problems.append(
+                "version-unstable oracle output type(s) "
+                f"{', '.join(unstable)} — CAST to BIGINT/DOUBLE"
+            )
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
@@ -117,8 +164,13 @@ def main() -> int:
             print(f"{name:35s} FAIL  " + "; ".join(problems[:3]))
             failures.append(name)
         else:
+            hs, ho = value_hash(scols, srows), value_hash(ocols, orows)
+            hx = f" hash={hs}" if hs == ho else f" HASH-DIFF spark={hs} oracle={ho}"
+            if hs != ho:
+                failures.append(name)
             extra = f"  spark={t1-t0:5.2f}s oracle={t2-t1:5.2f}s" if timing else ""
-            print(f"{name:35s} OK    ({len(srows)} rows){extra}")
+            tag = "OK  " if hs == ho else "FAIL"
+            print(f"{name:35s} {tag}  ({len(srows)} rows){hx}{extra}")
     print()
     if failures:
         print(f"FAILURES: {failures}")
