@@ -4508,6 +4508,29 @@ FROM counts1 WHERE c > 0""")
 ORACLES["unigram_lm_vocab"] = _unigram_lm_oracle()
 
 
+def q_unigram_lm_vocab_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same unigram-LM fixed point as unigram_lm_vocab, but with the
+    bounded-vocabulary driver fast path DISABLED (driver_guard=0) so
+    the driver row certifies the DISTRIBUTED Viterbi DP — the unrolled
+    per-position integer-cost folds over the word table — not the
+    collected driver solve. Integer micro-nat costs make the DP
+    bit-exact on every path, so the oracle transfers unchanged."""
+    from alphalens_spark.scale.text import unigram_lm_train
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return unigram_lm_train(
+        docs,
+        seed_size=200,
+        max_piece_len=6,
+        n_iter=1,
+        max_word_len=12,
+        driver_guard=0,
+    )
+
+
+ORACLES["unigram_lm_vocab_dist"] = _unigram_lm_oracle()
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. NeurIPS 2023,
     scale.curation.dsir_importance_weights): every document scored by
@@ -5568,6 +5591,29 @@ GROUP BY 1, 2"""
 ORACLES["transition_pagerank"] = _transition_pagerank_oracle()
 
 
+def q_transition_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixed-point as transition_pagerank, but with the
+    small-graph driver-solve guard DISABLED (small_graph_edges=0) so
+    the driver row certifies the DISTRIBUTED power-iteration loop —
+    n_iter rounds of node-keyed join + groupBy with eager
+    localCheckpoints — not the bounded-state fast path. Both paths are
+    equality-pinned in pytest; this row proves it under the driver's
+    oracle hash too (the oracle is the identical unrolled CTE chain)."""
+    from alphalens_spark import graph
+    from alphalens_spark.events import transition_edges
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    edges = transition_edges(ev, gap_minutes=30)
+    return _finalize(
+        graph.pagerank(
+            edges, n_iter=10, weight_col="weight", small_graph_edges=0
+        )
+    )
+
+
+ORACLES["transition_pagerank_dist"] = _transition_pagerank_oracle()
+
+
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep: frequency-ranked vocabulary (min_df=2, top 500 —
     scale.text.build_vocab assigns GLOBAL contiguous ids via the
@@ -6595,6 +6641,23 @@ def _bpe_merges_oracle() -> str:
 ORACLES["bpe_merges"] = _bpe_merges_oracle()
 
 
+def q_bpe_merges_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 6 BPE merges as bpe_merges, but with the small-vocabulary
+    driver fast path DISABLED (small_vocab=0) so the driver row
+    certifies the DISTRIBUTED merge loop — per round a vocabulary-sized
+    pair groupBy, 1-row argmax broadcast, and an array-HOF greedy merge
+    with eager localCheckpoints — not the collected-dict solve. Both
+    paths are pinned to the pure-Python reference in pytest; the oracle
+    is the identical unrolled list-lambda CTE chain."""
+    from alphalens_spark.scale.text import bpe_train
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=6, small_vocab=0)
+
+
+ORACLES["bpe_merges_dist"] = _bpe_merges_oracle()
+
+
 def q_bpe_vocab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer application (scale.text.bpe_segment_vocab): every
     vocabulary word segmented with the 6 learned BPE merges — each merge
@@ -7167,6 +7230,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_cdc": q_apply_cdc,
     "allpairs_jaccard": q_allpairs_jaccard,
     "transition_pagerank": q_transition_pagerank,
+    "transition_pagerank_dist": q_transition_pagerank_dist,
+    "bpe_merges_dist": q_bpe_merges_dist,
+    "unigram_lm_vocab_dist": q_unigram_lm_vocab_dist,
     "vocab_encode": q_vocab_encode,
     "bloom_filtered_orders": q_bloom_filtered_orders,
     "mmr_rerank": q_mmr_rerank,

@@ -119,6 +119,10 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # language-dimension broadcast (|langs| rows) replicated onto the
         # per-doc gram counts + 1-row vocab-size broadcast
         "langid_ngram",
+        # distributed-DP twin of unigram_lm_vocab: 1-row corpus-total
+        # broadcast for the cost re-estimation (the vocabulary-sized DP
+        # itself is equi-joined)
+        "unigram_lm_vocab_dist",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
