@@ -1276,12 +1276,13 @@ def content_defined_chunks(
     mask_bits: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Content-defined chunking (the CDC idea behind rsync/LBFS/FastCDC,
-    expression form): a chunk boundary falls after position ``p``
-    whenever the hash of the ``window``-char context ending at ``p``
-    has its low ``mask_bits`` bits zero — so boundaries are a function
-    of LOCAL CONTENT, not offsets, and inserting/deleting a prefix
+    """Content-defined chunking (the CDC idea behind rsync/LBFS/FastCDC):
+    a chunk boundary falls after position ``p`` whenever the hash of
+    the ``window``-char context ending at ``p`` has its low
+    ``mask_bits`` bits zero — so boundaries are a function of LOCAL
+    CONTENT, not offsets, and inserting/deleting a prefix
     re-synchronizes the chunking after one window (shift-resistant,
     where fixed-stride blocks would misalign every block downstream).
     Expected chunk length = 2^mask_bits chars.
@@ -1291,17 +1292,87 @@ def content_defined_chunks(
     per doc), while the pure predicate keeps the whole operator a
     per-row projection — boundary detection, splitting and digesting
     all happen inside one map stage, no shuffle until a consumer
-    aggregates. The md5 window hash replays in ANSI SQL, so chunk
-    digests value-oracle end to end.
+    aggregates.
+
+    Two implementations, bit-identical (equality-tested), same
+    dispatcher contract as :func:`simhash`:
+
+    - ``impl="arrow"`` (default, production): Arrow-batched
+      ``mapInPandas`` — the per-position window md5 runs as a tight
+      hashlib loop (~1 µs/position vs ~60 µs/position for the
+      interpreted HOF lambda, the measured cost in SURVEY §4.y.5).
+      Same boundary rule, same digests.
+    - ``impl="hof"``: pure Column-expression form. The md5 window hash
+      replays in ANSI SQL, so chunk digests value-oracle end to end —
+      this is the oracle twin.
 
     Output: (id, chunk_idx, chunk_start 1-based, chunk_len,
     chunk_digest md5) — one row per chunk, whole doc = one chunk when
-    no position matches the mask.
+    no position matches the mask; NULL text yields no rows.
     """
-    docs = spread_for_compute(docs)  # per-position md5 is CPU-bound
+    docs = spread_for_compute(docs)  # per-position hashing is CPU-bound
+    mask = (1 << mask_bits) - 1
+    if impl == "arrow":
+        id_type = docs.schema[id_col].dataType.simpleString()
+        schema = (
+            f"{id_col} {id_type}, chunk_idx int, chunk_start int, "
+            "chunk_len int, chunk_digest string"
+        )
+
+        def chunk_batches(batches):
+            import hashlib
+
+            import pandas as pd
+
+            modulus = mask + 1
+            for pdf in batches:
+                ids, idxs, starts_, lens_, digs = [], [], [], [], []
+                for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                    if txt is None:
+                        continue
+                    n_ch = len(txt)
+                    ends = []
+                    # boundary AFTER char p (0-based exclusive) when the
+                    # md5 of chars [p-window, p) has low mask_bits zero —
+                    # identical rule/window to the HOF form below
+                    for p in range(window, n_ch):
+                        h = hashlib.md5(
+                            txt[p - window:p].encode("utf-8")
+                        ).hexdigest()
+                        if int(h[:15], 16) % modulus == 0:
+                            ends.append(p)
+                    ends.append(n_ch)
+                    prev = 0
+                    for idx, e in enumerate(ends):
+                        ln = e - prev
+                        if ln > 0:
+                            ids.append(doc_id)
+                            idxs.append(idx)
+                            starts_.append(prev + 1)
+                            lens_.append(ln)
+                            digs.append(
+                                hashlib.md5(
+                                    txt[prev:e].encode("utf-8")
+                                ).hexdigest()
+                            )
+                        prev = e
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                        "chunk_idx": pd.Series(idxs, dtype="int32"),
+                        "chunk_start": pd.Series(starts_, dtype="int32"),
+                        "chunk_len": pd.Series(lens_, dtype="int32"),
+                        "chunk_digest": pd.Series(digs, dtype="object"),
+                    }
+                )
+
+        return docs.select(id_col, text_col).mapInPandas(
+            chunk_batches, schema
+        )
+    if impl != "hof":
+        raise ValueError(f"unknown impl {impl!r}")
     t = F.col(text_col)
     n = F.length(t)
-    mask = (1 << mask_bits) - 1
     # candidate boundary positions: window..len-1 (a boundary AT len is
     # implicit; starting before `window` would hash short contexts).
     # Window extraction slices a PRE-SPLIT char array — substring(t, p, w)
@@ -1367,18 +1438,23 @@ def cdc_chunk_duplicates(
     mask_bits: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Cross-document duplicated content at CDC-chunk granularity: which
     content blocks recur in MORE THAN ONE document, robust to shifts
     (a quoted/prepended/boilerplate block keeps its chunk digests even
     when its byte offset moves — the case fixed-stride or k-gram-anchored
     span dedup must realign for). One digest groupBy over the chunk
-    projection — 16-byte keys, uniform by construction.
+    projection — 16-byte keys, uniform by construction. ``impl`` is
+    forwarded to :func:`content_defined_chunks` (``"arrow"`` production
+    route by default; ``"hof"`` expression/oracle twin — bit-identical).
 
     Output: (chunk_digest, chunk_len, n_docs, n_occurrences) for chunks
     seen in ≥ 2 distinct documents.
     """
-    ch = content_defined_chunks(docs, window, mask_bits, text_col, id_col)
+    ch = content_defined_chunks(
+        docs, window, mask_bits, text_col, id_col, impl=impl
+    )
     return (
         ch.groupBy("chunk_digest", "chunk_len")
         .agg(

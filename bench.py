@@ -213,6 +213,25 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
     timed("pricing_summary",
           lambda: q_pricing_summary(spark, sf_dir).collect())
 
+    # --- round-4/5 additions: CDC chunk dedup (Arrow production route),
+    # tokenizer training/inference, language ID — timed through the same
+    # driver-query entry points the correctness harness certifies ---
+    from alphalens_spark.entry_queries import (
+        q_cdc_chunk_dups,
+        q_langid_ngram,
+        q_unigram_lm_vocab,
+        q_wordpiece_segments,
+    )
+
+    timed("cdc_chunk_dups",
+          lambda: q_cdc_chunk_dups(spark, sf_dir).count())
+    timed("wordpiece_segments",
+          lambda: q_wordpiece_segments(spark, sf_dir).count())
+    timed("unigram_lm_vocab",
+          lambda: q_unigram_lm_vocab(spark, sf_dir).count())
+    timed("langid_ngram",
+          lambda: q_langid_ngram(spark, sf_dir).count())
+
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
           lambda: similarity.ivfpq_topk(

@@ -557,6 +557,43 @@ def test_content_defined_chunks_tile_and_shift_resist(spark):
     assert dups and all(r["n_docs"] >= 2 for r in dups)
 
 
+def test_content_defined_chunks_impls_identical(spark):
+    """The Arrow mapInPandas production route and the Column-expression
+    oracle twin emit bit-identical chunk rows — including the edge
+    shapes: NULL text (no rows), empty text (no rows), text shorter
+    than the window (one whole-doc chunk), multi-byte unicode (windows
+    are CHARACTER-indexed; md5 runs over the utf-8 bytes)."""
+    from alphalens_spark.scale.dedup import content_defined_chunks
+
+    A = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark woods tonight "
+    ) * 8
+    rows = [
+        (0, A),
+        (1, "PREFIX SHIFT >> " + A),
+        (2, "short"),
+        (3, ""),
+        (4, None),
+        (5, "naïve café — öüß ✓ " + A[:200]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fast = content_defined_chunks(docs, impl="arrow")
+    hof = content_defined_chunks(docs, impl="hof")
+    assert fast.schema == hof.schema or [
+        (f.name, f.dataType.simpleString()) for f in fast.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in hof.schema.fields]
+    assert canon(fast) == canon(hof)
+    # window/mask variation too
+    assert canon(
+        content_defined_chunks(docs, window=8, mask_bits=4, impl="arrow")
+    ) == canon(content_defined_chunks(docs, window=8, mask_bits=4, impl="hof"))
+
+
 def test_dedup_keep_best_prefers_quality(spark):
     """dedup_keep_best keeps the highest-score doc per near-dup cluster
     (ties -> lowest id); unclustered docs keep themselves."""
