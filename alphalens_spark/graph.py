@@ -433,7 +433,10 @@ def label_propagation(
     than run to a fixpoint that may not exist.
 
     Output: (node, label) after ``n_iter`` rounds; equal labels =
-    same community.
+    same community. Every vertex of the input edge list appears in the
+    output — a node whose only edges are self-loops takes no part in
+    propagation and keeps its own id as its label (GraphFrames LPA
+    parity).
 
     Scale shape: per round ONE neighbor⋈labels equi-join on the node
     key plus two linear groupBys ((node, label) mass, then per-node
@@ -451,7 +454,11 @@ def label_propagation(
         # vote (integer unit mass also keeps the argmax exact cross-engine)
         e = canon.distinct().withColumn("w", F.lit(1).cast("long"))
     else:
-        e = canon.groupBy("u", "v").agg(F.sum("w").alias("w"))
+        # collapsed edge weights snap to the 6-dp grid: float sums that
+        # are mathematically tied differ by an ulp across engines /
+        # summation orders, and an ulp here flips the adopted LABEL —
+        # the rank_normalize / _avg_rank tie-grid rule applied to masses
+        e = canon.groupBy("u", "v").agg(F.round(F.sum("w"), 6).alias("w"))
     nbrs = (
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w")
         .unionByName(
@@ -462,13 +469,26 @@ def label_propagation(
     lab = nbrs.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
+    # self-loop-only vertices: present in the input edge list but absent
+    # from nbrs (self-loops are dropped before propagation); they keep
+    # their own id as label, matching GraphFrames LPA's every-vertex
+    # output. Bounded: one left_anti on the node key + a final union.
+    isolated = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .join(nbrs.select("node").distinct(), "node", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(n_iter):
         mass = (
             nbrs.join(
                 lab.select(F.col("node").alias("nbr"), "label"), "nbr"
             )
             .groupBy("node", "label")
-            .agg(F.sum("w").alias("m"))
+            # 6-dp mass snap (no-op long for the unweighted path): ties
+            # must break on the label, never on summation-order ulps
+            .agg(F.round(F.sum("w"), 6).alias("m"))
         )
         # argmax by (mass desc, label asc) as ONE min-struct aggregate:
         # min((-m, label)).label — deterministic tiebreak, no window
@@ -481,7 +501,9 @@ def label_propagation(
             .select("node", F.col("s.label").alias("label"))
             .localCheckpoint(eager=True)
         )
-    return lab
+    return lab.unionByName(
+        isolated.select("node", F.col("node").alias("label"))
+    )
 
 
 def label_propagation_sql(
@@ -495,8 +517,10 @@ def label_propagation_sql(
     parts = [
         f"WITH eraw AS MATERIALIZED ({edges_cte})",
         (
+            # 6-dp weight/mass snap mirrors the Spark path: float-sum
+            # ties must break on the label, not summation-order ulps
             "ec AS MATERIALIZED (SELECT least(src, dst) AS u, "
-            "greatest(src, dst) AS v, sum(w) AS w "
+            "greatest(src, dst) AS v, round(sum(w), 6) AS w "
             "FROM eraw WHERE src <> dst GROUP BY 1, 2)"
             if weighted
             else "ec AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
@@ -506,10 +530,14 @@ def label_propagation_sql(
         "UNION ALL SELECT v, u, w FROM ec)",
         "l0 AS MATERIALIZED "
         "(SELECT DISTINCT node, node AS label FROM nbrs)",
+        # self-loop-only vertices keep their own id (GraphFrames parity)
+        "alln AS MATERIALIZED (SELECT DISTINCT src AS node FROM eraw "
+        "UNION SELECT DISTINCT dst FROM eraw)",
     ]
+    mass_expr = "round(sum(n.w), 6)" if weighted else "sum(n.w)"
     for i in range(n_iter):
         parts.append(
-            f"m{i} AS MATERIALIZED (SELECT n.node, l.label, sum(n.w) AS m "
+            f"m{i} AS MATERIALIZED (SELECT n.node, l.label, {mass_expr} AS m "
             f"FROM nbrs n JOIN l{i} l ON n.nbr = l.node GROUP BY 1, 2)"
         )
         parts.append(
@@ -519,4 +547,8 @@ def label_propagation_sql(
             f"FROM m{i}) WHERE rn = 1)"
         )
     body = ",\n".join(parts)
-    return f"{body}\nSELECT node, label FROM l{n_iter}"
+    return (
+        f"{body}\nSELECT node, label FROM l{n_iter} "
+        "UNION ALL SELECT node, node AS label FROM alln "
+        "WHERE node NOT IN (SELECT node FROM l0)"
+    )

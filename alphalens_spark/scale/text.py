@@ -1530,8 +1530,14 @@ def _unigram_lm_driver(
 
     def costs(cnt):
         tot = sum(cnt.values())
+        # explicit HALF-UP rounding (floor(x + 0.5) — costs are
+        # non-negative): Python round() is banker's (half-to-even) while
+        # Spark/DuckDB round() is half away from zero, and the driver
+        # fast path must be semantics-invariant with the distributed DP
+        # and the SQL oracle on a cost landing exactly on .5
         return {
-            pc: int(round(-math.log(c / tot) * 1e6)) for pc, c in cnt.items()
+            pc: int(math.floor(-math.log(c / tot) * 1e6 + 0.5))
+            for pc, c in cnt.items()
         }
 
     for _ in range(n_iter):

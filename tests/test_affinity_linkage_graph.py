@@ -557,3 +557,67 @@ def test_label_propagation_weighted_matches_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_label_propagation_self_loop_only_node_kept(spark):
+    """A node whose ONLY edges are self-loops takes no part in
+    propagation but still appears in the output labeled with its own id
+    (GraphFrames LPA keeps every vertex) — both engines. Self-loops on
+    connected nodes stay ignored."""
+    import duckdb
+
+    from alphalens_spark.graph import label_propagation, label_propagation_sql
+
+    E = [(1, 2), (2, 3), (1, 3), (9, 9), (2, 2)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(edges, n_iter=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges_s AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in E)
+        + ") t(src,dst)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                label_propagation_sql("SELECT src, dst FROM edges_s", n_iter=4)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    lab = dict(got)
+    assert lab[9] == 9                      # self-loop-only vertex kept
+    assert lab[1] == lab[2] == lab[3] == 1  # triangle unaffected
+    assert set(lab) == {1, 2, 3, 9}
+
+
+def test_label_propagation_weighted_tie_breaks_on_label(spark):
+    """Mathematically tied neighbor masses assembled in different
+    summation orders must adopt the SAME label (6-dp mass snap): node 0
+    sees label-1 mass 0.1+0.2 and label-2 mass 0.3 — an ulp apart as
+    raw doubles — and must break the tie toward the smaller label on
+    every engine. repartition shuffles summation order."""
+    from alphalens_spark.graph import label_propagation
+
+    # star: center 0 with two nbrs labeled 1 (weights 0.1, 0.2) and one
+    # nbr labeled 2 (weight 0.3). In round 1 every leaf adopts label 0,
+    # so assert on round 1 only (n_iter=1) where leaf labels are stable.
+    EW = [(0, 1, 0.1), (0, 11, 0.2), (0, 2, 0.3)]
+    # nbr 11 would keep label 11; make both "1-side" nbrs carry DISTINCT
+    # labels — instead give the tie directly: two edges with weights
+    # summing to 0.3 toward label 1 via a collapsed multi-edge
+    EW = [(0, 1, 0.1), (0, 1, 0.2), (0, 2, 0.3)]
+    ew = spark.createDataFrame(EW, "src long, dst long, w double")
+    for reps in (1, 7):
+        got = dict(
+            (r["node"], r["label"])
+            for r in label_propagation(
+                ew.repartition(reps), n_iter=1, weight_col="w"
+            ).collect()
+        )
+        # 0.1+0.2 snaps to 0.3 == label-2 mass → tie → smaller label wins
+        assert got[0] == 1
