@@ -6372,6 +6372,110 @@ WHERE l_shipdate <= TIMESTAMP '2001-09-01'
 GROUP BY 1, 2"""
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-10 unshipped orders by
+    revenue for one market segment — the canonical 3-way
+    fact⋈fact⋈dim join + group + top-k plan (customer filter prunes
+    the orders probe, both date filters push into the scans, top-k is
+    TakeOrderedAndProject — never a global sort). Revenue is summed in
+    exact 1e-4 integer units (each l_extendedprice·(1−l_discount) term
+    quantizes per-row BEFORE the sum), so the aggregate is
+    summation-order-proof across engines — the corpus_report
+    integer-numerator rule applied to money."""
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+    ).cast("long")
+    return (
+        li.where(F.col("l_shipdate") > cut)
+        .join(o.where(F.col("o_orderdate") < cut),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu.where(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_e4).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLES["shipping_priority"] = r"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-06-01'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+LIMIT 10"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local supplier volume: revenue by nation where
+    customer and supplier share the nation, for one region and year —
+    the canonical 6-way snowflake join. region (1 row) and the
+    region-pruned nation (a handful) are explicit broadcasts; the
+    customer⋈orders⋈lineitem⋈supplier spine stays declarative so
+    AQE picks build sides by runtime sizes at any SF. The
+    c_nationkey = s_nationkey locality constraint rides the customer
+    join as a second equi-key. Revenue in exact 1e-4 integer units
+    (per-row quantization before the sum — order-proof)."""
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    na = datasets.load_table(spark, sf_dir, "nation")
+    re = datasets.load_table(spark, sf_dir, "region")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+    ).cast("long")
+    asia_nations = na.join(
+        F.broadcast(re.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(
+            o.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(asia_nations),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            cu,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev_e4).alias("revenue_e4"))
+    )
+
+
+ORACLES["local_supplier_volume"] = r"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1"""
+
+
 def q_balance_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-rank feature encoding (scale.features.rank_normalize):
     within-nation average-tie rank of customer balances mapped to
@@ -7249,6 +7353,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_collocations": q_bigram_collocations,
     "copurchase_similarity": q_copurchase_similarity,
     "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,

@@ -126,8 +126,13 @@ def pagerank(
         # checkpoint every few iterations, not every one: each eager
         # checkpoint is a scheduled job (fixed latency that dominates on
         # small graphs), while lineage only needs to stay bounded —
-        # depth ≤ checkpoint_every join-agg layers between cuts.
-        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+        # depth ≤ checkpoint_every join-agg layers between cuts. The
+        # FINAL iteration is deliberately NOT checkpointed: same total
+        # work (the consumer's action executes it instead of the
+        # constructor), and the returned frame keeps a real plan — the
+        # last join/agg layer stays visible to plan audits instead of
+        # collapsing to a checkpoint scan.
+        if (it + 1) % checkpoint_every == 0 and it != n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("pr").alias("pagerank"))
 
@@ -472,15 +477,17 @@ def label_propagation(
     # self-loop-only vertices: present in the input edge list but absent
     # from nbrs (self-loops are dropped before propagation); they keep
     # their own id as label, matching GraphFrames LPA's every-vertex
-    # output. Bounded: one left_anti on the node key + a final union.
+    # output. A vertex can only be missing from nbrs if ALL its edges
+    # are self-loops, so the candidate set is the (tiny) self-loop node
+    # list — one filtered scan + distinct + left_anti, not a distinct
+    # over the full vertex set.
     isolated = (
-        edges.select(F.col(src_col).alias("node"))
-        .union(edges.select(F.col(dst_col).alias("node")))
+        edges.where(F.col(src_col) == F.col(dst_col))
+        .select(F.col(src_col).alias("node"))
         .distinct()
         .join(nbrs.select("node").distinct(), "node", "left_anti")
-        .localCheckpoint(eager=True)
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         mass = (
             nbrs.join(
                 lab.select(F.col("node").alias("nbr"), "label"), "nbr"
@@ -499,8 +506,11 @@ def label_propagation(
                 .alias("s")
             )
             .select("node", F.col("s.label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # final round stays un-checkpointed (pagerank rule): same total
+        # work, and the returned frame keeps a real join/agg plan
+        if it != n_iter - 1:
+            lab = lab.localCheckpoint(eager=True)
     return lab.unionByName(
         isolated.select("node", F.col("node").alias("label"))
     )
