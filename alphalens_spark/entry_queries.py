@@ -10,6 +10,20 @@ aggregates return NULL where Spark may emit NaN, e.g. stddev_samp of one
 row), and oracle-checked queries avoid exp/pow on large magnitudes —
 cumulative returns are reported in log space, alpha/beta un-annualized —
 so sub-ulp engine differences cannot survive the rounding.
+
+Output-TYPE stability policy (round 5, the CORRECTNESS_r04 lesson): an
+oracle's OUTPUT columns must never be HUGEINT (DuckDB ``sum`` over
+BIGINT), UHUGEINT, or DECIMAL (decimal-literal arithmetic: ``0.25``,
+``1.0``) — their pandas conversion is DuckDB-version-dependent, so the
+driver's value-hash diverges even when values are numerically equal.
+CAST every integer-sum output to BIGINT and every decimal-arithmetic
+output to DOUBLE, matching the Spark column type exactly.
+``tools/oracle_check.py`` fails on violations; ``tools/type_audit.py``
+scans the whole registry. (pandas' nullable-int → float64 rendering is
+the one tolerated kind mismatch — both engines converge to float64.)
+For money/ratio aggregates, prefer per-row integer quantization BEFORE
+the sum (``CAST(round(x * 1e4) AS BIGINT)`` summed) — the aggregate is
+then summation-order-proof, not merely rounding-masked.
 """
 
 from __future__ import annotations
