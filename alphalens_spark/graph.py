@@ -469,6 +469,13 @@ def label_propagation(
         .unionByName(
             e.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
         )
+        # hash-partition the (big, static) neighbor list by the join key
+        # BEFORE the checkpoint: localCheckpoint preserves
+        # outputPartitioning, so every round's nbrs⋈labels join shuffles
+        # only the |V|-sized label frame, not the 2|E| neighbor rows —
+        # n_iter× fewer big shuffles (the union otherwise erases e's
+        # partitioning and each round re-shuffles the full edge list)
+        .repartition(F.col("nbr"))
         .localCheckpoint(eager=True)
     )
     lab = nbrs.select("node").distinct().select(
