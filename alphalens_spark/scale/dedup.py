@@ -375,6 +375,12 @@ def connected_components(
     edges = (
         e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
+        # hash-partition the static edge list by the propagation join key
+        # (distinct leaves it partitioned by (s, d)): the cached frame
+        # keeps this outputPartitioning, so every round's edges⋈labels
+        # join shuffles only the |V|-sized label frame, not |E| edge
+        # rows — the LPA neighbor-list rule
+        .repartition(F.col("s"))
         .persist()
     )
     labels = (
