@@ -313,10 +313,17 @@ def k_core(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        keep = deg.where(F.col("degree") >= k).select("node")
+        # peel via ANTI-join on the DROPPED set, not semi-join on the
+        # survivors: the peeled set is the small side (a handful of
+        # sub-k nodes per round vs nearly all of |V| surviving), so AQE
+        # broadcasts it and neither anti-join shuffles the edge list —
+        # the degree groupBy is the round's only |E|-sized shuffle.
+        # Identical semantics: every endpoint is in deg, so
+        # NOT-in-drop ≡ in-keep.
+        drop = deg.where(F.col("degree") < k).select("node")
         e2 = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            e.join(drop.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(drop.withColumnRenamed("node", "v"), "v", "left_anti")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
