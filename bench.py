@@ -223,6 +223,16 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
         q_wordpiece_segments,
     )
 
+    # round-5: the multi-way-join warehouse path (TPC-H Q3/Q5 shapes)
+    from alphalens_spark.entry_queries import (
+        q_local_supplier_volume,
+        q_shipping_priority,
+    )
+
+    timed("shipping_priority",
+          lambda: q_shipping_priority(spark, sf_dir).collect())
+    timed("local_supplier_volume",
+          lambda: q_local_supplier_volume(spark, sf_dir).collect())
     timed("cdc_chunk_dups",
           lambda: q_cdc_chunk_dups(spark, sf_dir).count())
     timed("wordpiece_segments",
