@@ -1,0 +1,84 @@
+"""Diff two bench.py JSON lines and flag per-query regressions.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [threshold_pct]
+
+Reads the driver's BENCH_r{N}.json artifacts (or any bench.py output
+line), prints per-query deltas, and exits 1 if any shared query slowed
+by more than ``threshold_pct`` (default 15, the VERDICT regression
+bar). Host noise on the shared box is ±25%, so treat a single flagged
+entry as a re-run prompt, not a verdict — two consecutive rounds
+slower is the real signal.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        txt = f.read().strip()
+    # the driver's BENCH_r{N}.json wraps the bench line: {..., "parsed":
+    # {...}, "tail": "<stderr+json>"}; bare bench.py output is the line
+    # itself, possibly surrounded by logs
+    try:
+        doc = json.loads(txt)
+        if isinstance(doc, dict):
+            if "queries" in doc:
+                return doc
+            if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+                return doc["parsed"]
+            tail = doc.get("tail", "")
+            i = tail.rfind('{"metric"')
+            if i >= 0:
+                return json.loads(tail[i:])
+    except json.JSONDecodeError:
+        pass
+    # tolerate logs around the JSON line: take the last line that parses
+    for line in reversed(txt.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    raise SystemExit(f"no bench JSON line found in {path}")
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(oq) & set(nq))
+    flagged = []
+    print(f"{'query':32s} {'old':>8s} {'new':>8s} {'delta':>8s}")
+    for name in shared:
+        a, b = oq[name], nq[name]
+        pct = (b - a) / a * 100.0 if a else 0.0
+        mark = ""
+        if pct > thresh:
+            flagged.append((name, pct))
+            mark = "  <-- REGRESSED"
+        print(f"{name:32s} {a:8.3f} {b:8.3f} {pct:+7.1f}%{mark}")
+    for name in sorted(set(nq) - set(oq)):
+        print(f"{name:32s} {'—':>8s} {nq[name]:8.3f}     NEW")
+    for name in sorted(set(oq) - set(nq)):
+        print(f"{name:32s} {oq[name]:8.3f} {'—':>8s}     REMOVED")
+    co, cn = old.get("core_value"), new.get("core_value")
+    if co and cn:
+        print(f"\ncore_value {co:.3f} -> {cn:.3f} ({(cn - co) / co * 100:+.1f}%)")
+    print(f"suite {old.get('value'):.3f} -> {new.get('value'):.3f}")
+    if flagged:
+        print(f"\nREGRESSIONS (> {thresh:.0f}%): "
+              + ", ".join(f"{n} ({p:+.0f}%)" for n, p in flagged))
+        return 1
+    print(f"\nno shared query slowed > {thresh:.0f}%")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
