@@ -5087,6 +5087,42 @@ SELECT source, CAST(count(*) AS INT) AS n_docs,
 FROM documents WHERE lang = 'en' GROUP BY 1"""
 
 
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format end-to-end: documents → ORC (source-
+    partitioned write, the built-in JVM sink) → read back with the
+    lang filter pushed into the ORC reader and the partition column
+    pruned at the directory level → per-source stats with a content
+    checksum, so the oracle verifies byte fidelity of the full
+    write→read cycle. Same contract as jsonl_source_agg but through
+    Spark's native second format rather than the custom Python
+    DataSource — a reference user's parquet pipeline ports to ORC
+    with only the format string changing."""
+    import os
+    import tempfile
+
+    from alphalens_spark.scale.dedup import md5_long
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "docs")
+    docs.write.mode("overwrite").partitionBy("source").orc(path)
+    back = spark.read.orc(path).where(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.pmod(md5_long(F.col("text"), 15), F.lit(1_000_000_000))
+        ).cast("bigint").alias("text_checksum"),
+    )
+
+
+ORACLES["orc_roundtrip_agg"] = r"""
+SELECT source, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000)
+            AS BIGINT) AS text_checksum
+FROM documents WHERE lang = 'en' GROUP BY 1"""
+
+
 def q_dedupe_units_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style CORPUS-wide unit dedup (keep the globally-first
     occurrence by (doc_id, pos)), 8-word chunk unit
@@ -5386,6 +5422,63 @@ FROM e p JOIN sess
   ON p.user_id = sess.user_id
  AND p.ts >= sess.session_start AND p.ts <= sess.session_end
 WHERE p.event_type = 'purchase'"""
+
+
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (events.concurrent_sessions):
+    the sweep-line concurrency count — sessions explode into day
+    buckets (never a global window), +1/−1 deltas, per-day running-sum
+    max with the RANGE-frame tie rule shared by both engines."""
+    from alphalens_spark.events import concurrent_sessions
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return concurrent_sessions(ev, gap_minutes=30)
+
+
+ORACLES["concurrent_sessions"] = r"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+l AS (
+  SELECT *,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM l
+),
+sess AS (
+  SELECT user_id, session_id, min(ts) AS session_start,
+         max(ts) AS session_end
+  FROM s GROUP BY 1, 2
+),
+spans AS (
+  SELECT CAST(d AS DATE) AS day,
+         greatest(session_start, CAST(CAST(d AS DATE) AS TIMESTAMP)) AS t_on,
+         least(session_end,
+               CAST(CAST(d AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS t_off
+  FROM sess,
+       unnest(generate_series(CAST(session_start AS DATE),
+                              CAST(session_end AS DATE),
+                              INTERVAL 1 DAY)) AS g(d)
+),
+deltas AS (
+  SELECT day, t_on AS t, 1 AS delta FROM spans
+  UNION ALL
+  SELECT day, t_off AS t, -1 AS delta FROM spans
+),
+r AS (
+  SELECT day, delta,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC) AS running
+  FROM deltas
+)
+SELECT day,
+       CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_sessions,
+       CAST(max(running) AS BIGINT) AS peak_concurrent
+FROM r GROUP BY 1"""
 
 
 def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7336,6 +7429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "rolling_anomaly": q_rolling_anomaly,
     "jsonl_source_agg": q_jsonl_source_agg,
+    "orc_roundtrip_agg": q_orc_roundtrip_agg,
     "dedupe_units_corpus": q_dedupe_units_corpus,
     "event_cube": q_event_cube,
     "curation_report": q_curation_report,
@@ -7343,6 +7437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hilbert_key": q_hilbert_key,
     "event_sessionize_native": q_event_sessionize_native,
     "interval_join_sessions": q_interval_join_sessions,
+    "concurrent_sessions": q_concurrent_sessions,
     "winsorize_prices": q_winsorize_prices,
     "snapshot_diff": q_snapshot_diff,
     "apply_cdc": q_apply_cdc,

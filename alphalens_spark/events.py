@@ -268,6 +268,63 @@ def sessionize_native(
     )
 
 
+def concurrent_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Peak concurrent sessions per day — the classic sweep-line
+    concurrency count (capacity planning / load sizing): each
+    gap-session contributes a +1 at its (day-clipped) start and a −1
+    just after its inclusive end; the running sum's maximum is the
+    day's peak simultaneous-session count.
+
+    Scale shape: sessions explode into one row per OVERLAPPED DAY (the
+    interval_join day-bucket rewrite), so the sweep window partitions
+    by day — never a global window; a session spanning midnight is
+    clipped into both days and counts toward each day's concurrency
+    from 00:00. Determinism: the running sum orders by
+    (instant, delta DESC) with the default RANGE frame, so tied
+    instants resolve as one group on every engine — +1s apply before
+    −1s at the same instant (inclusive-end semantics: a session ending
+    exactly when another starts overlaps it).
+
+    Output: (day, n_sessions, peak_concurrent) — sessions touching the
+    day, and the max simultaneous count within it.
+    """
+    sess = sessionize(events, gap_minutes, user_col, ts_col, order_tiebreak)
+    ts_type = sess.schema["session_start"].dataType
+    day_ts = F.col("day").cast(ts_type)
+    next_day_ts = F.date_add(F.col("day"), 1).cast(ts_type)
+    spans = sess.select(
+        F.explode(
+            F.sequence(
+                F.to_date("session_start"), F.to_date("session_end")
+            )
+        ).alias("day"),
+        F.greatest(F.col("session_start"), day_ts).alias("t_on"),
+        F.least(F.col("session_end"), next_day_ts).alias("t_off"),
+    )
+    deltas = spans.select(
+        "day", F.col("t_on").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            "day", F.col("t_off").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = Window.partitionBy("day").orderBy(F.col("t"), F.col("delta").desc())
+    running = deltas.withColumn("running", F.sum("delta").over(w))
+    return (
+        running.groupBy("day")
+        .agg(
+            F.count(F.when(F.col("delta") == 1, 1)).alias("n_sessions"),
+            F.max("running").cast("long").alias("peak_concurrent"),
+        )
+    )
+
+
 def scd2_from_snapshots(
     snapshots: DataFrame,
     key_cols: Sequence[str],

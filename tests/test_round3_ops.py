@@ -533,3 +533,43 @@ def test_stream_scd2_equals_batch(spark, tmp_path):
     # the continuing state did NOT reopen: key 2 has exactly one open row
     opens = [r for r in got if r[0] == 2 and r[3] is None]
     assert len(opens) == 1
+
+
+def test_concurrent_sessions_sweep_line(spark):
+    """Hand-computed peak concurrency: boundary ties count as overlap
+    (+1 before -1 at the same instant), a single-event session is
+    active at its instant, and a midnight-spanning session contributes
+    to BOTH days from/until the clip boundary."""
+    from alphalens_spark.events import concurrent_sessions
+
+    rows = [
+        # day 1: user 1 session 10:00-10:20; user 2 session 10:10-10:30
+        # -> overlap 10:10-10:20 => peak 2
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:20:00"),
+        (3, 2, "2024-01-01 10:10:00"),
+        (4, 2, "2024-01-01 10:30:00"),
+        # user 3 single-event session exactly at user 2's session end:
+        # inclusive-end tie => 2 concurrent at 10:30
+        (5, 3, "2024-01-01 10:30:00"),
+        # user 4 session spanning midnight: 23:50 day1 -> 00:10 day2
+        # (events 10 min apart, gap 30 min keeps them one session)
+        (6, 4, "2024-01-01 23:50:00"),
+        (7, 4, "2024-01-02 00:10:00"),
+        # day 3: two users fully disjoint -> peak 1
+        (8, 5, "2024-01-03 09:00:00"),
+        (9, 6, "2024-01-03 12:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, t) for e, u, t in rows],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        str(r["day"]): (r["n_sessions"], r["peak_concurrent"])
+        for r in concurrent_sessions(ev, gap_minutes=30).collect()
+    }
+    assert got == {
+        "2024-01-01": (4, 2),  # sessions: u1, u2, u3, u4(clipped); peak 2
+        "2024-01-02": (1, 1),  # u4's tail
+        "2024-01-03": (2, 1),  # disjoint
+    }
