@@ -2598,6 +2598,46 @@ bs AS (
 SELECT date, asset, round(r1, 6) AS r1_shifted, round(r5, 6) AS r5_shifted
 FROM bs"""
 
+
+def q_ewma_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset EWM factor smoothing (performance.ewma, pandas
+    ewm(span=10, adjust=False).mean() semantics): one groupBy collects
+    the date-ordered series per asset, a single array fold computes the
+    recurrence map-side — no window, no per-step shuffle; the fixed
+    multiply-add order makes the series bit-exact against the oracle's
+    recursive-CTE replay."""
+    fd = _fd(spark, sf_dir)
+    return _finalize(
+        perf.ewma(fd, "factor", order_col="date", by="asset", span=10.0)
+    )
+
+
+def _ewma_factor_oracle(span: float = 10.0) -> str:
+    alpha = 2.0 / (span + 1.0)
+    oma = 1.0 - alpha
+    # literal doubles round-trip bit-exactly through repr (the round-3
+    # CAST('repr' AS DOUBLE) rule), so both engines use the same α
+    return f"""WITH RECURSIVE {ORACLE_PANEL_SQL},
+x AS MATERIALIZED (
+  SELECT asset, date, CAST(factor AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY asset ORDER BY date) AS idx
+  FROM fd
+),
+rec AS (
+  SELECT asset, idx, date, v, v AS y FROM x WHERE idx = 1
+  UNION ALL
+  SELECT x.asset, x.idx, x.date, x.v,
+         rec.y * CAST('{oma!r}' AS DOUBLE)
+           + x.v * CAST('{alpha!r}' AS DOUBLE)
+  FROM rec JOIN x ON x.asset = rec.asset AND x.idx = rec.idx + 1
+)
+SELECT asset, date, round(v, 6) + 0.0 AS factor,
+       round(y, 6) + 0.0 AS ewma
+FROM rec"""
+
+
+ORACLES["ewma_factor"] = _ewma_factor_oracle()
+
 ORACLES["quantile_returns_one_period"] = f"""{_P}, {_DM},
 fin AS (
   SELECT factor_quantile,
@@ -7360,6 +7400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "factor_weights": q_factor_weights,
     "backshift_returns": q_backshift_returns,
+    "ewma_factor": q_ewma_factor,
     "quantile_returns_one_period": q_quantile_returns_one_period,
     "mean_ic_by_group_monthly": q_mean_ic_by_group_monthly,
     "time_varying_groups": q_time_varying_groups,

@@ -549,6 +549,74 @@ def factor_rank_autocorrelation(
     )
 
 
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    by: Sequence[str] | str = "asset",
+    span: float = 10.0,
+) -> DataFrame:
+    """Per-group exponentially weighted moving average — pandas
+    ``ewm(span=..., adjust=False).mean()``: ``y_0 = x_0``,
+    ``y_t = (1−α)·y_{t−1} + α·x_t`` with ``α = 2/(span+1)`` — the
+    smoothing primitive next to the simple rolling means the plot layer
+    uses.
+
+    A sequential recurrence has no shuffle-native form, but the series
+    per key is bounded by the ORDER dimension (dates), the same bounded
+    contract as cumulative_returns: ONE groupBy collects the ordered
+    (order, value) array per key and a single array fold computes the
+    whole smoothed series map-side — no window, no per-step shuffle.
+    The fold multiplies in a fixed order (``y·(1−α) + x·α``), so the
+    recurrence is bit-exact across engines and the SQL oracle replays
+    it as a recursive CTE. NULL values are excluded before smoothing.
+
+    Output: ``by`` + (order_col, value_col, ewma) — one row per input
+    (non-null) observation.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    alpha = 2.0 / (span + 1.0)
+    oma = 1.0 - alpha
+    arr = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*by_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("xs")
+        )
+    )
+    ys = F.aggregate(
+        F.col("xs"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x["v"])).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.element_at(acc, -1) * F.lit(oma) + x["v"] * F.lit(alpha)
+                ),
+            )
+        ),
+    )
+    # two-step select: the fold materializes once before the explode
+    # (Generate re-evaluates projected expressions per exploded row —
+    # the round-2 lesson)
+    staged = arr.select(*by_cols, "xs", ys.alias("ys"))
+    return staged.select(
+        *by_cols, F.posexplode(F.arrays_zip("xs", "ys"))
+    ).select(
+        *by_cols,
+        F.col("col.xs.o").alias(order_col),
+        F.col("col.xs.v").alias(value_col),
+        F.col("col.ys").alias("ewma"),
+    )
+
+
 def rank_autocorr_profile(
     factor_data: DataFrame, lags: Sequence[int] = (1, 2, 3, 5, 10)
 ) -> DataFrame:

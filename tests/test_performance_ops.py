@@ -537,3 +537,33 @@ def test_common_start_returns_mean_by_date_and_demean(spark):
         events, prices, 1, 1, demean_by=events, mean_by_date=True
     )
     assert all(abs(r["cum_ret"]) < 1e-12 for r in self_demeaned.collect())
+
+
+def test_ewma_matches_pandas(spark):
+    """performance.ewma == pandas ewm(span, adjust=False).mean() per
+    group, bit-for-bit (same multiply-add recurrence), including a
+    group with a single observation and NULL exclusion."""
+    import numpy as np
+    import pandas as pd
+
+    from alphalens_spark import performance as perf
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for a in ["x", "y", "z"]:
+        n = {"x": 25, "y": 1, "z": 10}[a]
+        for i in range(n):
+            v = float(rng.randn()) if not (a == "z" and i == 3) else None
+            rows.append((a, i, v))
+    df = spark.createDataFrame(rows, "asset string, t int, v double")
+    got = {
+        (r["asset"], r["t"]): r["ewma"]
+        for r in perf.ewma(df, "v", order_col="t", by="asset", span=10.0)
+        .collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["asset", "t", "v"]).dropna(subset=["v"])
+    for a, g in pdf.groupby("asset"):
+        want = g["v"].ewm(span=10.0, adjust=False).mean()
+        for t, w in zip(g["t"], want):
+            assert got[(a, t)] == w, (a, t)
+    assert ("z", 3) not in got  # NULL excluded
