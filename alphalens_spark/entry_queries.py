@@ -62,6 +62,22 @@ def _finalize(df: DataFrame, dp: int = ROUND_DP) -> DataFrame:
 _FD_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def _roundtrip_path(prefix: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for write→read roundtrip queries: one
+    bounded copy per (format, SF) reused across invocations via
+    overwrite, instead of a leaked mkdtemp per call (roundtrip queries
+    run their write during CONSTRUCTION, so plan gates and dtype audits
+    trigger it too)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(
+        tempfile.gettempdir(), f"alphalens_{prefix}_{tag}", "docs"
+    )
+
+
 def _fd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical factor_data, persisted per (session, sf_dir).
 
@@ -5093,17 +5109,19 @@ def q_jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources.jsonl.JsonlReader.pushFilters), then per-source stats with a
     content checksum — so the oracle verifies byte fidelity of the full
     write→read cycle, not just counts."""
-    import os
-    import tempfile
-
     from alphalens_spark.scale.dedup import md5_long
     from alphalens_spark.sources import JsonlDataSource
 
     spark.dataSource.register(JsonlDataSource)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     docs = datasets.load_table(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_src_"), "docs")
-    docs.write.format("jsonl_docs").option("path", path).mode("append").save()
+    # deterministic per-SF path + the sink's stage-and-swap overwrite:
+    # plan-only consumers call this too, and mkdtemp leaked one JSONL
+    # copy of documents per invocation
+    path = _roundtrip_path("jsonl_src", sf_dir)
+    docs.write.format("jsonl_docs").option("path", path).mode(
+        "overwrite"
+    ).save()
     back = (
         spark.read.format("jsonl_docs")
         .option("path", path)
@@ -5137,13 +5155,14 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's native second format rather than the custom Python
     DataSource — a reference user's parquet pipeline ports to ORC
     with only the format string changing."""
-    import os
-    import tempfile
-
     from alphalens_spark.scale.dedup import md5_long
 
     docs = datasets.load_table(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "docs")
+    # deterministic per-SF path + overwrite: query construction performs
+    # the write eagerly, and plan-only consumers (plan gates, dtype
+    # audits) call every query too — mkdtemp here would leak one full
+    # ORC copy of documents per invocation
+    path = _roundtrip_path("orc_rt", sf_dir)
     docs.write.mode("overwrite").partitionBy("source").orc(path)
     back = spark.read.orc(path).where(F.col("lang") == "en")
     return back.groupBy("source").agg(

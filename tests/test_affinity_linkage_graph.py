@@ -603,13 +603,11 @@ def test_label_propagation_weighted_tie_breaks_on_label(spark):
     every engine. repartition shuffles summation order."""
     from alphalens_spark.graph import label_propagation
 
-    # star: center 0 with two nbrs labeled 1 (weights 0.1, 0.2) and one
-    # nbr labeled 2 (weight 0.3). In round 1 every leaf adopts label 0,
-    # so assert on round 1 only (n_iter=1) where leaf labels are stable.
-    EW = [(0, 1, 0.1), (0, 11, 0.2), (0, 2, 0.3)]
-    # nbr 11 would keep label 11; make both "1-side" nbrs carry DISTINCT
-    # labels — instead give the tie directly: two edges with weights
-    # summing to 0.3 toward label 1 via a collapsed multi-edge
+    # two parallel (0,1) edges with weights summing to 0.3 collapse to
+    # one label-1 edge; against the single label-2 edge of weight 0.3
+    # the masses tie EXACTLY only on the 6-dp grid (raw doubles differ
+    # by an ulp depending on summation order). Assert on round 1 only
+    # (n_iter=1), where leaf labels are stable.
     EW = [(0, 1, 0.1), (0, 1, 0.2), (0, 2, 0.3)]
     ew = spark.createDataFrame(EW, "src long, dst long, w double")
     for reps in (1, 7):

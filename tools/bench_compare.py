@@ -58,7 +58,17 @@ def main() -> int:
     print(f"{'query':32s} {'old':>8s} {'new':>8s} {'delta':>8s}")
     for name in shared:
         a, b = oq[name], nq[name]
-        pct = (b - a) / a * 100.0 if a else 0.0
+        if not a:
+            # 0.000 baselines carry no signal: any nonzero new timing
+            # would be an infinite "regression" — flag it explicitly
+            # rather than hiding it behind +0.0%
+            if b > 0.05:
+                flagged.append((name, float("inf")))
+                print(f"{name:32s} {a:8.3f} {b:8.3f}     n/a  <-- REGRESSED (zero baseline)")
+            else:
+                print(f"{name:32s} {a:8.3f} {b:8.3f}     n/a")
+            continue
+        pct = (b - a) / a * 100.0
         mark = ""
         if pct > thresh:
             flagged.append((name, pct))
@@ -71,7 +81,9 @@ def main() -> int:
     co, cn = old.get("core_value"), new.get("core_value")
     if co and cn:
         print(f"\ncore_value {co:.3f} -> {cn:.3f} ({(cn - co) / co * 100:+.1f}%)")
-    print(f"suite {old.get('value'):.3f} -> {new.get('value'):.3f}")
+    so, sn = old.get("value"), new.get("value")
+    if so is not None and sn is not None:
+        print(f"suite {so:.3f} -> {sn:.3f}")
     if flagged:
         print(f"\nREGRESSIONS (> {thresh:.0f}%): "
               + ", ".join(f"{n} ({p:+.0f}%)" for n, p in flagged))

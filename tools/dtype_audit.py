@@ -13,16 +13,13 @@ Prints one line per query with kind mismatches. Exit 1 if any.
 
 from __future__ import annotations
 
+import os
 import sys
 
-import duckdb
-
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from oracle_check import duckdb_connect_views  # noqa: E402
 
 
 def spark_kind(dt: str) -> str:
@@ -60,11 +57,7 @@ def main() -> int:
     from alphalens_spark.session import get_spark
 
     spark = get_spark("dtype_audit")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_connect_views(sf_dir)
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -32,6 +32,22 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+
+def duckdb_connect_views(sf_dir: str):
+    """DuckDB connection with every driver table registered as a view —
+    the shared bootstrap for this tool, type_audit, and dtype_audit
+    (one table list to maintain)."""
+    con = duckdb.connect()
+    # keep DuckDB spill out of the repo cwd (defaults to ./.tmp), bounded
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='20GB'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
 LOOSE = os.environ.get("ORACLE_CHECK_LOOSE") == "1"
 
 
@@ -98,14 +114,7 @@ def main() -> int:
     from alphalens_spark.session import get_spark
 
     spark = get_spark("oracle_check")
-    con = duckdb.connect()
-    # keep DuckDB spill out of the repo cwd (defaults to ./.tmp) and bounded
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET max_temp_directory_size='20GB'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_connect_views(sf_dir)
 
     import os
     import time

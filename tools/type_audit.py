@@ -15,16 +15,13 @@ Exit 1 if any flagged.
 
 from __future__ import annotations
 
+import os
 import sys
 
-import duckdb
-
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from oracle_check import duckdb_connect_views  # noqa: E402
 
 BAD = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
@@ -35,11 +32,7 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_connect_views(sf_dir)
 
     oracles = entry_mod.oracle_sql()
     n_flagged = 0
