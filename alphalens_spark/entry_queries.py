@@ -6583,6 +6583,53 @@ ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
 LIMIT 10"""
 
 
+def q_sql_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spark.sql surface certification: monthly gross revenue and
+    month-over-month delta written ENTIRELY as SQL text (CTE + window
+    over temp views) — the other half of the DataFrame/SQL API contract,
+    proving a reference user can drive the engine from SQL alone.
+    Catalyst plans it identically to the DataFrame form (same pushed
+    filters, same partial aggregation). Revenue in per-row 1e-4 integer
+    units (order-proof money, the shipping_priority rule)."""
+    for t in ("orders", "lineitem"):
+        datasets.load_table(spark, sf_dir, t).createOrReplaceTempView(
+            f"_sql_{t}"
+        )
+    return spark.sql(
+        """
+        WITH monthly AS (
+          SELECT date_trunc('month', o.o_orderdate) AS month,
+                 SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                * 1e4) AS BIGINT)) AS revenue_e4,
+                 COUNT(DISTINCT o.o_orderkey) AS n_orders
+          FROM _sql_lineitem l
+          JOIN _sql_orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1
+        )
+        SELECT month, revenue_e4, n_orders,
+               revenue_e4 - LAG(revenue_e4)
+                 OVER (ORDER BY month) AS revenue_delta_e4
+        FROM monthly
+        """
+    )
+
+
+ORACLES["sql_revenue_trend"] = r"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                       AS BIGINT)) AS BIGINT) AS revenue_e4,
+         COUNT(DISTINCT o.o_orderkey) AS n_orders
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT month, revenue_e4, n_orders,
+       CAST(revenue_e4 - LAG(revenue_e4) OVER (ORDER BY month) AS BIGINT)
+         AS revenue_delta_e4
+FROM monthly"""
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped local supplier volume: revenue by nation where
     customer and supplier share the nation, for one region and year —
@@ -7524,6 +7571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
+    "sql_revenue_trend": q_sql_revenue_trend,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,

@@ -59,6 +59,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "epoch_shuffle",
         # trailing mean over the per-date IC series (one row per date)
         "rolling_mean_ic",
+        # MoM lag over the MONTHLY rollup (one row per month, bounded by
+        # the date dimension)
+        "sql_revenue_trend",
     }
     FACT_WIDTH = {
         t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)
