@@ -560,3 +560,69 @@ def test_cdc_chunks_tile_exactly_and_resync(spark, texts, prefix):
             # first boundary must reappear in the prefixed doc's digests
             pref_digests = {c[3] for c in pref}
             assert tail <= pref_digests
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 50),
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_ewma_matches_pandas_property(spark, rows):
+    """performance.ewma equals pandas ewm(adjust=False).mean() bit for
+    bit on arbitrary grouped series (unique (group, t) keys)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {
+        (r["g"], r["t"]): r["ewma"]
+        for r in perf.ewma(df, "v", order_col="t", by="g", span=7.0).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "t", "v"]).sort_values(["g", "t"])
+    for g, grp in pdf.groupby("g"):
+        want = grp["v"].ewm(span=7.0, adjust=False).mean()
+        for t, w in zip(grp["t"], want):
+            assert got[(g, t)] == w, (g, t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 5),                    # user
+            st.integers(0, 3 * 24 * 60 - 1),      # minute offset in 3 days
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_concurrent_sessions_invariants(spark, evs):
+    """Sweep-line invariants on random event sets: per day
+    1 <= peak <= n_sessions; total day-session rows >= the number of
+    gap-sessions (midnight spans count toward each day); result is
+    repartition-invariant."""
+    import datetime as _dt
+
+    from alphalens_spark.events import concurrent_sessions, sessionize
+
+    base = _dt.datetime(2024, 3, 1)
+    rows = [
+        (i, u, base + _dt.timedelta(minutes=m))
+        for i, (u, m) in enumerate(evs)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = concurrent_sessions(ev, gap_minutes=30).collect()
+    n_sess = sessionize(ev, gap_minutes=30).count()
+    assert sum(r["n_sessions"] for r in out) >= n_sess
+    for r in out:
+        assert 1 <= r["peak_concurrent"] <= r["n_sessions"]
+    out2 = concurrent_sessions(ev.repartition(7), gap_minutes=30).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
