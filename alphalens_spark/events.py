@@ -314,12 +314,22 @@ def concurrent_sessions(
             "day", F.col("t_off").alias("t"), F.lit(-1).alias("delta")
         )
     )
+    # pre-combine deltas per instant BEFORE the sweep window: the RANGE
+    # frame already resolves tied (t, delta) rows as one group, so
+    # summing them first is semantics-identical — and the per-day sort
+    # then sees |distinct instants| rows with map-side partial
+    # aggregation, not 2·|sessions| (the lever that matters when one
+    # day holds millions of sessions)
+    combined = deltas.groupBy("day", "t", "delta").agg(
+        F.sum("delta").alias("d"),
+        F.count(F.when(F.col("delta") == 1, 1)).alias("n_on"),
+    )
     w = Window.partitionBy("day").orderBy(F.col("t"), F.col("delta").desc())
-    running = deltas.withColumn("running", F.sum("delta").over(w))
+    running = combined.withColumn("running", F.sum("d").over(w))
     return (
         running.groupBy("day")
         .agg(
-            F.count(F.when(F.col("delta") == 1, 1)).alias("n_sessions"),
+            F.sum("n_on").cast("long").alias("n_sessions"),
             F.max("running").cast("long").alias("peak_concurrent"),
         )
     )
