@@ -58,6 +58,11 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
     # reference holds both in memory the same way). datasets.ingest
     # derives BOTH from ONE persisted panel aggregation — one lineitem
     # scan total; px reads are projections of the shared cache ---
+    # persist (not localCheckpoint): a checkpointed fd would make
+    # downstream plans ~10% cheaper to analyze, but its blocks survive
+    # unpersist(), leaking across the best-of-2 passes and
+    # under-reporting ingestion (measured 2.2 s -> 0.4 s, an accounting
+    # artifact) — persist keeps every pass paying the true cost
     fd, px, panel = datasets.ingest(spark, sf_dir)
     fd = fd.persist()
     timed("ingestion_factor_data", lambda: (fd.count(), px.count()))
