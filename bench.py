@@ -68,15 +68,17 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
     # survive DataFrame.unpersist() and would otherwise leak across
     # best-of-2 passes (both effects measured: 2.2 s -> 0.4 s
     # under-reports).
-    fd0, px, panel = datasets.ingest(spark, sf_dir)
-    _fd_box: list = []
+    fd0, px0, panel = datasets.ingest(spark, sf_dir)
+    _ing_box: list = []
 
     def _materialize_ingestion():
-        _fd_box.append(fd0.localCheckpoint(eager=True))
-        return (_fd_box[-1].count(), px.count())
+        f = fd0.localCheckpoint(eager=True)
+        p = px0.localCheckpoint(eager=True)
+        _ing_box.append((f, p))
+        return (f.count(), p.count())
 
     timed("ingestion_factor_data", _materialize_ingestion)
-    fd = _fd_box[-1]
+    fd, px = _ing_box[-1]
 
     # --- metric queries over the cached factor_data ---
     timed("mean_return_by_quantile",
