@@ -89,6 +89,12 @@ def _fd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (id(spark), sf_dir)
     if key not in _FD_CACHE:
+        # persist, NOT localCheckpoint: a checkpoint would plan derived
+        # queries ~20-30% faster (flat LogicalRDD — the bench uses that
+        # form), but it would also collapse every fd-derived row in the
+        # PLANS.md audit to a bare checkpoint scan; the driver-contract
+        # queries keep the full lineage visible for plan gates and the
+        # plan-audit artifact
         _FD_CACHE[key] = datasets.factor_data(spark, sf_dir).persist()
     return _FD_CACHE[key]
 
