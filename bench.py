@@ -58,27 +58,27 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
     # reference holds both in memory the same way). datasets.ingest
     # derives BOTH from ONE persisted panel aggregation — one lineitem
     # scan total; px reads are projections of the shared cache ---
-    # localCheckpoint, not persist: downstream metric plans see a flat
-    # LogicalRDD instead of the full inlined ingestion lineage —
-    # measured ~30% off the warm turnover query (Catalyst re-analyzes
-    # the big cached-build tree once per derived query otherwise).
-    # Accounting: the checkpoint call does its work at CALL time (even
-    # eager=False), so it must run INSIDE the timed lambda; pass-end
-    # cleanup frees ALL persistent RDDs because checkpoint blocks
-    # survive DataFrame.unpersist() and would otherwise leak across
-    # best-of-2 passes (both effects measured: 2.2 s -> 0.4 s
-    # under-reports).
-    fd0, px0, panel = datasets.ingest(spark, sf_dir)
+    # fd: persist (columnar InMemoryScan keeps COLUMN PRUNING — the
+    # wide frame's narrow-column metrics like factor_ic regressed +0.6 s
+    # under a flat LogicalRDD checkpoint, outweighing the 0.2 s analysis
+    # saving on turnover/autocorr). px: localCheckpoint (3 columns, no
+    # pruning to lose; event_study re-analyzed its lineage repeatedly —
+    # flat plan is ~12% faster warm). Accounting: the checkpoint does
+    # its work at CALL time even with eager=False, so it runs INSIDE the
+    # timed lambda; pass-end cleanup frees ALL persistent RDDs because
+    # checkpoint blocks survive DataFrame.unpersist() and would leak
+    # across best-of-2 passes (measured 2.2 s -> 0.4 s under-report).
+    fd, px0, panel = datasets.ingest(spark, sf_dir)
+    fd = fd.persist()
     _ing_box: list = []
 
     def _materialize_ingestion():
-        f = fd0.localCheckpoint(eager=True)
         p = px0.localCheckpoint(eager=True)
-        _ing_box.append((f, p))
-        return (f.count(), p.count())
+        _ing_box.append(p)
+        return (fd.count(), p.count())
 
     timed("ingestion_factor_data", _materialize_ingestion)
-    fd, px = _ing_box[-1]
+    px = _ing_box[-1]
 
     # --- metric queries over the cached factor_data ---
     timed("mean_return_by_quantile",
