@@ -619,6 +619,18 @@ def q_asof_next_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate rolling 7-day distinct actives from mergeable KMV
+    sketches (events.rolling_active_users_kmv) — the 100 TB path for
+    rolling_active_users: only per-day bottom-k user hashes fan out,
+    never the active set. k=32 keeps the ESTIMATOR branch (not the
+    exact fallback) under the driver's hash at this SF."""
+    from alphalens_spark.events import rolling_active_users_kmv
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return rolling_active_users_kmv(ev, window_days=7, k=32)
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct active users per day. Sliding-window
     DISTINCT cannot ride an ordinary window frame (count distinct over
@@ -1976,6 +1988,41 @@ fan AS (
 )
 SELECT win_end, count(DISTINCT user_id) AS n_active_7d
 FROM fan GROUP BY 1""",
+    "rolling_active_kmv": """
+WITH dh AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+daily AS (
+  SELECT d, h FROM (
+    SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn <= 32
+),
+fan AS (
+  SELECT DISTINCT
+         CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
+           AS win_end,
+         h
+  FROM daily
+),
+topk AS (
+  SELECT win_end, h FROM (
+    SELECT win_end, h,
+           row_number() OVER (PARTITION BY win_end ORDER BY h) AS rn
+    FROM fan
+  ) WHERE rn <= 32
+),
+agg AS (
+  SELECT win_end, CAST(count(*) AS INT) AS n_mins, max(h) AS kth
+  FROM topk GROUP BY 1
+)
+SELECT win_end, n_mins,
+       round(CASE WHEN n_mins < 32 THEN CAST(n_mins AS DOUBLE)
+                  ELSE 31.0 / (kth / 1152921504606846976.0) END, 6)
+         AS est_active_7d
+FROM agg""",
     "event_rollup": """
 SELECT event_type, CAST(ts AS DATE) AS d,
        CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INT)
@@ -7442,6 +7489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "rolling_active_users": q_rolling_active_users,
+    "rolling_active_kmv": q_rolling_active_kmv,
     "event_rollup": q_event_rollup,
     "event_pivot_daily": q_event_pivot_daily,
     "asof_purchase_view": q_asof_purchase_view,

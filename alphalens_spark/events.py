@@ -155,6 +155,73 @@ def rolling_active_users(
     )
 
 
+def rolling_active_users_kmv(
+    events: DataFrame,
+    window_days: int = 7,
+    k: int = 64,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Approximate rolling N-day distinct actives from mergeable KMV
+    sketches — the 100 TB path for :func:`rolling_active_users`: the
+    exact form fans every (user, day) row out ×N into a countDistinct
+    shuffle (N× the full active set in flight), while here only the
+    per-day BOTTOM-K user hashes (≤ k·N rows per window, bytes not
+    users) fan out, because the bottom-k of a union of KMV sketches is
+    the KMV sketch of the union. Deterministic (60-bit md5 prefix
+    hashes, Bar-Yossef et al. 2002 estimator, the kmv_distinct
+    conventions), so the estimate value-oracles in SQL. Windows with
+    fewer than k distinct hashes report their exact count — accuracy
+    degrades (±~1/√k) only where exact counting would hurt.
+
+    Scale shape: one (day, hash) distinct shuffle of the raw events,
+    a per-day bottom-k sort window, then everything downstream is
+    sketch-sized. Output: (win_end, n_mins, est_active_{N}d) — same
+    win_end fan-out semantics as the exact form.
+    """
+    from pyspark.sql import Window
+
+    from alphalens_spark.scale.dedup import md5_long
+
+    h = md5_long(F.col(user_col).cast("string"), 15)
+    dh = events.select(F.to_date(ts_col).alias("d"), h.alias("_h")).distinct()
+    wd = Window.partitionBy("d").orderBy("_h")
+    daily = (
+        dh.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") <= k)
+        .select("d", "_h")
+    )
+    fan = daily.select(
+        "_h",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("win_end"),
+    ).distinct()
+    wk = Window.partitionBy("win_end").orderBy("_h")
+    topk = (
+        fan.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+    )
+    h_max = float(1 << 60)
+    est = F.when(
+        F.col("n_mins") < k, F.col("n_mins").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(h_max))
+    )
+    return (
+        topk.groupBy("win_end")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_mins"),
+            F.max("_h").alias("_kth"),
+        )
+        .select(
+            "win_end",
+            "n_mins",
+            F.round(est, 6).alias(f"est_active_{window_days}d"),
+        )
+    )
+
+
 def decayed_activity(
     events: DataFrame,
     half_life_hours: float = 24.0,

@@ -573,3 +573,44 @@ def test_concurrent_sessions_sweep_line(spark):
         "2024-01-02": (1, 1),  # u4's tail
         "2024-01-03": (2, 1),  # disjoint
     }
+
+
+def test_rolling_active_users_kmv_estimates(spark):
+    """KMV rolling actives: exact-count path when k exceeds the window's
+    distinct users (bit-equal to the exact operator), estimator path
+    within the ±1/√k band when it doesn't, identical win_end fan-out."""
+    import datetime as _dt
+
+    from alphalens_spark.events import (
+        rolling_active_users,
+        rolling_active_users_kmv,
+    )
+
+    base = _dt.datetime(2024, 5, 1)
+    rows = [
+        (i, i % 200, base + _dt.timedelta(hours=(i * 7) % (14 * 24)))
+        for i in range(2000)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    exact = {
+        r["win_end"]: r["n_active_7d"]
+        for r in rolling_active_users(ev, window_days=7).collect()
+    }
+    # k larger than any window's distinct users -> exact path everywhere
+    big = {
+        r["win_end"]: r["est_active_7d"]
+        for r in rolling_active_users_kmv(ev, window_days=7, k=512).collect()
+    }
+    assert set(big) == set(exact)
+    assert all(big[d] == float(exact[d]) for d in exact)
+    # estimator path: k=32 over up-to-200-user windows, ±3/sqrt(k) band
+    est = {
+        r["win_end"]: r["est_active_7d"]
+        for r in rolling_active_users_kmv(ev, window_days=7, k=32).collect()
+    }
+    assert set(est) == set(exact)
+    for d, n in exact.items():
+        if n > 32:
+            assert abs(est[d] - n) / n < 3 / (32 ** 0.5), (d, n, est[d])
