@@ -313,3 +313,67 @@ def test_bucketed_inverted_index_prunes_buckets(spark, tmp_path):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_conf
         )
         spark.sql("DROP TABLE IF EXISTS idx_postings_test")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The adaptive complement to manual salting: with AQE skew-join
+    enabled and thresholds scaled to test data, a join against one hot
+    key gets its skewed partition SPLIT at runtime (the executed plan's
+    sort-merge join reports isSkew), with results identical to the
+    non-adaptive run — the knob the 100 TB posture leans on before
+    reaching for with_salt."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        # force SMJ (a broadcast join has no skew to split)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # 50k rows on ONE hot key + a uniform tail. The collected frame
+        # is the JOIN itself: AQE only splits a skewed partition when no
+        # downstream operator requires the join's hash partitioning (a
+        # groupBy on the key right above would suppress the split unless
+        # forceOptimizeSkewedJoin is on).
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") < 50_000, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            (F.col("id") % 100).alias("k"), F.lit(1).alias("w")
+        )
+        joined = left.join(right, "k")
+        rows = joined.collect()
+        got7 = sum(r["v"] for r in rows if r["k"] == 7)
+        want7 = sum(
+            v for v in range(60_000) if v < 50_000 or v % 100 == 7
+        )
+        assert got7 == want7 and len(rows) == 60_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the definitive markers: AQE annotates the skewed SMJ and the
+        # shuffle read that replicated the hot partition
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
