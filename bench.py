@@ -259,6 +259,10 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
           lambda: q_unigram_lm_vocab(spark, sf_dir).count())
     timed("langid_ngram",
           lambda: q_langid_ngram(spark, sf_dir).count())
+    from alphalens_spark.events import rolling_active_users_kmv
+
+    timed("rolling_active_kmv",
+          lambda: rolling_active_users_kmv(ev, window_days=7, k=32).count())
 
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
