@@ -4025,13 +4025,29 @@ def q_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alphalens_spark.events import user_activity_features
 
     ev = datasets.load_table(spark, sf_dir, "events")
-    return user_activity_features(ev, windows_days=(7, 30))
+    # micro-unit integer output contract: the event value quantizes to
+    # 1e-6 integers PER ROW, so every windowed sum is an integer sum —
+    # summation order can never matter and the columns are BIGINT on
+    # every engine/version
+    evq = ev.withColumn(
+        "value", F.round(F.col("value") * 1e6).cast("long")
+    )
+    out = user_activity_features(evq, windows_days=(7, 30))
+    return out.select(
+        "user_id", "day",
+        "n_events_7d",
+        F.col("value_sum_7d").cast("long").alias("value_sum_7d_e6"),
+        "n_events_30d",
+        F.col("value_sum_30d").cast("long").alias("value_sum_30d_e6"),
+        "days_since_prev",
+    )
 
 
 ORACLES["user_activity_features"] = r"""
 WITH daily0 AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         count(*) AS n, sum(value) AS v
+         count(*) AS n,
+         sum(CAST(round(value * 1e6) AS BIGINT)) AS v
   FROM events GROUP BY 1, 2
 ),
 daily AS (
@@ -4041,9 +4057,9 @@ daily AS (
 )
 SELECT user_id, day,
        CAST(sum(n) OVER w7 AS BIGINT) AS n_events_7d,
-       0.0 + round(sum(v) OVER w7, 6) AS value_sum_7d,
+       CAST(sum(v) OVER w7 AS BIGINT) AS value_sum_7d_e6,
        CAST(sum(n) OVER w30 AS BIGINT) AS n_events_30d,
-       0.0 + round(sum(v) OVER w30, 6) AS value_sum_30d,
+       CAST(sum(v) OVER w30 AS BIGINT) AS value_sum_30d_e6,
        dn - lag(dn) OVER (PARTITION BY user_id ORDER BY dn)
          AS days_since_prev
 FROM daily
@@ -4091,7 +4107,18 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alphalens_spark.scale.skew import skew_report
 
     li = datasets.load_table(spark, sf_dir, "lineitem")
-    return skew_report(li, ["l_suppkey"], top_n=5)
+    out = skew_report(li, ["l_suppkey"], top_n=5)
+    # micro-unit integer output contract (CORRECTNESS_r04 lesson, the
+    # VERDICT item-1 form): both ratios re-derive from the row's exact
+    # integer counts, so they are BIGINT on every engine and version —
+    # integers hash identically everywhere
+    return out.select(
+        "rank", "key", "key_count", "n_keys", "n_rows",
+        F.round(F.col("n_rows") * 1e6 / F.col("n_keys"))
+        .cast("long").alias("mean_per_key_e6"),
+        F.round(F.col("key_count") * 1e6 * F.col("n_keys") / F.col("n_rows"))
+        .cast("long").alias("skew_factor_e6"),
+    )
 
 
 ORACLES["skew_report"] = r"""
@@ -4109,9 +4136,9 @@ top AS (
 SELECT CAST(t.rank AS INT) AS rank,
        CAST(t.l_suppkey AS VARCHAR) AS key,
        t.key_count, s.n_keys, CAST(s.n_rows AS BIGINT) AS n_rows,
-       0.0 + round(s.n_rows * 1.0 / s.n_keys, 6) AS mean_per_key,
-       0.0 + round(t.key_count / (s.n_rows * 1.0 / s.n_keys), 6)
-         AS skew_factor
+       CAST(round(s.n_rows * 1e6 / s.n_keys) AS BIGINT) AS mean_per_key_e6,
+       CAST(round(t.key_count * 1e6 * s.n_keys / s.n_rows) AS BIGINT)
+         AS skew_factor_e6
 FROM top t CROSS JOIN stats s WHERE t.rank <= 5"""
 
 
@@ -4715,7 +4742,20 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alphalens_spark.scale.curation import corpus_report
 
     docs = datasets.load_table(spark, sf_dir, "documents")
-    return corpus_report(docs)
+    out = corpus_report(docs)
+    # micro-unit integer output contract: the library's ratio doubles
+    # are already exact BIGINT/1e6 values (the round-4 fix); multiplying
+    # back recovers the integer numerators exactly, so every output
+    # column is BIGINT on every engine/version
+    return out.select(
+        "n_docs", "n_sources", "total_tokens",
+        F.round(F.col("mean_tokens") * 1e6)
+        .cast("long").alias("mean_tokens_e6"),
+        F.round(F.col("exact_dup_frac") * 1e6)
+        .cast("long").alias("exact_dup_frac_e6"),
+        F.round(F.col("empty_frac") * 1e6)
+        .cast("long").alias("empty_frac_e6"),
+    )
 
 
 ORACLES["corpus_report"] = r"""
@@ -4729,11 +4769,11 @@ SELECT count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        CAST(sum(nt) AS BIGINT) AS total_tokens,
        CAST(round(CAST(sum(nt) AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
-         / 1e6 AS mean_tokens,
+         AS mean_tokens_e6,
        CAST(round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) * 1e6
-                  / count(*)) AS BIGINT) / 1e6 AS exact_dup_frac,
+                  / count(*)) AS BIGINT) AS exact_dup_frac_e6,
        CAST(round(CAST(sum(e) AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
-         / 1e6 AS empty_frac
+         AS empty_frac_e6
 FROM b"""
 
 
@@ -7062,7 +7102,18 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment = F.pmod(
         md5_long(F.col("user_id").cast("string"), 15), F.lit(2)
     ).cast("int")
-    return _finalize(ab_test_ztest(ev, assignment))
+    out = ab_test_ztest(ev, assignment)
+    # micro-unit integer output contract: rates re-derive from the exact
+    # integer counts; z quantizes its (bit-identical-across-engines)
+    # double once — every output column is BIGINT/INT
+    return out.select(
+        "variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
+        F.round(F.col("conv_a") * 1e6 / F.col("n_a"))
+        .cast("long").alias("rate_a_e6"),
+        F.round(F.col("conv_b") * 1e6 / F.col("n_b"))
+        .cast("long").alias("rate_b_e6"),
+        F.round(F.col("z") * 1e6).cast("long").alias("z_e6"),
+    )
 
 
 ORACLES["ab_test_ztest"] = r"""
@@ -7083,12 +7134,12 @@ pv AS MATERIALIZED (
 SELECT a.variant AS variant_a, b.variant AS variant_b,
        a.n AS n_a, CAST(a.conv AS BIGINT) AS conv_a,
        b.n AS n_b, CAST(b.conv AS BIGINT) AS conv_b,
-       round(a.conv / a.n, 6) AS rate_a,
-       round(b.conv / b.n, 6) AS rate_b,
-       round((a.conv / a.n - b.conv / b.n)
+       CAST(round(a.conv * 1e6 / a.n) AS BIGINT) AS rate_a_e6,
+       CAST(round(b.conv * 1e6 / b.n) AS BIGINT) AS rate_b_e6,
+       CAST(round(((a.conv / a.n - b.conv / b.n)
              / sqrt(((a.conv + b.conv) / (a.n + b.n))
                     * (1 - (a.conv + b.conv) / (a.n + b.n))
-                    * (1.0 / a.n + 1.0 / b.n)), 6) AS z
+                    * (1.0 / a.n + 1.0 / b.n))) * 1e6) AS BIGINT) AS z_e6
 FROM pv a JOIN pv b ON a.variant < b.variant"""
 
 
