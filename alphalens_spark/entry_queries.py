@@ -628,7 +628,15 @@ def q_rolling_active_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alphalens_spark.events import rolling_active_users_kmv
 
     ev = datasets.load_table(spark, sf_dir, "events")
-    return rolling_active_users_kmv(ev, window_days=7, k=32)
+    out = rolling_active_users_kmv(ev, window_days=7, k=32)
+    # integer output contract: the kth hash is exact BIGINT and the
+    # estimate quantizes once to 1e-6 units — no pre-divided rounded
+    # double on the hashed surface
+    return out.select(
+        "win_end", "n_mins", "kth_hash",
+        F.round(F.col("est_active_7d") * 1e6)
+        .cast("long").alias("est_active_7d_e6"),
+    )
 
 
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2018,10 +2026,10 @@ agg AS (
   SELECT win_end, CAST(count(*) AS INT) AS n_mins, max(h) AS kth
   FROM topk GROUP BY 1
 )
-SELECT win_end, n_mins,
-       round(CASE WHEN n_mins < 32 THEN CAST(n_mins AS DOUBLE)
-                  ELSE 31.0 / (kth / 1152921504606846976.0) END, 6)
-         AS est_active_7d
+SELECT win_end, n_mins, CAST(kth AS BIGINT) AS kth_hash,
+       CAST(round((CASE WHEN n_mins < 32 THEN CAST(n_mins AS DOUBLE)
+                   ELSE 31.0 / (kth / 1152921504606846976.0) END) * 1e6)
+            AS BIGINT) AS est_active_7d_e6
 FROM agg""",
     "event_rollup": """
 SELECT event_type, CAST(ts AS DATE) AS d,

@@ -202,12 +202,9 @@ def rolling_active_users_kmv(
         fan.withColumn("_rn", F.row_number().over(wk))
         .where(F.col("_rn") <= k)
     )
-    h_max = float(1 << 60)
-    est = F.when(
-        F.col("n_mins") < k, F.col("n_mins").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(h_max))
-    )
+    from alphalens_spark.scale.profile import kmv_estimate
+
+    est = kmv_estimate(F.col("n_mins"), F.col("_kth"), k)
     return (
         topk.groupBy("win_end")
         .agg(
@@ -217,7 +214,8 @@ def rolling_active_users_kmv(
         .select(
             "win_end",
             "n_mins",
-            F.round(est, 6).alias(f"est_active_{window_days}d"),
+            F.col("_kth").alias("kth_hash"),
+            est.alias(f"est_active_{window_days}d"),
         )
     )
 
@@ -693,14 +691,21 @@ def user_activity_features(
         .withColumn("_dn", F.unix_date(F.to_date("day")))
     )
     out = daily
+    # integral value columns stay exact LONG end-to-end (the micro-unit
+    # contract: a 0.0 + round(...) detour through double would lose low
+    # bits past 2^53); float values keep the 6-dp/-0.0 normalization
+    vt = events.schema[value_col].dataType.simpleString()
+    integral = vt in ("tinyint", "smallint", "int", "bigint")
     for w in windows_days:
         rw = (
             Window.partitionBy(user_col)
             .orderBy("_dn")
             .rangeBetween(-(w - 1), 0)
         )
+        vs = F.sum("_v").over(rw)
         out = out.withColumn(f"n_events_{w}d", F.sum("_n").over(rw)).withColumn(
-            f"value_sum_{w}d", F.lit(0.0) + F.round(F.sum("_v").over(rw), 6)
+            f"value_sum_{w}d",
+            vs if integral else F.lit(0.0) + F.round(vs, 6),
         )
     wo = Window.partitionBy(user_col).orderBy("_dn")
     out = out.withColumn(

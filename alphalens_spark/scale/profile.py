@@ -105,14 +105,24 @@ def kmv_distinct(
     dh = df.select(*group_cols, h.alias("_h")).distinct()
     w = Window.partitionBy(*group_cols).orderBy("_h")
     topk = dh.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    h_max = float(1 << 60)
-    est = F.when(
-        F.col("n_mins") < k, F.col("n_mins").cast("double")
-    ).otherwise(F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(h_max)))
+    est = kmv_estimate(F.col("n_mins"), F.col("_kth"), k)
     return (
         topk.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).cast("int").alias("n_mins"), F.max("_h").alias("_kth"))
         .select(*group_cols, "n_mins", F.round(est, 6).alias("est_distinct"))
+    )
+
+
+def kmv_estimate(n_mins, kth, k: int):
+    """The shared KMV cardinality estimator expression (Bar-Yossef et
+    al. 2002) over a sketch's (n_mins, kth-smallest-60-bit-hash) pair:
+    ``(k−1)/(kth/2^60)``, exact-count fallback when the sketch holds
+    fewer than k distinct hashes. One definition for every KMV consumer
+    (kmv_distinct, kmv_set_estimates' convention, rolling actives) so
+    estimator/hash-width fixes cannot desynchronize them."""
+    h_max = float(1 << 60)
+    return F.when(n_mins < k, n_mins.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(h_max))
     )
 
 

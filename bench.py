@@ -272,10 +272,14 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
               index=built["idx"],
           ).count())
     built["idx"].unpersist()
+    # DataFrame.unpersist FIRST: it removes the CacheManager ENTRY (a
+    # raw RDD sweep alone leaves the entry alive pointing at freed
+    # blocks, so the next pass's fd.persist() is a silent no-op and
+    # every fd-derived metric recomputes ingestion — review-confirmed)
+    fd.unpersist()
     panel.unpersist()
-    # free EVERY persistent RDD — including fd's localCheckpoint blocks,
-    # which DataFrame.unpersist() cannot reach — so the next timed pass
-    # pays the true ingestion cost (verified: 0 persistent RDDs remain)
+    # then free every remaining persistent RDD — px's localCheckpoint
+    # blocks survive DataFrame.unpersist and would leak across passes
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist()
 

@@ -599,12 +599,12 @@ def test_rolling_active_users_kmv_estimates(spark):
         for r in rolling_active_users(ev, window_days=7).collect()
     }
     # k larger than any window's distinct users -> exact path everywhere
-    big = {
-        r["win_end"]: r["est_active_7d"]
-        for r in rolling_active_users_kmv(ev, window_days=7, k=512).collect()
-    }
+    big_rows = rolling_active_users_kmv(ev, window_days=7, k=512).collect()
+    big = {r["win_end"]: r["est_active_7d"] for r in big_rows}
     assert set(big) == set(exact)
     assert all(big[d] == float(exact[d]) for d in exact)
+    # the sketch pair itself is exact integers
+    assert all(isinstance(r["kth_hash"], int) for r in big_rows)
     # estimator path: k=32 over up-to-200-user windows, ±3/sqrt(k) band
     est = {
         r["win_end"]: r["est_active_7d"]
