@@ -64,18 +64,30 @@ _FD_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 def _roundtrip_path(prefix: str, sf_dir: str) -> str:
     """Deterministic scratch dir for write→read roundtrip queries: one
-    bounded copy per (format, SF) reused across invocations via
+    bounded copy per (format, SF, process) reused across invocations via
     overwrite, instead of a leaked mkdtemp per call (roundtrip queries
     run their write during CONSTRUCTION, so plan gates and dtype audits
-    trigger it too)."""
+    trigger it too). The pid segment keeps concurrent processes (e.g.
+    oracle_check alongside bench, parallel pytest) from racing each
+    other's delete-and-rewrite; the per-process dir is removed at exit
+    so the bounded-copy guarantee survives."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(
-        tempfile.gettempdir(), f"alphalens_{prefix}_{tag}", "docs"
+    root = os.path.join(
+        tempfile.gettempdir(), f"alphalens_{prefix}_{tag}_p{os.getpid()}"
     )
+    if root not in _ROUNDTRIP_CLEANUP:
+        _ROUNDTRIP_CLEANUP.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, "docs")
+
+
+_ROUNDTRIP_CLEANUP: set[str] = set()
 
 
 def _fd(spark: SparkSession, sf_dir: str) -> DataFrame:

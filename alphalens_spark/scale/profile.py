@@ -436,8 +436,6 @@ def kmv_set_estimates(
     """
     from alphalens_spark.scale.dedup import md5_long
 
-    h_max = float(1 << 60)
-
     def mins(df):
         h = md5_long(F.col(value_col).cast("string"), 15)
         return df.select(h.alias("_h")).distinct().orderBy("_h").limit(k)
@@ -456,9 +454,7 @@ def kmv_set_estimates(
     )
 
     def est(n_mins, kth):
-        return F.when(n_mins < k, n_mins.cast("double")).otherwise(
-            F.lit(float(k - 1)) / (kth.cast("double") / F.lit(h_max))
-        )
+        return kmv_estimate(n_mins, kth, k)
 
     stats_a = ka.agg(
         F.count(F.lit(1)).alias("na"), F.max("_h").alias("ha")

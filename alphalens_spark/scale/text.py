@@ -1529,15 +1529,23 @@ def _unigram_lm_driver(
     counts = {pc: subs[pc] for pc in vocab}
 
     def costs(cnt):
+        import decimal
+
         tot = sum(cnt.values())
-        # explicit HALF-UP rounding (floor(x + 0.5) — costs are
-        # non-negative): Python round() is banker's (half-to-even) while
-        # Spark/DuckDB round() is half away from zero, and the driver
-        # fast path must be semantics-invariant with the distributed DP
-        # and the SQL oracle on a cost landing exactly on .5
+        # HALF-UP rounding via decimal on the double's shortest repr —
+        # exactly Spark's round() (BigDecimal.valueOf(x) = shortest
+        # string, then HALF_UP) and DuckDB's round(). floor(x + 0.5)
+        # would differ within 1 ulp of .5 (the IEEE add rounds up), and
+        # Python round() is banker's; the driver fast path must be
+        # semantics-invariant with the distributed DP and the SQL oracle
+        # on a cost landing exactly on (or within 1 ulp of) .5
+        half_up = lambda x: int(  # noqa: E731
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
         return {
-            pc: int(math.floor(-math.log(c / tot) * 1e6 + 0.5))
-            for pc, c in cnt.items()
+            pc: half_up(-math.log(c / tot) * 1e6) for pc, c in cnt.items()
         }
 
     for _ in range(n_iter):

@@ -278,6 +278,15 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
     # every fd-derived metric recomputes ingestion — review-confirmed)
     fd.unpersist()
     panel.unpersist()
+    # entry_queries._FD_CACHE entries get the same treatment: the raw-RDD
+    # sweep below would free their blocks while the Python dict entry
+    # survives, recreating the silent no-op re-persist hazard for any
+    # future bench entry that calls entry_queries._fd
+    from alphalens_spark import entry_queries as _eq
+
+    for _df in _eq._FD_CACHE.values():
+        _df.unpersist()
+    _eq._FD_CACHE.clear()
     # then free every remaining persistent RDD — px's localCheckpoint
     # blocks survive DataFrame.unpersist and would leak across passes
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
