@@ -7718,79 +7718,220 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # ---------------------------------------------------------------------------
 # Driver certification order. The per-round correctness harness walks this
-# dict in order under a budget of ~50 queries/round, so queries that have
-# ALREADY been driver-certified (a green row in CORRECTNESS_r01–r04) yield
-# their slots: never-certified queries run first. This set is the exact
-# union of green rows across the four rounds — 146 names. NOT in it: the 7
-# CORRECTNESS_r04 hash-FAILs (corpus_report, unigram_lm_vocab,
-# netpbm_decode_stats, png_decode_stats, skew_report,
-# user_activity_features, ab_test_ztest) — root cause was DuckDB-version-
-# dependent HUGEINT/DECIMAL pandas conversion in their oracle output
-# columns, fixed by pinning the types with CASTs; they stay in the front
-# queue until a green row lands. Every registered query passes the
-# identical local harness (tools/oracle_check.py) at sf0.001 and sf0.01 —
-# this ordering is purely about which subset the driver's budget reaches.
+# dict in order under a budget of ~50 queries/round. Two rules:
+#
+#   1. NEVER-certified queries (no green CORRECTNESS row in any round —
+#      i.e. absent from _CERT_ROUND) run FIRST, so new operators get a
+#      driver check in their debut round. Within that group,
+#      _CERTIFY_LAST names (display variants / second facades of an
+#      already-certified operator family) yield to judge-visible
+#      singletons.
+#   2. Certified queries run OLDEST-CERTIFICATION-FIRST (round-5 verdict:
+#      a green from r02 under code that has since changed is a weaker
+#      signal than a fresh one — the budget should rotate through stale
+#      greens instead of re-checking last round's).
+#
+# _CERT_ROUND maps each query to the LATEST round with a green driver row
+# (rows+schema+hash all true in CORRECTNESS_r0N.json). Regenerate after
+# each round:  python tools/cert_order.py
+# Every registered query passes the identical local harness
+# (tools/oracle_check.py) at sf0.001 and sf0.01 — this ordering is purely
+# about which subset the driver's budget reaches.
 # ---------------------------------------------------------------------------
-_DRIVER_CERTIFIED = {
-    # r04 greens
-    "embedding_ivf_topk", "dsir_weights", "epoch_shuffle",
-    "wordpiece_segments", "langid_ngram", "cdc_chunk_dups",
-    "dedup_keep_list", "scd2_user_state", "attribution_last_touch",
-    "kmv_segment_overlap", "target_encode", "diversity_sample",
-    "weighted_sample", "ngram_containment", "jsonl_source_agg",
-    "dedupe_units_corpus", "hilbert_key", "snapshot_diff", "apply_cdc",
-    "allpairs_jaccard", "transition_pagerank", "vocab_encode",
-    "bloom_filtered_orders", "mmr_rerank", "purged_time_splits",
-    "record_linkage", "copurchase_triangles", "basket_rules",
-    "attribution_multitouch", "rfm_segments", "copurchase_kcore",
-    "copurchase_communities", "event_ohlc", "bigram_collocations",
-    "copurchase_similarity", "pricing_summary", "entity_clusters",
-    "cross_source_dups", "rolling_mean_ic", "search_bm25_topk",
-    "bpe_merges", "bpe_vocab_segments", "event_funnel_windowed",
-    # r01–r03 greens
-    "asof_next_click_1h", "asof_purchase_view", "backshift_returns",
-    "bigram_cross_entropy", "bm25_scores", "chunk_documents",
-    "cm_frequency", "cohort_retention", "common_start_returns_raw",
-    "cumulative_benchmark_log_return", "cumulative_return_by_quantile_log",
-    "decayed_activity", "decontaminate", "dedup_clusters", "dedup_exact",
-    "dedupe_words_within_doc", "doc_bpe_token_count", "doc_fingerprint",
-    "doc_token_stats", "dup_span_stats", "embedding_centroids",
-    "embedding_ivfpq_topk", "embedding_near_dup",
-    "embedding_near_dup_exact", "embedding_topk", "event_counts_daily",
-    "event_funnel", "event_pivot_daily", "event_props_extract",
-    "event_rollup", "event_sessionize", "event_study_car",
-    "event_type_user_stats", "factor_alpha_beta", "factor_ic",
-    "factor_returns", "factor_returns_equal_weight", "factor_weights",
-    "forward_returns", "forward_returns_noncumulative",
-    "forward_returns_zscore", "gopher_quality", "groupby_labels_remap",
-    "hard_negatives", "heavy_hitters_terms", "histogram_quantiles",
-    "ic_by_group", "ic_group_adjusted", "ic_summary", "infer_holidays",
-    "intraday_ingestion", "kmv_distinct", "lang_stopword_id",
-    "mean_ic_by_group_monthly", "mean_ic_monthly",
-    "mean_return_by_quantile", "mean_return_by_quantile_by_group",
-    "mean_return_spread", "minhash_lsh_dups", "mixture_weights",
-    "multimodal_features", "ngram_jaccard", "pack_sequences",
-    "per_source_cap", "perplexity_buckets", "positions",
-    "profile_lineitem", "pyfolio_daily_returns", "pyfolio_positions",
-    "pyfolio_returns", "quality_classifier", "quality_score",
-    "quantile_returns_one_period", "quantile_stats", "quantile_turnover",
-    "quantize_bins", "quantize_bins_seq", "quantize_by_group",
-    "quantize_factor", "quantize_fraction_seq", "quantize_zero_aware",
-    "random_projection", "rank_autocorr", "redact_pii",
-    "remove_boilerplate", "returns_table_bps", "robust_zscore",
-    "rolling_active_users", "semantic_dedup", "simhash", "simhash_dups",
-    "split_dataset", "stratified_sample", "stream_dedup_minhash",
-    "stream_interval_join", "stream_sessionize", "tfidf_top_terms",
-    "time_varying_groups", "token_budget_sample", "top_terms_per_source",
-    "turnover_summary", "unigram_cross_entropy", "zorder_key",
+_CERT_ROUND: dict[str, int] = {
+    # latest green: r01
+    "doc_fingerprint": 1,
+    "minhash_lsh_dups": 1,
+    "simhash": 1,
+    "simhash_dups": 1,
+    # latest green: r02
+    "asof_next_click_1h": 2,
+    "asof_purchase_view": 2,
+    "cohort_retention": 2,
+    "cumulative_benchmark_log_return": 2,
+    "cumulative_return_by_quantile_log": 2,
+    "dedup_exact": 2,
+    "doc_bpe_token_count": 2,
+    "doc_token_stats": 2,
+    "embedding_centroids": 2,
+    "embedding_near_dup": 2,
+    "embedding_topk": 2,
+    "event_counts_daily": 2,
+    "event_funnel": 2,
+    "event_pivot_daily": 2,
+    "event_props_extract": 2,
+    "event_rollup": 2,
+    "event_sessionize": 2,
+    "event_study_car": 2,
+    "event_type_user_stats": 2,
+    "forward_returns_noncumulative": 2,
+    "forward_returns_zscore": 2,
+    "ic_by_group": 2,
+    "ic_group_adjusted": 2,
+    "infer_holidays": 2,
+    "lang_stopword_id": 2,
+    "mean_return_by_quantile_by_group": 2,
+    "ngram_jaccard": 2,
+    "positions": 2,
+    "quality_score": 2,
+    "quantize_bins": 2,
+    "quantize_bins_seq": 2,
+    "quantize_by_group": 2,
+    "quantize_fraction_seq": 2,
+    "quantize_zero_aware": 2,
+    "rank_autocorr": 2,
+    "returns_table_bps": 2,
+    "rolling_active_users": 2,
+    "stream_interval_join": 2,
+    "turnover_summary": 2,
+    # latest green: r03
+    "backshift_returns": 3,
+    "bigram_cross_entropy": 3,
+    "bm25_scores": 3,
+    "chunk_documents": 3,
+    "cm_frequency": 3,
+    "common_start_returns_raw": 3,
+    "decayed_activity": 3,
+    "decontaminate": 3,
+    "dedup_clusters": 3,
+    "dedupe_words_within_doc": 3,
+    "dup_span_stats": 3,
+    "embedding_ivfpq_topk": 3,
+    "embedding_near_dup_exact": 3,
+    "factor_returns_equal_weight": 3,
+    "factor_weights": 3,
+    "gopher_quality": 3,
+    "groupby_labels_remap": 3,
+    "hard_negatives": 3,
+    "heavy_hitters_terms": 3,
+    "histogram_quantiles": 3,
+    "intraday_ingestion": 3,
+    "kmv_distinct": 3,
+    "mean_ic_by_group_monthly": 3,
+    "mixture_weights": 3,
+    "multimodal_features": 3,
+    "pack_sequences": 3,
+    "per_source_cap": 3,
+    "perplexity_buckets": 3,
+    "profile_lineitem": 3,
+    "pyfolio_daily_returns": 3,
+    "pyfolio_positions": 3,
+    "pyfolio_returns": 3,
+    "quality_classifier": 3,
+    "quantile_returns_one_period": 3,
+    "random_projection": 3,
+    "redact_pii": 3,
+    "remove_boilerplate": 3,
+    "robust_zscore": 3,
+    "semantic_dedup": 3,
+    "split_dataset": 3,
+    "stratified_sample": 3,
+    "stream_dedup_minhash": 3,
+    "stream_sessionize": 3,
+    "tfidf_top_terms": 3,
+    "time_varying_groups": 3,
+    "token_budget_sample": 3,
+    "top_terms_per_source": 3,
+    "unigram_cross_entropy": 3,
+    "zorder_key": 3,
+    # latest green: r04
+    "allpairs_jaccard": 4,
+    "apply_cdc": 4,
+    "attribution_last_touch": 4,
+    "attribution_multitouch": 4,
+    "basket_rules": 4,
+    "bigram_collocations": 4,
+    "bloom_filtered_orders": 4,
+    "bpe_merges": 4,
+    "bpe_vocab_segments": 4,
+    "cdc_chunk_dups": 4,
+    "copurchase_communities": 4,
+    "copurchase_kcore": 4,
+    "copurchase_similarity": 4,
+    "copurchase_triangles": 4,
+    "cross_source_dups": 4,
+    "dedup_keep_list": 4,
+    "dedupe_units_corpus": 4,
+    "diversity_sample": 4,
+    "dsir_weights": 4,
+    "embedding_ivf_topk": 4,
+    "entity_clusters": 4,
+    "epoch_shuffle": 4,
+    "event_funnel_windowed": 4,
+    "event_ohlc": 4,
+    "hilbert_key": 4,
+    "jsonl_source_agg": 4,
+    "kmv_segment_overlap": 4,
+    "langid_ngram": 4,
+    "mmr_rerank": 4,
+    "ngram_containment": 4,
+    "pricing_summary": 4,
+    "purged_time_splits": 4,
+    "record_linkage": 4,
+    "rfm_segments": 4,
+    "rolling_mean_ic": 4,
+    "scd2_user_state": 4,
+    "search_bm25_topk": 4,
+    "snapshot_diff": 4,
+    "target_encode": 4,
+    "transition_pagerank": 4,
+    "vocab_encode": 4,
+    "weighted_sample": 4,
+    "wordpiece_segments": 4,
+    # latest green: r05
+    "ab_test_ztest": 5,
+    "balance_rank_features": 5,
+    "bpe_merges_dist": 5,
+    "column_entropy": 5,
+    "common_paths": 5,
+    "concurrent_sessions": 5,
+    "corpus_report": 5,
+    "curation_report": 5,
+    "event_cube": 5,
+    "event_sessionize_native": 5,
+    "ewma_factor": 5,
+    "factor_alpha_beta": 5,
+    "factor_ic": 5,
+    "factor_returns": 5,
+    "forward_returns": 5,
+    "fuzzy_token_pairs": 5,
+    "ic_summary": 5,
+    "interval_join_sessions": 5,
+    "knn_label_predict": 5,
+    "local_supplier_volume": 5,
+    "mean_ic_monthly": 5,
+    "mean_return_by_quantile": 5,
+    "mean_return_spread": 5,
+    "net_factor_returns": 5,
+    "netpbm_decode_stats": 5,
+    "normalize_text": 5,
+    "orc_roundtrip_agg": 5,
+    "png_decode_stats": 5,
+    "quantile_drawdown": 5,
+    "quantile_migration": 5,
+    "quantile_stats": 5,
+    "quantile_turnover": 5,
+    "quantize_factor": 5,
+    "rank_autocorr_profile": 5,
+    "rolling_active_kmv": 5,
+    "rolling_anomaly": 5,
+    "seasonal_naive_eval": 5,
+    "shipping_priority": 5,
+    "skew_report": 5,
+    "split_leakage_safe": 5,
+    "sql_revenue_trend": 5,
+    "stream_ohlc_daily": 5,
+    "supplier_price_ols": 5,
+    "transition_pagerank_dist": 5,
+    "unigram_lm_vocab": 5,
+    "unigram_lm_vocab_dist": 5,
+    "user_activity_features": 5,
+    "validate_expectations": 5,
+    "wav_decode_stats": 5,
+    "winsorize_prices": 5,
 }
-# Within the never-certified group, these run LAST: if the driver budget
-# is query-count-bound (~50/round), the queries that overflow into round 5
-# should be the ones whose families already have a certified sibling
-# (display variants, diagnostic reports, second façades of a certified
-# operator) — NOT the judge-flagged singletons (rolling_mean_ic is the
-# only §2.5 core row without a driver green; bpe/vocab/wav/allpairs are
-# whole families riding on one query each).
+# Within the never-certified group, these run LAST (families with a
+# certified sibling; see rule 1 above).
 _CERTIFY_LAST = {
     "normalize_text", "knn_label_predict", "split_leakage_safe",
     "common_paths", "validate_expectations", "curation_report",
@@ -7799,16 +7940,17 @@ _CERTIFY_LAST = {
     "balance_rank_features", "supplier_price_ols", "seasonal_naive_eval",
     "quantile_drawdown",
 }
+_order = list(QUERIES)
 QUERIES = {
     name: QUERIES[name]
-    for group in (
-        [
-            n
-            for n in QUERIES
-            if n not in _DRIVER_CERTIFIED and n not in _CERTIFY_LAST
-        ],
-        [n for n in QUERIES if n in _CERTIFY_LAST],
-        [n for n in QUERIES if n in _DRIVER_CERTIFIED],
+    for name in sorted(
+        _order,
+        key=lambda n: (
+            n in _CERT_ROUND,               # never-certified first
+            # within never-certified only: singletons before variants
+            n not in _CERT_ROUND and n in _CERTIFY_LAST,
+            _CERT_ROUND.get(n, 0),          # then oldest green first
+            _order.index(n),                # stable within a round
+        ),
     )
-    for name in group
 }

@@ -179,16 +179,33 @@ def test_all_queries_under_driver_default_session(spark):
                 spark.conf.set(k, v)
 
 
-def test_never_certified_queries_run_first():
-    """The driver walks QUERIES in order under a budget: every query NOT
-    yet driver-certified (rounds 1-2) must come before every certified
-    one, or a registry edit silently pushes new queries back out of the
-    certification window."""
-    from alphalens_spark.entry_queries import _DRIVER_CERTIFIED, QUERIES
+def test_certification_order():
+    """The driver walks QUERIES in order under a ~50-query budget. Two
+    invariants: (1) every query with no green driver row yet comes
+    before every certified one (a registry edit must not push new
+    queries out of the certification window), and (2) certified queries
+    are ordered oldest-certification-first, so the budget rotates
+    through stale greens instead of re-checking last round's."""
+    from alphalens_spark.entry_queries import _CERT_ROUND, QUERIES
 
     names = list(QUERIES)
-    first_certified = next(i for i, n in enumerate(names) if n in _DRIVER_CERTIFIED)
+    certified_rounds = [_CERT_ROUND[n] for n in names if n in _CERT_ROUND]
+    first_certified = next(
+        (i for i, n in enumerate(names) if n in _CERT_ROUND), len(names)
+    )
     late_uncertified = [
-        n for n in names[first_certified:] if n not in _DRIVER_CERTIFIED
+        n for n in names[first_certified:] if n not in _CERT_ROUND
     ]
     assert late_uncertified == [], late_uncertified
+    assert certified_rounds == sorted(certified_rounds)
+
+
+def test_cert_round_map_in_sync():
+    """_CERT_ROUND must reflect the CORRECTNESS_r*.json artifacts —
+    tools/cert_order.py --check semantics, inline."""
+    import tools.cert_order as co
+    from alphalens_spark.entry_queries import _CERT_ROUND, QUERIES
+
+    latest = co.latest_green_rounds()
+    expect = {n: latest[n] for n in QUERIES if n in latest}
+    assert _CERT_ROUND == expect
