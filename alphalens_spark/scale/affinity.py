@@ -6,38 +6,62 @@ Srikant's Apriori framing, restricted to the pair level that powers
 any grouping key — an order, a session, a user-day — and items any
 categorical column.
 
-Scale posture: the only super-linear stage is the within-basket pair
-join, which is quadratic in BASKET SIZE, not corpus size — bounded for
-real baskets and explicitly guarded by ``max_basket`` (oversized
-baskets are dropped with an observable count, the max_df pattern).
-Everything else is linear groupBys plus 1-row / item-dim broadcasts.
+Scale posture: the only super-linear stage is within-basket pair
+GENERATION, which is quadratic in BASKET SIZE, not corpus size —
+bounded for real baskets and explicitly guarded by ``max_basket``.
+Baskets collapse to one sorted item-array row each (collect_set — the
+distinct reduction runs map-side inside the same aggregation), pairs
+explode from the array JVM-side, so the whole pipeline is: one basket
+groupBy, a map-side combination explode, one pair groupBy — two linear
+shuffles, no self-join, and the oversize guard is a free ``size()``
+filter on the aggregated row instead of a count+anti-join pass.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _basket_items(
+def _basket_arrays(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     max_basket: int | None,
 ) -> DataFrame:
-    """Distinct (basket, item) rows, oversized baskets dropped."""
-    bi = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    """One row per basket: (basket, _items sorted-distinct array),
+    oversized baskets dropped by a size filter on the aggregate."""
+    g = df.groupBy(F.col(basket_col).alias("basket")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("_items")
+    )
     if max_basket is not None:
-        big = (
-            bi.groupBy("basket")
-            .agg(F.count(F.lit(1)).alias("_sz"))
-            .where(F.col("_sz") > max_basket)
-            .select("basket")
+        g = g.where(F.size("_items") <= max_basket)
+    return g
+
+
+def _pair_structs(arr: Column) -> Column:
+    """All unordered (item_a < item_b) pairs of a sorted array as an
+    array<struct> — combination generation via nested ``transform`` over
+    the array, evaluated JVM-side inside whole-stage codegen (``slice``
+    clamps at the array end, so the last element contributes no pairs).
+    """
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
         )
-        bi = bi.join(big, "basket", "left_anti")
-    return bi
+    )
+
+
+def _basket_pairs(g: DataFrame) -> DataFrame:
+    """(basket, item_a, item_b) rows from a :func:`_basket_arrays`
+    frame; item_a < item_b by construction (sorted array)."""
+    return g.select(
+        "basket", F.explode(_pair_structs(F.col("_items"))).alias("_p")
+    ).select("basket", "_p.item_a", "_p.item_b")
 
 
 def cooccurrence_pairs(
@@ -52,17 +76,15 @@ def cooccurrence_pairs(
 
     Output: (item_a, item_b, n_baskets) with item_a < item_b.
 
-    Scale shape: distinct (basket, item) reduction first (so multi-line
-    baskets — e.g. several lineitems of the same part — count once),
-    then a self-equi-join on the basket key whose fan-out is bounded by
-    basket size (``max_basket``-guarded), then one pair groupBy.
+    Scale shape: baskets aggregate to sorted item arrays (map-side
+    distinct, ``max_basket`` size filter), pairs explode from the array
+    JVM-side, then one pair groupBy — two shuffles total, one fewer
+    than the distinct→self-join form this replaces, and a multi-line
+    basket (several lineitems of the same part) still counts once.
     """
-    bi = _basket_items(df, basket_col, item_col, max_basket)
-    a = bi.select("basket", F.col("item").alias("item_a"))
-    b = bi.select("basket", F.col("item").alias("item_b"))
+    g = _basket_arrays(df, basket_col, item_col, max_basket)
     pairs = (
-        a.join(b, "basket")
-        .where(F.col("item_a") < F.col("item_b"))
+        _basket_pairs(g)
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
@@ -91,23 +113,25 @@ def association_rules(
     Output: (antecedent, consequent, pair_baskets, support, confidence,
     lift), rounded to 6 dp.
 
-    Scale shape: :func:`cooccurrence_pairs` for the joint counts, one
-    item-level groupBy for the marginals (item-dimension sized, joined
-    back on the item key), and the total basket count as a 1-row
-    broadcast — the same bounded-scalar contract as cm_estimate.
+    Scale shape: the :func:`cooccurrence_pairs` array-explode for the
+    joint counts, one item-level groupBy for the marginals (item-
+    dimension sized, joined back on the item key), and the total basket
+    count as a 1-row broadcast — the same bounded-scalar contract as
+    cm_estimate. The per-basket array frame is checkpointed once and
+    feeds all three derivations.
     """
-    bi = _basket_items(df, basket_col, item_col, max_basket)
-    bi = bi.localCheckpoint(eager=True)
+    g = _basket_arrays(df, basket_col, item_col, max_basket)
+    g = g.localCheckpoint(eager=True)
     pairs = (
-        bi.select("basket", F.col("item").alias("item_a"))
-        .join(bi.select("basket", F.col("item").alias("item_b")), "basket")
-        .where(F.col("item_a") < F.col("item_b"))
+        _basket_pairs(g)
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_baskets"))
         .where(F.col("pair_baskets") >= min_pair_count)
     )
+    bi = g.select("basket", F.explode("_items").alias("item"))
     marg = bi.groupBy("item").agg(F.count(F.lit(1)).alias("item_baskets"))
-    total = bi.agg(F.count_distinct("basket").alias("_n"))
+    # g holds exactly one row per basket, so the total is a plain count
+    total = g.agg(F.count(F.lit(1)).alias("_n"))
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
@@ -167,21 +191,20 @@ def item_similarity(
 
     One unordered row per co-occurring pair (item_a < item_b; all three
     measures are symmetric). Scale shape is association_rules' exactly:
-    within-basket pair join (``max_basket``-guarded), item-key marginal
-    joins, 1-row total broadcast.
+    per-basket array pair explode (``max_basket``-guarded), item-key
+    marginal joins, 1-row total broadcast.
     """
-    bi = _basket_items(df, basket_col, item_col, max_basket)
-    bi = bi.localCheckpoint(eager=True)
+    g = _basket_arrays(df, basket_col, item_col, max_basket)
+    g = g.localCheckpoint(eager=True)
     pairs = (
-        bi.select("basket", F.col("item").alias("item_a"))
-        .join(bi.select("basket", F.col("item").alias("item_b")), "basket")
-        .where(F.col("item_a") < F.col("item_b"))
+        _basket_pairs(g)
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_baskets"))
         .where(F.col("pair_baskets") >= min_pair_count)
     )
+    bi = g.select("basket", F.explode("_items").alias("item"))
     marg = bi.groupBy("item").agg(F.count(F.lit(1)).alias("item_baskets"))
-    total = bi.agg(F.count_distinct("basket").alias("_n"))
+    total = g.agg(F.count(F.lit(1)).alias("_n"))
     ma = marg.select(F.col("item").alias("item_a"), F.col("item_baskets").alias("_ca"))
     mb = marg.select(F.col("item").alias("item_b"), F.col("item_baskets").alias("_cb"))
     j = pairs.join(ma, "item_a").join(mb, "item_b").crossJoin(F.broadcast(total))
