@@ -4304,6 +4304,75 @@ SELECT media_id, 8 AS width, 8 AS height,
 FROM px GROUP BY 1"""
 
 
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode end-to-end: embeddings render as genuine
+    baseline sequential JPEGs (Annex-K quant + huffman tables, byte-
+    stuffed entropy stream), then the stdlib codec huffman-decodes,
+    dequantizes and IDCTs the raster back to exact-integer pixel stats.
+    Unlike the PNG/netpbm twins the codec is LOSSY, so the oracle
+    cannot just re-derive source pixels — it replays the full
+    DCT → 6-dp-snap half-up quantize → dequantize → IDCT pipeline in
+    SQL (huffman and DC prediction are lossless and cancel out)
+    (scale.multimodal.embeddings_as_jpeg/jpeg_pixel_stats)."""
+    from alphalens_spark.scale.multimodal import (
+        embeddings_as_jpeg,
+        jpeg_pixel_stats,
+    )
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return jpeg_pixel_stats(embeddings_as_jpeg(emb, w=8, h=8))
+
+
+def _jpeg_oracle_sql() -> str:
+    from alphalens_spark.scale.multimodal import _JPEG_QTABLE
+
+    qt_vals = ",".join(
+        f"({u},{v},{_JPEG_QTABLE[u * 8 + v]})"
+        for u in range(8)
+        for v in range(8)
+    )
+    return rf"""
+WITH px AS (
+  SELECT vec_id, (i-1) // 8 AS y, (i-1) % 8 AS x,
+         CAST(floor(least(greatest((CAST(embedding[i] AS DOUBLE) + 1.0) / 2.0,
+                                   0.0), 1.0) * 255.0) AS BIGINT) - 128 AS b
+  FROM embeddings, generate_series(1, 64) g(i)
+),
+qt(u, v, q) AS (VALUES {qt_vals}),
+coef AS (
+  SELECT p.vec_id, qt.u, qt.v, qt.q,
+         round(round(
+           (CASE WHEN qt.u = 0 THEN 0.5 / sqrt(2.0) ELSE 0.5 END)
+         * (CASE WHEN qt.v = 0 THEN 0.5 / sqrt(2.0) ELSE 0.5 END)
+         * sum(p.b * cos((2*p.y+1) * qt.u * pi() / 16.0)
+                   * cos((2*p.x+1) * qt.v * pi() / 16.0)) / qt.q, 6)) AS c
+  FROM px p CROSS JOIN qt
+  GROUP BY 1, 2, 3, 4
+),
+rec AS (
+  SELECT c.vec_id, g.y, gx.x,
+         least(greatest(CAST(round(round(
+           sum((CASE WHEN c.u = 0 THEN 0.5 / sqrt(2.0) ELSE 0.5 END)
+             * (CASE WHEN c.v = 0 THEN 0.5 / sqrt(2.0) ELSE 0.5 END)
+             * c.c * c.q
+             * cos((2*g.y+1) * c.u * pi() / 16.0)
+             * cos((2*gx.x+1) * c.v * pi() / 16.0)), 6)) AS BIGINT) + 128,
+           0), 255) AS p
+  FROM coef c
+  CROSS JOIN (SELECT unnest(generate_series(0,7)) AS y) g
+  CROSS JOIN (SELECT unnest(generate_series(0,7)) AS x) gx
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id AS media_id, 8 AS width, 8 AS height,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(min(p) AS INT) AS px_min,
+       CAST(max(p) AS INT) AS px_max
+FROM rec GROUP BY 1"""
+
+
+ORACLES["jpeg_decode_stats"] = _jpeg_oracle_sql()
+
+
 def q_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shift-resistant block-level dedup via content-defined chunking
     (scale.dedup.content_defined_chunks / cdc_chunk_duplicates — the
@@ -7645,6 +7714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_list": q_dedup_keep_list,
     "netpbm_decode_stats": q_netpbm_decode_stats,
     "png_decode_stats": q_png_decode_stats,
+    "jpeg_decode_stats": q_jpeg_decode_stats,
     "scd2_user_state": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
     "validate_expectations": q_validate_expectations,

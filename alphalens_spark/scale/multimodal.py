@@ -77,11 +77,11 @@ def decode_and_featurize(
     """
     if decoder != "fake":
         raise NotImplementedError(
-            f"decoder={decoder!r}: JPEG/MP3/video decoding needs "
-            "PIL/torchaudio, not available in this environment; use "
-            "parse_netpbm / parse_png / parse_wav for REAL stdlib-only "
-            "codecs or the 'fake' decoder for the identical Spark "
-            "plumbing"
+            f"decoder={decoder!r}: MP3/video decoding needs "
+            "torchaudio/ffmpeg, not available in this environment; use "
+            "parse_netpbm / parse_png / parse_wav / parse_jpeg for REAL "
+            "stdlib-only codecs or the 'fake' decoder for the identical "
+            "Spark plumbing"
         )
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -824,6 +824,492 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
                     mins.append(int(flat.min()))
                     maxs.append(int(flat.max()))
                 except (ValueError, zlib.error, struct.error):
+                    ws.append(None); hs.append(None)
+                    sums.append(None); mins.append(None); maxs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, width int, height int, "
+            "px_sum long, px_min int, px_max int"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential DCT, grayscale profile (ITU T.81). Real
+# entropy-coded codec: huffman + zigzag + quantized DCT on encode,
+# marker walk + huffman decode + dequant + IDCT on decode. Retires the
+# former JPEG stub boundary the way parse_png retired PNG's. Reference
+# parity note: the reference (alphalens) has no media surface at all —
+# this is extension territory for the LLM-pipeline mandate.
+# --------------------------------------------------------------------------
+
+# zigzag position -> raster index (T.81 Figure 5)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+# luminance quantization table (T.81 Annex K.1), quality-50 as printed
+_JPEG_QTABLE = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+# huffman table specs (T.81 Annex K.3): (BITS counts for lengths 1..16,
+# HUFFVAL in code order)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_half_up6(x: float) -> int:
+    """Shared codec/oracle rounding: snap to the 6-dp grid then round
+    half-up to an integer, both in DECIMAL semantics on the double's
+    shortest repr — exactly DuckDB's round(round(x, 6)) so the SQL
+    oracle replays the lossy quantization bit-for-bit (the
+    floor(x+0.5) and banker's-round hazards documented at
+    text._unigram_lm_driver apply here identically)."""
+    import decimal
+
+    d = decimal.Decimal(repr(float(x))).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+    )
+    return int(d.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+
+
+def _jpeg_cos_basis():
+    """8x8 DCT basis cos((2x+1)·u·π/16) via math.cos (libm — the same
+    routine DuckDB's cos() binds, minimizing cross-engine ulp drift
+    that numpy's SIMD cos can introduce)."""
+    import math
+
+    import numpy as np
+
+    c = np.empty((8, 8), dtype=np.float64)
+    for x in range(8):
+        for u in range(8):
+            c[x, u] = math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return c
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical huffman (T.81 Annex C): value -> (code, length)."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill (spec convention)
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int):
+    """(size category, appended bits) for a DC diff / AC coef (F.1.2.1):
+    negatives use the ones'-complement convention."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def make_jpeg(arr) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a genuine baseline
+    sequential JPEG (SOI / APP0-JFIF / DQT / SOF0 / DHT / SOS ... EOI,
+    Annex-K luminance quant + huffman tables, byte-stuffed entropy
+    stream). Dimensions not multiples of 8 pad by edge replication
+    (standard MCU padding); decoders crop back via the SOF dims.
+    Round-trips through any JPEG reader."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("expected (h, w) grayscale uint8")
+    h, w = a.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    cosb = _jpeg_cos_basis()
+    cscale = np.full(8, 0.5)
+    cscale[0] = 0.5 / np.sqrt(2.0)
+    q = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            # S = C · M · Cᵀ with the orthonormal scale folded in
+            m = (cosb.T @ block @ cosb) * np.outer(cscale, cscale)
+            coef = m / q
+            qz = [
+                _jpeg_half_up6(coef.flat[_JPEG_ZIGZAG[i]]) for i in range(64)
+            ]
+            diff = qz[0] - prev_dc
+            prev_dc = qz[0]
+            size, bits = _jpeg_magnitude(diff)
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if qz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if qz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zcode, zln = ac_codes[0xF0]  # ZRL
+                    bw.write(zcode, zln)
+                    run -= 16
+                size, bits = _jpeg_magnitude(qz[i])
+                code, ln = ac_codes[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01" + bytes((1, 0x00)) + bytes((0, 63, 0)))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+
+def _jpeg_decode_tables(bits, vals):
+    """Canonical huffman decode map: (length, code) -> value."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_huff(br: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """Inverse of the magnitude convention (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def parse_jpeg(payload: bytes):
+    """Decode baseline sequential grayscale JPEG bytes → (h, w, 1)
+    uint8 array: marker walk (DQT/SOF0/DHT/SOS), huffman decode of the
+    byte-stuffed entropy stream (DC prediction + run/size AC, EOB/ZRL),
+    dequantize, de-zigzag, IDCT, +128 level shift, clamp. The IDCT
+    output rounds through the same 6-dp-snap half-up as the encoder so
+    the SQL oracle replays the full lossy pipeline exactly.
+
+    Supported profile: SOF0, 8-bit, single component, no restart
+    markers. Progressive / color / subsampled / restart-interval
+    streams raise ValueError (surface per item, never kill the task).
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 4 or bytes(payload[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    data = bytes(payload)
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dims = None
+    comp_q = 0
+    scan_tables = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = [
+                    body[b + 1 + i] for i in range(64)
+                ]
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    "unsupported JPEG profile (need 8-bit single-component"
+                    " baseline grayscale)"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_q = body[8]
+            dims = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG (progressive/extended)")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = _jpeg_decode_tables(bits, vals)
+                b += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_tables = (huff.get((0, dc_id)), huff.get((1, ac_id)))
+            pos = pos + 2 + ln
+            break
+        pos = pos + 2 + ln
+    if dims is None or scan_tables is None or comp_q not in qtables:
+        raise ValueError("missing SOF/SOS/DQT")
+    dc_table, ac_table = scan_tables
+    if dc_table is None or ac_table is None:
+        raise ValueError("missing huffman tables")
+    h, w = dims
+    # entropy-coded data runs to EOI
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("missing EOI")
+    br = _BitReader(data[pos:end])
+
+    cosb = _jpeg_cos_basis()
+    cscale = np.full(8, 0.5)
+    cscale[0] = 0.5 / np.sqrt(2.0)
+    q = np.asarray(qtables[comp_q], dtype=np.float64)[
+        np.argsort(np.asarray(_JPEG_ZIGZAG))
+    ].reshape(8, 8)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    out = np.zeros((ph, pw), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = [0] * 64
+            size = _jpeg_read_huff(br, dc_table)
+            prev_dc += _jpeg_extend(br.read(size), size)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = _jpeg_read_huff(br, ac_table)
+                run, size = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("AC index overrun")
+                zz[i] = _jpeg_extend(br.read(size), size)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for zi in range(64):
+                coef[_JPEG_ZIGZAG[zi]] = zz[zi]
+            dq = coef.reshape(8, 8) * q
+            m = dq * np.outer(cscale, cscale)
+            rec = cosb @ m @ cosb.T
+            block = np.empty((8, 8), dtype=np.uint8)
+            for y in range(8):
+                for x in range(8):
+                    v = _jpeg_half_up6(rec[y, x]) + 128
+                    block[y, x] = 0 if v < 0 else (255 if v > 255 else v)
+            out[by : by + 8, bx : bx + 8] = block
+    return out[:h, :w].reshape(h, w, 1)
+
+
+def embeddings_as_jpeg(
+    emb: DataFrame, w: int = 8, h: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a real baseline JPEG (same quantization
+    as embeddings_as_netpbm/png: px = floor(clip((x+1)/2, 0, 1) · 255))
+    — a deterministic image corpus from driver data so the REAL
+    huffman+DCT decode path gets a full value oracle."""
+    import numpy as np
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nb = [], []
+            for vec in pdf[vec_col]:
+                v = np.asarray(vec, dtype=np.float64)[: w * h]
+                px = np.floor(np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255.0)
+                p = make_jpeg(px.astype(np.uint8).reshape(h, w))
+                payloads.append(p)
+                nb.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "width": pd.array([w] * len(pdf), dtype="Int32"),
+                    "height": pd.array([h] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode summary for JPEG payloads with exact-integer outputs
+    (oracle-friendly): per item (media_id, width, height, px_sum,
+    px_min, px_max) from the huffman-decoded, dequantized, IDCT'd
+    raster. Malformed payloads → NULL stats. Same contract as
+    png_pixel_stats / netpbm_pixel_stats, third codec underneath — and
+    the only LOSSY one, so the oracle must replay quantization, not
+    just re-derive source pixels."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums, mins, maxs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    img = parse_jpeg(payload)
+                    hh, ww, _ = img.shape
+                    flat = img.astype(np.int64)
+                    ws.append(ww)
+                    hs.append(hh)
+                    sums.append(int(flat.sum()))
+                    mins.append(int(flat.min()))
+                    maxs.append(int(flat.max()))
+                except ValueError:
                     ws.append(None); hs.append(None)
                     sums.append(None); mins.append(None); maxs.append(None)
             yield pd.DataFrame(

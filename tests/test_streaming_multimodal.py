@@ -498,3 +498,99 @@ def test_tws_running_stats_guarded_or_matches_batch(spark):
         assert g["n_events"] == w["n"]
         assert abs(g["sum_value"] - w["s"]) < 1e-9
         assert g["last_ts"] == w["m"]
+
+
+def test_jpeg_codec_round_trip_quantization_exact():
+    """parse_jpeg(make_jpeg(img)) equals an INDEPENDENT numpy/decimal
+    replay of the lossy pipeline (DCT → 6-dp-snap half-up quantize →
+    dequantize → IDCT → +128 clamp) — the invariant the SQL oracle
+    relies on. Exercises multi-block images and MCU edge padding."""
+    import numpy as np
+
+    cosb = multimodal._jpeg_cos_basis()
+    cs = np.full(8, 0.5)
+    cs[0] = 0.5 / np.sqrt(2.0)
+    q = np.asarray(multimodal._JPEG_QTABLE, float).reshape(8, 8)
+
+    def replay_block(block):
+        m = (cosb.T @ (block.astype(float) - 128.0) @ cosb) * np.outer(cs, cs)
+        cq = np.array(
+            [[multimodal._jpeg_half_up6(m[u, v] / q[u, v]) for v in range(8)]
+             for u in range(8)], float,
+        )
+        rec = cosb @ (cq * q * np.outer(cs, cs)) @ cosb.T
+        return np.array(
+            [[min(255, max(0, multimodal._jpeg_half_up6(rec[y, x]) + 128))
+              for x in range(8)] for y in range(8)], np.uint8,
+        )
+
+    rng = np.random.RandomState(11)
+    for shape in ((8, 8), (16, 16), (16, 12), (5, 8)):
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        dec = multimodal.parse_jpeg(multimodal.make_jpeg(img))
+        assert dec.shape == (shape[0], shape[1], 1)
+        h, w = shape
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+        exp = np.zeros((ph, pw), np.uint8)
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                exp[by:by + 8, bx:bx + 8] = replay_block(
+                    padded[by:by + 8, bx:bx + 8]
+                )
+        assert (dec[:, :, 0] == exp[:h, :w]).all()
+
+
+def test_jpeg_constant_image_near_exact():
+    """A constant raster is DC-only: quantized by Q[0,0]=16, so the
+    decode error is bounded by half the DC quant step across the whole
+    0..255 range — the classic sanity check that dequantization and the
+    level shift are wired right."""
+    import numpy as np
+
+    for val in (0, 1, 77, 128, 254, 255):
+        img = np.full((8, 8), val, np.uint8)
+        dec = multimodal.parse_jpeg(multimodal.make_jpeg(img))[:, :, 0]
+        assert len(np.unique(dec)) == 1
+        assert abs(int(dec[0, 0]) - val) <= 8
+
+
+def test_jpeg_malformed_and_unsupported_raise():
+    import numpy as np
+
+    import pytest
+
+    good = multimodal.make_jpeg(np.zeros((8, 8), np.uint8))
+    for bad in (b"", b"\x89PNGxxxx", good[:20], good[:-2]):
+        with pytest.raises(ValueError):
+            multimodal.parse_jpeg(bad)
+    # progressive SOF2 marker rejected, not mis-decoded
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        multimodal.parse_jpeg(bytes(prog))
+
+
+def test_jpeg_pixel_stats_spark(spark):
+    """End-to-end through Spark: encode rasters to JPEG payloads, decode
+    via mapInPandas, stats match a local parse_jpeg of the same bytes;
+    malformed rows yield NULL stats instead of killing the task."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    imgs = {i: rng.randint(0, 256, (8, 8), dtype=np.uint8) for i in range(4)}
+    payloads = {i: multimodal.make_jpeg(img) for i, img in imgs.items()}
+    rows = [(i, bytearray(p)) for i, p in payloads.items()]
+    rows.append((99, bytearray(b"not a jpeg")))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r for r in multimodal.jpeg_pixel_stats(media).collect()
+    }
+    for i, p in payloads.items():
+        local = multimodal.parse_jpeg(p).astype(np.int64)
+        assert got[i]["width"] == 8 and got[i]["height"] == 8
+        assert got[i]["px_sum"] == int(local.sum())
+        assert got[i]["px_min"] == int(local.min())
+        assert got[i]["px_max"] == int(local.max())
+    assert got[99]["px_sum"] is None and got[99]["width"] is None
