@@ -31,9 +31,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
+def run_suite(
+    spark,
+    sf_dir: str,
+    timings: dict[str, float] | None = None,
+    spread: dict[str, list[float]] | None = None,
+):
     """Run every headline query at ``sf_dir``; record wall times when a
-    ``timings`` dict is passed (warm pass omits it)."""
+    ``timings`` dict is passed (warm pass omits it). ``spread``
+    accumulates every pass's raw time per query so the output can carry
+    a per-query noise band alongside the best-of-N headline."""
     from pyspark.sql import functions as F
 
     from alphalens_spark import datasets, performance as perf
@@ -51,6 +58,8 @@ def run_suite(spark, sf_dir: str, timings: dict[str, float] | None = None):
             # standard way to report the query's own cost rather than
             # the neighbors'
             timings[name] = min(timings.get(name, dt), dt)
+            if spread is not None:
+                spread.setdefault(name, []).append(dt)
         return out
 
     # --- ingestion: build + materialize the canonical factor_data and the
@@ -319,8 +328,11 @@ def main() -> None:
         run_suite(spark, warm_dir, timings=None)
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    loads = [os.getloadavg()[0]]
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))):
-        run_suite(spark, sf_dir, timings)
+        run_suite(spark, sf_dir, timings, spread)
+        loads.append(os.getloadavg()[0])
 
     total = round(sum(timings.values()), 4)
     # stable reference-parity subtotal (ingestion + the metric DAG over
@@ -341,6 +353,17 @@ def main() -> None:
         "core_queries": core,
         "unit": "sec",
         "queries": timings,
+        # per-query [min, max] across passes — the noise band
+        # tools/bench_compare.py uses to separate co-tenant load from a
+        # code regression (a flagged delta inside the old band is load)
+        "query_band": {
+            q: [round(min(v), 4), round(max(v), 4)]
+            for q, v in spread.items()
+        },
+        # 1-min host loadavg sampled before the first timed pass and
+        # after each pass — the artifact records how contended the run
+        # was instead of leaving it to the next round's guesswork
+        "loadavg": [round(x, 2) for x in loads],
         "sf": sf,
     }))
 

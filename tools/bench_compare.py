@@ -3,11 +3,14 @@
 Usage: python tools/bench_compare.py OLD.json NEW.json [threshold_pct]
 
 Reads the driver's BENCH_r{N}.json artifacts (or any bench.py output
-line), prints per-query deltas, and exits 1 if any shared query slowed
-by more than ``threshold_pct`` (default 15, the VERDICT regression
-bar). Host noise on the shared box is ±25%, so treat a single flagged
-entry as a re-run prompt, not a verdict — two consecutive rounds
-slower is the real signal.
+line), prints per-query deltas, and exits 1 if any shared query
+REGRESSED: slowed by more than ``threshold_pct`` (default 15, the
+VERDICT regression bar) AND landed outside the old run's noise band.
+bench.py emits ``query_band`` ([min, max] across its timed passes) —
+a delta whose new best time still overlaps the old band is co-tenant
+load, printed as ``noisy`` and NOT exit-coded (host noise on the
+shared box is ±25%). Old artifacts without a band degrade to the
+plain threshold rule.
 """
 
 from __future__ import annotations
@@ -53,8 +56,9 @@ def main() -> int:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    oband = old.get("query_band", {})
     shared = sorted(set(oq) & set(nq))
-    flagged = []
+    flagged, noisy = [], []
     print(f"{'query':32s} {'old':>8s} {'new':>8s} {'delta':>8s}")
     for name in shared:
         a, b = oq[name], nq[name]
@@ -71,8 +75,16 @@ def main() -> int:
         pct = (b - a) / a * 100.0
         mark = ""
         if pct > thresh:
-            flagged.append((name, pct))
-            mark = "  <-- REGRESSED"
+            # band rule: the old artifact's worst pass bounds what pure
+            # host noise looked like DURING the old run; a new best time
+            # inside that band is indistinguishable from load
+            old_hi = max(oband.get(name, [a, a]))
+            if b <= old_hi:
+                noisy.append((name, pct))
+                mark = "  (noisy: inside old band)"
+            else:
+                flagged.append((name, pct))
+                mark = "  <-- REGRESSED"
         print(f"{name:32s} {a:8.3f} {b:8.3f} {pct:+7.1f}%{mark}")
     for name in sorted(set(nq) - set(oq)):
         print(f"{name:32s} {'—':>8s} {nq[name]:8.3f}     NEW")
@@ -84,11 +96,17 @@ def main() -> int:
     so, sn = old.get("value"), new.get("value")
     if so is not None and sn is not None:
         print(f"suite {so:.3f} -> {sn:.3f}")
+    la_o, la_n = old.get("loadavg"), new.get("loadavg")
+    if la_o or la_n:
+        print(f"loadavg old={la_o} new={la_n}")
+    if noisy:
+        print(f"\nnoisy (> {thresh:.0f}% but inside old band — likely load): "
+              + ", ".join(f"{n} ({p:+.0f}%)" for n, p in noisy))
     if flagged:
-        print(f"\nREGRESSIONS (> {thresh:.0f}%): "
+        print(f"\nREGRESSIONS (> {thresh:.0f}% and outside old band): "
               + ", ".join(f"{n} ({p:+.0f}%)" for n, p in flagged))
         return 1
-    print(f"\nno shared query slowed > {thresh:.0f}%")
+    print(f"\nno shared query regressed > {thresh:.0f}% beyond the old band")
     return 0
 
 
