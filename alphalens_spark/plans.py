@@ -62,9 +62,40 @@ class ScanInfo:
     n_paths: int | None = None
 
 
-def plan_summary(df: DataFrame) -> PlanSummary:
-    """Parse the executed plan into counted facts + per-scan details."""
+def strip_cached_builds(plan_text: str) -> str:
+    """Drop every InMemoryRelation BUILD subtree from a plan rendering:
+    those operators run once at cache materialization, not per query,
+    so steady-state audits (PLANS.md) must not count them. The
+    InMemoryTableScan line itself survives — that IS the steady-state
+    read. Subtree extent is the tree indentation: every following line
+    whose operator name starts deeper than the InMemoryRelation's
+    belongs to its cached plan."""
+    out = []
+    skip_deeper_than = None
+    for line in plan_text.splitlines():
+        indent = len(re.match(r"^[ :+\-]*", line).group(0))
+        if skip_deeper_than is not None:
+            if indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryRelation" in line:
+            skip_deeper_than = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def plan_summary(df: DataFrame, steady_state: bool = False) -> PlanSummary:
+    """Parse the executed plan into counted facts + per-scan details.
+
+    ``steady_state=True`` excludes InMemoryRelation build subtrees (see
+    :func:`strip_cached_builds`) — the per-execution cost of a query
+    over an already-materialized cache. The default (full text) is what
+    the plan GATES audit, so cache-build operators cannot escape gating
+    by hiding inside a persist."""
     p = _plan_text(df)
+    if steady_state:
+        p = strip_cached_builds(p)
     s = PlanSummary(
         # every non-broadcast Exchange is a shuffle — counting uniformly
         # (rather than by partitioning kind) keeps RoundRobinPartitioning

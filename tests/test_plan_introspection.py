@@ -90,3 +90,36 @@ def test_engine_operators_pass_the_gate(spark):
     plans.assert_scalable(
         random_projection(emb), max_shuffles=0, forbid_python=True
     )
+
+
+def test_strip_cached_builds_excludes_build_subtree(spark):
+    """steady_state=True must drop the InMemoryRelation BUILD operators
+    (paid once at cache materialization) while keeping the
+    InMemoryTableScan read and every operator above it."""
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.plans import plan_summary
+
+    base = (
+        spark.range(0, 1000)
+        .withColumn("k", F.pmod("id", F.lit(7)))
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))  # build plan contains ONE shuffle
+        .persist()
+    )
+    try:
+        q = base.groupBy((F.col("k") % 2).alias("b")).agg(F.sum("s").alias("t"))
+        full = plan_summary(q)
+        ss = plan_summary(q, steady_state=True)
+        # full text sees build + query shuffles; steady state only the
+        # query's own aggregation shuffle
+        assert full.shuffles == ss.shuffles + 1
+        assert ss.shuffles >= 1
+        # the cache READ itself must survive the strip
+        from alphalens_spark.plans import _plan_text, strip_cached_builds
+
+        kept = strip_cached_builds(_plan_text(q))
+        assert "InMemoryTableScan" in kept
+        assert "InMemoryRelation" not in kept
+    finally:
+        base.unpersist()
