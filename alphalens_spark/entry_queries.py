@@ -6765,6 +6765,134 @@ ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
 LIMIT 10"""
 
 
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total line
+    quantity clears a threshold, with customer attribution — the
+    canonical groupBy-HAVING + semi-join-back shape (the HAVING
+    aggregate is computed once on the fact table, semi-joins the orders
+    probe, and the final 3-way join re-aggregates). Quantities are
+    integral doubles in this corpus, so the sum casts to BIGINT
+    exactly; o_totalprice quantizes to 1e-4 integer units per row
+    (summation-order-proof money rule). Top-100 is
+    TakeOrderedAndProject on a total order — never a global sort."""
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 1e4)
+            .cast("long")
+            .alias("totalprice_e4"),
+        )
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
+        .orderBy(
+            F.col("totalprice_e4").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+ORACLES["large_volume_customers"] = r"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 1e4) AS BIGINT) AS totalprice_e4,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200
+)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY totalprice_e4 DESC, o_orderdate, o_orderkey
+LIMIT 100"""
+
+
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting-supplier count, adapted to this corpus's
+    columns (no commitdate: "late" = shipped > 60 days after the order
+    date). For finalized ('F') orders, count per supplier the orders
+    where the supplier shipped late, at least one OTHER supplier
+    participated (the EXISTS leg), and NO other supplier was late (the
+    NOT EXISTS leg). Both legs collapse into ONE (order, supplier)
+    groupBy plus an order-partitioned window — the per-order supplier
+    and late-supplier counts decide EXISTS/NOT-EXISTS set-membership
+    without self-joining (or even re-scanning) the fact table; window
+    partitions are bounded by suppliers-per-order, never data-sized.
+    The supplier dim join broadcasts. Output is deterministic:
+    (numwait DESC, s_name) is a total order (names unique)."""
+    from pyspark.sql import Window
+
+    o = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    fo = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    pairs = (
+        li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        pairs.withColumn("ns", F.count(F.lit(1)).over(w))
+        .withColumn("nl", F.sum("late").over(w))
+        .where(
+            (F.col("late") == 1) & (F.col("ns") > 1) & (F.col("nl") == 1)
+        )
+        .join(
+            F.broadcast(su.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+    return waiting
+
+
+ORACLES["suppliers_kept_waiting"] = r"""
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS ns, sum(late) AS nl FROM pairs GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM pairs
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND ns > 1 AND nl = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100"""
+
+
 def q_sql_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure spark.sql surface certification: monthly gross revenue and
     month-over-month delta written ENTIRELY as SQL text (CTE + window
@@ -7766,6 +7894,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
+    "large_volume_customers": q_large_volume_customers,
+    "suppliers_kept_waiting": q_suppliers_kept_waiting,
     "sql_revenue_trend": q_sql_revenue_trend,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
