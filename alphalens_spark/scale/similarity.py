@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -842,6 +842,87 @@ def build_ivfpq(
         )
         cents, books = f_cents.result(), f_books.result()
     return cents, books, encode_pq(corpus, cents, books, id_col, vec_col)
+
+
+def deploy_ivfpq_index(
+    index: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the :func:`encode_pq` artifact as a CELL-BUCKETED table
+    — the IVF-PQ deployment step, mirroring the inverted-index
+    deployment (`storage.write_bucketed` by term). Bucketing by cell
+    means an online query batch's probe filter prunes the scan to the
+    probed cells' buckets (SelectedBucketsCount in the plan): at 100 TB
+    a 4-of-1024-cells probe reads ~0.4% of the index files instead of
+    all of them."""
+    from alphalens_spark import storage
+
+    storage.write_bucketed(
+        index, table, ["cell"], n_buckets=n_buckets, sort_cols=["cell"]
+    )
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Online ANN over a DEPLOYED cell-bucketed index table: the query
+    batch's probed-cell union is evaluated first (with the identical
+    probe-ranking expression :func:`ivfpq_topk` uses, so the filter is
+    an exact superset of what the join will probe — no ulp divergence
+    between a driver-side replica and the executor arithmetic) and
+    pushed as an IN filter on the stored table, letting the bucketed
+    scan prune to the probed buckets. Result is row-identical to
+    :func:`ivfpq_topk` over the full index. ``refine`` needs ``corpus``
+    (the full vectors) for the exact re-rank stage."""
+    from alphalens_spark import storage
+
+    if refine is not None and corpus is None:
+        raise ValueError("refine re-ranks against full vectors: pass corpus")
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.arrays_zip(
+                _dists_to_centroids("qv", centroids),
+                F.array(*[F.lit(i) for i in range(len(centroids))]),
+            )
+        ),
+        lambda s: s["1"],
+    )
+    probed = sorted(
+        r["cell"]
+        for r in queries.select(
+            F.explode(F.slice(ranked_cells, 1, nprobe)).alias("cell")
+        )
+        .distinct()
+        .collect()
+    )
+    stored = storage.read_table(spark, table).where(
+        F.col("cell").isin(probed)
+    )
+    return ivfpq_topk(
+        corpus if corpus is not None else queries,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        refine=refine,
+        centroids=centroids,
+        codebooks=codebooks,
+        index=stored.withColumnRenamed("vec_id", id_col)
+        if id_col != "vec_id" and "vec_id" in stored.columns
+        else stored,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
 
 def random_projection(

@@ -377,3 +377,60 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivfpq_index_deploys_bucketed_and_prunes(spark, tmp_path):
+    """The ANN deployment path, mirroring the inverted-index one: the
+    encode_pq artifact written cell-bucketed lets an online query
+    batch's probe filter prune the scan to the probed cells' buckets
+    (SelectedBucketsCount), and the pruned search answers row-identical
+    to ivfpq_topk over the full in-memory index."""
+    import numpy as np
+
+    from alphalens_spark.scale import similarity
+
+    rng = np.random.RandomState(13)
+    # 4 well-separated clusters so cells are meaningful
+    centers = rng.normal(0, 5, (4, 16))
+    vecs = [
+        (i, (centers[i % 4] + rng.normal(0, 0.1, 16)).tolist())
+        for i in range(160)
+    ]
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    cents, books, index = similarity.build_ivfpq(
+        corpus, n_cells=4, m_sub=4, ksub=8, iters=2
+    )
+    similarity.deploy_ivfpq_index(index, "ivfpq_idx_test", n_buckets=8)
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    old_conf = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        out = similarity.search_ivfpq_index(
+            spark, "ivfpq_idx_test", queries, cents, books, k=5, nprobe=2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, "bucket pruning not visible in plan"
+        assert int(m.group(1)) < int(m.group(2))
+        got = {(r.query_id, r.rnk): r.neighbor_id for r in out.collect()}
+        full = similarity.ivfpq_topk(
+            corpus, queries, k=5, nprobe=2,
+            centroids=cents, codebooks=books, index=index,
+        )
+        exp = {(r.query_id, r.rnk): r.neighbor_id for r in full.collect()}
+        assert got == exp and len(got) == 15
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_conf
+        )
+        spark.sql("DROP TABLE IF EXISTS ivfpq_idx_test")
