@@ -209,3 +209,18 @@ def test_cert_round_map_in_sync():
     latest = co.latest_green_rounds()
     expect = {n: latest[n] for n in QUERIES if n in latest}
     assert _CERT_ROUND == expect
+
+
+def test_coverage_doc_names_every_query():
+    """COVERAGE.md is the single canonical map (round-6 consolidation):
+    every registered driver query must appear in it by name, or the
+    judge-facing inventory silently drifts from the registry."""
+    import os
+
+    from alphalens_spark.entry_queries import QUERIES
+
+    cov = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    missing = [n for n in QUERIES if f"`{n}`" not in cov]
+    assert missing == [], missing
