@@ -626,3 +626,66 @@ def test_concurrent_sessions_invariants(spark, evs):
         assert 1 <= r["peak_concurrent"] <= r["n_sessions"]
     out2 = concurrent_sessions(ev.repartition(7), gap_minutes=30).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+@given(
+    st.integers(1, 3).map(lambda r: r * 8),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_matches_quantization_replay(h, w, seed):
+    """Property form of the JPEG invariant: for ANY uint8 grayscale
+    raster (multiple-of-8 height, arbitrary width → exercises MCU edge
+    padding), parse_jpeg(make_jpeg(img)) equals the independent
+    numpy/decimal replay of DCT → snap-6 half-up quantize → dequantize
+    → IDCT → +128 clamp. Huffman coding and DC prediction must be
+    exactly invertible for this to hold — any bit-level encode/decode
+    bug surfaces as a pixel diff."""
+    import numpy as np
+
+    from alphalens_spark.scale import multimodal
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    dec = multimodal.parse_jpeg(multimodal.make_jpeg(img))
+    assert dec.shape == (h, w, 1)
+
+    cosb = multimodal._jpeg_cos_basis()
+    cs = np.full(8, 0.5)
+    cs[0] = 0.5 / np.sqrt(2.0)
+    q = np.asarray(multimodal._JPEG_QTABLE, float).reshape(8, 8)
+    pw = (w + 7) // 8 * 8
+    padded = np.pad(img, ((0, 0), (0, pw - w)), mode="edge")
+    for by in range(0, h, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by:by + 8, bx:bx + 8].astype(float) - 128.0
+            m = (cosb.T @ block @ cosb) * np.outer(cs, cs)
+            cq = np.array(
+                [
+                    [
+                        multimodal._jpeg_half_up6(m[u, v] / q[u, v])
+                        for v in range(8)
+                    ]
+                    for u in range(8)
+                ],
+                float,
+            )
+            rec = cosb @ (cq * q * np.outer(cs, cs)) @ cosb.T
+            exp = np.array(
+                [
+                    [
+                        min(
+                            255,
+                            max(0, multimodal._jpeg_half_up6(rec[y, x]) + 128),
+                        )
+                        for x in range(8)
+                    ]
+                    for y in range(8)
+                ],
+                np.uint8,
+            )
+            wlim = min(8, w - bx)
+            if wlim <= 0:
+                continue
+            assert (dec[by:by + 8, bx:bx + wlim, 0] == exp[:, :wlim]).all()
