@@ -4373,6 +4373,73 @@ FROM rec GROUP BY 1"""
 ORACLES["jpeg_decode_stats"] = _jpeg_oracle_sql()
 
 
+def q_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining pipeline with an auditable per-stage
+    funnel report (scale.curation.pretraining_funnel): raw → quality
+    gate → exact dedup → token-budget sample, each stage consuming the
+    previous stage's survivors. The oracle replays the entire chain as
+    one CTE pipeline — the integration check on top of the per-stage
+    oracles."""
+    from alphalens_spark.scale.curation import pretraining_funnel
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return pretraining_funnel(docs, min_quality=0.5, budget_tokens=20_000)
+
+
+ORACLES["pretraining_funnel"] = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS nt,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         len(list_distinct(toks)) / NULLIF(CAST(len(toks) AS DOUBLE), 0)
+           AS distinct_ratio,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           / NULLIF(n_chars, 0) AS non_alnum,
+         (n_chars - (CAST(len(toks) AS DOUBLE) - 1))
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0) AS mean_tok_len
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, text, nt,
+         CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.25 ELSE 0 END
+       + CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 0.25 ELSE 0 END
+       + CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0 END
+       + CASE WHEN non_alnum <= 0.3 THEN 0.25 ELSE 0 END AS score
+  FROM feat
+),
+s1 AS (SELECT * FROM scored WHERE score >= 0.5),
+keeps AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM s1 GROUP BY 1),
+s2 AS (SELECT s1.* FROM s1 JOIN keeps ON s1.doc_id = keeps.keep_id),
+b AS (SELECT score AS s, sum(nt) AS t FROM s2 GROUP BY 1),
+c AS (SELECT s, t, sum(t) OVER (ORDER BY s DESC) - t AS prior FROM b),
+s3 AS (
+  SELECT s2.doc_id, s2.nt
+  FROM s2 JOIN c ON s2.score = c.s
+  WHERE c.prior + c.t <= 20000
+     OR (c.prior < 20000 AND c.prior + c.t > 20000
+         AND ('0x' || substr(md5(CAST(s2.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000
+             < ((20000 - c.prior) * 1000000) // c.t)
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM feat
+UNION ALL
+SELECT CAST(1 AS INT), 'quality_gate', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), 'exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), 'token_budget', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s3"""
+
+
 def q_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shift-resistant block-level dedup via content-defined chunking
     (scale.dedup.content_defined_chunks / cdc_chunk_duplicates — the
@@ -7785,6 +7852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
     "redact_pii": q_redact_pii,
     "token_budget_sample": q_token_budget_sample,
+    "pretraining_funnel": q_pretraining_funnel,
     "decontaminate": q_decontaminate,
     "factor_weights": q_factor_weights,
     "backshift_returns": q_backshift_returns,

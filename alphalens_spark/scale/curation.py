@@ -1223,3 +1223,80 @@ def epoch_shuffle(
             (F.col("_off") + F.col("_rn") - 1).cast("long").alias("shuffle_pos"),
         )
     )
+
+
+def pretraining_funnel(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    budget_tokens: int = 20_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end pretraining-corpus funnel — the composition a real
+    pipeline runs, with an auditable per-stage report:
+
+    0. raw corpus
+    1. quality gate (``scale.text.quality_score`` composite ≥
+       ``min_quality``)
+    2. exact dedup (md5 keep-first, the ``dedup_exact`` rule)
+    3. token-budget sample (``scale.text.token_budget_sample`` —
+       quality-first buckets, boundary bucket thinned by the exact
+       integer hash threshold)
+
+    Output: one row per stage (stage_idx, stage, n_docs, n_tokens) —
+    the funnel numbers a data-governance review asks for. Each stage
+    consumes the previous stage's survivors, so the report reflects
+    the composition, not four independent filters. Every stage is an
+    already-oracled library operator; the whole chain replays as one
+    CTE pipeline in SQL.
+
+    Scale shape: the token count is a projection; the gate is an
+    id-key join against the (id, score) frame; dedup is one digest
+    groupBy + semi-join; the budget stage's bucket table is
+    score-dimension-sized. Nothing here is wider than the corpus
+    itself at any point.
+    """
+    from alphalens_spark.scale.text import quality_score, token_budget_sample
+
+    toks = F.size(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).cast("long")
+    base = docs.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_nt", toks
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("_nt"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    qs = quality_score(docs, text_col, id_col).select(
+        id_col, "quality_score"
+    )
+    s1 = base.join(
+        qs.where(F.col("quality_score") >= min_quality), id_col
+    ).select(id_col, text_col, "_nt")
+    keeps = (
+        s1.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    s2 = s1.join(keeps, id_col, "left_semi")
+    sel = token_budget_sample(
+        s2.select(id_col, text_col), budget_tokens, text_col, id_col
+    ).select(id_col)
+    s3 = s2.join(sel, id_col, "left_semi")
+    return (
+        stage(base, 0, "raw")
+        .unionByName(stage(s1, 1, "quality_gate"))
+        .unionByName(stage(s2, 2, "exact_dedup"))
+        .unionByName(stage(s3, 3, "token_budget"))
+    )
