@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -7007,6 +7007,541 @@ SELECT month, revenue_e4, n_orders,
 FROM monthly"""
 
 
+def _rev_e4() -> Column:
+    """Per-row 1e-4-quantized revenue term (order-proof money rule)."""
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+    ).cast("long")
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders per priority in one
+    quarter that had at least one late shipment (shipped > 30 days
+    after the order date — this corpus has no commitdate). The EXISTS
+    is a LEFT SEMI join whose equi-key is the order key and whose
+    lateness test rides the join condition, so the fact table is
+    scanned once, never re-probed per priority; the date filter pushes
+    into the orders scan."""
+    o = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    oq = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        oq.join(li.select("l_orderkey", "l_shipdate"), late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLES["order_priority_check"] = r"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY 1"""
+
+
+def q_volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation volume shipping: revenue between
+    every (supplier nation, customer nation) pair by ship year over a
+    two-year window. The nation dim broadcasts onto BOTH legs (aliased
+    twice), supplier and customer broadcast at any realistic dim/fact
+    ratio, and the orders⋈lineitem spine stays declarative for AQE.
+    Revenue in exact 1e-4 integer units."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    na = datasets.load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        na.select(
+            F.col("n_nationkey").alias("_sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        na.select(
+            F.col("n_nationkey").alias("_cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(su.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("_sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("_cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(_rev_e4()).alias("revenue_e4"))
+    )
+
+
+ORACLES["volume_shipping_pairs"] = r"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3"""
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-20 customers by lost
+    revenue from returned lineitems over one quarter of orders, with
+    nation attribution. Fact⋈fact equi-join with both filters pushed
+    into the scans; customer and nation dims broadcast; top-k is
+    TakeOrderedAndProject on a total order (revenue DESC, custkey).
+    Account balance exports as exact 1e-4 integer units so no float
+    survives to the compare."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    na = datasets.load_table(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate")
+                 >= F.lit("1997-10-01").cast("timestamp"))
+                & (F.col("o_orderdate")
+                   < F.lit("1998-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 1e4).cast("long")
+            .alias("acctbal_e4"),
+            "n_name",
+            "c_mktsegment",
+        )
+        .agg(F.sum(_rev_e4()).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLES["returned_item_report"] = r"""
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal * 1e4) AS BIGINT) AS acctbal_e4,
+       n_name, c_mktsegment,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY revenue_e4 DESC, c_custkey
+LIMIT 20"""
+
+
+def q_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers — the canonical left-outer-join + two-level
+    aggregation. count(o_orderkey) over the left join counts only
+    matches, so the zero bucket falls out naturally; both groupBys are
+    map-side combinable."""
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.select("c_custkey")
+        .join(
+            o.where(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+ORACLES["customer_order_distribution"] = r"""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: the share of one month's
+    revenue earned by PROMO-type parts. Part dim broadcasts; the month
+    filter pushes into the lineitem scan; both legs of the ratio are
+    exact integer sums and the percentage exports in 1e-6 units
+    (numerators exact, one double division on identical integers —
+    the corpus_report integer-numerator rule)."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    pa = datasets.load_table(spark, sf_dir, "part")
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).join(
+        F.broadcast(pa.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", _rev_e4()).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("promo_revenue_e4"),
+        F.sum(_rev_e4()).alias("total_revenue_e4"),
+    )
+    return agg.select(
+        "promo_revenue_e4",
+        "total_revenue_e4",
+        F.round(
+            F.lit(1e8)
+            * F.col("promo_revenue_e4").cast("double")
+            / F.col("total_revenue_e4").cast("double")
+        )
+        .cast("long")
+        .alias("promo_pct_e6"),
+    )
+
+
+ORACLES["promo_revenue"] = r"""
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                            AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                  AS BIGINT)) AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT promo_revenue_e4, total_revenue_e4,
+       CAST(round(1e8 * CAST(promo_revenue_e4 AS DOUBLE)
+                  / CAST(total_revenue_e4 AS DOUBLE)) AS BIGINT)
+         AS promo_pct_e6
+FROM agg"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose quarterly
+    revenue equals the global maximum — the HAVING-max-of-view shape.
+    The max is a 1-row aggregate broadcast back onto the per-supplier
+    rollup (the documented scalar-broadcast contract, BNLJ-allowlisted);
+    equality on exact integer revenue keeps ties deterministic, so a
+    tie returns every tied supplier on both engines."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_e4()).alias("total_revenue_e4"))
+    )
+    mx = rev.agg(F.max("total_revenue_e4").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_e4") == F.col("_mx"))
+        .join(
+            F.broadcast(su.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+ORACLES["top_supplier_revenue"] = r"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)"""
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity per part class: distinct
+    suppliers per (brand, type, size) for a size shortlist, excluding
+    one brand/type and excluding negative-balance suppliers (this
+    corpus's stand-in for the complaints NOT IN). The part↔supplier
+    relation derives from the fact table (no partsupp here): one
+    distinct-pair projection, an anti-join for the exclusion, a
+    broadcast part dim, and a count-distinct rollup."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    pa = datasets.load_table(spark, sf_dir, "part")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = su.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = pa.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLES["parts_supplier_counts"] = r"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: total and yearly-average
+    revenue from one brand's lineitems whose quantity is below 20% of
+    that part's average — the correlated-average-subquery shape as a
+    per-part fact aggregate joined back. The threshold test is FULLY
+    integer (5·qty_e2·n_lines < sum_qty_e2 ⇔ qty < 0.2·avg with zero
+    float anywhere), so it cannot tie-break differently across
+    engines. The brand shortlist broadcasts and prunes BOTH fact
+    passes."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    pa = datasets.load_table(spark, sf_dir, "part")
+    brand = F.broadcast(
+        pa.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    q_e2 = F.round(F.col("l_quantity") * 1e2).cast("long")
+    per_part = (
+        li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(q_e2).alias("_sum_q_e2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col("l_partkey").alias("_pk"), "_sum_q_e2", "_n"
+        )
+    )
+    ext_e4 = F.round(F.col("l_extendedprice") * 1e4).cast("long")
+    small = (
+        li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .where(F.lit(5) * q_e2 * F.col("_n") < F.col("_sum_q_e2"))
+    )
+    agg = small.agg(
+        F.sum(ext_e4).alias("total_extprice_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        "total_extprice_e4",
+        "n_lines",
+        F.round(F.col("total_extprice_e4").cast("double") / 7.0)
+        .cast("long")
+        .alias("avg_yearly_e4"),
+    )
+
+
+ORACLES["small_quantity_revenue"] = r"""
+WITH brand AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 1e2) AS BIGINT)) AS BIGINT)
+           AS sum_q_e2,
+         count(*) AS n
+  FROM lineitem JOIN brand ON l_partkey = p_partkey
+  GROUP BY 1
+),
+agg AS (
+  SELECT
+    CAST(sum(CAST(round(l_extendedprice * 1e4) AS BIGINT)) AS BIGINT)
+      AS total_extprice_e4,
+    CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  JOIN brand ON lineitem.l_partkey = p_partkey
+  JOIN per_part ON lineitem.l_partkey = per_part.l_partkey
+  WHERE 5 * CAST(round(l_quantity * 1e2) AS BIGINT) * n < sum_q_e2
+)
+SELECT total_extprice_e4, n_lines,
+       CAST(round(CAST(total_extprice_e4 AS DOUBLE) / 7.0) AS BIGINT)
+         AS avg_yearly_e4
+FROM agg"""
+
+
+def q_discounted_brand_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three
+    brand/size/quantity bands OR-ed together — the classic test that a
+    disjunction over join-plus-scan attributes still evaluates as one
+    broadcast-join pass (no union-of-three-plans blowup, no cartesian).
+    One exact-integer revenue row."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    pa = datasets.load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(pa.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & q.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 25)
+            & q.between(5, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(26, 50)
+            & q.between(10, 40)
+        )
+    )
+    return j.where(band).agg(
+        F.sum(_rev_e4()).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLES["discounted_brand_revenue"] = r"""
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+       AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+       AND l_quantity BETWEEN 10 AND 40)"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped sales opportunity: per market segment, the
+    count and total balance of customers richer than the positive-
+    balance average who went dormant (no orders in the corpus's final
+    two years — this dense corpus has almost no never-ordered
+    customers, so the reference's 7-year dormancy window adapts to
+    1999-10-01+). The average threshold is compared ENTIRELY in
+    integers (acctbal_e4·n > sum_e4 ⇔ acctbal > avg — no float
+    division, so no engine can disagree at the boundary); the
+    dormancy leg is a LEFT ANTI join against the distinct recent-buyer
+    set; the 1-row threshold broadcast is the documented
+    scalar-broadcast contract."""
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    bal_e4 = F.round(F.col("c_acctbal") * 1e4).cast("long")
+    thresh = (
+        cu.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal_e4).alias("_sum_e4"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    buyers = (
+        o.where(
+            F.col("o_orderdate") >= F.lit("1999-10-01").cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cu.crossJoin(F.broadcast(thresh))
+        .where(bal_e4 * F.col("_n") > F.col("_sum_e4"))
+        .join(buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_e4).alias("totacctbal_e4"),
+        )
+    )
+
+
+ORACLES["idle_rich_customers"] = r"""
+WITH thresh AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS BIGINT)
+           AS sum_e4,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS BIGINT)
+         AS totacctbal_e4
+FROM customer CROSS JOIN thresh
+WHERE CAST(round(c_acctbal * 1e4) AS BIGINT) * n > sum_e4
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-10-01'
+  )
+GROUP BY 1"""
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped local supplier volume: revenue by nation where
     customer and supplier share the nation, for one region and year —
@@ -7965,6 +8500,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": q_large_volume_customers,
     "suppliers_kept_waiting": q_suppliers_kept_waiting,
     "sql_revenue_trend": q_sql_revenue_trend,
+    # round 6: the remaining TPC-H shapes expressible on this corpus
+    # (Q4/Q7/Q10/Q13/Q14/Q15/Q16/Q17/Q19/Q22 — Q2/Q8/Q9/Q11/Q12/Q20 need
+    # partsupp/shipmode/mfgr columns this corpus doesn't carry)
+    "order_priority_check": q_order_priority_check,
+    "volume_shipping_pairs": q_volume_shipping_pairs,
+    "returned_item_report": q_returned_item_report,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue": q_promo_revenue,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "parts_supplier_counts": q_parts_supplier_counts,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "discounted_brand_revenue": q_discounted_brand_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,

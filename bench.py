@@ -260,6 +260,22 @@ def run_suite(
           lambda: q_shipping_priority(spark, sf_dir).collect())
     timed("local_supplier_volume",
           lambda: q_local_supplier_volume(spark, sf_dir).collect())
+
+    # round-6: the widest remaining TPC-H shapes — Q7 (two nation-dim
+    # broadcast legs over the full fact), Q10 (fact⋈fact top-k), Q18
+    # (HAVING semi-join back onto the fact)
+    from alphalens_spark.entry_queries import (
+        q_large_volume_customers,
+        q_returned_item_report,
+        q_volume_shipping_pairs,
+    )
+
+    timed("volume_shipping_pairs",
+          lambda: q_volume_shipping_pairs(spark, sf_dir).count())
+    timed("returned_item_report",
+          lambda: q_returned_item_report(spark, sf_dir).collect())
+    timed("large_volume_customers",
+          lambda: q_large_volume_customers(spark, sf_dir).collect())
     timed("cdc_chunk_dups",
           lambda: q_cdc_chunk_dups(spark, sf_dir).count())
     timed("wordpiece_segments",

@@ -126,6 +126,10 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # broadcast for the cost re-estimation (the vocabulary-sized DP
         # itself is equi-joined)
         "unigram_lm_vocab_dist",
+        # 1-row global-max broadcast onto the per-supplier rollup (Q15)
+        "top_supplier_revenue",
+        # 1-row integer balance-threshold broadcast (Q22)
+        "idle_rich_customers",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
