@@ -6872,6 +6872,24 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLES["ann_recall_eval"] = f"""
+WITH exact AS ({ORACLES["embedding_topk"]}),
+approx AS ({_ivf_topk_sql()}),
+j AS (
+  SELECT e.query_id, e.neighbor_id,
+         CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(5 AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS exact_pairs,
+       CAST(sum(hit) AS BIGINT) AS hits,
+       CAST(round(1e8 * CAST(sum(hit) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT) AS recall_pct_e6
+FROM j"""
+
+
 ORACLES["large_volume_customers"] = r"""
 SELECT c_name, c_custkey, o_orderkey, o_orderdate,
        CAST(round(o_totalprice * 1e4) AS BIGINT) AS totalprice_e4,
@@ -7540,6 +7558,57 @@ WHERE CAST(round(c_acctbal * 1e4) AS BIGINT) * n > sum_e4
       AND o_orderdate >= TIMESTAMP '1999-10-01'
   )
 GROUP BY 1"""
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: measured recall@k of the IVF index against
+    the exact brute-force top-k, as one in-plan aggregate (n_queries,
+    exact pairs, hits, recall in 1e-6 percent units — integer
+    numerators, one double division). Both legs are the already-
+    certified deterministic searches (6-dp cosine + id tiebreaks), so
+    the intersection — and therefore the recall — is reproducible
+    bit-for-bit on both engines; the oracle composes the two existing
+    SQL replays as CTEs. This is the eval loop a 100 TB deployment runs
+    before trusting an index: sample queries, compare against exact,
+    gate on recall."""
+    from alphalens_spark.scale.similarity import (
+        brute_force_topk_vectorized,
+        ivf_topk,
+    )
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk_vectorized(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    agg = j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("long")
+        .alias("hits"),
+    )
+    return agg.select(
+        "n_queries",
+        F.lit(5).cast("int").alias("k"),
+        "exact_pairs",
+        "hits",
+        F.round(
+            F.lit(1e8)
+            * F.col("hits").cast("double")
+            / F.col("exact_pairs").cast("double")
+        )
+        .cast("long")
+        .alias("recall_pct_e6"),
+    )
 
 
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8513,6 +8582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "discounted_brand_revenue": q_discounted_brand_revenue,
     "idle_rich_customers": q_idle_rich_customers,
+    "ann_recall_eval": q_ann_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,

@@ -318,6 +318,39 @@ def run_suite(
         rdd.unpersist()
 
 
+def _calib_burn(_: int) -> int:
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    return s
+
+
+def _host_calibration() -> dict:
+    """Single-thread + all-core CPU speed probes (~2 s total).
+
+    Rounds run on heterogeneous shared VMs — a 3-4× single-thread spread
+    was measured between two round-6 hosts, and the fixed per-stage
+    scheduler/codegen cost that dominates small-SF wall times scales
+    with single-thread speed. The artifact records both probes so
+    tools/bench_compare.py can separate "slower host" from "slower
+    code" instead of guessing from loadavg alone. st_sec = one fixed
+    integer loop; mt_sec = the same loop on every core at once (vCPU
+    overcommit / hypervisor steal shows up here even when guest
+    loadavg reads idle).
+    """
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _calib_burn(0)
+    st = time.time() - t0
+    n = os.cpu_count() or 8
+    t0 = time.time()
+    with mp.Pool(n) as p:
+        p.map(_calib_burn, range(n))
+    mt = time.time() - t0
+    return {"st_sec": round(st, 3), "mt_sec": round(mt, 3), "cpus": n}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
@@ -345,6 +378,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    calib = _host_calibration()
     loads = [os.getloadavg()[0]]
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))):
         run_suite(spark, sf_dir, timings, spread)
@@ -380,6 +414,10 @@ def main() -> None:
         # after each pass — the artifact records how contended the run
         # was instead of leaving it to the next round's guesswork
         "loadavg": [round(x, 2) for x in loads],
+        # CPU speed probes (st = one core, mt = all cores at once) —
+        # rounds land on heterogeneous VMs; bench_compare divides
+        # cross-artifact deltas by the st ratio before flagging
+        "host_calib": calib,
         "sf": sf,
     }))
 

@@ -10,7 +10,12 @@ bench.py emits ``query_band`` ([min, max] across its timed passes) —
 a delta whose new best time still overlaps the old band is co-tenant
 load, printed as ``noisy`` and NOT exit-coded (host noise on the
 shared box is ±25%). Old artifacts without a band degrade to the
-plain threshold rule.
+plain threshold rule. When both artifacts carry ``host_calib`` (CPU
+speed probes — rounds land on heterogeneous VMs with a measured
+3-4× single-thread spread), new times are divided by the
+single-thread ratio before the band test, so a slower host doesn't
+read as a code regression; a faster host never hides one (ratio
+floors at 1).
 """
 
 from __future__ import annotations
@@ -57,6 +62,16 @@ def main() -> int:
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
     oq, nq = old.get("queries", {}), new.get("queries", {})
     oband = old.get("query_band", {})
+    # host-speed normalization: when both artifacts carry the CPU
+    # calibration probe, a slower NEW host scales every wall time up by
+    # roughly the single-thread ratio (fixed per-stage cost dominates at
+    # bench SF) — divide new times by the ratio before the band test so
+    # a 3x-slower VM doesn't read as 40 regressions. Only ratios > 1
+    # apply: a FASTER host must never hide a real regression.
+    ratio = 1.0
+    hc_o, hc_n = old.get("host_calib") or {}, new.get("host_calib") or {}
+    if hc_o.get("st_sec") and hc_n.get("st_sec"):
+        ratio = max(1.0, hc_n["st_sec"] / hc_o["st_sec"])
     shared = sorted(set(oq) & set(nq))
     flagged, noisy = [], []
     print(f"{'query':32s} {'old':>8s} {'new':>8s} {'delta':>8s}")
@@ -82,6 +97,9 @@ def main() -> int:
             if b <= old_hi:
                 noisy.append((name, pct))
                 mark = "  (noisy: inside old band)"
+            elif b / ratio <= old_hi:
+                noisy.append((name, pct))
+                mark = f"  (noisy: inside old band at host ratio {ratio:.2f}x)"
             else:
                 flagged.append((name, pct))
                 mark = "  <-- REGRESSED"
@@ -99,6 +117,8 @@ def main() -> int:
     la_o, la_n = old.get("loadavg"), new.get("loadavg")
     if la_o or la_n:
         print(f"loadavg old={la_o} new={la_n}")
+    if hc_o or hc_n:
+        print(f"host_calib old={hc_o} new={hc_n} -> ratio {ratio:.2f}x")
     if noisy:
         print(f"\nnoisy (> {thresh:.0f}% but inside old band — likely load): "
               + ", ".join(f"{n} ({p:+.0f}%)" for n, p in noisy))
