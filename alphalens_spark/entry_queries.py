@@ -2727,6 +2727,66 @@ FROM rec"""
 
 ORACLES["ewma_factor"] = _ewma_factor_oracle()
 
+
+def q_holt_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset Holt level+trend smoothing (performance.holt_linear):
+    the trend-aware sibling of ewma_factor — same one-groupBy map-side
+    fold contract (no window, no per-step shuffle), both recurrences in
+    one pass, bit-exact raw series against the oracle's recursive-CTE
+    replay (pinned multiply-add order). Level/trend EXPORT as 1e-6
+    integer units with the scale multiply done identically on both
+    engines: ``round(x, 6)`` itself diverges when the accumulated value
+    lands within an ulp of the .5 grid (Spark rounds the exact binary
+    expansion, DuckDB scales by a double multiply first — 3/19k rows at
+    sf0.01), whereas ``round(x * 1e6)`` rounds the SAME double product
+    on both sides. The INPUT snaps to the 6-dp grid first: the raw
+    factor aggregate carries engine-specific last-ulp summation-order
+    bits at sf0.1 which the recurrence amplifies; round(factor, 6) is
+    proven cross-engine-identical corpus-wide by forward_returns."""
+    fd = _fd(spark, sf_dir).withColumn("factor", F.round("factor", 6))
+    out = perf.holt_linear(
+        fd, "factor", order_col="date", by="asset", alpha=0.5, beta=0.3
+    )
+    return out.select(
+        "asset",
+        "date",
+        (F.round(F.col("factor"), 6) + F.lit(0.0)).alias("factor"),
+        F.round(F.col("level") * 1e6).cast("long").alias("level_e6"),
+        F.round(F.col("trend") * 1e6).cast("long").alias("trend_e6"),
+    )
+
+
+def _holt_factor_oracle(alpha: float = 0.5, beta: float = 0.3) -> str:
+    oma = 1.0 - alpha
+    omb = 1.0 - beta
+    lexpr = (
+        f"x.v * CAST('{alpha!r}' AS DOUBLE) "
+        f"+ (rec.l + rec.b) * CAST('{oma!r}' AS DOUBLE)"
+    )
+    return f"""WITH RECURSIVE {ORACLE_PANEL_SQL},
+x AS MATERIALIZED (
+  SELECT asset, date, round(CAST(factor AS DOUBLE), 6) AS v,
+         row_number() OVER (PARTITION BY asset ORDER BY date) AS idx
+  FROM fd
+),
+rec AS (
+  SELECT asset, idx, date, v, v AS l, CAST('0.0' AS DOUBLE) AS b
+  FROM x WHERE idx = 1
+  UNION ALL
+  SELECT x.asset, x.idx, x.date, x.v,
+         {lexpr},
+         ({lexpr} - rec.l) * CAST('{beta!r}' AS DOUBLE)
+           + rec.b * CAST('{omb!r}' AS DOUBLE)
+  FROM rec JOIN x ON x.asset = rec.asset AND x.idx = rec.idx + 1
+)
+SELECT asset, date, round(v, 6) + 0.0 AS factor,
+       CAST(round(l * 1e6) AS BIGINT) AS level_e6,
+       CAST(round(b * 1e6) AS BIGINT) AS trend_e6
+FROM rec"""
+
+
+ORACLES["holt_factor"] = _holt_factor_oracle()
+
 ORACLES["quantile_returns_one_period"] = f"""{_P}, {_DM},
 fin AS (
   SELECT factor_quantile,
@@ -8583,6 +8643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "discounted_brand_revenue": q_discounted_brand_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "ann_recall_eval": q_ann_recall_eval,
+    "holt_factor": q_holt_factor,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,

@@ -617,6 +617,86 @@ def ewma(
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    by: Sequence[str] | str = "asset",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-group Holt double exponential smoothing (level + linear
+    trend) — the trend-aware sibling of :func:`ewma`:
+
+    ``l_0 = x_0, b_0 = 0``;
+    ``l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})``;
+    ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}``.
+
+    Same execution contract as ewma: the series per key is bounded by
+    the order dimension, so ONE groupBy collects the ordered array and
+    a single map-side fold computes both recurrences — no window, no
+    per-step shuffle. The multiply-add order is fixed (value term
+    first, carry term second; the trend update inlines the new level
+    expression), so the series is bit-exact against a recursive-CTE
+    replay on any engine. NULL values are excluded before smoothing.
+
+    Output: ``by`` + (order_col, value_col, level, trend) — one row per
+    non-null input observation; ``level + trend`` is the one-step-ahead
+    forecast.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    oma = 1.0 - alpha
+    omb = 1.0 - beta
+    arr = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*by_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("xs")
+        )
+    )
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)
+        new_l = x["v"] * F.lit(alpha) + (prev["l"] + prev["b"]) * F.lit(oma)
+        # the trend update re-states new_l's expression tree verbatim —
+        # both engines then evaluate the identical double arithmetic
+        new_b = (
+            x["v"] * F.lit(alpha) + (prev["l"] + prev["b"]) * F.lit(oma)
+            - prev["l"]
+        ) * F.lit(beta) + prev["b"] * F.lit(omb)
+        return F.when(
+            F.size(acc) == 0,
+            F.array(F.struct(x["v"].alias("l"), F.lit(0.0).alias("b"))),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(new_l.alias("l"), new_b.alias("b")))
+            )
+        )
+
+    ys = F.aggregate(
+        F.col("xs"),
+        F.array().cast("array<struct<l:double,b:double>>"),
+        _step,
+    )
+    staged = arr.select(*by_cols, "xs", ys.alias("ys"))
+    return staged.select(
+        *by_cols, F.posexplode(F.arrays_zip("xs", "ys"))
+    ).select(
+        *by_cols,
+        F.col("col.xs.o").alias(order_col),
+        F.col("col.xs.v").alias(value_col),
+        F.col("col.ys.l").alias("level"),
+        F.col("col.ys.b").alias("trend"),
+    )
+
+
 def rank_autocorr_profile(
     factor_data: DataFrame, lags: Sequence[int] = (1, 2, 3, 5, 10)
 ) -> DataFrame:

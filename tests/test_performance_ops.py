@@ -567,3 +567,45 @@ def test_ewma_matches_pandas(spark):
         for t, w in zip(g["t"], want):
             assert got[(a, t)] == w, (a, t)
     assert ("z", 3) not in got  # NULL excluded
+
+
+def test_holt_linear_matches_reference(spark):
+    """performance.holt_linear == the pure-Python Holt recurrence per
+    group, bit-for-bit (pinned multiply-add order), including a
+    single-observation group (level = x, trend = 0) and NULL
+    exclusion."""
+    import numpy as np
+
+    from alphalens_spark import performance as perf
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for a in ["x", "y", "z"]:
+        n = {"x": 25, "y": 1, "z": 10}[a]
+        for i in range(n):
+            v = float(rng.randn()) if not (a == "z" and i == 3) else None
+            rows.append((a, i, v))
+    df = spark.createDataFrame(rows, "asset string, t int, v double")
+    alpha, beta = 0.5, 0.3
+    got = {
+        (r["asset"], r["t"]): (r["level"], r["trend"])
+        for r in perf.holt_linear(
+            df, "v", order_col="t", by="asset", alpha=alpha, beta=beta
+        ).collect()
+    }
+    for a in ["x", "y", "z"]:
+        series = [
+            (t, v) for (aa, t, v) in rows if aa == a and v is not None
+        ]
+        level = trend = None
+        for t, v in series:
+            if level is None:
+                level, trend = v, 0.0
+            else:
+                new_l = v * alpha + (level + trend) * (1.0 - alpha)
+                trend = (
+                    v * alpha + (level + trend) * (1.0 - alpha) - level
+                ) * beta + trend * (1.0 - beta)
+                level = new_l
+            assert got[(a, t)] == (level, trend), (a, t)
+    assert ("z", 3) not in got  # NULL excluded
