@@ -7558,6 +7558,261 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
        AND l_quantity BETWEEN 10 AND 40)"""
 
 
+def q_forecast_revenue_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast revenue change: the pure
+    filter-and-aggregate scan — one year of shipments, a discount band,
+    a quantity cap, no join at all. Every predicate and the 3-column
+    projection push into the parquet scan; the single aggregate is
+    map-side partial. Revenue = Σ extendedprice·discount in exact
+    1e-6 integer units (both factors are 2dp-exact, so the per-row
+    product quantizes losslessly)."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    rev_e6 = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 1e6
+    ).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev_e6).alias("revenue_e6"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLES["forecast_revenue_change"] = r"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1e6) AS BIGINT))
+            AS BIGINT) AS revenue_e6,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 24"""
+
+
+def q_cheapest_supplier_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier, adapted to this corpus
+    (no partsupp: the observed unit price l_extendedprice/l_quantity
+    stands in for ps_supplycost). For one region's suppliers and a part
+    size band, return each part's cheapest supplier(s) — the
+    correlated-MIN-subquery shape as a per-part aggregate joined back.
+    The min is selected on the RAW division (one IEEE op on identical
+    inputs — bit-identical across engines); the export quantizes via
+    the same-double-product rule. Dims broadcast; the fact is scanned
+    twice (once per side of the correlated min), both scans pruned."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    pa = datasets.load_table(spark, sf_dir, "part")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    na = datasets.load_table(spark, sf_dir, "nation")
+    re = datasets.load_table(spark, sf_dir, "region")
+    rkeys = F.broadcast(
+        na.join(
+            re.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    rsupp = F.broadcast(
+        su.join(rkeys, F.col("s_nationkey") == F.col("n_nationkey")).select(
+            "s_suppkey", "s_name", "n_name"
+        )
+    )
+    pf = F.broadcast(
+        pa.where(F.col("p_size").between(10, 20)).select(
+            "p_partkey", "p_brand", "p_size"
+        )
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    offers = (
+        li.join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .join(rsupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "p_size", "s_suppkey", "s_name",
+                 "n_name")
+        .agg(F.min(unit).alias("_unit"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("_unit").alias("_best")
+    )
+    return (
+        offers.join(best, F.col("p_partkey") == F.col("_pk"))
+        .where(F.col("_unit") == F.col("_best"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("_unit") * 1e4).cast("long").alias("unit_price_e4"),
+        )
+    )
+
+
+ORACLES["cheapest_supplier_per_part"] = r"""
+WITH rsupp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+offers AS (
+  SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, n_name,
+         min(l_extendedprice / l_quantity) AS unit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN rsupp ON l_suppkey = s_suppkey
+  WHERE p_size BETWEEN 10 AND 20
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, n_name,
+       CAST(round(unit * 1e4) AS BIGINT) AS unit_price_e4
+FROM offers o
+WHERE unit = (SELECT min(unit) FROM offers i
+              WHERE i.p_partkey = o.p_partkey)"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: within one region's
+    customer market and one part type, the share of yearly revenue
+    supplied by one nation. Two nation-broadcast legs (customer side
+    restricts the market region, supplier side tags the origin), the
+    share is an integer-numerator conditional sum per year — the
+    promo_revenue ratio rule on a grouped aggregate."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    na = datasets.load_table(spark, sf_dir, "nation")
+    re = datasets.load_table(spark, sf_dir, "region")
+    pa = datasets.load_table(spark, sf_dir, "part")
+    mkt_nations = F.broadcast(
+        na.join(
+            re.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("_mkt_nkey"))
+    )
+    mkt_cust = F.broadcast(
+        cu.join(mkt_nations, F.col("c_nationkey") == F.col("_mkt_nkey"))
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        su.join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    pf = F.broadcast(
+        pa.where(F.col("p_type") == "STANDARD").select("p_partkey")
+    )
+    rev = _rev_e4()
+    target = F.when(
+        F.col("supp_nation") == "NATION_1", rev
+    ).otherwise(F.lit(0).cast("long"))
+    agg = (
+        li.join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(mkt_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(target).alias("nation_revenue_e4"),
+            F.sum(rev).alias("total_revenue_e4"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        "nation_revenue_e4",
+        "total_revenue_e4",
+        F.round(
+            F.lit(1e8)
+            * F.col("nation_revenue_e4").cast("double")
+            / F.col("total_revenue_e4").cast("double")
+        )
+        .cast("long")
+        .alias("share_pct_e6"),
+    )
+
+
+ORACLES["nation_market_share"] = r"""
+WITH mkt_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+agg AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                            AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS nation_revenue_e4,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN mkt_cust ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'STANDARD'
+  GROUP BY 1
+)
+SELECT order_year, nation_revenue_e4, total_revenue_e4,
+       CAST(round(1e8 * CAST(nation_revenue_e4 AS DOUBLE)
+                  / CAST(total_revenue_e4 AS DOUBLE)) AS BIGINT)
+         AS share_pct_e6
+FROM agg"""
+
+
+def q_shipclass_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12-shaped two-class priority counting, adapted to this
+    corpus (no shipmode: the (returnflag, linestatus) line class plays
+    the mode dimension). For lines shipped late (> 60 days after
+    order), count urgent/high-priority orders vs the rest per class —
+    one fact⋈fact join, the two conditional sums in one pass."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).where(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        late.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(F.lit(1) - hi).alias("low_line_count"),
+        )
+    )
+
+
+ORACLES["shipclass_priority_counts"] = r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1, 2"""
+
+
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped sales opportunity: per market segment, the
     count and total balance of customers richer than the positive-
@@ -8644,6 +8899,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "ann_recall_eval": q_ann_recall_eval,
     "holt_factor": q_holt_factor,
+    # remaining TPC-H shapes, second batch: Q6 direct; Q2/Q8/Q12 adapted
+    # to this corpus's columns (observed unit price for ps_supplycost,
+    # (returnflag, linestatus) for shipmode). Still column-blocked:
+    # Q9/Q11/Q20 (ps_supplycost / ps_availqty).
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "nation_market_share": q_nation_market_share,
+    "shipclass_priority_counts": q_shipclass_priority_counts,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,
