@@ -7604,11 +7604,14 @@ def q_cheapest_supplier_per_part(
     (no partsupp: the observed unit price l_extendedprice/l_quantity
     stands in for ps_supplycost). For one region's suppliers and a part
     size band, return each part's cheapest supplier(s) — the
-    correlated-MIN-subquery shape as a per-part aggregate joined back.
-    The min is selected on the RAW division (one IEEE op on identical
-    inputs — bit-identical across engines); the export quantizes via
-    the same-double-product rule. Dims broadcast; the fact is scanned
-    twice (once per side of the correlated min), both scans pruned."""
+    correlated-MIN-subquery shape as ONE pass: a per-(part, supplier)
+    aggregate then a min window partitioned by part (bounded by
+    suppliers-per-part, never data-sized), so the fact is scanned once
+    and nothing is re-computed or checkpointed. The min is selected on
+    the RAW division (one IEEE op on identical inputs — bit-identical
+    across engines); the export quantizes via the same-double-product
+    rule. Dims broadcast."""
+    from pyspark.sql import Window
     li = datasets.load_table(spark, sf_dir, "lineitem")
     pa = datasets.load_table(spark, sf_dir, "part")
     su = datasets.load_table(spark, sf_dir, "supplier")
@@ -7638,11 +7641,9 @@ def q_cheapest_supplier_per_part(
                  "n_name")
         .agg(F.min(unit).alias("_unit"))
     )
-    best = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
-        F.min("_unit").alias("_best")
-    )
+    best = F.min("_unit").over(Window.partitionBy("p_partkey"))
     return (
-        offers.join(best, F.col("p_partkey") == F.col("_pk"))
+        offers.withColumn("_best", best)
         .where(F.col("_unit") == F.col("_best"))
         .select(
             "p_partkey",
