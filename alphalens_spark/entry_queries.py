@@ -5382,6 +5382,48 @@ FROM shared
 WHERE round(inter / CAST(least(n_a, n_b) AS DOUBLE), 6) >= 0.5"""
 
 
+def q_seasonal_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of daily event value
+    (events.seasonal_decompose_daily): trend (centered 7-day mean) +
+    weekday seasonal + exact-integer residual, every component on the
+    1e-4 integer grid — components re-add to the original by
+    construction on BOTH engines. The centered window runs over the
+    date-dimension-sized daily rollup (the bounded date-axis contract)."""
+    from alphalens_spark.events import seasonal_decompose_daily
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return seasonal_decompose_daily(ev, "value", "ts", window=7)
+
+
+ORACLES["seasonal_daily_revenue"] = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT)
+           AS value_e4
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tr AS (
+  SELECT day, value_e4,
+         CAST(round(avg(value_e4) OVER (
+             ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+           AS BIGINT) AS trend_e4
+  FROM daily
+),
+det AS (
+  SELECT day, value_e4, trend_e4,
+         value_e4 - trend_e4 AS detrended,
+         CAST(isodow(day) - 1 AS INTEGER) AS weekday
+  FROM tr
+),
+seas AS (
+  SELECT weekday, CAST(round(avg(detrended)) AS BIGINT) AS seasonal_e4
+  FROM det GROUP BY 1
+)
+SELECT day, d.weekday, value_e4, trend_e4, seasonal_e4,
+       value_e4 - trend_e4 - seasonal_e4 AS resid_e4
+FROM det d JOIN seas USING (weekday)"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -8908,6 +8950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "nation_market_share": q_nation_market_share,
     "shipclass_priority_counts": q_shipclass_priority_counts,
+    "seasonal_daily_revenue": q_seasonal_daily_revenue,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,

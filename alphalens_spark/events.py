@@ -300,6 +300,72 @@ def rolling_anomaly_zscores(
     )
 
 
+def seasonal_decompose_daily(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: int = 7,
+) -> DataFrame:
+    """STL-lite additive decomposition of the daily value series:
+    ``value = trend + seasonal(weekday) + resid``, defined ENTIRELY on
+    the 1e-4 integer grid so every component is cross-engine exact.
+
+    - daily value: per-row ``round(value·1e4)`` summed (exact integers,
+      summation-order-proof);
+    - trend: centered ``window``-day moving average of those integers,
+      truncated at the series edges (avg = one division of an exact
+      integer sum — deterministic), rounded back to the grid;
+    - seasonal: mean detrended value per weekday (same one-division
+      contract), rounded to the grid;
+    - resid: exact integer remainder, so the three components re-add to
+      the original by construction.
+
+    Scale shape: the raw stream collapses to one row per DAY in a
+    map-side-combined shuffle before any window runs; the centered
+    window and the weekday means operate on that date-dimension-sized
+    series (the bounded contract the date-axis cumulatives use), never
+    on raw events. The 7-row seasonal table broadcasts back.
+
+    Output: (day, weekday, value_e4, trend_e4, seasonal_e4, resid_e4);
+    weekday is 0=Monday (Spark ``weekday`` == DuckDB ``isodow − 1``).
+    """
+    from pyspark.sql import Window
+
+    half = window // 2
+    daily = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col(value_col) * 1e4).cast("long")
+            ).alias("value_e4")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    tr = daily.withColumn(
+        "trend_e4", F.round(F.avg("value_e4").over(w)).cast("long")
+    )
+    det = tr.withColumn(
+        "detrended", F.col("value_e4") - F.col("trend_e4")
+    ).withColumn("weekday", F.weekday("day"))
+    seas = det.groupBy("weekday").agg(
+        F.round(F.avg("detrended")).cast("long").alias("seasonal_e4")
+    )
+    return (
+        det.join(F.broadcast(seas), "weekday")
+        .select(
+            "day",
+            "weekday",
+            "value_e4",
+            "trend_e4",
+            "seasonal_e4",
+            (
+                F.col("value_e4") - F.col("trend_e4") - F.col("seasonal_e4")
+            ).alias("resid_e4"),
+        )
+    )
+
+
 def sessionize_native(
     events: DataFrame,
     gap_minutes: int = 30,

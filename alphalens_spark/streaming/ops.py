@@ -1018,6 +1018,137 @@ def stream_scd2(
     return w.start()
 
 
+def holt_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    key_cols: list[str],
+    value_col: str,
+    order_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> None:
+    """One incremental Holt level+trend smoothing step — store #13.
+
+    The store holds ONE row per key: (keys, last_o, level, trend) — the
+    current smoothing state. Each micro-batch folds only its NEW rows
+    (order > stored last_o, the same monotone contract as the SCD2/CDC
+    stores) per key, SEEDED from the stored state, so applying batches
+    split at any boundary reproduces the one-shot
+    :func:`alphalens_spark.performance.holt_linear` final state
+    BIT-EXACTLY: the recurrence is a left-to-right fold with a pinned
+    multiply-add order, and a seeded continuation executes the
+    identical operation sequence the full fold does. Unseen keys start
+    fresh (level = x₀, trend = 0). Untouched store keys pass through.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    keys = list(key_cols)
+    oma = 1.0 - alpha
+    omb = 1.0 - beta
+    snap = batch_df.select(
+        *keys,
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:  # first batch: empty store
+        store = (
+            snap.select(*keys)
+            .where(F.lit(False))
+            .withColumn(
+                "last_o", F.lit(None).cast(snap.schema["_o"].dataType)
+            )
+            .withColumn("level", F.lit(None).cast("double"))
+            .withColumn("trend", F.lit(None).cast("double"))
+        )
+    bkeys = snap.select(*keys).distinct()
+    untouched = store.join(bkeys, keys, "left_anti")
+    seeded = snap.join(store, keys, "left")
+    # drop already-folded rows (replays under at-least-once delivery)
+    seeded = seeded.where(
+        F.col("last_o").isNull() | (F.col("_o") > F.col("last_o"))
+    )
+    arr = seeded.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_o").alias("o"), F.col("_v").alias("v")))
+        ).alias("xs"),
+        F.first("level", ignorenulls=True).alias("_l0"),
+        F.first("trend", ignorenulls=True).alias("_b0"),
+    )
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)
+        new_l = x["v"] * F.lit(alpha) + (prev["l"] + prev["b"]) * F.lit(oma)
+        new_b = (
+            x["v"] * F.lit(alpha) + (prev["l"] + prev["b"]) * F.lit(oma)
+            - prev["l"]
+        ) * F.lit(beta) + prev["b"] * F.lit(omb)
+        return F.when(
+            F.size(acc) == 0,
+            F.array(F.struct(x["v"].alias("l"), F.lit(0.0).alias("b"))),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(new_l.alias("l"), new_b.alias("b"))))
+        )
+
+    seed = F.when(
+        F.col("_l0").isNotNull(),
+        F.array(F.struct(F.col("_l0").alias("l"), F.col("_b0").alias("b"))),
+    ).otherwise(F.array().cast("array<struct<l:double,b:double>>"))
+    folded = arr.select(
+        *keys,
+        F.element_at("xs", -1)["o"].alias("last_o"),
+        F.element_at(F.aggregate(F.col("xs"), seed, _step), -1).alias("_st"),
+    ).select(
+        *keys,
+        "last_o",
+        F.col("_st.l").alias("level"),
+        F.col("_st.b").alias("trend"),
+    )
+    # keys whose batch rows were ALL replays keep their stored state
+    replay_only = (
+        store.join(bkeys, keys, "left_semi")
+        .join(folded.select(*keys), keys, "left_anti")
+    )
+    merged = untouched.unionByName(replay_only).unionByName(folded)
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_holt(
+    value_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    value_col: str,
+    order_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    available_now: bool = False,
+):
+    """Maintain per-key Holt smoothing state from a value stream via
+    foreachBatch over :func:`holt_store_update`; the store always equals
+    the final state of the batch
+    :func:`alphalens_spark.performance.holt_linear` over every row seen
+    (tested bit-exact), queryable without stopping the stream."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        holt_store_update(
+            batch_df, store_path, key_cols, value_col, order_col, alpha, beta
+        )
+
+    w = value_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def cdc_store_update(
     batch_df: DataFrame,
     store_path: str,

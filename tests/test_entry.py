@@ -62,6 +62,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # MoM lag over the MONTHLY rollup (one row per month, bounded by
         # the date dimension)
         "sql_revenue_trend",
+        # centered trend window over the DAILY rollup (one row per day,
+        # bounded by the date dimension)
+        "seasonal_daily_revenue",
     }
     FACT_WIDTH = {
         t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)

@@ -535,6 +535,63 @@ def test_stream_scd2_equals_batch(spark, tmp_path):
     assert len(opens) == 1
 
 
+def test_stream_holt_equals_batch(spark, tmp_path):
+    """Store #13: incremental Holt smoothing state after N micro-batches
+    == the one-shot performance.holt_linear final state per key,
+    BIT-exactly (seeded left-to-right fold executes the identical op
+    sequence), including a key appearing mid-stream, a replayed
+    (already-folded) row, and NULL exclusion."""
+    import numpy as np
+
+    from alphalens_spark import performance as perf
+    from alphalens_spark.streaming.ops import stream_holt
+
+    rng = np.random.RandomState(3)
+    src = str(tmp_path / "vals")
+    batch1 = [("a", i, float(rng.randn())) for i in range(6)] + [
+        ("b", 0, 1.5), ("b", 1, None)
+    ]
+    batch2 = (
+        [("a", i, float(rng.randn())) for i in range(6, 11)]
+        + [("a", 5, 99.0)]          # replay of an already-folded order
+        + [("b", 2, -0.5), ("c", 0, 2.0)]  # continue + brand-new key
+    )
+    for rows in (batch1, batch2):
+        spark.createDataFrame(
+            rows, "k string, t long, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, t long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "holt_store")
+    q = stream_holt(
+        stream, store, str(tmp_path / "ck"), ["k"], "v", "t",
+        alpha=0.5, beta=0.3, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["k"]: (r["last_o"], r["level"], r["trend"])
+        for r in spark.read.parquet(store).collect()
+    }
+    # one-shot reference: holt_linear over everything EXCEPT the replayed
+    # row (the store's monotone contract drops o <= last_o)
+    all_rows = [
+        (k, t, v) for (k, t, v) in batch1 + batch2 if not (k == "a" and t == 5 and v == 99.0)
+    ]
+    full = spark.createDataFrame(all_rows, "k string, t long, v double")
+    ref = perf.holt_linear(full, "v", order_col="t", by="k", alpha=0.5, beta=0.3)
+    want = {}
+    for r in ref.collect():
+        cur = want.get(r["k"])
+        if cur is None or r["t"] > cur[0]:
+            want[r["k"]] = (r["t"], r["level"], r["trend"])
+    assert got == want
+
+
 def test_concurrent_sessions_sweep_line(spark):
     """Hand-computed peak concurrency: boundary ties count as overlap
     (+1 before -1 at the same instant), a single-event session is
