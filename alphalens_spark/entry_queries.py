@@ -792,6 +792,61 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(minhash_lsh_duplicates(docs, threshold=0.5, shingle_hash="md5"))
 
 
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality harness — the text twin of ann_recall_eval:
+    recall/precision of MinHash-LSH near-dup pairs against the EXACT
+    token-3-gram Jaccard ground truth (both legs already certified;
+    both operate on the identical shingle universe), plus the mean
+    absolute estimation error of the 64-hash signature estimate on the
+    true-positive pairs. All ratios integer-numerator; the per-pair
+    error compares the two 6-dp-rounded scores (each proven
+    cross-engine-stable by its own query's green hash) on the 1e-6
+    integer grid. This is the eval a 100 TB dedup deployment runs
+    before trusting banded LSH: sample, compare to exact, gate on
+    recall."""
+    from alphalens_spark.scale.dedup import (
+        minhash_lsh_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, hash_grams=False
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("_ex"))
+    lsh = minhash_lsh_duplicates(
+        docs, threshold=0.5, shingle_hash="md5"
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("_est"))
+    j = exact.join(lsh, ["id_a", "id_b"], "full")
+    hit = (F.col("_ex").isNotNull() & F.col("_est").isNotNull()).cast("long")
+    err = F.abs(
+        F.round(F.col("_est") * 1e6).cast("long")
+        - F.round(F.col("_ex") * 1e6).cast("long")
+    )
+    agg = j.agg(
+        F.count("_ex").alias("exact_pairs"),
+        F.count("_est").alias("lsh_pairs"),
+        F.sum(hit).alias("hits"),
+        F.sum(F.when(hit == 1, err).otherwise(F.lit(0).cast("long")))
+        .alias("_err_sum"),
+    )
+    pct = lambda n, d: F.round(  # noqa: E731
+        F.lit(1e8) * n.cast("double") / d.cast("double")
+    ).cast("long")
+    return agg.select(
+        "exact_pairs",
+        "lsh_pairs",
+        "hits",
+        pct(F.col("hits"), F.col("exact_pairs")).alias("recall_pct_e6"),
+        pct(F.col("hits"), F.col("lsh_pairs")).alias("precision_pct_e6"),
+        F.when(
+            F.col("hits") > 0,
+            F.round(
+                F.col("_err_sum").cast("double") / F.col("hits").cast("double")
+            ).cast("long"),
+        ).alias("mean_abs_err_e6"),
+    )
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k. Full SQL oracle: the coarse quantizer is
     deterministic given the data (lowest-id init, fixed Lloyd passes,
@@ -6974,6 +7029,63 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLES["dedup_recall_eval"] = f"""
+WITH lshp AS ({ORACLES["minhash_lsh_dups"]}),
+etok AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+eg AS (
+  SELECT id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM etok
+),
+egx AS (SELECT id, len(grams) AS n, unnest(grams) AS gram FROM eg),
+eshared AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+         count(*) AS inter
+  FROM egx a JOIN egx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+),
+ex AS (
+  SELECT id_a, id_b,
+         0.0 + round(inter / (n_a + n_b - inter), 6) AS exj
+  FROM eshared WHERE inter / (n_a + n_b - inter) >= 0.5
+),
+j AS (
+  SELECT e.exj, l.est_jaccard,
+         CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL
+              THEN 1 ELSE 0 END AS hit,
+         CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL
+              THEN abs(CAST(round(l.est_jaccard * 1e6) AS BIGINT)
+                       - CAST(round(e.exj * 1e6) AS BIGINT))
+              ELSE 0 END AS err
+  FROM ex e FULL JOIN lshp l
+    ON e.id_a = l.id_a AND e.id_b = l.id_b
+),
+a AS (
+  SELECT CAST(count(exj) AS BIGINT) AS exact_pairs,
+         CAST(count(est_jaccard) AS BIGINT) AS lsh_pairs,
+         CAST(sum(hit) AS BIGINT) AS hits,
+         CAST(sum(err) AS BIGINT) AS err_sum
+  FROM j
+)
+SELECT exact_pairs, lsh_pairs, hits,
+       CAST(round(1e8 * CAST(hits AS DOUBLE)
+                  / CAST(exact_pairs AS DOUBLE)) AS BIGINT)
+         AS recall_pct_e6,
+       CAST(round(1e8 * CAST(hits AS DOUBLE)
+                  / CAST(lsh_pairs AS DOUBLE)) AS BIGINT)
+         AS precision_pct_e6,
+       CASE WHEN hits > 0
+            THEN CAST(round(CAST(err_sum AS DOUBLE)
+                            / CAST(hits AS DOUBLE)) AS BIGINT)
+            ELSE NULL END AS mean_abs_err_e6
+FROM a"""
+
+
 ORACLES["ann_recall_eval"] = f"""
 WITH exact AS ({ORACLES["embedding_topk"]}),
 approx AS ({_ivf_topk_sql()}),
@@ -8951,6 +9063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_market_share": q_nation_market_share,
     "shipclass_priority_counts": q_shipclass_priority_counts,
     "seasonal_daily_revenue": q_seasonal_daily_revenue,
+    "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,
