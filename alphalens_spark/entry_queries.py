@@ -5479,6 +5479,83 @@ SELECT day, d.weekday, value_e4, trend_e4, seasonal_e4,
 FROM det d JOIN seas USING (weekday)"""
 
 
+def q_gapfill_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar gap fill of 1995 per-supplier daily revenue
+    (events.gap_fill_daily): LOCF + exact-integer linear interpolation
+    over each supplier's own calendar span — the TimescaleDB
+    time_bucket_gapfill/locf/interpolate shape. Revenue is quantized to
+    1e-4 integer units per row (2dp×2dp products are exact), so every
+    filled value is one-division-of-exact-integers deterministic."""
+    from alphalens_spark.events import gap_fill_daily
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+                ).cast("long")
+            ).alias("value_e4")
+        )
+    )
+    return gap_fill_daily(daily, ["l_suppkey"], "day", "value_e4")
+
+
+ORACLES["gapfill_supplier_revenue"] = r"""
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                       AS BIGINT)) AS BIGINT) AS value_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT l_suppkey, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT l_suppkey,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+j AS (
+  SELECT g.l_suppkey, g.day, d.value_e4
+  FROM grid g LEFT JOIN daily d USING (l_suppkey, day)
+),
+f AS (
+  SELECT l_suppkey, day, value_e4,
+         last_value(value_e4 IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN value_e4 IS NOT NULL THEN day END
+                    IGNORE NULLS) OVER wb AS prev_d,
+         first_value(value_e4 IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN value_e4 IS NOT NULL THEN day END
+                     IGNORE NULLS) OVER wf AS next_d
+  FROM j
+  WINDOW wb AS (PARTITION BY l_suppkey ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY l_suppkey ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT l_suppkey, day, value_e4,
+       prev_v AS locf_e4,
+       CASE WHEN value_e4 IS NOT NULL THEN value_e4
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+              CAST(round((prev_v * date_diff('day', day, next_d)
+                          + next_v * date_diff('day', prev_d, day))
+                         / date_diff('day', prev_d, next_d)) AS BIGINT)
+       END AS interp_e4,
+       value_e4 IS NOT NULL AS is_observed
+FROM f"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -9063,6 +9140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_market_share": q_nation_market_share,
     "shipclass_priority_counts": q_shipclass_priority_counts,
     "seasonal_daily_revenue": q_seasonal_daily_revenue,
+    "gapfill_supplier_revenue": q_gapfill_supplier_revenue,
     "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,

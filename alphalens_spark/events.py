@@ -926,3 +926,103 @@ def seasonal_naive_eval(
         (F.round(F.sqrt(F.avg(err * err)), 6) + F.lit(0.0)).alias("rmse"),
         (F.round(F.avg(smape_term), 6) + F.lit(0.0)).alias("smape"),
     )
+
+
+def gap_fill_daily(
+    daily: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str = "day",
+    value_col: str = "value_e4",
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """Dense-calendar gap filling with LOCF and linear interpolation —
+    the TimescaleDB ``time_bucket_gapfill``/``locf``/``interpolate``
+    shape (reference has only the pyfolio daily resample+ffill,
+    `alphalens/performance.py:900`-ish positions path; this is the
+    generic keyed form).
+
+    Input is an already-aggregated series: one row per (*key_cols,
+    day_col) with an INTEGER-GRID value in ``value_col`` (quantize
+    floats to micro-units first — the STL/Holt contract), so every
+    filled value is cross-engine exact:
+
+    - LOCF: last observed integer carried forward (exact copy);
+    - linear: ``round((prev·(d_next−d) + next·(d−d_prev)) / span)`` —
+      an exact-integer numerator and ONE division, so both engines
+      round the identical double (away-from-zero on both for the
+      negative half);
+    - leading-edge rows (no prior observation) stay NULL in both
+      columns; trailing-edge rows LOCF but do not extrapolate.
+
+    By default each key fills its own observed [min, max] span (no
+    edge rows); pass ``start``/``end`` ('YYYY-MM-DD') to align every
+    key onto one common calendar — that is where leading/trailing gap
+    rows appear.
+
+    Scale shape: the dense grid is a per-key ``sequence()`` explode
+    (linear in OUTPUT rows, never a cartesian with a global calendar
+    dim); the observed series left-joins on (key, day); both fill
+    windows share one partition-and-sort (same (key, day) spec — a
+    single WindowExec evaluates the backward and forward frames), so
+    the whole operator is the grid explode + one key-partitioned join
+    + one window pass. Nothing global, nothing quadratic; a key's
+    cost is bounded by its own calendar span.
+
+    Output: (*key_cols, day, value_e4 [NULL on gap days], locf_e4,
+    interp_e4, is_observed).
+    """
+    keys = list(key_cols)
+    span = daily.groupBy(*keys).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    # optional common calendar: align every key to [start, end] instead of
+    # its own observed span — this is where leading/trailing gap rows
+    # (and their NULL/no-extrapolation semantics) come from
+    if start is not None:
+        span = span.withColumn("_d0", F.lit(start).cast("date"))
+    if end is not None:
+        span = span.withColumn("_d1", F.lit(end).cast("date"))
+    grid = span.select(
+        *keys, F.explode(F.sequence("_d0", "_d1")).alias(day_col)
+    )
+    j = grid.join(daily, keys + [day_col], "left")
+
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_day = F.when(v.isNotNull(), F.col(day_col))
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_fwd)
+
+    gap_days = F.datediff(next_d, prev_d)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            F.round(
+                (
+                    prev_v * F.datediff(next_d, F.col(day_col))
+                    + next_v * F.datediff(F.col(day_col), prev_d)
+                )
+                / gap_days
+            ).cast("long"),
+        )
+    )
+    return j.select(
+        *keys,
+        day_col,
+        v.alias(value_col),
+        prev_v.alias("locf_e4"),
+        interp.alias("interp_e4"),
+        v.isNotNull().alias("is_observed"),
+    )
