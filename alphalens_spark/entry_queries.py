@@ -188,6 +188,32 @@ def q_factor_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_factor_ic_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date Kendall tau-b IC (performance.kendall_tau_ic) — the
+    tie-robust alternative to the reference's Spearman-only IC. This
+    certifies the PRODUCTION path (impl='sorted': per-date Arrow
+    merge-sort discordance count); the oracle replays the O(a²)
+    pair-join definition in SQL, and impl='pairs' is the in-repo
+    expression twin (equality-tested). Every output column is an exact
+    integer: tie/discordance counts, and tau as 1e-6 micro-units from
+    one correctly-rounded double op sequence."""
+    fd = _fd(spark, sf_dir)
+    return perf.kendall_tau_ic(fd, PERIOD_COLS, impl="sorted").select(
+        "date",
+        "n",
+        "xtie",
+        *[
+            c
+            for pc in PERIOD_COLS
+            for c in (
+                F.col(f"s_{pc}").alias(f"s_{ALIAS[pc]}"),
+                F.col(f"ytie_{pc}").alias(f"ytie_{ALIAS[pc]}"),
+                F.col(f"tau_{pc}_e6").alias(f"tau_{ALIAS[pc]}_e6"),
+            )
+        ],
+    )
+
+
 def q_mean_ic_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     fd = _fd(spark, sf_dir)
     ic = perf.mean_information_coefficient(fd, PERIOD_COLS, by_time="month")
@@ -5479,6 +5505,54 @@ SELECT day, d.weekday, value_e4, trend_e4, seasonal_e4,
 FROM det d JOIN seas USING (weekday)"""
 
 
+ORACLES["factor_ic_kendall"] = f"""{_P},
+kb AS (
+  SELECT date, asset, round(factor, 6) AS x,
+         round(fwd_1p, 6) AS y1, round(fwd_5p, 6) AS y5
+  FROM fd
+),
+kn AS (SELECT date, count(*) AS n FROM kb GROUP BY 1),
+kxt AS (
+  SELECT date, CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS xtie
+  FROM (SELECT date, count(*) AS c FROM kb GROUP BY date, x) GROUP BY 1
+),
+kyt1 AS (
+  SELECT date, CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS ytie_1p
+  FROM (SELECT date, count(*) AS c FROM kb GROUP BY date, y1) GROUP BY 1
+),
+kyt5 AS (
+  SELECT date, CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS ytie_5p
+  FROM (SELECT date, count(*) AS c FROM kb GROUP BY date, y5) GROUP BY 1
+),
+ks AS (
+  SELECT a.date,
+         CAST(coalesce(sum(CAST(sign(a.x - b.x) * sign(a.y1 - b.y1)
+                                AS BIGINT)), 0) AS BIGINT) AS s_1p,
+         CAST(coalesce(sum(CAST(sign(a.x - b.x) * sign(a.y5 - b.y5)
+                                AS BIGINT)), 0) AS BIGINT) AS s_5p
+  FROM kb a JOIN kb b ON a.date = b.date AND a.asset < b.asset
+  GROUP BY 1
+)
+SELECT kn.date, n, xtie,
+       coalesce(s_1p, 0) AS s_1p, ytie_1p,
+       CASE WHEN (n * (n - 1)) // 2 - xtie > 0
+             AND (n * (n - 1)) // 2 - ytie_1p > 0 THEN
+         CAST(round(coalesce(s_1p, 0)
+                    / (sqrt((n * (n - 1)) // 2 - xtie)
+                       * sqrt((n * (n - 1)) // 2 - ytie_1p)) * 1e6)
+              AS BIGINT) END AS tau_1p_e6,
+       coalesce(s_5p, 0) AS s_5p, ytie_5p,
+       CASE WHEN (n * (n - 1)) // 2 - xtie > 0
+             AND (n * (n - 1)) // 2 - ytie_5p > 0 THEN
+         CAST(round(coalesce(s_5p, 0)
+                    / (sqrt((n * (n - 1)) // 2 - xtie)
+                       * sqrt((n * (n - 1)) // 2 - ytie_5p)) * 1e6)
+              AS BIGINT) END AS tau_5p_e6
+FROM kn
+JOIN kxt USING (date) JOIN kyt1 USING (date) JOIN kyt5 USING (date)
+LEFT JOIN ks USING (date)"""
+
+
 def q_gapfill_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-calendar gap fill of 1995 per-supplier daily revenue
     (events.gap_fill_daily): LOCF + exact-integer linear interpolation
@@ -9141,6 +9215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipclass_priority_counts": q_shipclass_priority_counts,
     "seasonal_daily_revenue": q_seasonal_daily_revenue,
     "gapfill_supplier_revenue": q_gapfill_supplier_revenue,
+    "factor_ic_kendall": q_factor_ic_kendall,
     "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
