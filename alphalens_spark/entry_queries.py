@@ -5630,6 +5630,137 @@ SELECT l_suppkey, day, value_e4,
 FROM f"""
 
 
+def q_cusum_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift monitor (events.cusum_changepoints) on each
+    event type's daily value series: baseline-mean target from the first
+    7 days, allowance 5% and threshold 50% of |μ|, alarm restarts. The
+    whole recursion is exact integer arithmetic on the 1e-4 grid, so the
+    recursive-CTE oracle matches bit-for-bit with no rounding caveats."""
+    from alphalens_spark.events import cusum_changepoints
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
+        )
+    )
+    return cusum_changepoints(
+        daily,
+        ["event_type"],
+        "day",
+        "value_e4",
+        baseline=7,
+        drift_frac=0.05,
+        threshold_frac=0.5,
+    )
+
+
+ORACLES["cusum_event_value"] = r"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+ord AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+params AS (
+  SELECT event_type,
+         CAST(round(sum(CASE WHEN rn <= 7 THEN v END)
+                    / least(count(*), 7)) AS BIGINT) AS mu
+  FROM ord GROUP BY 1
+),
+params2 AS (
+  SELECT event_type, mu,
+         CAST(round(abs(mu) * 0.05) AS BIGINT) AS k,
+         CAST(round(abs(mu) * 0.5) AS BIGINT) AS h
+  FROM params
+),
+rec AS (
+  SELECT o.event_type, o.rn, o.day, o.v,
+         greatest(0, o.v - p.mu - p.k) AS gp,
+         greatest(0, p.mu - o.v - p.k) AS gn,
+         CAST(CASE WHEN greatest(0, o.v - p.mu - p.k) > p.h THEN 1
+                   WHEN greatest(0, p.mu - o.v - p.k) > p.h THEN -1
+                   ELSE 0 END AS INTEGER) AS alarm
+  FROM ord o JOIN params2 p USING (event_type) WHERE o.rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.v,
+         greatest(0, (CASE WHEN r.alarm != 0 THEN 0 ELSE r.gp END)
+                     + (o.v - p.mu - p.k)),
+         greatest(0, (CASE WHEN r.alarm != 0 THEN 0 ELSE r.gn END)
+                     + (p.mu - o.v - p.k)),
+         CAST(CASE WHEN greatest(0,
+                     (CASE WHEN r.alarm != 0 THEN 0 ELSE r.gp END)
+                     + (o.v - p.mu - p.k)) > p.h THEN 1
+                   WHEN greatest(0,
+                     (CASE WHEN r.alarm != 0 THEN 0 ELSE r.gn END)
+                     + (p.mu - o.v - p.k)) > p.h THEN -1
+                   ELSE 0 END AS INTEGER)
+  FROM rec r
+  JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+  JOIN params2 p ON p.event_type = o.event_type
+)
+SELECT event_type, day, v AS value_e4, gp AS gpos, gn AS gneg,
+       alarm AS alarm_side
+FROM rec"""
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend z per event type's daily value
+    series (events.mann_kendall_trend): tie-corrected Var(S),
+    continuity-corrected z in 1e-6 micro-units — all-integer output."""
+    from alphalens_spark.events import mann_kendall_trend
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
+        )
+    )
+    return mann_kendall_trend(daily, ["event_type"], "day", "value_e4")
+
+
+ORACLES["mann_kendall_trend"] = r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+nn AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+tt AS (
+  SELECT event_type,
+         CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, count(*) AS c FROM daily GROUP BY event_type, v)
+  GROUP BY 1
+),
+ss AS (
+  SELECT a.event_type,
+         CAST(coalesce(sum(CAST(sign(b.v - a.v) AS BIGINT)), 0) AS BIGINT)
+           AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+j AS (
+  SELECT nn.event_type, n, coalesce(s, 0) AS s, tie_term,
+         (n * (n - 1) * (2 * n + 5) - tie_term) / 18 AS var
+  FROM nn JOIN tt USING (event_type) LEFT JOIN ss USING (event_type)
+)
+SELECT event_type, n, s, tie_term,
+       CASE WHEN var > 0 THEN
+         CAST(round((CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+                          WHEN s < 0 THEN (s + 1) / sqrt(var)
+                          ELSE 0.0 END) * 1e6) AS BIGINT) END AS z_e6
+FROM j"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -9216,6 +9347,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_daily_revenue": q_seasonal_daily_revenue,
     "gapfill_supplier_revenue": q_gapfill_supplier_revenue,
     "factor_ic_kendall": q_factor_ic_kendall,
+    "cusum_event_value": q_cusum_event_value,
+    "mann_kendall_trend": q_mann_kendall_trend,
     "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,

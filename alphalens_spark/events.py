@@ -1026,3 +1026,204 @@ def gap_fill_daily(
         interp.alias("interp_e4"),
         v.isNotNull().alias("is_observed"),
     )
+
+
+def cusum_changepoints(
+    daily: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str = "day",
+    value_col: str = "value_e4",
+    baseline: int = 7,
+    drift_frac: float = 0.05,
+    threshold_frac: float = 0.5,
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection per key — the Page (1954)
+    drift monitor every production data pipeline wants on its volume /
+    revenue / quality series (extension; no reference counterpart).
+
+    Works ENTIRELY in exact integer arithmetic on an integer-grid input
+    series (quantize floats to micro-units first — the STL/Holt
+    contract): the target mean ``μ`` is the half-up-rounded mean of the
+    first ``baseline`` observations (one division of exact integers),
+    the allowance ``k = round(drift_frac·|μ|)`` and alarm threshold
+    ``h = round(threshold_frac·|μ|)`` are integers, and the recursion
+
+    ``g⁺_t = max(0, g⁺_{t−1} + (v_t − μ − k))``;
+    ``g⁻_t = max(0, g⁻_{t−1} + (μ − v_t − k))``;
+    alarm when either exceeds ``h``, then BOTH sides restart at 0
+
+    never touches a float — so the whole alarm series is bit-exact
+    against a recursive-CTE replay with no rounding caveats at all.
+
+    Execution contract == :func:`~alphalens_spark.performance.ewma`:
+    a sequential recurrence has no shuffle-native form, but the series
+    per key is bounded by the order dimension, so ONE groupBy collects
+    the ordered array and a single map-side fold computes the whole
+    monitor — no window, no per-step shuffle, no Python.
+
+    Output: ``key_cols`` + (day, value, gpos, gneg, alarm_side) — one
+    row per observation; alarm_side ∈ {1, −1, 0} (which side fired).
+    """
+    keys = list(key_cols)
+    arr = (
+        daily.where(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(day_col).alias("o"),
+                        F.col(value_col).cast("long").alias("v"),
+                    )
+                )
+            ).alias("xs")
+        )
+    )
+    base_sum = F.aggregate(
+        F.slice("xs", 1, baseline), F.lit(0).cast("long"), lambda a, x: a + x["v"]
+    )
+    base_n = F.least(F.size("xs"), F.lit(baseline))
+    mu = F.round(base_sum / base_n).cast("long")
+    k = F.round(F.abs(mu) * F.lit(drift_frac)).cast("long")
+    h = F.round(F.abs(mu) * F.lit(threshold_frac)).cast("long")
+    staged = arr.select(
+        *keys, "xs", mu.alias("_mu"), k.alias("_k"), h.alias("_h")
+    )
+
+    zero = F.lit(0).cast("long")
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)
+        # alarm restarts both sides
+        pgp = F.when(prev["alarm"] != 0, zero).otherwise(prev["gp"])
+        pgn = F.when(prev["alarm"] != 0, zero).otherwise(prev["gn"])
+        gp = F.greatest(zero, pgp + (x["v"] - F.col("_mu") - F.col("_k")))
+        gn = F.greatest(zero, pgn + (F.col("_mu") - x["v"] - F.col("_k")))
+        alarm = (
+            F.when(gp > F.col("_h"), F.lit(1))
+            .when(gn > F.col("_h"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        first_gp = F.greatest(zero, x["v"] - F.col("_mu") - F.col("_k"))
+        first_gn = F.greatest(zero, F.col("_mu") - x["v"] - F.col("_k"))
+        first_alarm = (
+            F.when(first_gp > F.col("_h"), F.lit(1))
+            .when(first_gn > F.col("_h"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        return F.when(
+            F.size(acc) == 0,
+            F.array(
+                F.struct(
+                    first_gp.alias("gp"),
+                    first_gn.alias("gn"),
+                    first_alarm.alias("alarm"),
+                )
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(gp.alias("gp"), gn.alias("gn"), alarm.alias("alarm"))
+                ),
+            )
+        )
+
+    ys = F.aggregate(
+        F.col("xs"),
+        F.array().cast("array<struct<gp:long,gn:long,alarm:int>>"),
+        _step,
+    )
+    staged2 = staged.select(*keys, "xs", ys.alias("ys"))
+    return staged2.select(
+        *keys, F.posexplode(F.arrays_zip("xs", "ys"))
+    ).select(
+        *keys,
+        F.col("col.xs.o").alias(day_col),
+        F.col("col.xs.v").alias(value_col),
+        F.col("col.ys.gp").alias("gpos"),
+        F.col("col.ys.gn").alias("gneg"),
+        F.col("col.ys.alarm").alias("alarm_side"),
+    )
+
+
+def mann_kendall_trend(
+    daily: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str = "day",
+    value_col: str = "value_e4",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per key — the nonparametric
+    "is this series drifting?" statistic that pairs with
+    :func:`cusum_changepoints` (CUSUM localizes WHEN a shift happened;
+    Mann-Kendall scores WHETHER a sustained trend exists at all).
+
+    ``S = Σ_{i<j} sign(v_j − v_i)`` over time-ordered pairs,
+    ``Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18`` with the tie
+    correction, and the continuity-corrected
+    ``z = (S∓1)/sqrt(Var(S))`` (0 when S = 0, NULL when Var = 0).
+
+    Integer-grid input (the STL/CUSUM contract) makes S and the tie
+    term exact cross-engine integers with no snapping; z exports as
+    1e-6 micro-units from one correctly-rounded op sequence.
+
+    Scale shape: the pair join is O(d²) in the DATE dimension per key —
+    the bounded date-axis contract (a 10-year daily series is ~6.7M
+    pairs), never data-sized; the raw stream collapses to one row per
+    (key, day) before any pairing. For multi-decade per-second series,
+    fold an O(d·log d) inversion count over the collected array instead
+    (the kendall_tau_ic 'sorted' machinery).
+
+    Output: ``key_cols`` + (n, s, tie_term, z_e6) — all exact integers.
+    """
+    keys = list(key_cols)
+    base = daily.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(day_col).alias("_d"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.lit(True)
+    for kcol in keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    s_df = (
+        a.join(b, cond & (F.col("a._d") < F.col("b._d")))
+        .groupBy(*[F.col(f"a.{kcol}").alias(kcol) for kcol in keys])
+        .agg(
+            F.coalesce(
+                F.sum(F.signum(F.col("b._v") - F.col("a._v")).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n_df = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    tie_df = (
+        base.groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.expr("_c * (_c - 1) * (2 * _c + 5)"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    out = n_df.join(tie_df, keys).join(s_df, keys, "left")
+    nn = F.col("n").cast("long")
+    var = (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")) / F.lit(18)
+    s = F.coalesce(F.col("s"), F.lit(0)).cast("long")
+    z = (
+        F.when(s > 0, (s - 1) / F.sqrt(var))
+        .when(s < 0, (s + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        *keys,
+        "n",
+        s.alias("s"),
+        "tie_term",
+        F.when(var > 0, F.round(z * 1e6).cast("long")).alias("z_e6"),
+    )
