@@ -1149,6 +1149,229 @@ def stream_holt(
     return w.start()
 
 
+def cusum_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    key_cols: list[str],
+    value_col: str,
+    order_col: str,
+    baseline: int = 7,
+    drift_frac: float = 0.05,
+    threshold_frac: float = 0.5,
+) -> None:
+    """One incremental two-sided CUSUM monitoring step — store #14, the
+    streaming twin of :func:`alphalens_spark.events.cusum_changepoints`
+    (drift alarms on a LIVE series is the op's natural deployment).
+
+    The store holds ONE row per key: (keys, last_o, mu, k, h, gp, gn,
+    alarm, pending). Until a key has seen ``baseline`` observations its
+    rows BUFFER in ``pending`` (bounded: at most ``baseline`` rows per
+    key) because the batch op's target mean μ is defined over the first
+    ``baseline`` observations — g values cannot be emitted before μ is
+    fixed without breaking exactness. Once the baseline completes, μ/k/h
+    freeze and the whole buffered+new history folds; afterwards each
+    micro-batch folds only its NEW rows (order > last_o, the monotone
+    replay contract) seeded from (gp, gn, alarm). The recursion is
+    all-integer, so N split batches equal the one-shot batch op's final
+    state EXACTLY — the seeded fold executes the identical op sequence
+    (a fresh fold from seed (0,0,0) reproduces the batch head row too,
+    so no first-row special case exists).
+
+    Honest boundary: a key whose TOTAL history never reaches
+    ``baseline`` stays pending here (a stream cannot know a series
+    ended), while the batch op truncates the baseline window instead —
+    the equality proof covers keys that complete their baseline.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    keys = list(key_cols)
+    reserved = {"last_o", "mu", "k", "h", "gp", "gn", "alarm", "pending"}
+    clash = reserved & set(keys)
+    if clash:
+        raise ValueError(
+            f"key column(s) {sorted(clash)} collide with the store's state "
+            f"columns {sorted(reserved)}; rename the key column(s)"
+        )
+    snap = batch_df.select(
+        *keys,
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    o_type = snap.schema["_o"].dataType.simpleString()
+    pend_type = f"array<struct<o:{o_type},v:bigint>>"
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:  # first batch: empty store
+        store = (
+            snap.select(*keys)
+            .where(F.lit(False))
+            .withColumn("last_o", F.lit(None).cast(o_type))
+            .withColumn("mu", F.lit(None).cast("long"))
+            .withColumn("k", F.lit(None).cast("long"))
+            .withColumn("h", F.lit(None).cast("long"))
+            .withColumn("gp", F.lit(None).cast("long"))
+            .withColumn("gn", F.lit(None).cast("long"))
+            .withColumn("alarm", F.lit(None).cast("int"))
+            .withColumn("pending", F.lit(None).cast(pend_type))
+        )
+    bkeys = snap.select(*keys).distinct()
+    untouched = store.join(bkeys, keys, "left_anti")
+    seeded = snap.join(store, keys, "left")
+    seeded = seeded.where(
+        F.col("last_o").isNull() | (F.col("_o") > F.col("last_o"))
+    )
+    arr = seeded.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_o").alias("o"), F.col("_v").alias("v")))
+        ).alias("new"),
+        F.first("mu", ignorenulls=True).alias("_mu0"),
+        F.first("k", ignorenulls=True).alias("_k0"),
+        F.first("h", ignorenulls=True).alias("_h0"),
+        F.first("gp", ignorenulls=True).alias("_gp0"),
+        F.first("gn", ignorenulls=True).alias("_gn0"),
+        F.first("alarm", ignorenulls=True).alias("_al0"),
+        F.first("pending", ignorenulls=True).alias("_pend0"),
+    )
+    # pending ∪ new stays the per-key history prefix (monotone contract);
+    # for an established key pending is empty so combined == new
+    combined = F.array_sort(
+        F.concat(
+            F.coalesce(F.col("_pend0"), F.array().cast(pend_type)),
+            F.col("new"),
+        )
+    )
+    base_sum = F.aggregate(
+        F.slice(combined, 1, baseline),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x["v"],
+    )
+    mu_new = F.when(
+        F.size(combined) >= baseline,
+        F.round(base_sum / F.lit(baseline)).cast("long"),
+    )
+    mu_eff = F.coalesce(F.col("_mu0"), mu_new)
+    k_eff = F.coalesce(
+        F.col("_k0"),
+        F.round(F.abs(mu_new) * F.lit(drift_frac)).cast("long"),
+    )
+    h_eff = F.coalesce(
+        F.col("_h0"),
+        F.round(F.abs(mu_new) * F.lit(threshold_frac)).cast("long"),
+    )
+    # established keys fold only their new rows; freshly-completed
+    # baselines fold the whole buffered history from the zero seed
+    zero = F.lit(0).cast("long")
+    fold_input = F.when(F.col("_mu0").isNotNull(), F.col("new")).otherwise(
+        F.when(F.size(combined) >= baseline, combined).otherwise(
+            F.array().cast(pend_type)
+        )
+    )
+    seed = F.when(
+        F.col("_mu0").isNotNull(),
+        F.struct(
+            F.col("_gp0").alias("gp"),
+            F.col("_gn0").alias("gn"),
+            F.col("_al0").alias("alarm"),
+        ),
+    ).otherwise(
+        F.struct(
+            zero.alias("gp"), zero.alias("gn"), F.lit(0).cast("int").alias("alarm")
+        )
+    )
+    staged = arr.select(
+        *keys,
+        combined.alias("_combined"),
+        fold_input.alias("_fold_in"),
+        F.array(seed).alias("_seed"),
+        mu_eff.alias("_mu"),
+        k_eff.alias("_k"),
+        h_eff.alias("_h"),
+    )
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)
+        pgp = F.when(prev["alarm"] != 0, zero).otherwise(prev["gp"])
+        pgn = F.when(prev["alarm"] != 0, zero).otherwise(prev["gn"])
+        gp = F.greatest(zero, pgp + (x["v"] - F.col("_mu") - F.col("_k")))
+        gn = F.greatest(zero, pgn + (F.col("_mu") - x["v"] - F.col("_k")))
+        alarm = (
+            F.when(gp > F.col("_h"), F.lit(1))
+            .when(gn > F.col("_h"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(gp.alias("gp"), gn.alias("gn"), alarm.alias("alarm"))
+            ),
+        )
+
+    final = F.element_at(
+        F.aggregate(F.col("_fold_in"), F.col("_seed"), _step), -1
+    )
+    folded = staged.select(
+        *keys,
+        F.element_at("_combined", -1)["o"].alias("last_o"),
+        F.col("_mu").alias("mu"),
+        F.col("_k").alias("k"),
+        F.col("_h").alias("h"),
+        F.when(F.col("_mu").isNotNull(), final["gp"]).alias("gp"),
+        F.when(F.col("_mu").isNotNull(), final["gn"]).alias("gn"),
+        F.when(F.col("_mu").isNotNull(), final["alarm"]).alias("alarm"),
+        F.when(F.col("_mu").isNull(), F.col("_combined")).alias("pending"),
+    )
+    replay_only = (
+        store.join(bkeys, keys, "left_semi")
+        .join(folded.select(*keys), keys, "left_anti")
+    )
+    merged = untouched.unionByName(replay_only).unionByName(folded)
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_cusum(
+    value_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    value_col: str,
+    order_col: str,
+    baseline: int = 7,
+    drift_frac: float = 0.05,
+    threshold_frac: float = 0.5,
+    available_now: bool = False,
+):
+    """Maintain per-key CUSUM drift-monitor state from a value stream via
+    foreachBatch over :func:`cusum_store_update`; once a key's baseline
+    completes, the store equals the final row of the batch
+    :func:`alphalens_spark.events.cusum_changepoints` over every row
+    seen (tested exactly — the recursion is all-integer)."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        cusum_store_update(
+            batch_df,
+            store_path,
+            key_cols,
+            value_col,
+            order_col,
+            baseline,
+            drift_frac,
+            threshold_frac,
+        )
+
+    w = value_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def cdc_store_update(
     batch_df: DataFrame,
     store_path: str,

@@ -98,3 +98,98 @@ def test_random_series_match_python_reference(spark):
     vals = [rng.randint(-500, 1500) for _ in range(60)]
     got = _run(spark, vals, baseline=7, drift_frac=0.02, threshold_frac=0.3)
     assert got == _py_cusum(vals, 7, 0.02, 0.3)
+
+
+def test_stream_cusum_equals_batch(spark, tmp_path):
+    """Store #14: incremental CUSUM state after N micro-batches == the
+    one-shot events.cusum_changepoints final row per key, exactly
+    (all-integer recursion) — including a baseline split across the
+    batch boundary, a replayed order, a mid-stream new key, and a key
+    that never completes its baseline (stays pending)."""
+    from alphalens_spark.streaming.ops import stream_cusum
+
+    rng = random.Random(5)
+    src = str(tmp_path / "vals")
+    # key a: baseline=4 completes inside batch 2 (split mid-baseline)
+    # key b: established in batch 1, continues in batch 2
+    # key c: appears mid-stream (batch 2) with a full baseline
+    # key d: only 2 rows ever -> pending
+    batch1 = (
+        [("a", i, 100 + rng.randint(-3, 3)) for i in range(2)]
+        + [("b", i, 50 + rng.randint(-2, 2)) for i in range(6)]
+        + [("d", 0, 7)]
+    )
+    batch2 = (
+        [("a", i, 100 + rng.randint(-3, 3)) for i in range(2, 9)]
+        + [("a", 1, 999)]  # replay of an already-buffered order
+        + [("b", i, 200) for i in range(6, 10)]  # drift -> alarms
+        + [("c", i, 10 * i) for i in range(5)]
+        + [("d", 1, 8)]
+    )
+    for rows in (batch1, batch2):
+        spark.createDataFrame(
+            rows, "kk string, t long, v long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "cusum_store")
+    stream = (
+        spark.readStream.schema("kk string, t long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_cusum(
+        stream, store, str(tmp_path / "ck"), ["kk"], "v", "t",
+        baseline=4, drift_frac=0.05, threshold_frac=0.5,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["kk"]: (
+            r["last_o"], r["mu"], r["gp"], r["gn"], r["alarm"],
+            None if r["pending"] is None else len(r["pending"]),
+        )
+        for r in spark.read.parquet(store).collect()
+    }
+
+    # one-shot reference over everything except the replayed row
+    all_rows = [
+        (k, t, v)
+        for (k, t, v) in batch1 + batch2
+        if not (k == "a" and t == 1 and v == 999)
+    ]
+    full = spark.createDataFrame(all_rows, "kk string, t long, v long")
+    batch = cusum_changepoints(
+        full, ["kk"], "t", "v", baseline=4, drift_frac=0.05,
+        threshold_frac=0.5,
+    )
+    last = {}
+    for r in batch.collect():
+        cur = last.get(r["kk"])
+        if cur is None or r["t"] > cur[0]:
+            last[r["kk"]] = (r["t"], r["gpos"], r["gneg"], r["alarm_side"])
+
+    for k in ("a", "b", "c"):
+        t, gp, gn, al = last[k]
+        assert got[k][0] == t and got[k][2] == gp
+        assert got[k][3] == gn and got[k][4] == al, k
+        assert got[k][5] is None  # no pending buffer
+    # the drifted key actually alarmed at some point: final gp resets
+    # keep the monitor live (sanity that thresholds were exercised)
+    assert any(
+        r["alarm_side"] == 1
+        for r in batch.where(F.col("kk") == "b").collect()
+    )
+    # short key: still pending, no state
+    assert got["d"][1] is None and got["d"][2] is None
+    assert got["d"][5] == 2
+
+
+def test_store_rejects_reserved_key_names(spark, tmp_path):
+    import pytest
+
+    from alphalens_spark.streaming.ops import cusum_store_update
+
+    df = spark.createDataFrame([("a", 1, 10)], "k string, t long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        cusum_store_update(df, str(tmp_path / "s"), ["k"], "v", "t")
