@@ -958,73 +958,85 @@ def gap_fill_daily(
     By default each key fills its own observed [min, max] span (no
     edge rows); pass ``start``/``end`` ('YYYY-MM-DD') to align every
     key onto one common calendar — that is where leading/trailing gap
-    rows appear.
+    rows appear. Observations outside [start, end] are excluded; a key
+    with no in-window observations produces no rows.
 
-    Scale shape: the dense grid is a per-key ``sequence()`` explode
-    (linear in OUTPUT rows, never a cartesian with a global calendar
-    dim); the observed series left-joins on (key, day); both fill
-    windows share one partition-and-sort (same (key, day) spec — a
-    single WindowExec evaluates the backward and forward frames), so
-    the whole operator is the grid explode + one key-partitioned join
-    + one window pass. Nothing global, nothing quadratic; a key's
-    cost is bounded by its own calendar span.
+    Scale shape: ONE scan. Each observation explodes into the segment
+    of grid days it governs ([day, next_day−1], clipped to the window;
+    the first observation also emits the leading segment), so the
+    operator is one ordered key window (row_number + both leads share
+    a single sort) and one segment explode — linear in OUTPUT rows,
+    zero joins, no second derivation of the input aggregate (the first
+    draft's span-groupBy + grid join re-computed the daily aggregate
+    from the fact scan twice — PLANS.md caught it). Nothing global,
+    nothing quadratic; a key's cost is bounded by its calendar span.
 
     Output: (*key_cols, day, value_e4 [NULL on gap days], locf_e4,
     interp_e4, is_observed).
     """
     keys = list(key_cols)
-    span = daily.groupBy(*keys).agg(
-        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    s_lit = F.lit(start).cast("date") if start is not None else None
+    e_lit = F.lit(end).cast("date") if end is not None else None
+    d = daily
+    if s_lit is not None:
+        d = d.where(F.col(day_col) >= s_lit)
+    if e_lit is not None:
+        d = d.where(F.col(day_col) <= e_lit)
+    w = Window.partitionBy(*keys).orderBy("_d")
+    base = (
+        d.select(
+            *keys,
+            F.col(day_col).alias("_d"),
+            F.col(value_col).alias("_v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nd", F.lead("_d").over(w))
+        .withColumn("_nv", F.lead("_v").over(w))
     )
-    # optional common calendar: align every key to [start, end] instead of
-    # its own observed span — this is where leading/trailing gap rows
-    # (and their NULL/no-extrapolation semantics) come from
-    if start is not None:
-        span = span.withColumn("_d0", F.lit(start).cast("date"))
-    if end is not None:
-        span = span.withColumn("_d1", F.lit(end).cast("date"))
-    grid = span.select(
-        *keys, F.explode(F.sequence("_d0", "_d1")).alias(day_col)
+    next_minus1 = F.date_sub(F.col("_nd"), 1)
+    if e_lit is not None:
+        seg_end = F.least(F.coalesce(next_minus1, e_lit), e_lit)
+    else:
+        seg_end = F.coalesce(next_minus1, F.col("_d"))
+    days = F.sequence(F.col("_d"), seg_end)
+    if s_lit is not None:
+        lead_seg = F.when(
+            (F.col("_rn") == 1) & (s_lit < F.col("_d")),
+            F.sequence(s_lit, F.date_sub(F.col("_d"), 1)),
+        ).otherwise(F.array().cast("array<date>"))
+        days = F.concat(lead_seg, days)
+    # two-step select: materialize the segment array below the explode
+    # (Generate re-evaluates projected expressions per exploded row)
+    staged = base.select(
+        *keys, "_d", "_v", "_nd", "_nv", days.alias("_days")
     )
-    j = grid.join(daily, keys + [day_col], "left")
-
-    w_back = (
-        Window.partitionBy(*keys)
-        .orderBy(day_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    ex = staged.select(
+        *keys, "_d", "_v", "_nd", "_nv", F.explode("_days").alias(day_col)
     )
-    w_fwd = (
-        Window.partitionBy(*keys)
-        .orderBy(day_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+    g = F.col(day_col)
+    observed = g == F.col("_d")
+    next_ok = F.col("_nv").isNotNull() & (
+        F.lit(True) if e_lit is None else (F.col("_nd") <= e_lit)
     )
-    v = F.col(value_col)
-    obs_day = F.when(v.isNotNull(), F.col(day_col))
-    prev_v = F.last(v, ignorenulls=True).over(w_back)
-    prev_d = F.last(obs_day, ignorenulls=True).over(w_back)
-    next_v = F.first(v, ignorenulls=True).over(w_fwd)
-    next_d = F.first(obs_day, ignorenulls=True).over(w_fwd)
-
-    gap_days = F.datediff(next_d, prev_d)
-    interp = F.when(v.isNotNull(), v).otherwise(
+    interp = F.when(observed, F.col("_v")).otherwise(
         F.when(
-            prev_v.isNotNull() & next_v.isNotNull(),
+            next_ok & (g > F.col("_d")),
             F.round(
                 (
-                    prev_v * F.datediff(next_d, F.col(day_col))
-                    + next_v * F.datediff(F.col(day_col), prev_d)
+                    F.col("_v") * F.datediff(F.col("_nd"), g)
+                    + F.col("_nv") * F.datediff(g, F.col("_d"))
                 )
-                / gap_days
+                / F.datediff(F.col("_nd"), F.col("_d"))
             ).cast("long"),
         )
     )
-    return j.select(
+    return ex.select(
         *keys,
         day_col,
-        v.alias(value_col),
-        prev_v.alias("locf_e4"),
+        F.when(observed, F.col("_v")).alias(value_col),
+        F.when(g >= F.col("_d"), F.col("_v")).alias("locf_e4"),
         interp.alias("interp_e4"),
-        v.isNotNull().alias("is_observed"),
+        observed.alias("is_observed"),
     )
 
 
@@ -1169,61 +1181,103 @@ def mann_kendall_trend(
     term exact cross-engine integers with no snapping; z exports as
     1e-6 micro-units from one correctly-rounded op sequence.
 
-    Scale shape: the pair join is O(d²) in the DATE dimension per key —
-    the bounded date-axis contract (a 10-year daily series is ~6.7M
-    pairs), never data-sized; the raw stream collapses to one row per
-    (key, day) before any pairing. For multi-decade per-second series,
-    fold an O(d·log d) inversion count over the collected array instead
-    (the kendall_tau_ic 'sorted' machinery).
+    Scale shape: ONE scan, two key shuffles (the daily rollup + one
+    collect), ZERO joins — the first draft computed n, ties and the
+    pair sum as four separate derivations of the daily aggregate and
+    PLANS.md showed the fact scanned four times. Here each key's
+    ordered (day, v) array folds once: n = size, the tie term from a
+    run-length fold over the sorted values, and S from a nested
+    pair fold — O(d²) in the DATE dimension per key (the bounded
+    date-axis contract; a 10-year daily series is ~6.7M sign
+    evaluations), never data-sized. For multi-decade per-second
+    series, the kendall_tau_ic 'sorted' Arrow merge-count is the
+    drop-in upgrade (S = n0 − tie_pairs − 2·inversions when the time
+    axis has no ties).
 
     Output: ``key_cols`` + (n, s, tie_term, z_e6) — all exact integers.
     """
     keys = list(key_cols)
-    base = daily.where(F.col(value_col).isNotNull()).select(
-        *keys,
-        F.col(day_col).alias("_d"),
-        F.col(value_col).cast("long").alias("_v"),
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.lit(True)
-    for kcol in keys:
-        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
-    s_df = (
-        a.join(b, cond & (F.col("a._d") < F.col("b._d")))
-        .groupBy(*[F.col(f"a.{kcol}").alias(kcol) for kcol in keys])
-        .agg(
-            F.coalesce(
-                F.sum(F.signum(F.col("b._v") - F.col("a._v")).cast("long")),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("s")
-        )
-    )
-    n_df = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    tie_df = (
-        base.groupBy(*keys, "_v")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    arr = (
+        daily.where(F.col(value_col).isNotNull())
         .groupBy(*keys)
         .agg(
-            F.sum(F.expr("_c * (_c - 1) * (2 * _c + 5)"))
-            .cast("long")
-            .alias("tie_term")
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(day_col).alias("o"),
+                        F.col(value_col).cast("long").alias("v"),
+                    )
+                )
+            ).alias("xs")
         )
     )
-    out = n_df.join(tie_df, keys).join(s_df, keys, "left")
-    nn = F.col("n").cast("long")
+    xs = F.col("xs")
+    long0 = F.lit(0).cast("long")
+    # S: for each position i, sum sign(v_j − v_i) over the tail j > i
+    partials = F.transform(
+        xs,
+        lambda x, i: F.aggregate(
+            F.slice(xs, i + F.lit(2), F.size(xs) - i - F.lit(1)),
+            long0,
+            lambda a, y: a + F.signum(y["v"] - x["v"]).cast("long"),
+        ),
+    )
+    s_expr = F.aggregate(partials, long0, lambda a, b: a + b)
+    # tie term Σ t(t−1)(2t+5): run-length fold over the SORTED values
+    vs = F.array_sort(F.transform(xs, lambda x: x["v"]))
+    run_closed = lambda st: st["acc"] + st["run"] * (st["run"] - 1) * (
+        2 * st["run"] + 5
+    )
+    tie_expr = F.aggregate(
+        vs,
+        F.struct(
+            F.lit(None).cast("long").alias("prev"),
+            long0.alias("run"),
+            long0.alias("acc"),
+        ),
+        lambda st, y: F.when(
+            st["prev"].isNull(),
+            F.struct(
+                y.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                long0.alias("acc"),
+            ),
+        )
+        .when(
+            y == st["prev"],
+            F.struct(
+                y.alias("prev"),
+                (st["run"] + 1).alias("run"),
+                st["acc"].alias("acc"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                y.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                run_closed(st).alias("acc"),
+            )
+        ),
+        run_closed,
+    )
+    staged = arr.select(
+        *keys,
+        F.size(xs).cast("long").alias("n"),
+        s_expr.alias("s"),
+        tie_expr.alias("tie_term"),
+    )
+    nn = F.col("n")
     var = (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")) / F.lit(18)
-    s = F.coalesce(F.col("s"), F.lit(0)).cast("long")
+    s = F.col("s")
     z = (
         F.when(s > 0, (s - 1) / F.sqrt(var))
         .when(s < 0, (s + 1) / F.sqrt(var))
         .otherwise(F.lit(0.0))
     )
-    return out.select(
+    return staged.select(
         *keys,
         "n",
-        s.alias("s"),
+        "s",
         "tie_term",
         F.when(var > 0, F.round(z * 1e6).cast("long")).alias("z_e6"),
     )

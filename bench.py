@@ -289,6 +289,24 @@ def run_suite(
     timed("rolling_active_kmv",
           lambda: rolling_active_users_kmv(ev, window_days=7, k=32).count())
 
+    # round-6 third batch: tie-robust Kendall IC (the Arrow merge-sort
+    # production path over the cached fd), dense-calendar gap fill,
+    # CUSUM drift monitor + Mann-Kendall trend (integer-grid folds)
+    from alphalens_spark.entry_queries import (
+        q_cusum_event_value,
+        q_gapfill_supplier_revenue,
+        q_mann_kendall_trend,
+    )
+
+    timed("factor_ic_kendall",
+          lambda: perf.kendall_tau_ic(fd, PERIOD_COLS, impl="sorted").count())
+    timed("gapfill_supplier_revenue",
+          lambda: q_gapfill_supplier_revenue(spark, sf_dir).count())
+    timed("cusum_event_value",
+          lambda: q_cusum_event_value(spark, sf_dir).count())
+    timed("mann_kendall_trend",
+          lambda: q_mann_kendall_trend(spark, sf_dir).count())
+
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
           lambda: similarity.ivfpq_topk(
