@@ -5505,6 +5505,66 @@ SELECT day, d.weekday, value_e4, trend_e4, seasonal_e4,
 FROM det d JOIN seas USING (weekday)"""
 
 
+def q_ic_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% circular-block-bootstrap CI for mean 1-period IC
+    (performance.ic_bootstrap_ci): md5-seeded block offsets, exact
+    integer resample sums, CI bounds as order statistics — the
+    autocorrelation-robust alternative to ic_summary's t-stat. Output
+    is one fully-integer row."""
+    fd = _fd(spark, sf_dir)
+    ic = perf.factor_information_coefficient(fd, PERIOD_COLS)
+    return perf.ic_bootstrap_ci(
+        ic, f"ic_{PERIOD_COLS[0]}", n_boot=200, block=20, seed=7, alpha=0.05
+    )
+
+
+ORACLES["ic_bootstrap"] = f"""{_P}, {_RANKS},
+vv AS (
+  SELECT CAST(round(round(ic_1p, 6) * 1e6) AS BIGINT) AS v,
+         row_number() OVER (ORDER BY date) - 1 AS i
+  FROM ic WHERE ic_1p IS NOT NULL
+),
+nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS obs_sum_e6
+  FROM vv
+),
+blocks0 AS (
+  SELECT b.range AS b, unnest(range(0, (n + 19) // 20)) AS k,
+         n, obs_sum_e6
+  FROM range(0, 200) b, nn
+),
+blocks AS (
+  SELECT b, k, n, obs_sum_e6,
+         ('0x' || substr(md5('7_' || CAST(b AS VARCHAR) || '_'
+                              || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+           % n AS o
+  FROM blocks0
+),
+picks AS (
+  SELECT b, n, obs_sum_e6, (o + j.range) % n AS idx
+  FROM blocks, range(0, 20) j
+  WHERE k * 20 + j.range < n
+),
+sums AS (
+  SELECT b, n, obs_sum_e6, CAST(sum(v) AS BIGINT) AS sum_e6
+  FROM picks JOIN vv ON vv.i = picks.idx
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT n, obs_sum_e6, sum_e6,
+         row_number() OVER (ORDER BY sum_e6, b) AS rn
+  FROM sums
+)
+SELECT n AS n_dates,
+       CAST(200 AS INTEGER) AS n_boot,
+       CAST(20 AS INTEGER) AS block_len,
+       obs_sum_e6,
+       max(CASE WHEN rn = 5 THEN sum_e6 END) AS lo_sum_e6,
+       max(CASE WHEN rn = 195 THEN sum_e6 END) AS hi_sum_e6
+FROM ranked GROUP BY 1, 2, 3, 4"""
+
+
 ORACLES["factor_ic_kendall"] = f"""{_P},
 kb AS (
   SELECT date, asset, round(factor, 6) AS x,
@@ -9347,6 +9407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_daily_revenue": q_seasonal_daily_revenue,
     "gapfill_supplier_revenue": q_gapfill_supplier_revenue,
     "factor_ic_kendall": q_factor_ic_kendall,
+    "ic_bootstrap": q_ic_bootstrap,
     "cusum_event_value": q_cusum_event_value,
     "mann_kendall_trend": q_mann_kendall_trend,
     "dedup_recall_eval": q_dedup_recall_eval,

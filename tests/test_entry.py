@@ -92,6 +92,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "tfidf_top_terms",
         # 1-row (n_keys, n_rows) stats broadcast onto the top-n keys
         "skew_report",
+        # 1-row (n_dates, obs_sum) broadcast onto the B-bounded resample
+        # grid — the documented scalar-broadcast contract
+        "ic_bootstrap",
         # 1-row global-prior broadcast for the shrinkage term
         "target_encode",
         # two 1-row per-sketch stats broadcasts onto the union sketch
