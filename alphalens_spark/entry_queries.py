@@ -5821,6 +5821,94 @@ SELECT event_type, n, s, tie_term,
 FROM j"""
 
 
+def q_conformal_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal intervals around the seasonal-naive forecast per
+    event type (events.conformal_interval_eval): 70% calibration split,
+    90% target coverage, interval half-width as an exact integer order
+    statistic, realized coverage counted on the held-out tail. Fully
+    integer output."""
+    from alphalens_spark.events import conformal_interval_eval
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
+        )
+    )
+    return conformal_interval_eval(
+        daily,
+        ["event_type"],
+        "day",
+        "value_e4",
+        season_days=7,
+        alpha_pct=10,
+        cal_pct=70,
+    )
+
+
+ORACLES["conformal_forecast_eval"] = r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+lagd AS (
+  SELECT event_type, day, v,
+         max(v) OVER (PARTITION BY event_type
+                      ORDER BY date_diff('day', DATE '1970-01-01', day)
+                      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lv
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day, abs(v - lv) AS r
+  FROM lagd WHERE lv IS NOT NULL
+),
+idx AS (
+  SELECT event_type, day, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM scored
+),
+par AS (
+  SELECT DISTINCT event_type, n, (n * 70 + 99) // 100 AS n_cal
+  FROM idx
+),
+calr AS (
+  SELECT i.event_type, i.r,
+         row_number() OVER (PARTITION BY i.event_type ORDER BY i.r) AS rr
+  FROM idx i JOIN par p USING (event_type)
+  WHERE i.rn <= p.n_cal
+),
+qh AS (
+  SELECT event_type, n, n_cal,
+         ((n_cal + 1) * 90 + 99) // 100 AS k
+  FROM par
+),
+qsel AS (
+  SELECT q.event_type, q.n, q.n_cal,
+         (SELECT c.r FROM calr c
+          WHERE c.event_type = q.event_type AND c.rr = q.k) AS qhat
+  FROM qh q
+),
+cov AS (
+  SELECT i.event_type,
+         CAST(sum(CASE WHEN s.qhat IS NULL OR i.r <= s.qhat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM idx i JOIN qsel s USING (event_type)
+  WHERE i.rn > s.n_cal
+  GROUP BY 1
+)
+SELECT q.event_type,
+       CAST(q.n AS BIGINT) AS n_scored,
+       CAST(q.n_cal AS BIGINT) AS n_cal,
+       CAST(q.n - q.n_cal AS BIGINT) AS n_test,
+       q.qhat AS qhat_e4,
+       coalesce(c.n_covered, 0) AS n_covered
+FROM qsel q LEFT JOIN cov c USING (event_type)"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -9410,6 +9498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ic_bootstrap": q_ic_bootstrap,
     "cusum_event_value": q_cusum_event_value,
     "mann_kendall_trend": q_mann_kendall_trend,
+    "conformal_forecast_eval": q_conformal_forecast_eval,
     "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,

@@ -1281,3 +1281,116 @@ def mann_kendall_trend(
         "tie_term",
         F.when(var > 0, F.round(z * 1e6).cast("long")).alias("z_e6"),
     )
+
+
+def conformal_interval_eval(
+    daily: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str = "day",
+    value_col: str = "value_e4",
+    season_days: int = 7,
+    alpha_pct: int = 10,
+    cal_pct: int = 70,
+) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecast, with held-out coverage — the distribution-free
+    uncertainty band (Vovk; Lei et al.) that turns the point forecasts
+    in :func:`seasonal_naive_eval` into calibrated intervals, and the
+    standard pre-deployment check that the band actually covers.
+
+    Per key, in day order: prediction for day d is the value at
+    d − season — a RANGE-frame calendar lag (the frame [−s, −s] over
+    the integer day number holds exactly the row s days earlier, or
+    nothing), so a missing day never shifts the season the way a ROW
+    lag would (a first draft's lag(7)+datediff check silently
+    UNDER-scored every day after a gap — the unit test caught it); the
+    first ``cal_pct``% of scored days calibrate, the rest test. The interval half-width ``q̂`` is
+    the k-th smallest calibration |residual| with
+    ``k = ⌈(n_cal + 1)(1 − α)⌉`` — computed in EXACT integer
+    arithmetic (``((n_cal+1)·(100−alpha_pct) + 99) div 100``; a float
+    ``ceil((n+1)·0.9)`` lands on 18.000000000000004-style doubles and
+    silently selects the wrong order statistic). When k > n_cal the
+    interval is infinite (q̂ NULL) and every test day counts covered —
+    the honest conformal convention. Coverage ≥ 1 − α holds in
+    expectation by exchangeability; the report shows the realized
+    count.
+
+    Integer-grid input (the STL/CUSUM contract) makes residuals,
+    order statistics and coverage counts exact integers — no float
+    anywhere. Scale shape: one key-ordered lag window + ONE groupBy
+    collecting the (day-dim bounded) scored series per key; the split,
+    the order statistic and the coverage count are array expressions
+    on that collected series. No joins, one scan.
+
+    Output: ``key_cols`` + (n_scored, n_cal, n_test, qhat_e4,
+    n_covered) — all exact integers.
+    """
+    keys = list(key_cols)
+    day_num = F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(day_num)
+        .rangeBetween(-season_days, -season_days)
+    )
+    scored = (
+        daily.where(F.col(value_col).isNotNull())
+        .withColumn("_pred", F.max(value_col).over(w))
+        .where(F.col("_pred").isNotNull())
+        .select(
+            *keys,
+            F.col(day_col).alias("_d"),
+            F.abs(F.col(value_col).cast("long") - F.col("_pred").cast("long"))
+            .alias("_r"),
+        )
+    )
+    arr = scored.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_d").alias("d"), F.col("_r").alias("r")))
+        ).alias("_a")
+    )
+    n = F.size("_a").cast("long")
+    n_cal = F.expr(f"(size(_a) * {cal_pct} + 99) div 100").cast("long")
+    n_test = n - n_cal
+    staged = arr.select(
+        *keys,
+        "_a",
+        n.alias("_n"),
+        n_cal.alias("_nc"),
+        n_test.alias("_nt"),
+    )
+    k = F.expr(f"((_nc + 1) * (100 - {alpha_pct}) + 99) div 100")
+    cal_r = F.array_sort(
+        F.transform(
+            F.slice("_a", 1, F.col("_nc").cast("int")), lambda x: x["r"]
+        )
+    )
+    staged2 = staged.select(
+        *keys,
+        "_a",
+        "_n",
+        "_nc",
+        "_nt",
+        F.when(k <= F.col("_nc"), F.get(cal_r, (k - 1).cast("int"))).alias(
+            "_qhat"
+        ),
+    )
+    covered = F.aggregate(
+        F.slice(
+            "_a", (F.col("_nc") + 1).cast("int"), F.col("_nt").cast("int")
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a
+        + F.when(
+            F.col("_qhat").isNull() | (x["r"] <= F.col("_qhat")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return staged2.select(
+        *keys,
+        F.col("_n").alias("n_scored"),
+        F.col("_nc").alias("n_cal"),
+        F.col("_nt").alias("n_test"),
+        F.col("_qhat").alias("qhat_e4"),
+        covered.alias("n_covered"),
+    )

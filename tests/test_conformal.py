@@ -1,0 +1,93 @@
+"""conformal_interval_eval: exact order-statistic q-hat + coverage."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from alphalens_spark.events import conformal_interval_eval
+
+
+def _py_ref(vals, season, alpha_pct, cal_pct, days=None):
+    """vals: list of (day_offset, value); returns the expected row."""
+    byday = dict(vals)
+    scored = []
+    for d, v in sorted(vals):
+        p = byday.get(d - season)
+        if p is not None:
+            scored.append((d, abs(v - p)))
+    n = len(scored)
+    n_cal = (n * cal_pct + 99) // 100
+    n_test = n - n_cal
+    cal = sorted(r for _, r in scored[:n_cal])
+    k = ((n_cal + 1) * (100 - alpha_pct) + 99) // 100
+    qhat = cal[k - 1] if k <= n_cal else None
+    covered = sum(
+        1 for _, r in scored[n_cal:] if qhat is None or r <= qhat
+    )
+    return n, n_cal, n_test, qhat, covered
+
+
+def _run(spark, vals, **kw):
+    rows = [("k", d, v) for d, v in vals]
+    df = spark.createDataFrame(
+        rows, "key string, offset int, value_e4 long"
+    ).select(
+        "key",
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("offset")).alias(
+            "day"
+        ),
+        "value_e4",
+    )
+    r = conformal_interval_eval(df, ["key"], "day", "value_e4", **kw)
+    return [
+        (x["n_scored"], x["n_cal"], x["n_test"], x["qhat_e4"], x["n_covered"])
+        for x in r.collect()
+    ][0]
+
+
+def test_matches_python_reference(spark):
+    rng = random.Random(21)
+    vals = [(d, 1000 + rng.randint(-50, 50)) for d in range(40)]
+    got = _run(spark, vals, season_days=7, alpha_pct=10, cal_pct=70)
+    assert got == _py_ref(vals, 7, 10, 70)
+    # sanity: a stable series should cover most of the test tail
+    n, nc, nt, qhat, cov = got
+    assert n == 33 and nc == 24 and nt == 9
+    assert qhat is not None and cov >= nt - 2
+
+
+def test_calendar_gap_does_not_shift_season(spark):
+    # day 10 missing: day 17's row-lag-7 would otherwise grab day 9's
+    # value; the calendar check must reject that pair
+    vals = [(d, 100 * d) for d in range(20) if d != 10]
+    got = _run(spark, vals, season_days=7, alpha_pct=10, cal_pct=70)
+    py = _py_ref(vals, 7, 10, 70)
+    assert got == py
+    # exactly the days with BOTH d and d-7 present score
+    assert got[0] == len(
+        [d for d, _ in vals if (d - 7) in dict(vals)]
+    )
+
+
+def test_infinite_interval_when_calibration_too_small(spark):
+    # n_cal = 3 -> k = ceil(4 * 0.9) = 4 > 3 -> qhat NULL, all covered
+    vals = [(d, 10 * d) for d in range(11)]  # 4 scored days (7..10)
+    got = _run(spark, vals, season_days=7, alpha_pct=10, cal_pct=70)
+    n, nc, nt, qhat, cov = got
+    assert (n, nc, nt) == (4, 3, 1)
+    assert qhat is None and cov == nt
+    assert got == _py_ref(vals, 7, 10, 70)
+
+
+def test_integer_k_never_off_by_one(spark):
+    # the float form ceil((n_cal+1)*0.9) misselects when (n_cal+1)*0.9
+    # is exactly integral (e.g. n_cal=19 -> 18.000000000000004): check a
+    # span that produces n_cal = 19
+    vals = [(d, d * 37 % 500) for d in range(34)]  # 27 scored, n_cal 19
+    got = _run(spark, vals, season_days=7, alpha_pct=10, cal_pct=70)
+    py = _py_ref(vals, 7, 10, 70)
+    assert got == py
+    assert got[1] == 19
+    k = ((19 + 1) * 90 + 99) // 100
+    assert k == 18  # exact rational ceil(20*0.9) == 18, not 19
