@@ -5909,6 +5909,110 @@ SELECT q.event_type,
 FROM qsel q LEFT JOIN cov c USING (event_type)"""
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-value trend slope per event type
+    (events.theil_sen_slope): median of all pairwise slopes in
+    micro-units/day — the magnitude companion to mann_kendall_trend,
+    immune to single-day outliers. Exact order-statistic median over
+    one-division pair slopes; integer output."""
+    from alphalens_spark.events import theil_sen_slope
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
+        )
+    )
+    return theil_sen_slope(daily, ["event_type"], "day", "value_e4")
+
+
+ORACLES["theil_sen_trend"] = r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+dd AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dn, v
+  FROM daily
+),
+sl AS (
+  SELECT a.event_type, (b.v - a.v) * 1e6 / (b.dn - a.dn) AS s
+  FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.dn < b.dn
+),
+st AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type ORDER BY s) AS rr,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM sl
+),
+nn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1
+),
+med AS (
+  SELECT event_type, m,
+         max(CASE WHEN rr = (m + 1) // 2 THEN s END) AS lo,
+         max(CASE WHEN rr = m // 2 + 1 THEN s END) AS hi
+  FROM st GROUP BY 1, 2
+)
+SELECT nn.event_type, n,
+       CAST(coalesce(m, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN m IS NOT NULL THEN
+         CAST(round(CASE WHEN m % 2 = 1 THEN lo
+                         ELSE (lo + hi) / 2 END) AS BIGINT) END
+         AS slope_e6_per_day
+FROM nn LEFT JOIN med USING (event_type)"""
+
+
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk screen (scale.curation.k_anonymity_report) over
+    the customer quasi-identifier (nation, market segment, 100-unit
+    balance bucket): how many customers are NOT hidden in a crowd of
+    ≥5. The balance bucket is exact-integer ((round(bal·100)+100000)
+    div 10000 — the +offset keeps the div a floor on both engines;
+    truncating DIV vs flooring // diverge on negatives)."""
+    from alphalens_spark.scale.curation import k_anonymity_report
+
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    bucketed = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 10000"
+        ).alias("bal_bucket"),
+    )
+    return k_anonymity_report(
+        bucketed, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    )
+
+
+ORACLES["k_anonymity_customers"] = r"""
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000
+           AS bal_bucket
+  FROM customer
+),
+sizes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS c
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(c) AS BIGINT) AS min_group_size,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singleton_groups,
+       CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_k,
+       CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(5 AS INTEGER) AS k
+FROM sizes"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -9499,6 +9603,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_event_value": q_cusum_event_value,
     "mann_kendall_trend": q_mann_kendall_trend,
     "conformal_forecast_eval": q_conformal_forecast_eval,
+    "theil_sen_trend": q_theil_sen_trend,
+    "k_anonymity_customers": q_k_anonymity_customers,
     "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,

@@ -1300,3 +1300,56 @@ def pretraining_funnel(
         .unionByName(stage(s2, 2, "exact_dedup"))
         .unionByName(stage(s3, 3, "token_budget"))
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Re-identification risk screen over a quasi-identifier combination
+    — the privacy gate a dataset passes before it ships to training or
+    release (Sweeney's k-anonymity): every row should be hidden in a
+    crowd of at least ``k`` rows sharing its quasi-identifier values.
+
+    One map-side-combinable groupBy on the quasi columns, then one
+    1-row aggregate over the (bounded, group-count-sized) histogram —
+    nothing row-sized leaves the first shuffle. All-integer output:
+    (n_rows, n_groups, min_group_size, n_singleton_groups,
+    n_groups_below_k, n_rows_at_risk, k).
+    """
+    qs = list(quasi_cols)
+    sizes = df.groupBy(*qs).agg(F.count(F.lit(1)).alias("_c"))
+    return sizes.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("_c").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singleton_groups"),
+        F.sum(F.when(F.col("_c") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_k"),
+        F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.lit(k).cast("int").alias("k"),
+    )
+
+
+def enforce_k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Suppression enforcement for :func:`k_anonymity_report`: drop every
+    row whose quasi-identifier group has fewer than ``k`` members
+    (generalization/bucketing is domain-specific — coarsen the quasi
+    columns FIRST, e.g. round a balance to its hundred, then suppress
+    the remainder). One group-count + one semi-join on the quasi key;
+    the surviving frame is k-anonymous by construction (tested).
+    """
+    qs = list(quasi_cols)
+    keep = (
+        df.groupBy(*qs)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= k)
+        .select(*qs)
+    )
+    return df.join(keep, qs, "left_semi")

@@ -91,3 +91,28 @@ def test_integer_k_never_off_by_one(spark):
     assert got[1] == 19
     k = ((19 + 1) * 90 + 99) // 100
     assert k == 18  # exact rational ceil(20*0.9) == 18, not 19
+
+
+def test_enforce_k_anonymity_suppresses_small_groups(spark):
+    from alphalens_spark.scale.curation import (
+        enforce_k_anonymity,
+        k_anonymity_report,
+    )
+
+    rows = (
+        [("US", "A", i) for i in range(5)]
+        + [("US", "B", i) for i in range(2)]   # below k=3 -> suppressed
+        + [("DE", "A", i) for i in range(3)]
+        + [("FR", "C", 0)]                     # singleton -> suppressed
+    )
+    df = spark.createDataFrame(rows, "nat string, seg string, id int")
+    rep = k_anonymity_report(df, ["nat", "seg"], k=3).collect()[0]
+    assert rep["n_rows"] == 11 and rep["n_groups"] == 4
+    assert rep["n_singleton_groups"] == 1
+    assert rep["n_groups_below_k"] == 2 and rep["n_rows_at_risk"] == 3
+
+    kept = enforce_k_anonymity(df, ["nat", "seg"], k=3)
+    assert kept.count() == 8
+    # the surviving frame is k-anonymous by construction
+    rep2 = k_anonymity_report(kept, ["nat", "seg"], k=3).collect()[0]
+    assert rep2["n_groups_below_k"] == 0 and rep2["min_group_size"] >= 3

@@ -78,3 +78,53 @@ def test_random_with_ties_matches_reference(spark):
     got = _run(spark, series)
     for k, vals in series.items():
         assert got[k] == _py_mk(vals), k
+
+
+def test_theil_sen_matches_python_reference(spark):
+    import statistics
+
+    from alphalens_spark.events import theil_sen_slope
+
+    rng = random.Random(31)
+    series = {
+        "trend": [(d, 100 + 37 * d) for d in range(25)],          # exact slope
+        "outlier": [(d, 10 * d if d != 12 else 100000) for d in range(20)],
+        "noisy": [(d, rng.randint(-100, 100)) for d in range(30)],
+        "single": [(0, 5)],
+        "pair": [(0, 10), (3, 40)],  # slope (30*1e6)/3 = 1e7
+    }
+    rows = [
+        (k, d, v) for k, vals in series.items() for d, v in vals
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, offset int, value_e4 long"
+    ).select(
+        "key",
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("offset")).alias(
+            "day"
+        ),
+        "value_e4",
+    )
+    got = {
+        r["key"]: (r["n"], r["n_pairs"], r["slope_e6_per_day"])
+        for r in theil_sen_slope(df, ["key"], "day", "value_e4").collect()
+    }
+    for k, vals in series.items():
+        n = len(vals)
+        slopes = [
+            (v2 - v1) * 1e6 / (d2 - d1)
+            for i, (d1, v1) in enumerate(vals)
+            for (d2, v2) in vals[i + 1 :]
+        ]
+        want = (
+            n,
+            len(slopes),
+            int(round(statistics.median(sorted(slopes)))) if slopes else None,
+        )
+        # statistics.median's even-case mean matches (lo+hi)/2 on these
+        # values; the exact-integer slopes make round() unambiguous
+        assert got[k] == want, k
+    assert got["trend"][2] == 37_000_000
+    assert got["pair"][2] == 10_000_000
+    # the outlier day perturbs the OLS slope wildly but not the median
+    assert abs(got["outlier"][2] - 10_000_000) < 1_500_000
