@@ -6013,6 +6013,63 @@ SELECT CAST(sum(c) AS BIGINT) AS n_rows,
 FROM sizes"""
 
 
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (scale.profile.benford_screen) over
+    order totals per order priority: observed vs expected leading-digit
+    counts with exact-integer deviations and chi-square contributions.
+    The digit comes from the decimal STRING of the cent-quantized
+    integer (float log10 digit extraction and runtime log10
+    probabilities both break cross-engine)."""
+    from alphalens_spark.scale.profile import benford_screen
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    amt = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("amount_e2"),
+    )
+    return benford_screen(amt, "amount_e2", ["o_orderpriority"])
+
+
+ORACLES["benford_orders"] = r"""
+WITH amts AS (
+  SELECT o_orderpriority,
+         abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS amt
+  FROM orders
+),
+digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(amt AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM amts WHERE amt > 0
+),
+counts AS (
+  SELECT o_orderpriority, digit, CAST(count(*) AS BIGINT) AS n_obs
+  FROM digits GROUP BY 1, 2
+),
+p AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                        (4, 96910), (5, 79181), (6, 66947),
+                        (7, 57992), (8, 51153), (9, 45757)) t(digit, p_e6)
+),
+tot AS (
+  SELECT o_orderpriority, CAST(sum(n_obs) AS BIGINT) AS n_total
+  FROM counts GROUP BY 1
+),
+j AS (
+  SELECT c.o_orderpriority, c.digit, c.n_obs, t.n_total,
+         CAST(t.n_total * p.p_e6 AS BIGINT) AS expected_e6
+  FROM counts c JOIN tot t USING (o_orderpriority)
+  JOIN p ON p.digit = c.digit
+)
+SELECT o_orderpriority, digit, n_obs, n_total, expected_e6,
+       n_obs * 1000000 - expected_e6 AS deviation_e6,
+       CAST(round(CAST(n_obs * 1000000 - expected_e6 AS DOUBLE)
+                  * CAST(n_obs * 1000000 - expected_e6 AS DOUBLE)
+                  / expected_e6 / 1e6) AS BIGINT) AS chi2_contrib_e6
+FROM j"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -9605,6 +9662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conformal_forecast_eval": q_conformal_forecast_eval,
     "theil_sen_trend": q_theil_sen_trend,
     "k_anonymity_customers": q_k_anonymity_customers,
+    "benford_orders": q_benford_orders,
     "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,

@@ -530,3 +530,88 @@ def column_entropy(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# Benford first-digit probabilities log10(1 + 1/d), 6-dp micro-units.
+# Embedded as exact integer literals (they sum to exactly 1,000,000)
+# instead of computing log10 at runtime: libm log implementations are
+# NOT correctly-rounded, so Spark's JVM log and DuckDB's C log can
+# differ in the last ulp and break the value oracle.
+_BENFORD_P_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_screen(
+    df: DataFrame,
+    amount_int_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benford's-law first-digit screen — the classic fraud /
+    fabricated-data tripwire for naturally-occurring amounts (Nigrini):
+    genuine multi-magnitude amounts start with 1 ~30.1% of the time;
+    invented numbers don't.
+
+    Input contract: ``amount_int_col`` is an INTEGER-GRID amount
+    (quantize currency to cents first). The first significant digit
+    comes from the decimal string of that integer — never from
+    ``floor(x/10^floor(log10 x))`` float arithmetic, and the Benford
+    probabilities are embedded 6-dp integer literals (runtime log10 is
+    a libm call that differs across engines in the last ulp). Zero
+    amounts carry no leading digit and are excluded.
+
+    Per (group, digit): observed count, total, expected count in
+    micro-units (``n·p_e6`` — an exact integer product), the signed
+    deviation ``n_obs·1e6 − expected`` (exact), and the chi-square
+    contribution ``round(dev² / expected_e6 / 1e6)`` in micro-units
+    (one exact-integer division chain). Σ contrib ≈ χ²(8) · 1e6.
+
+    One map-side-combinable groupBy; the digit dimension is 9 rows per
+    group. Output: group_cols + (digit, n_obs, n_total, expected_e6,
+    deviation_e6, chi2_contrib_e6) — all exact integers.
+    """
+    gs = list(group_cols or [])
+    amt = F.abs(F.col(amount_int_col).cast("long"))
+    digit = F.substring(amt.cast("string"), 1, 1).cast("int")
+    base = df.where(amt > 0).select(*gs, digit.alias("digit"))
+    counts = base.groupBy(*gs, "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gs) if gs else Window.partitionBy(F.lit(1))
+    p_e6 = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for d, p in sorted(_BENFORD_P_E6.items())
+                for x in (d, p)
+            ]
+        ),
+        F.col("digit"),
+    ).cast("long")
+    n_total = F.sum("n_obs").over(w).cast("long")
+    staged = counts.select(
+        *gs,
+        "digit",
+        "n_obs",
+        n_total.alias("n_total"),
+        (n_total * p_e6).alias("expected_e6"),
+    )
+    dev = F.col("n_obs") * F.lit(1000000).cast("long") - F.col("expected_e6")
+    # chi-square contribution in DOUBLE: dev can reach ~n*1e6, whose
+    # square overflows BIGINT at ~3e9 rows-per-group equivalents; the
+    # double product of identical integers is correctly rounded on
+    # both engines, so determinism is preserved
+    dd = dev.cast("double")
+    chi2 = F.round(dd * dd / F.col("expected_e6") / F.lit(1e6)).cast("long")
+    return staged.select(
+        *gs,
+        "digit",
+        "n_obs",
+        "n_total",
+        "expected_e6",
+        dev.alias("deviation_e6"),
+        chi2.alias("chi2_contrib_e6"),
+    )

@@ -116,3 +116,34 @@ def test_enforce_k_anonymity_suppresses_small_groups(spark):
     # the surviving frame is k-anonymous by construction
     rep2 = k_anonymity_report(kept, ["nat", "seg"], k=3).collect()[0]
     assert rep2["n_groups_below_k"] == 0 and rep2["min_group_size"] >= 3
+
+
+def test_benford_screen_counts_and_expected(spark):
+    from alphalens_spark.scale.profile import _BENFORD_P_E6, benford_screen
+
+    # synthetic: 100 rows starting with 1, 50 with 2, 10 with 9; plus a
+    # zero and a negative (|-3xx| counts under digit 3)
+    rows = (
+        [(100 + i,) for i in range(100)]
+        + [(2000 + i,) for i in range(50)]
+        + [(9,)] * 10
+        + [(0,), (-314,)]
+    )
+    df = spark.createDataFrame(rows, "amt long")
+    out = {
+        r["digit"]: r for r in benford_screen(df, "amt").collect()
+    }
+    assert out[1]["n_obs"] == 100 and out[2]["n_obs"] == 50
+    assert out[9]["n_obs"] == 10 and out[3]["n_obs"] == 1
+    n = 161  # zero excluded, negative included via abs
+    for d, r in out.items():
+        assert r["n_total"] == n
+        assert r["expected_e6"] == n * _BENFORD_P_E6[d]
+        assert r["deviation_e6"] == r["n_obs"] * 1_000_000 - r["expected_e6"]
+        # chi2 contribution reproduces dev^2/exp in micro-units
+        want = round(
+            (r["deviation_e6"] ** 2) / r["expected_e6"] / 1e6
+        )
+        assert abs(r["chi2_contrib_e6"] - want) <= 1
+    # probabilities are a partition of 1
+    assert sum(_BENFORD_P_E6.values()) == 1_000_000
