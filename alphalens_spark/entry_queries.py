@@ -6070,6 +6070,68 @@ SELECT o_orderpriority, digit, n_obs, n_total, expected_e6,
 FROM j"""
 
 
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration per nation
+    (scale.profile.concentration_report): Gini coefficient + top-decile
+    share of cent-quantized per-customer order totals — exact-integer
+    rank sums, deterministic (value, custkey) tie order, micro-unit
+    ratio export."""
+    from alphalens_spark.scale.profile import concentration_report
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_e2"
+            )
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return concentration_report(
+        per_cust, ["c_nationkey"], "rev_e2", "o_custkey"
+    )
+
+
+ORACLES["revenue_concentration"] = r"""
+WITH per_cust AS (
+  SELECT c_nationkey, o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_e2
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, rev_e2,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev_e2, o_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM per_cust
+),
+agg AS (
+  SELECT c_nationkey,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(rev_e2) AS BIGINT) AS total,
+         CAST(sum(rn * rev_e2) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN rn > n - (n + 9) // 10 THEN rev_e2
+                       ELSE 0 END) AS BIGINT) AS topx
+  FROM ranked GROUP BY 1
+)
+SELECT c_nationkey, n, total,
+       CASE WHEN total > 0 THEN
+         CAST(round(CAST(2 * a - (n + 1) * total AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * total) * 1e6) AS BIGINT) END
+         AS gini_e6,
+       CASE WHEN total > 0 THEN
+         CAST(round(CAST(topx AS DOUBLE) * 1e6 / total) AS BIGINT) END
+         AS top_decile_share_e6
+FROM agg"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -9663,6 +9725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_trend": q_theil_sen_trend,
     "k_anonymity_customers": q_k_anonymity_customers,
     "benford_orders": q_benford_orders,
+    "revenue_concentration": q_revenue_concentration,
     "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,

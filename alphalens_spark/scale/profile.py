@@ -615,3 +615,74 @@ def benford_screen(
         dev.alias("deviation_e6"),
         chi2.alias("chi2_contrib_e6"),
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_int_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Concentration / inequality diagnostics per group: the Gini
+    coefficient and the top-decile share of an integer-grid weight
+    (revenue per customer, tokens per source, traffic per user) — the
+    80/20 screens behind skew planning, revenue-risk review and
+    corpus-balance decisions.
+
+    Rank-based Gini: with x_(1) ≤ … ≤ x_(n) ascending,
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)``. Ranks are a
+    deterministic total order (value, then ``id_col`` — ties never
+    float between engines), Σ i·x and Σx are exact integers (bounded
+    by n²·x̄ < 2⁶³ per group — trillions of rows per group before
+    overflow at cent grain), and the final ratio is one
+    correctly-rounded double op sequence exported in micro-units.
+    Top-decile share: the largest ⌈n/10⌉ members' weight over the
+    total, again via exact integers + one division.
+
+    One key-partitioned window (rank + running count share the sort)
+    and one groupBy. Negative weights are rejected semantically
+    (Gini is defined for non-negative quantities): rows with x < 0
+    raise no error but ARE counted — screen them out first.
+
+    Output: group_cols + (n, total, gini_e6, top_decile_share_e6).
+    """
+    from pyspark.sql import Window
+
+    gs = list(group_cols)
+    x = F.col(weight_int_col).cast("long")
+    base = df.select(*gs, x.alias("_x"), F.col(id_col).alias("_id"))
+    wr = Window.partitionBy(*gs).orderBy("_x", "_id")
+    wn = Window.partitionBy(*gs)
+    ranked = base.select(
+        *gs,
+        "_x",
+        F.row_number().over(wr).cast("long").alias("_rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("_n"),
+    )
+    k = F.expr("(_n + 9) div 10")
+    top = F.when(F.col("_rn") > F.col("_n") - k, F.col("_x")).otherwise(
+        F.lit(0).cast("long")
+    )
+    agg = ranked.groupBy(*gs).agg(
+        F.max("_n").alias("n"),
+        F.sum("_x").cast("long").alias("total"),
+        F.sum(F.col("_rn") * F.col("_x")).cast("long").alias("_a"),
+        F.sum(top).cast("long").alias("_top"),
+    )
+    nn = F.col("n")
+    b = F.col("total")
+    gini = (
+        (2 * F.col("_a") - (nn + 1) * b).cast("double")
+        / (nn.cast("double") * b)
+        * 1e6
+    )
+    share = F.col("_top").cast("double") * 1e6 / b
+    return agg.select(
+        *gs,
+        "n",
+        "total",
+        F.when(b > 0, F.round(gini).cast("long")).alias("gini_e6"),
+        F.when(b > 0, F.round(share).cast("long")).alias(
+            "top_decile_share_e6"
+        ),
+    )

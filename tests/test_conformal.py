@@ -147,3 +147,30 @@ def test_benford_screen_counts_and_expected(spark):
         assert abs(r["chi2_contrib_e6"] - want) <= 1
     # probabilities are a partition of 1
     assert sum(_BENFORD_P_E6.values()) == 1_000_000
+
+
+def test_concentration_gini_known_values(spark):
+    from alphalens_spark.scale.profile import concentration_report
+
+    rows = (
+        # "equal": everyone identical -> Gini 0; top decile (1 of 8)
+        # holds exactly 1/8
+        [("equal", i, 100) for i in range(8)]
+        # "mono": one customer holds everything -> Gini (n-1)/n, top
+        # decile share 100%
+        + [("mono", i, 0) for i in range(9)]
+        + [("mono", 9, 5000)]
+        # "zero": no revenue at all -> ratios NULL
+        + [("zero", i, 0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "grp string, cid int, w long")
+    out = {
+        r["grp"]: r
+        for r in concentration_report(df, ["grp"], "w", "cid").collect()
+    }
+    assert out["equal"]["gini_e6"] == 0
+    assert out["equal"]["top_decile_share_e6"] == 125_000
+    assert out["mono"]["gini_e6"] == 900_000  # (10-1)/10
+    assert out["mono"]["top_decile_share_e6"] == 1_000_000
+    assert out["zero"]["gini_e6"] is None
+    assert out["zero"]["top_decile_share_e6"] is None
