@@ -293,9 +293,13 @@ def run_suite(
     # production path over the cached fd), dense-calendar gap fill,
     # CUSUM drift monitor + Mann-Kendall trend (integer-grid folds)
     from alphalens_spark.entry_queries import (
+        q_benford_orders,
+        q_conformal_forecast_eval,
         q_cusum_event_value,
         q_gapfill_supplier_revenue,
         q_mann_kendall_trend,
+        q_revenue_concentration,
+        q_theil_sen_trend,
     )
 
     timed("factor_ic_kendall",
@@ -306,6 +310,14 @@ def run_suite(
           lambda: q_cusum_event_value(spark, sf_dir).count())
     timed("mann_kendall_trend",
           lambda: q_mann_kendall_trend(spark, sf_dir).count())
+    timed("theil_sen_trend",
+          lambda: q_theil_sen_trend(spark, sf_dir).count())
+    timed("conformal_forecast_eval",
+          lambda: q_conformal_forecast_eval(spark, sf_dir).count())
+    timed("benford_orders",
+          lambda: q_benford_orders(spark, sf_dir).count())
+    timed("revenue_concentration",
+          lambda: q_revenue_concentration(spark, sf_dir).count())
 
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
