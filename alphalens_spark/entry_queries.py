@@ -5690,6 +5690,22 @@ SELECT l_suppkey, day, value_e4,
 FROM f"""
 
 
+def _daily_event_value_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) event value summed in 1e-4 integer units —
+    the shared input series for the forecast/monitoring query family
+    (cusum / mann_kendall / theil_sen / conformal). Single-sourced so a
+    grid or null-policy change happens in ONE place (the four oracle
+    CTEs restate it per query by the oracle-self-containment rule)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
+        )
+    )
+
+
 def q_cusum_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift monitor (events.cusum_changepoints) on each
     event type's daily value series: baseline-mean target from the first
@@ -5698,14 +5714,7 @@ def q_cusum_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle matches bit-for-bit with no rounding caveats."""
     from alphalens_spark.events import cusum_changepoints
 
-    ev = datasets.load_table(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("value").isNotNull())
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
-        )
-    )
+    daily = _daily_event_value_e4(spark, sf_dir)
     return cusum_changepoints(
         daily,
         ["event_type"],
@@ -5776,14 +5785,7 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuity-corrected z in 1e-6 micro-units — all-integer output."""
     from alphalens_spark.events import mann_kendall_trend
 
-    ev = datasets.load_table(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("value").isNotNull())
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
-        )
-    )
+    daily = _daily_event_value_e4(spark, sf_dir)
     return mann_kendall_trend(daily, ["event_type"], "day", "value_e4")
 
 
@@ -5829,14 +5831,7 @@ def q_conformal_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer output."""
     from alphalens_spark.events import conformal_interval_eval
 
-    ev = datasets.load_table(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("value").isNotNull())
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
-        )
-    )
+    daily = _daily_event_value_e4(spark, sf_dir)
     return conformal_interval_eval(
         daily,
         ["event_type"],
@@ -5917,14 +5912,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-division pair slopes; integer output."""
     from alphalens_spark.events import theil_sen_slope
 
-    ev = datasets.load_table(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("value").isNotNull())
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("value_e4")
-        )
-    )
+    daily = _daily_event_value_e4(spark, sf_dir)
     return theil_sen_slope(daily, ["event_type"], "day", "value_e4")
 
 
@@ -6057,10 +6045,12 @@ tot AS (
   FROM counts GROUP BY 1
 ),
 j AS (
-  SELECT c.o_orderpriority, c.digit, c.n_obs, t.n_total,
+  SELECT t.o_orderpriority, p.digit,
+         CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs, t.n_total,
          CAST(t.n_total * p.p_e6 AS BIGINT) AS expected_e6
-  FROM counts c JOIN tot t USING (o_orderpriority)
-  JOIN p ON p.digit = c.digit
+  FROM tot t CROSS JOIN p
+  LEFT JOIN counts c
+    ON c.o_orderpriority = t.o_orderpriority AND c.digit = p.digit
 )
 SELECT o_orderpriority, digit, n_obs, n_total, expected_e6,
        n_obs * 1000000 - expected_e6 AS deviation_e6,

@@ -977,7 +977,9 @@ def gap_fill_daily(
     keys = list(key_cols)
     s_lit = F.lit(start).cast("date") if start is not None else None
     e_lit = F.lit(end).cast("date") if end is not None else None
-    d = daily
+    # a NULL value is a GAP, not an observation (matches the oracle's
+    # `value_e4 IS NOT NULL` semantics and every sibling integer-grid op)
+    d = daily.where(F.col(value_col).isNotNull())
     if s_lit is not None:
         d = d.where(F.col(day_col) >= s_lit)
     if e_lit is not None:
@@ -1117,37 +1119,23 @@ def cusum_changepoints(
             .otherwise(F.lit(0))
             .cast("int")
         )
-        first_gp = F.greatest(zero, x["v"] - F.col("_mu") - F.col("_k"))
-        first_gn = F.greatest(zero, F.col("_mu") - x["v"] - F.col("_k"))
-        first_alarm = (
-            F.when(first_gp > F.col("_h"), F.lit(1))
-            .when(first_gn > F.col("_h"), F.lit(-1))
-            .otherwise(F.lit(0))
-            .cast("int")
-        )
-        return F.when(
-            F.size(acc) == 0,
+        return F.concat(
+            acc,
             F.array(
-                F.struct(
-                    first_gp.alias("gp"),
-                    first_gn.alias("gn"),
-                    first_alarm.alias("alarm"),
-                )
+                F.struct(gp.alias("gp"), gn.alias("gn"), alarm.alias("alarm"))
             ),
-        ).otherwise(
-            F.concat(
-                acc,
-                F.array(
-                    F.struct(gp.alias("gp"), gn.alias("gn"), alarm.alias("alarm"))
-                ),
-            )
         )
 
-    ys = F.aggregate(
-        F.col("xs"),
-        F.array().cast("array<struct<gp:long,gn:long,alarm:int>>"),
-        _step,
+    # fold from the (0, 0, no-alarm) seed — the first real element then
+    # computes max(0, 0 + (v − μ − k)) etc., which IS the head-row rule,
+    # so no first-element special case exists (the streaming store's
+    # seeded-continuation proof); the seed itself is sliced off
+    seed = F.array(
+        F.struct(
+            zero.alias("gp"), zero.alias("gn"), F.lit(0).cast("int").alias("alarm")
+        )
     )
+    ys = F.slice(F.aggregate(F.col("xs"), seed, _step), 2, F.size("xs"))
     staged2 = staged.select(*keys, "xs", ys.alias("ys"))
     return staged2.select(
         *keys, F.posexplode(F.arrays_zip("xs", "ys"))

@@ -173,7 +173,17 @@ def kendall_tau_ic(
     tau_<c>_e6) — every column an exact integer.
     """
     cols = list(period_cols)
-    base = factor_data.select(
+    # NULL contract: rows with a null factor or ANY null period value are
+    # excluded up front. Without this the two impls silently diverge on
+    # dirty input (the pairs form groups nulls into a tie group and drops
+    # null sign products, while NaN in the sorted form is both
+    # self-unequal for ties and sorts largest for discordances —
+    # review-confirmed numerically). factor_data from get_clean_factor
+    # is already null-free, so certified paths are unaffected.
+    notnull = F.col("factor").isNotNull()
+    for c in cols:
+        notnull = notnull & F.col(c).isNotNull()
+    base = factor_data.where(notnull).select(
         "date",
         "asset",
         F.round("factor", 6).alias("_x"),

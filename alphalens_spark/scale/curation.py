@@ -1350,6 +1350,13 @@ def enforce_k_anonymity(
         df.groupBy(*qs)
         .agg(F.count(F.lit(1)).alias("_c"))
         .where(F.col("_c") >= k)
-        .select(*qs)
+        .select(*[F.col(q).alias(f"_k_{q}") for q in qs])
     )
-    return df.join(keep, qs, "left_semi")
+    # null-SAFE equality: groupBy treats NULL quasi values as one group
+    # (they appear in the report), so the semi-join must match them too —
+    # a plain column-list join silently drops every NULL-keyed group
+    # regardless of its size (review-confirmed)
+    cond = F.lit(True)
+    for q in qs:
+        cond = cond & F.col(q).eqNullSafe(F.col(f"_k_{q}"))
+    return df.join(keep, cond, "left_semi")

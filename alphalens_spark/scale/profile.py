@@ -567,9 +567,15 @@ def benford_screen(
     contribution ``round(dev² / expected_e6 / 1e6)`` in micro-units
     (one exact-integer division chain). Σ contrib ≈ χ²(8) · 1e6.
 
-    One map-side-combinable groupBy; the digit dimension is 9 rows per
-    group. Output: group_cols + (digit, n_obs, n_total, expected_e6,
-    deviation_e6, chi2_contrib_e6) — all exact integers.
+    Every group emits ALL NINE digit rows — a digit with ZERO
+    observations is the strongest possible Benford violation (e.g. a
+    fabricated corpus that never starts with 1 carries a dominating
+    chi-square term there), so it must appear with n_obs = 0 rather
+    than silently vanish from the groupBy (review-caught). Two
+    map-side-combinable groupBys + one group×digit join (both sides
+    9-rows-per-group — AQE broadcasts). Output: group_cols + (digit,
+    n_obs, n_total, expected_e6, deviation_e6, chi2_contrib_e6) — all
+    exact integers.
     """
     gs = list(group_cols or [])
     amt = F.abs(F.col(amount_int_col).cast("long"))
@@ -578,9 +584,16 @@ def benford_screen(
     counts = base.groupBy(*gs, "digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_obs")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*gs) if gs else Window.partitionBy(F.lit(1))
+    totals = base.groupBy(*gs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    dim = totals.select(
+        *gs,
+        "n_total",
+        F.explode(
+            F.array(*[F.lit(d) for d in sorted(_BENFORD_P_E6)])
+        ).alias("digit"),
+    )
     p_e6 = F.element_at(
         F.create_map(
             *[
@@ -591,13 +604,16 @@ def benford_screen(
         ),
         F.col("digit"),
     ).cast("long")
-    n_total = F.sum("n_obs").over(w).cast("long")
-    staged = counts.select(
-        *gs,
-        "digit",
-        "n_obs",
-        n_total.alias("n_total"),
-        (n_total * p_e6).alias("expected_e6"),
+    staged = (
+        dim.join(counts, gs + ["digit"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("long"))
+        .select(
+            *gs,
+            "digit",
+            "n_obs",
+            "n_total",
+            (F.col("n_total") * p_e6).alias("expected_e6"),
+        )
     )
     dev = F.col("n_obs") * F.lit(1000000).cast("long") - F.col("expected_e6")
     # chi-square contribution in DOUBLE: dev can reach ~n*1e6, whose

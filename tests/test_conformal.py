@@ -174,3 +174,63 @@ def test_concentration_gini_known_values(spark):
     assert out["mono"]["top_decile_share_e6"] == 1_000_000
     assert out["zero"]["gini_e6"] is None
     assert out["zero"]["top_decile_share_e6"] is None
+
+
+def test_benford_emits_zero_count_digits(spark):
+    from alphalens_spark.scale.profile import benford_screen
+
+    # fabricated amounts that NEVER start with 1 — the missing digit is
+    # the dominant chi-square term and must appear with n_obs = 0
+    rows = [(200 + i,) for i in range(30)] + [(900 + i,) for i in range(10)]
+    df = spark.createDataFrame(rows, "amt long")
+    out = {r["digit"]: r for r in benford_screen(df, "amt").collect()}
+    assert sorted(out) == list(range(1, 10))  # all nine digits present
+    assert out[1]["n_obs"] == 0
+    assert out[1]["expected_e6"] == 40 * 301030
+    assert out[1]["deviation_e6"] == -40 * 301030
+    assert out[1]["chi2_contrib_e6"] > 0
+    assert out[4]["n_obs"] == 0 and out[4]["chi2_contrib_e6"] > 0
+
+
+def test_enforce_k_anonymity_keeps_null_keyed_groups(spark):
+    from alphalens_spark.scale.curation import enforce_k_anonymity
+
+    rows = [(None, i) for i in range(6)] + [("x", 0)]
+    df = spark.createDataFrame(rows, "seg string, id int")
+    kept = enforce_k_anonymity(df, ["seg"], k=3)
+    # the NULL segment group has 6 >= 3 members and must survive;
+    # the singleton "x" is suppressed
+    assert kept.count() == 6
+    assert kept.where(F.col("seg").isNull()).count() == 6
+
+
+def test_gapfill_null_value_is_a_gap(spark):
+    from alphalens_spark.events import gap_fill_daily
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 100), ("a", "2024-01-03", None),
+         ("a", "2024-01-05", 500)],
+        "key string, day string, value_e4 long",
+    ).withColumn("day", F.to_date("day"))
+    out = {r["day"].day: r for r in gap_fill_daily(df, ["key"]).collect()}
+    # the NULL row is NOT an observation: day 3 interpolates 100->500
+    assert out[3]["is_observed"] is False
+    assert out[3]["interp_e4"] == 300 and out[3]["locf_e4"] == 100
+
+
+def test_kendall_null_returns_excluded_identically(spark):
+    from alphalens_spark.performance import kendall_tau_ic
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 0, 1.0, 1.0), ("2024-01-01", 1, 2.0, None),
+         ("2024-01-01", 2, 3.0, None), ("2024-01-01", 3, 4.0, 4.0)],
+        "date string, asset long, factor double, fwd_1p double",
+    ).withColumn("date", F.to_timestamp("date"))
+    cols = ["n", "xtie", "s_fwd_1p", "ytie_fwd_1p", "tau_fwd_1p_e6"]
+    rows = {}
+    for impl in ("pairs", "sorted"):
+        r = kendall_tau_ic(df, ["fwd_1p"], impl=impl).select(*cols).collect()
+        rows[impl] = [tuple(x) for x in r]
+    # null-return rows are excluded on BOTH impls -> n = 2, identical
+    assert rows["pairs"] == rows["sorted"]
+    assert rows["pairs"][0][0] == 2
