@@ -6122,6 +6122,103 @@ SELECT c_nationkey, n, total,
 FROM agg"""
 
 
+def q_stream_cusum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming store #14 certified end-to-end: the per-event-type
+    daily series streams (availableNow) through
+    streaming.stream_cusum's foreachBatch store maintenance, and the
+    resulting parquet state store is compared against the BATCH CUSUM
+    recursion's final row per key (recursive-CTE oracle) — the
+    all-integer recursion makes store == batch exact, so the store
+    VALUES carry a full oracle, not a rows-only check. Replay-safe:
+    re-running against an existing store is a no-op (the monotone
+    last_o filter drops already-folded rows)."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import stream_cusum
+
+    daily = _daily_event_value_e4(spark, sf_dir)
+    root = _roundtrip_path("cusum_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    # fresh run per process: the pid-scoped root makes this race-free
+    shutil.rmtree(root, ignore_errors=True)
+    daily.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(daily.schema).parquet(src)
+    q = stream_cusum(
+        stream,
+        store,
+        ck,
+        ["event_type"],
+        "value_e4",
+        "day",
+        baseline=7,
+        drift_frac=0.05,
+        threshold_frac=0.5,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(store).select(
+        "event_type", "last_o", "mu", "k", "h", "gp", "gn", "alarm"
+    )
+
+
+ORACLES["stream_cusum_state"] = r"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+ord AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+params AS (
+  SELECT event_type,
+         CAST(round(sum(CASE WHEN rn <= 7 THEN v END)
+                    / least(count(*), 7)) AS BIGINT) AS mu
+  FROM ord GROUP BY 1
+),
+params2 AS (
+  SELECT event_type, mu,
+         CAST(round(abs(mu) * 0.05) AS BIGINT) AS k,
+         CAST(round(abs(mu) * 0.5) AS BIGINT) AS h
+  FROM params
+),
+rec AS (
+  SELECT o.event_type, o.rn, o.day, o.v,
+         greatest(0, o.v - p.mu - p.k) AS gp,
+         greatest(0, p.mu - o.v - p.k) AS gn,
+         CAST(CASE WHEN greatest(0, o.v - p.mu - p.k) > p.h THEN 1
+                   WHEN greatest(0, p.mu - o.v - p.k) > p.h THEN -1
+                   ELSE 0 END AS INTEGER) AS alarm
+  FROM ord o JOIN params2 p USING (event_type) WHERE o.rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.v,
+         greatest(0, (CASE WHEN r.alarm != 0 THEN 0 ELSE r.gp END)
+                     + (o.v - p.mu - p.k)),
+         greatest(0, (CASE WHEN r.alarm != 0 THEN 0 ELSE r.gn END)
+                     + (p.mu - o.v - p.k)),
+         CAST(CASE WHEN greatest(0,
+                     (CASE WHEN r.alarm != 0 THEN 0 ELSE r.gp END)
+                     + (o.v - p.mu - p.k)) > p.h THEN 1
+                   WHEN greatest(0,
+                     (CASE WHEN r.alarm != 0 THEN 0 ELSE r.gn END)
+                     + (p.mu - o.v - p.k)) > p.h THEN -1
+                   ELSE 0 END AS INTEGER)
+  FROM rec r
+  JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+  JOIN params2 p ON p.event_type = o.event_type
+),
+last_rn AS (
+  SELECT event_type, max(rn) AS mrn FROM rec GROUP BY 1
+)
+SELECT r.event_type, r.day AS last_o, p.mu, p.k AS k, p.h AS h,
+       r.gp, r.gn, r.alarm
+FROM rec r
+JOIN last_rn l ON l.event_type = r.event_type AND l.mrn = r.rn
+JOIN params2 p ON p.event_type = r.event_type"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -9716,6 +9813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_customers": q_k_anonymity_customers,
     "benford_orders": q_benford_orders,
     "revenue_concentration": q_revenue_concentration,
+    "stream_cusum_state": q_stream_cusum_state,
     "dedup_recall_eval": q_dedup_recall_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
