@@ -6172,11 +6172,14 @@ ord AS (
          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
   FROM daily
 ),
+-- only keys whose history COMPLETES the 7-obs baseline get frozen
+-- params and a fold: the STORE buffers shorter keys as pending with
+-- NULL state (its documented honest boundary) — the batch op's
+-- truncated-baseline mu must not leak in here (advice-confirmed)
 params AS (
   SELECT event_type,
-         CAST(round(sum(CASE WHEN rn <= 7 THEN v END)
-                    / least(count(*), 7)) AS BIGINT) AS mu
-  FROM ord GROUP BY 1
+         CAST(round(sum(CASE WHEN rn <= 7 THEN v END) / 7) AS BIGINT) AS mu
+  FROM ord GROUP BY 1 HAVING count(*) >= 7
 ),
 params2 AS (
   SELECT event_type, mu,
@@ -6216,7 +6219,15 @@ SELECT r.event_type, r.day AS last_o, p.mu, p.k AS k, p.h AS h,
        r.gp, r.gn, r.alarm
 FROM rec r
 JOIN last_rn l ON l.event_type = r.event_type AND l.mrn = r.rn
-JOIN params2 p ON p.event_type = r.event_type"""
+JOIN params2 p ON p.event_type = r.event_type
+UNION ALL
+-- pending keys: present in the store with last_o advanced but ALL
+-- state columns NULL, exactly as cusum_store_update leaves them
+SELECT event_type, max(day) AS last_o,
+       CAST(NULL AS BIGINT) AS mu, CAST(NULL AS BIGINT) AS k,
+       CAST(NULL AS BIGINT) AS h, CAST(NULL AS BIGINT) AS gp,
+       CAST(NULL AS BIGINT) AS gn, CAST(NULL AS INTEGER) AS alarm
+FROM ord GROUP BY event_type HAVING count(*) < 7"""
 
 
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9857,16 +9868,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # about which subset the driver's budget reaches.
 # ---------------------------------------------------------------------------
 _CERT_ROUND: dict[str, int] = {
-    # latest green: r01
-    "doc_fingerprint": 1,
-    "minhash_lsh_dups": 1,
-    "simhash": 1,
-    "simhash_dups": 1,
     # latest green: r02
     "asof_next_click_1h": 2,
     "asof_purchase_view": 2,
     "cohort_retention": 2,
-    "cumulative_benchmark_log_return": 2,
     "cumulative_return_by_quantile_log": 2,
     "dedup_exact": 2,
     "doc_bpe_token_count": 2,
@@ -9880,28 +9885,16 @@ _CERT_ROUND: dict[str, int] = {
     "event_props_extract": 2,
     "event_rollup": 2,
     "event_sessionize": 2,
-    "event_study_car": 2,
     "event_type_user_stats": 2,
-    "forward_returns_noncumulative": 2,
-    "forward_returns_zscore": 2,
-    "ic_by_group": 2,
     "ic_group_adjusted": 2,
     "infer_holidays": 2,
     "lang_stopword_id": 2,
-    "mean_return_by_quantile_by_group": 2,
     "ngram_jaccard": 2,
-    "positions": 2,
     "quality_score": 2,
-    "quantize_bins": 2,
-    "quantize_bins_seq": 2,
-    "quantize_by_group": 2,
-    "quantize_fraction_seq": 2,
     "quantize_zero_aware": 2,
-    "rank_autocorr": 2,
     "returns_table_bps": 2,
     "rolling_active_users": 2,
     "stream_interval_join": 2,
-    "turnover_summary": 2,
     # latest green: r03
     "backshift_returns": 3,
     "bigram_cross_entropy": 3,
@@ -10047,6 +10040,57 @@ _CERT_ROUND: dict[str, int] = {
     "validate_expectations": 5,
     "wav_decode_stats": 5,
     "winsorize_prices": 5,
+    # latest green: r06
+    "ann_recall_eval": 6,
+    "benford_orders": 6,
+    "cheapest_supplier_per_part": 6,
+    "conformal_forecast_eval": 6,
+    "cumulative_benchmark_log_return": 6,
+    "customer_order_distribution": 6,
+    "cusum_event_value": 6,
+    "dedup_recall_eval": 6,
+    "discounted_brand_revenue": 6,
+    "doc_fingerprint": 6,
+    "event_study_car": 6,
+    "factor_ic_kendall": 6,
+    "forecast_revenue_change": 6,
+    "forward_returns_noncumulative": 6,
+    "forward_returns_zscore": 6,
+    "gapfill_supplier_revenue": 6,
+    "holt_factor": 6,
+    "ic_bootstrap": 6,
+    "ic_by_group": 6,
+    "idle_rich_customers": 6,
+    "jpeg_decode_stats": 6,
+    "k_anonymity_customers": 6,
+    "large_volume_customers": 6,
+    "mann_kendall_trend": 6,
+    "mean_return_by_quantile_by_group": 6,
+    "minhash_lsh_dups": 6,
+    "nation_market_share": 6,
+    "order_priority_check": 6,
+    "parts_supplier_counts": 6,
+    "positions": 6,
+    "pretraining_funnel": 6,
+    "promo_revenue": 6,
+    "quantize_bins": 6,
+    "quantize_bins_seq": 6,
+    "quantize_by_group": 6,
+    "quantize_fraction_seq": 6,
+    "rank_autocorr": 6,
+    "returned_item_report": 6,
+    "revenue_concentration": 6,
+    "seasonal_daily_revenue": 6,
+    "shipclass_priority_counts": 6,
+    "simhash": 6,
+    "simhash_dups": 6,
+    "small_quantity_revenue": 6,
+    "stream_cusum_state": 6,
+    "suppliers_kept_waiting": 6,
+    "theil_sen_trend": 6,
+    "top_supplier_revenue": 6,
+    "turnover_summary": 6,
+    "volume_shipping_pairs": 6,
 }
 # Within the never-certified group, these run LAST (families with a
 # certified sibling; see rule 1 above).

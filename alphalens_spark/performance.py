@@ -173,16 +173,18 @@ def kendall_tau_ic(
     tau_<c>_e6) — every column an exact integer.
     """
     cols = list(period_cols)
-    # NULL contract: rows with a null factor or ANY null period value are
-    # excluded up front. Without this the two impls silently diverge on
-    # dirty input (the pairs form groups nulls into a tie group and drops
-    # null sign products, while NaN in the sorted form is both
-    # self-unequal for ties and sorts largest for discordances —
-    # review-confirmed numerically). factor_data from get_clean_factor
-    # is already null-free, so certified paths are unaffected.
-    notnull = F.col("factor").isNotNull()
+    # NULL/NaN contract: rows with a null OR NaN factor or ANY null/NaN
+    # period value are excluded up front. Without this the two impls
+    # silently diverge on dirty input (the pairs form groups nulls/NaNs
+    # into a tie group via groupBy NaN-normalization and drops null sign
+    # products, while NaN in the sorted form is both self-unequal for
+    # ties and sorts largest for discordances — review-confirmed
+    # numerically; isNotNull alone passes NaN, advice-confirmed).
+    # factor_data from get_clean_factor is already null/NaN-free, so
+    # certified paths are unaffected.
+    notnull = F.col("factor").isNotNull() & ~F.isnan("factor")
     for c in cols:
-        notnull = notnull & F.col(c).isNotNull()
+        notnull = notnull & F.col(c).isNotNull() & ~F.isnan(c)
     base = factor_data.where(notnull).select(
         "date",
         "asset",

@@ -604,8 +604,22 @@ def benford_screen(
         ),
         F.col("digit"),
     ).cast("long")
+    # null-SAFE equality on the group columns: groupBy treats NULL group
+    # values as one group (they appear in both `counts` and `totals`), so
+    # the dim⋈counts join must match them too — a plain column-list join
+    # would yield n_obs=0 for every digit of a NULL-keyed group while
+    # n_total still counts its rows, fabricating a maximal violation
+    # (advice-confirmed; same hazard enforce_k_anonymity fixed)
+    cn = counts.select(
+        *[F.col(g).alias(f"_c_{g}") for g in gs],
+        F.col("digit").alias("_c_digit"),
+        "n_obs",
+    )
+    cond = F.col("digit") == F.col("_c_digit")
+    for g in gs:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_c_{g}"))
     staged = (
-        dim.join(counts, gs + ["digit"], "left")
+        dim.join(cn, cond, "left")
         .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("long"))
         .select(
             *gs,

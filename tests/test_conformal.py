@@ -192,6 +192,32 @@ def test_benford_emits_zero_count_digits(spark):
     assert out[4]["n_obs"] == 0 and out[4]["chi2_contrib_e6"] > 0
 
 
+def test_benford_null_group_column(spark):
+    from alphalens_spark.scale.profile import benford_screen
+
+    # a NULL-valued group column is one groupBy group on both sides of
+    # the dim⋈counts join; a null-unsafe join would yield n_obs = 0 for
+    # all nine digits while n_total still counted the rows — a fabricated
+    # maximal Benford violation (advice-confirmed hazard)
+    rows = (
+        [(None, 100 + i) for i in range(20)]
+        + [(None, 900 + i) for i in range(5)]
+        + [("eu", 200 + i) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "region string, amt long")
+    out = {
+        (r["region"], r["digit"]): r
+        for r in benford_screen(df, "amt", ["region"]).collect()
+    }
+    assert len(out) == 18  # 2 groups x 9 digits
+    assert out[(None, 1)]["n_obs"] == 20
+    assert out[(None, 9)]["n_obs"] == 5
+    assert out[(None, 2)]["n_obs"] == 0
+    assert out[(None, 1)]["n_total"] == 25
+    assert out[("eu", 2)]["n_obs"] == 10
+    assert out[("eu", 1)]["n_obs"] == 0
+
+
 def test_enforce_k_anonymity_keeps_null_keyed_groups(spark):
     from alphalens_spark.scale.curation import enforce_k_anonymity
 
@@ -234,3 +260,28 @@ def test_kendall_null_returns_excluded_identically(spark):
     # null-return rows are excluded on BOTH impls -> n = 2, identical
     assert rows["pairs"] == rows["sorted"]
     assert rows["pairs"][0][0] == 2
+
+
+def test_kendall_nan_excluded_identically(spark):
+    # isNotNull PASSES NaN: without the isnan guard the pairs impl
+    # groups NaN as a tie (groupBy NaN-normalization) while numpy in
+    # the sorted impl treats NaN as self-unequal and largest-sorting —
+    # divergent counts (advice-confirmed). NaN rows must drop like NULLs.
+    from alphalens_spark.performance import kendall_tau_ic
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 0, 1.0, 1.0), ("2024-01-01", 1, float("nan"), 2.0),
+         ("2024-01-01", 2, 3.0, float("nan")), ("2024-01-01", 3, 4.0, 4.0),
+         ("2024-01-01", 4, 2.0, 3.0)],
+        "date string, asset long, factor double, fwd_1p double",
+    ).withColumn("date", F.to_timestamp("date"))
+    cols = ["n", "xtie", "s_fwd_1p", "ytie_fwd_1p", "tau_fwd_1p_e6"]
+    rows = {}
+    for impl in ("pairs", "sorted"):
+        r = kendall_tau_ic(df, ["fwd_1p"], impl=impl).select(*cols).collect()
+        rows[impl] = [tuple(x) for x in r]
+    # both NaN rows excluded on BOTH impls -> n = 3, identical, and the
+    # remaining (1,1),(4,4),(2,3) triple is perfectly concordant
+    assert rows["pairs"] == rows["sorted"]
+    assert rows["pairs"][0][0] == 3
+    assert rows["pairs"][0][4] == 1_000_000
