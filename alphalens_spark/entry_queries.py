@@ -873,6 +873,102 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash quality harness — completes the measured-error story for
+    the third near-dup family (minhash has dedup_recall_eval, ANN has
+    ann_recall_eval): recall/precision of banded-Hamming SimHash pairs
+    (hamming ≤ 3, the lossless-banding production config) against the
+    EXACT token-3-gram Jaccard ≥ 0.5 ground truth. Unlike the lossless
+    pigeonhole guarantee (banded == all-pairs Hamming, unit-proven),
+    this measures what a deployment actually cares about: how well the
+    60-bit fingerprint PROXIES true set similarity. Both legs are
+    already-certified operators; ratios are integer-numerator."""
+    from alphalens_spark.scale.dedup import (
+        ngram_jaccard_pairs,
+        simhash_duplicates,
+    )
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, hash_grams=False
+    ).select("id_a", "id_b", F.lit(1).alias("_ex"))
+    sh = simhash_duplicates(
+        docs, max_hamming=3, bands=4, token_hash="md5"
+    ).select("id_a", "id_b", F.lit(1).alias("_sh"))
+    j = exact.join(sh, ["id_a", "id_b"], "full")
+    hit = (F.col("_ex").isNotNull() & F.col("_sh").isNotNull()).cast("long")
+    agg = j.agg(
+        F.count("_ex").alias("exact_pairs"),
+        F.count("_sh").alias("simhash_pairs"),
+        F.sum(hit).alias("hits"),
+    )
+    pct = lambda n, d: F.when(  # noqa: E731
+        d > 0, F.round(F.lit(1e8) * n.cast("double") / d.cast("double")).cast("long")
+    )
+    return agg.select(
+        "exact_pairs",
+        "simhash_pairs",
+        "hits",
+        pct(F.col("hits"), F.col("exact_pairs")).alias("recall_pct_e6"),
+        pct(F.col("hits"), F.col("simhash_pairs")).alias("precision_pct_e6"),
+    )
+
+
+def q_cm_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min error harness — the sketch family's measured-error
+    gate (the CM guarantee is one-sided: est ≥ true, over-estimate
+    bounded by hash collisions): estimate EVERY distinct document token
+    against the depth-4 × width-512 sketch and compare to its exact
+    count. Reports the collision-error distribution a deployment sizes
+    width by: items, exact hits, mean/max over-estimate (integer), and
+    the fraction estimated exactly. A negative error is impossible by
+    construction — the oracle would catch an implementation that broke
+    the one-sided bound. The item universe is word-3-gram shingles
+    (~16-27k distinct), NOT raw tokens: this synthetic corpus has only
+    31 distinct tokens, which a width-512 sketch counts exactly — the
+    shingle universe actually exercises hash collisions, so the
+    measured error is real."""
+    from alphalens_spark.scale.dedup import _shingles
+    from alphalens_spark.scale.profile import cm_estimate, cm_sketch
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_shingles("text", 3)).alias("tok"))
+    sketch = cm_sketch(toks, "tok", depth=4, width=512)
+    truth = toks.groupBy(F.col("tok").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    est = cm_estimate(
+        sketch, truth.select("item"), width=512, depth=4
+    )
+    j = truth.join(est, "item")
+    err = F.col("est_count") - F.col("true_count")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum((err == 0).cast("long")).alias("n_exact"),
+        F.sum(err).cast("long").alias("_err_sum"),
+        F.max(err).cast("long").alias("max_overest"),
+        F.min(err).cast("long").alias("min_overest"),
+    )
+    return agg.select(
+        "n_items",
+        "n_exact",
+        F.round(
+            F.lit(1e6) * F.col("_err_sum").cast("double")
+            / F.col("n_items").cast("double")
+        )
+        .cast("long")
+        .alias("mean_overest_e6"),
+        "max_overest",
+        "min_overest",
+        F.round(
+            F.lit(1e8) * F.col("n_exact").cast("double")
+            / F.col("n_items").cast("double")
+        )
+        .cast("long")
+        .alias("exact_frac_pct_e6"),
+    )
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k. Full SQL oracle: the coarse quantizer is
     deterministic given the data (lowest-id init, fixed Lloyd passes,
@@ -6230,6 +6326,295 @@ SELECT event_type, max(day) AS last_o,
 FROM ord GROUP BY event_type HAVING count(*) < 7"""
 
 
+def q_stream_holt_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt smoothing store (#13) certified end-to-end: each
+    event type's daily 1e-4-integer value series streams through
+    streaming.stream_holt's foreachBatch maintenance; the final
+    (level, trend) per key must equal the batch holt_linear recursion's
+    last row, replayed here as a recursive-CTE oracle. The fold is a
+    pinned multiply-add sequence on exact-integer inputs, so store ==
+    batch is BIT-exact; export in 1e-6 units via round(x·1e6) (the
+    cross-engine-stable form — see holt_factor)."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import stream_holt
+
+    daily = _daily_event_value_e4(spark, sf_dir)
+    root = _roundtrip_path("holt_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    daily.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(daily.schema).parquet(src)
+    q = stream_holt(
+        stream, store, ck, ["event_type"], "value_e4", "day",
+        alpha=0.5, beta=0.3, available_now=True,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(store).select(
+        "event_type",
+        "last_o",
+        F.round(F.col("level") * 1e6).cast("long").alias("level_e6"),
+        F.round(F.col("trend") * 1e6).cast("long").alias("trend_e6"),
+    )
+
+
+ORACLES["stream_holt_state"] = r"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS v0
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, day, CAST(v0 AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+rec AS (
+  SELECT event_type, rn, day, v AS l, CAST('0.0' AS DOUBLE) AS b
+  FROM x WHERE rn = 1
+  UNION ALL
+  SELECT x.event_type, x.rn, x.day,
+         x.v * CAST('0.5' AS DOUBLE)
+           + (rec.l + rec.b) * CAST('0.5' AS DOUBLE),
+         (x.v * CAST('0.5' AS DOUBLE)
+           + (rec.l + rec.b) * CAST('0.5' AS DOUBLE) - rec.l)
+           * CAST('0.3' AS DOUBLE)
+           + rec.b * CAST('0.7' AS DOUBLE)
+  FROM rec JOIN x ON x.event_type = rec.event_type AND x.rn = rec.rn + 1
+),
+last_rn AS (
+  SELECT event_type, max(rn) AS mrn FROM rec GROUP BY 1
+)
+SELECT r.event_type, r.day AS last_o,
+       CAST(round(r.l * 1e6) AS BIGINT) AS level_e6,
+       CAST(round(r.b * 1e6) AS BIGINT) AS trend_e6
+FROM rec r JOIN last_rn t ON t.event_type = r.event_type AND t.mrn = r.rn"""
+
+
+def q_stream_hist_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fixed-grid histogram store certified end-to-end — and
+    GENUINELY multi-batch (4 source files, one per micro-batch): per-bin
+    counters merge by addition, so the hist_store_quantiles readout off
+    the streamed store must equal the same interpolation over the
+    one-shot batch histogram. The grid is FIXED up front (lo=0,
+    hi=110000, 64 bins — the store's contract: a stream cannot revisit
+    history to re-bin), unlike batch histogram_quantiles' data-derived
+    range."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import (
+        hist_store_quantiles,
+        stream_histogram,
+    )
+
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice"
+    )
+    root = _roundtrip_path("hist_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_histogram(
+        stream, store, ck, "l_extendedprice", lo=0.0, hi=110000.0, bins=64,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    return hist_store_quantiles(
+        spark, store, probs=[0.5, 0.9, 0.99], lo=0.0, hi=110000.0, bins=64
+    )
+
+
+ORACLES["stream_hist_state"] = r"""
+WITH c AS (
+  SELECT least(63, greatest(0, CAST(floor(
+             CAST(l_extendedprice AS DOUBLE) / (110000.0 / 64.0)) AS INT)))
+           AS bin,
+         count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM c
+),
+pj AS (
+  SELECT cum.bin, cum.cnt, cum.cm, n.n, p.prob,
+         row_number() OVER (PARTITION BY p.prob ORDER BY cum.bin) AS rn
+  FROM cum CROSS JOIN n
+  JOIN (SELECT CAST(prob AS DOUBLE) AS prob
+        FROM (VALUES (0.5), (0.9), (0.99)) AS v(prob)) AS p
+    ON p.prob * n.n <= cum.cm
+)
+SELECT prob,
+       round(0.0 + (CAST(bin AS DOUBLE)
+                    + (prob * n - (cm - cnt)) / cnt)
+                   * (110000.0 / 64.0), 6) AS est_quantile
+FROM pj WHERE rn = 1"""
+
+
+def q_stream_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 store certified end-to-end: the per-user daily
+    state snapshots (same derivation as `scd2_user_state`) stream
+    through streaming.stream_scd2's foreachBatch maintenance and the
+    resulting dimension store is value-compared against the batch
+    scd2_from_snapshots SQL — store == batch is the op's contract.
+    Single batch by construction (coalesce(1) source write): SCD2's
+    documented arrival contract is per-key time-monotonic ACROSS
+    batches, which an unordered file listing cannot guarantee; the
+    multi-batch incremental == one-shot property is unit-tested where
+    batch boundaries are controlled (tests/test_stream_stores.py)."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import stream_scd2
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    snap = (
+        ev.groupBy(F.col("user_id"), F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max(F.struct(F.col("ts"), F.col("event_type"))).alias("_last"))
+        .select("user_id", "day", F.col("_last.event_type").alias("state"))
+    )
+    root = _roundtrip_path("scd2_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    snap.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(snap.schema).parquet(src)
+    q = stream_scd2(
+        stream, store, ck, ["user_id"], ["state"], "day", available_now=True
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(store).select(
+        "user_id", "state", "valid_from", "valid_to"
+    )
+
+
+ORACLES["stream_scd2_state"] = ORACLES["scd2_user_state"]
+
+
+def q_stream_heavy_hitters_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters store certified end-to-end — and
+    GENUINELY multi-batch: the document token feed splits into 4 source
+    files drained one per micro-batch (maxFilesPerTrigger=1 under
+    availableNow), so the CM counters merge by addition and the bounded
+    candidate set re-estimates against the merged sketch across real
+    batch boundaries. The hh_store_topk readout must equal the one-shot
+    batch heavy_hitters SQL (`heavy_hitters_terms`'s oracle): CM merge
+    is exact, and top-20 survives the k·slack=160 candidate prune."""
+    import shutil
+
+    from alphalens_spark.scale.text import _tokens
+    from alphalens_spark.streaming.ops import hh_store_topk, stream_heavy_hitters
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    root = _roundtrip_path("hh_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_heavy_hitters(
+        stream, store, ck, "tok", k=20, depth=4, width=512, available_now=True
+    )
+    q.awaitTermination(300)
+    return hh_store_topk(spark, store, k=20, depth=4, width=512)
+
+
+ORACLES["stream_heavy_hitters_state"] = ORACLES["heavy_hitters_terms"]
+
+
+def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot store certified end-to-end: the store is
+    SEEDED with the `customer` base snapshot, then the (op, seq)
+    changelog (same derivation as `apply_cdc`) streams through
+    streaming.stream_apply_cdc — the resulting store must equal the
+    one-shot batch apply_cdc(base, whole_feed) SQL. Single batch by
+    construction (coalesce(1) feed write): the store's documented
+    arrival contract is per-key seq-monotone ACROSS batches; the
+    controlled multi-batch equality is unit-tested."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import stream_apply_cdc
+
+    cust = datasets.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cust#"), F.col("o_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    root = _roundtrip_path("cdc_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    cust.coalesce(1).write.mode("overwrite").parquet(store)
+    changes.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    q = stream_apply_cdc(stream, store, ck, ["c_custkey"], available_now=True)
+    q.awaitTermination(300)
+    return _finalize(
+        spark.read.parquet(store).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+    )
+
+
+def q_stream_reservoir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted-reservoir store certified end-to-end — and
+    GENUINELY multi-batch (4 source files, one per micro-batch): A-ES
+    priorities are mergeable and md5-deterministic, so the union →
+    per-group top-k merge across real batch boundaries must reproduce
+    the one-shot weighted_priority_sample of the whole corpus exactly
+    (`weighted_sample`'s oracle), independent of how the stream was
+    batched."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import stream_weighted_sample
+
+    docs = datasets.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    root = _roundtrip_path("reservoir_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_weighted_sample(
+        stream, store, ck, "n_chars", k=5, group_cols=["source"],
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    return _finalize(
+        spark.read.parquet(store).select(
+            "source", "doc_id", "weight", "priority_key"
+        )
+    )
+
+
+ORACLES["stream_reservoir_state"] = ORACLES["weighted_sample"]
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline volume anomalies: each (event_type, day) count
     z-scored against the preceding 7 observed days
@@ -6846,6 +7231,10 @@ merged AS (
 )
 SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal, c_mktsegment
 FROM merged WHERE op IS NULL OR op <> 'D'"""
+
+# the streaming CDC store's contract IS the one-shot batch merge
+# (defined here, after the batch oracle it aliases)
+ORACLES["stream_cdc_state"] = ORACLES["apply_cdc"]
 
 
 def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7834,6 +8223,114 @@ SELECT exact_pairs, lsh_pairs, hits,
             THEN CAST(round(CAST(err_sum AS DOUBLE)
                             / CAST(hits AS DOUBLE)) AS BIGINT)
             ELSE NULL END AS mean_abs_err_e6
+FROM a"""
+
+
+ORACLES["simhash_recall_eval"] = f"""
+WITH shp AS ({ORACLES["simhash_dups"]}),
+etok AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+eg AS (
+  SELECT id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM etok
+),
+egx AS (SELECT id, len(grams) AS n, unnest(grams) AS gram FROM eg),
+eshared AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+         count(*) AS inter
+  FROM egx a JOIN egx b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+),
+ex AS (
+  SELECT id_a, id_b FROM eshared
+  WHERE inter / (n_a + n_b - inter) >= 0.5
+),
+j AS (
+  SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 END AS exl,
+         CASE WHEN s.id_a IS NOT NULL THEN 1 END AS shl,
+         CASE WHEN e.id_a IS NOT NULL AND s.id_a IS NOT NULL
+              THEN 1 ELSE 0 END AS hit
+  FROM ex e FULL JOIN shp s
+    ON e.id_a = s.id_a AND e.id_b = s.id_b
+),
+a AS (
+  SELECT CAST(count(exl) AS BIGINT) AS exact_pairs,
+         CAST(count(shl) AS BIGINT) AS simhash_pairs,
+         CAST(sum(hit) AS BIGINT) AS hits
+  FROM j
+)
+SELECT exact_pairs, simhash_pairs, hits,
+       CASE WHEN exact_pairs > 0 THEN
+         CAST(round(1e8 * CAST(hits AS DOUBLE)
+                    / CAST(exact_pairs AS DOUBLE)) AS BIGINT) END
+         AS recall_pct_e6,
+       CASE WHEN simhash_pairs > 0 THEN
+         CAST(round(1e8 * CAST(hits AS DOUBLE)
+                    / CAST(simhash_pairs AS DOUBLE)) AS BIGINT) END
+         AS precision_pct_e6
+FROM a"""
+
+
+ORACLES["cm_error_eval"] = r"""
+WITH t0 AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+),
+toks AS (
+  SELECT unnest(list_distinct(list_transform(
+             range(1, greatest(len(tk) - 2, 1) + 1),
+             i -> array_to_string(tk[i:i+2], ' ')))) AS tok
+  FROM t0
+),
+tc AS (
+  SELECT tok AS item, CAST(count(*) AS BIGINT) AS true_count
+  FROM toks GROUP BY 1
+),
+ex AS (
+  SELECT tok, unnest([0, 1, 2, 3]) AS row FROM toks
+),
+sk AS (
+  SELECT row,
+         CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || tok), 1, 15))
+              ::BIGINT % 512 AS INT) AS col,
+         count(*) AS cnt
+  FROM ex GROUP BY 1, 2
+),
+px AS (
+  SELECT item, unnest([0, 1, 2, 3]) AS row FROM tc
+),
+lk AS (
+  SELECT p.item, p.row, coalesce(s.cnt, 0) AS cnt
+  FROM px p LEFT JOIN sk s
+    ON s.row = p.row
+   AND s.col = CAST(('0x' || substr(md5(CAST(p.row AS VARCHAR) || ':'
+                    || p.item), 1, 15))::BIGINT % 512 AS INT)
+),
+est AS (
+  SELECT item, CAST(min(cnt) AS BIGINT) AS est_count FROM lk GROUP BY 1
+),
+j AS (
+  SELECT t.item, e.est_count - t.true_count AS err
+  FROM tc t JOIN est e USING (item)
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         CAST(sum(err) AS BIGINT) AS err_sum,
+         CAST(max(err) AS BIGINT) AS max_overest,
+         CAST(min(err) AS BIGINT) AS min_overest
+  FROM j
+)
+SELECT n_items, n_exact,
+       CAST(round(1e6 * CAST(err_sum AS DOUBLE)
+                  / CAST(n_items AS DOUBLE)) AS BIGINT) AS mean_overest_e6,
+       max_overest, min_overest,
+       CAST(round(1e8 * CAST(n_exact AS DOUBLE)
+                  / CAST(n_items AS DOUBLE)) AS BIGINT) AS exact_frac_pct_e6
 FROM a"""
 
 
@@ -9825,7 +10322,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_orders": q_benford_orders,
     "revenue_concentration": q_revenue_concentration,
     "stream_cusum_state": q_stream_cusum_state,
+    "stream_scd2_state": q_stream_scd2_state,
+    "stream_holt_state": q_stream_holt_state,
+    "stream_hist_state": q_stream_hist_state,
+    "stream_heavy_hitters_state": q_stream_heavy_hitters_state,
+    "stream_cdc_state": q_stream_cdc_state,
+    "stream_reservoir_state": q_stream_reservoir_state,
     "dedup_recall_eval": q_dedup_recall_eval,
+    "simhash_recall_eval": q_simhash_recall_eval,
+    "cm_error_eval": q_cm_error_eval,
     "balance_rank_features": q_balance_rank_features,
     "entity_clusters": q_entity_clusters,
     "supplier_price_ols": q_supplier_price_ols,

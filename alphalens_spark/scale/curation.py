@@ -1250,56 +1250,97 @@ def pretraining_funnel(
     already-oracled library operator; the whole chain replays as one
     CTE pipeline in SQL.
 
-    Scale shape: the token count is a projection; the gate is an
-    id-key join against the (id, score) frame; dedup is one digest
-    groupBy + semi-join; the budget stage's bucket table is
-    score-dimension-sized. Nothing here is wider than the corpus
-    itself at any point.
+    Scale shape — stage MEMBERSHIP FLAGS in one lineage, report via
+    ONE conditional aggregate (the plan audit caught the naive
+    stage-by-stage form re-executing its whole prefix per stage: 15
+    corpus scans / 13 shuffles for a 4-row report). One narrow
+    projection computes (id, digest, token count, quality score) —
+    the shared rubric expressions of ``scale.text.quality_score``, so
+    the gate needs no id-key join back; the dedup flag is a min-id
+    window over the digest (one key shuffle, first-qualifying-doc
+    wins exactly like the ``dedup_exact`` groupBy+semi-join); the
+    budget flag reuses ``token_budget_sample``'s keep rule via
+    ``budget_keep_condition`` (its bucket table is score-dimension-
+    sized — one extra pass over the same narrow lineage, the only
+    second corpus scan). Final report: one 1-row conditional
+    aggregate, unpivoted to the 4 stage rows. 2 scans / 4 shuffles
+    total, no persistence required, plan stays audit-transparent
+    (no checkpoint blanking).
     """
-    from alphalens_spark.scale.text import quality_score, token_budget_sample
-
-    toks = F.size(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ).cast("long")
-    base = docs.select(F.col(id_col), F.col(text_col)).withColumn(
-        "_nt", toks
+    from alphalens_spark.scale.text import (
+        budget_keep_condition,
+        quality_feature_columns,
     )
 
-    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("_nt"), F.lit(0))
-            .cast("bigint")
-            .alias("n_tokens"),
-        ).select(
-            F.lit(idx).cast("int").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
+    feats = quality_feature_columns(text_col)
+    per = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_h"),
+        feats["n_tokens"].alias("_nt"),
+        feats["quality_score"].alias("_q"),
+    )
+    q_ok = F.col("_q") >= min_quality
+    # stage-2 keep: the min-id doc among quality-passing clones of one
+    # digest (min ignores the NULLs the when() leaves on failing rows)
+    first_ok = F.min(F.when(q_ok, F.col(id_col))).over(
+        Window.partitionBy("_h")
+    )
+    flagged = per.select(
+        F.col(id_col),
+        F.col("_nt"),
+        F.col("_q"),
+        q_ok.alias("_s1"),
+        (q_ok & (F.col(id_col) == first_ok)).alias("_s2"),
+    )
+    sel_cond = budget_keep_condition(
+        flagged.where(F.col("_s2")).select(
+            F.col(id_col),
+            F.col("_nt").alias("n_tokens"),
+            F.col("_q").alias("quality_score"),
+        ),
+        budget_tokens,
+        id_col,
+    )
+    # the condition references `quality_score` and the id column by name
+    final = (
+        flagged.select(
+            F.col(id_col),
+            "_nt",
+            F.col("_q").alias("quality_score"),
+            "_s1",
+            "_s2",
         )
+        .withColumn("_s3", F.col("_s2") & sel_cond)
+        .select("_nt", "_s1", "_s2", "_s3")
+    )
 
-    qs = quality_score(docs, text_col, id_col).select(
-        id_col, "quality_score"
+    def cnt(flag: F.Column | None) -> F.Column:
+        c = F.lit(1) if flag is None else F.when(flag, 1)
+        return F.count(c).cast("bigint")
+
+    def tok(flag: F.Column | None) -> F.Column:
+        v = F.col("_nt") if flag is None else F.when(flag, F.col("_nt"))
+        return F.coalesce(F.sum(v), F.lit(0)).cast("bigint")
+
+    agg = final.agg(
+        cnt(None).alias("n0"), tok(None).alias("t0"),
+        cnt(F.col("_s1")).alias("n1"), tok(F.col("_s1")).alias("t1"),
+        cnt(F.col("_s2")).alias("n2"), tok(F.col("_s2")).alias("t2"),
+        cnt(F.col("_s3")).alias("n3"), tok(F.col("_s3")).alias("t3"),
     )
-    s1 = base.join(
-        qs.where(F.col("quality_score") >= min_quality), id_col
-    ).select(id_col, text_col, "_nt")
-    keeps = (
-        s1.groupBy(F.md5(F.col(text_col)).alias("_h"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    names = ["raw", "quality_gate", "exact_dedup", "token_budget"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(names[i]).alias("stage"),
+                F.col(f"n{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i in range(4)
+        ]
     )
-    s2 = s1.join(keeps, id_col, "left_semi")
-    sel = token_budget_sample(
-        s2.select(id_col, text_col), budget_tokens, text_col, id_col
-    ).select(id_col)
-    s3 = s2.join(sel, id_col, "left_semi")
-    return (
-        stage(base, 0, "raw")
-        .unionByName(stage(s1, 1, "quality_gate"))
-        .unionByName(stage(s2, 2, "exact_dedup"))
-        .unionByName(stage(s3, 3, "token_budget"))
-    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def k_anonymity_report(

@@ -76,13 +76,11 @@ def stopword_language_id(
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document-quality features + composite score.
-
-    length, mean token length, distinct-token ratio, stopword ratio,
-    non-alphanumeric ratio — the standard cheap pre-filter features of an
-    LLM data pipeline (cf. C4/Gopher-style rules), all as one projection.
-    """
+def quality_feature_columns(text_col: str = "text") -> dict[str, F.Column]:
+    """The quality rubric as raw Columns — single-sourced so composites
+    (``pretraining_funnel``'s one-pass flags) compute the IDENTICAL
+    score/token-count expressions as :func:`quality_score` without a
+    second scan or an id-key join back onto the corpus."""
     toks = _tokens(text_col)
     n_tok = F.size(toks).cast("double")
     n_chars = F.length(text_col).cast("double")
@@ -103,14 +101,32 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0)
         + F.when(non_alnum <= 0.3, 0.25).otherwise(0.0)
     )
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": mean_tok_len,
+        "distinct_token_ratio": distinct_ratio,
+        "stopword_ratio": stop_ratio,
+        "non_alnum_ratio": non_alnum,
+        "quality_score": score,
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    length, mean token length, distinct-token ratio, stopword ratio,
+    non-alphanumeric ratio — the standard cheap pre-filter features of an
+    LLM data pipeline (cf. C4/Gopher-style rules), all as one projection.
+    """
+    c = quality_feature_columns(text_col)
     return docs.select(
         F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
-        mean_tok_len.alias("mean_token_len"),
-        distinct_ratio.alias("distinct_token_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        non_alnum.alias("non_alnum_ratio"),
-        score.alias("quality_score"),
+        c["n_tokens"].alias("n_tokens"),
+        c["mean_token_len"].alias("mean_token_len"),
+        c["distinct_token_ratio"].alias("distinct_token_ratio"),
+        c["stopword_ratio"].alias("stopword_ratio"),
+        c["non_alnum_ratio"].alias("non_alnum_ratio"),
+        c["quality_score"].alias("quality_score"),
     )
 
 
@@ -217,11 +233,27 @@ def token_budget_sample(
 
     Output: (id, n_tokens, quality_score) of the kept documents.
     """
-    from alphalens_spark.scale.dedup import md5_long
-
     q = quality_score(docs, text_col, id_col).select(
         id_col, "n_tokens", "quality_score"
     )
+    return q.where(budget_keep_condition(q, budget_tokens, id_col, hash_mod))
+
+
+def budget_keep_condition(
+    q: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    hash_mod: int = 1_000_000,
+) -> F.Column:
+    """The quality-first token-budget keep rule of
+    :func:`token_budget_sample` as a reusable Column over a
+    ``(id, n_tokens, quality_score)`` frame — so composites
+    (``pretraining_funnel``) can flag membership in-plan instead of
+    semi-joining the sampled frame back. Runs the ≤5-row bucket-total
+    aggregate of ``q`` eagerly (driver-side collect, bounded by the
+    discrete rubric's value count)."""
+    from alphalens_spark.scale.dedup import md5_long
+
     buckets = sorted(
         (
             (r["quality_score"], r["t"])
@@ -248,7 +280,7 @@ def token_budget_sample(
         score, thresh, _ = boundary
         hfrac = F.pmod(md5_long(F.col(id_col).cast("string"), 15), F.lit(hash_mod))
         cond = cond | ((F.col("quality_score") == score) & (hfrac < thresh))
-    return q.where(cond)
+    return cond
 
 
 def bm25_scores(

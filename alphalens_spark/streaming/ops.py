@@ -652,6 +652,31 @@ def hist_store_quantiles(
     return first.select("prob", F.round(est, 6).alias("est_quantile"))
 
 
+def stream_histogram(
+    value_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    available_now: bool = False,
+):
+    """Maintain the fixed-grid histogram store from a value stream via
+    foreachBatch over :func:`hist_store_update`; read quantiles any time
+    with :func:`hist_store_quantiles` without stopping the stream."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        hist_store_update(batch_df, store_path, value_col, lo, hi, bins)
+
+    w = value_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def hh_store_update(
     batch_df: DataFrame,
     store_path: str,

@@ -426,7 +426,7 @@ def main() -> None:
         "rank_autocorr", "event_study",
     ]
     core_value = round(sum(timings.get(q, 0.0) for q in core), 4)
-    print(json.dumps({
+    full = {
         "metric": "alphalens_spark headline suite wall time",
         "value": total,
         "core_value": core_value,
@@ -449,7 +449,34 @@ def main() -> None:
         # cross-artifact deltas by the st ratio before flagging
         "host_calib": calib,
         "sf": sf,
-    }))
+    }
+    # FULL artifact (bands + loadavg + calib) goes to a file: the round
+    # driver captures only a ~2000-char stdout tail, and the r06 line —
+    # grown past that with 51 per-query bands — came back unparseable.
+    # stdout carries a COMPACT line (still the full per-query timings)
+    # that stays inside the capture window; bench_compare prefers the
+    # file artifact when both exist.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
+    )
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "core_value": core_value,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "detail": "BENCH_local_latest.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # last-ditch: shed per-query precision before shedding queries
+        compact["queries"] = {q: round(v, 2) for q, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
