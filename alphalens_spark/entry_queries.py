@@ -6469,7 +6469,8 @@ def q_stream_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented arrival contract is per-key time-monotonic ACROSS
     batches, which an unordered file listing cannot guarantee; the
     multi-batch incremental == one-shot property is unit-tested where
-    batch boundaries are controlled (tests/test_stream_stores.py)."""
+    batch boundaries are controlled
+    (tests/test_round3_ops.py::test_stream_scd2_equals_batch)."""
     import shutil
 
     from alphalens_spark.streaming.ops import stream_scd2
@@ -6613,6 +6614,257 @@ def q_stream_reservoir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_reservoir_state"] = ORACLES["weighted_sample"]
+
+
+def q_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch-maintenance sidecar certified end-to-end — and
+    GENUINELY multi-batch (4 source files, one per micro-batch): the
+    document stream maintains BOTH mergeable sketches via
+    streaming.stream_sketch_maintenance (CM counters merge by addition,
+    per-source KMV by union→bottom-k); the kmv_store_estimate readout
+    (k=16, the estimator branch) must equal the one-shot batch
+    kmv_distinct SQL exactly — KMV's merge rule makes the maintained
+    sketch THE sketch of the full history regardless of batching."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import (
+        kmv_store_estimate,
+        stream_sketch_maintenance,
+    )
+
+    docs = datasets.load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    root = _roundtrip_path("kmv_stream", sf_dir)
+    src, ck = f"{root}/src", f"{root}/ck"
+    cm_path, kmv_path = f"{root}/cm", f"{root}/kmv"
+    shutil.rmtree(root, ignore_errors=True)
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_sketch_maintenance(
+        stream, cm_path, kmv_path, ck, item_col="text", group_col="source",
+        depth=4, width=512, k=16, available_now=True,
+    )
+    q.awaitTermination(300)
+    return _finalize(kmv_store_estimate(spark, kmv_path, ["source"], k=16))
+
+
+ORACLES["stream_kmv_state"] = ORACLES["kmv_distinct"]
+
+
+def q_stream_expectations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality store certified end-to-end — and GENUINELY
+    multi-batch (4 source files, one per micro-batch): per-rule
+    violation counters merge by addition, so the streamed store must
+    equal the one-shot validate_expectations SQL over the whole history
+    — the 'has anything EVER violated rule X' gate without reprocessing."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import stream_validate_expectations
+
+    rules = {
+        "qty_in_range": "l_quantity BETWEEN 1 AND 50",
+        "price_positive": "l_extendedprice > 0",
+        "discount_unit_interval": "l_discount BETWEEN 0 AND 1",
+        "shipdate_present": "l_shipdate IS NOT NULL",
+        "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    }
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+        "l_returnflag",
+    )
+    root = _roundtrip_path("expect_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_validate_expectations(stream, store, ck, rules, available_now=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(store).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+ORACLES["stream_expectations_state"] = ORACLES["validate_expectations"]
+
+
+def q_stream_cooccurrence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pair co-occurrence store certified end-to-end: order
+    baskets (l_orderkey → distinct l_partkey) stream through
+    streaming.stream_cooccurrence; pair counts merge by addition, so
+    the store must equal the one-shot batch pair-count SQL. Single
+    batch by construction (coalesce(1) source write): the store's
+    documented contract is basket-COMPLETE batches — a basket split
+    across micro-batches under-counts its cross-batch pairs."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import stream_cooccurrence
+
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    root = _roundtrip_path("cooc_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    li.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(li.schema).parquet(src)
+    q = stream_cooccurrence(
+        stream, store, ck, "l_orderkey", "l_partkey", available_now=True
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(store).select("item_a", "item_b", "n_baskets")
+
+
+ORACLES["stream_cooccurrence_state"] = r"""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+)
+SELECT a.item AS item_a, b.item AS item_b,
+       CAST(count(*) AS BIGINT) AS n_baskets
+FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+GROUP BY 1, 2"""
+
+
+def q_stream_dsir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR raw-distribution store certified end-to-end — and
+    GENUINELY multi-batch (4 source files, one per micro-batch): hashed
+    n-gram bucket counts merge by addition, so once the store has
+    absorbed the whole corpus, dsir_store_weights scored against it
+    must equal the one-shot dsir_importance_weights SQL exactly (same
+    target domain src0/src1, same 256 buckets)."""
+    import shutil
+
+    from alphalens_spark.streaming.ops import dsir_store_weights, stream_dsir
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    root = _roundtrip_path("dsir_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    docs.select("doc_id", "text").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_dsir(stream, store, ck, n_buckets=256, available_now=True)
+    q.awaitTermination(300)
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return dsir_store_weights(docs, store, target, n_buckets=256)
+
+
+ORACLES["stream_dsir_state"] = ORACLES["dsir_weights"]
+
+
+def q_stream_ivfpq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index store certified end-to-end — and GENUINELY
+    multi-batch (4 source files, one per micro-batch): quantizers train
+    once batch-side (build_ivfpq's deterministic Lloyd + PQ), then the
+    embedding stream encodes against the FROZEN quantizers via
+    streaming.stream_index_maintenance. Because encode is a pure
+    function of (vector, quantizers) and adds dedupe by id, the
+    streamed index equals the batch-encoded index row-for-row — so
+    searching it with the identical ivfpq_topk config must reproduce
+    the batch `embedding_ivfpq_topk` output, whose oracle re-derives
+    both quantizers in unrolled CTEs."""
+    import shutil
+
+    from alphalens_spark.scale.similarity import build_ivfpq, ivfpq_topk
+    from alphalens_spark.streaming.ops import stream_index_maintenance
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    cents, books, _ = build_ivfpq(
+        emb, n_cells=16, m_sub=8, ksub=16, iters=2
+    )
+    root = _roundtrip_path("ivfpq_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_index_maintenance(
+        stream, store, ck, cents, books, available_now=True
+    )
+    q.awaitTermination(300)
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return _finalize(
+        ivfpq_topk(
+            emb, queries, k=5, n_cells=16, nprobe=4, refine=4,
+            centroids=cents, codebooks=books,
+            index=spark.read.parquet(store),
+        )
+    )
+
+
+ORACLES["stream_ivfpq_state"] = ORACLES["embedding_ivfpq_topk"]
+
+
+def q_stream_ab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming experiment flag store certified end-to-end — and
+    GENUINELY multi-batch (4 source files, one per micro-batch):
+    per-(user, variant) exposure/conversion flags merge by MAX, so the
+    streamed store aggregates to the identical z-test readout as the
+    one-shot batch ab_test_ztest SQL. The readout projection recomputes
+    rates/z from the store's EXACT integer counts with the same
+    micro-unit expressions as the batch query."""
+    import shutil
+
+    from alphalens_spark.scale.dedup import md5_long
+    from alphalens_spark.streaming.ops import ab_store_ztest, stream_ab
+
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    assignment = F.pmod(
+        md5_long(F.col("user_id").cast("string"), 15), F.lit(2)
+    ).cast("int")
+    root = _roundtrip_path("ab_stream", sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ab(stream, store, ck, assignment, available_now=True)
+    q.awaitTermination(300)
+    out = ab_store_ztest(spark, store)
+    # identical micro-unit projection as the batch ab_test_ztest query:
+    # rates re-derive from the exact integer counts; z comes from the
+    # readout's raw counts via the same pooled expression, quantized once
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return out.select(
+        "variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
+        F.round(F.col("conv_a") * 1e6 / F.col("n_a"))
+        .cast("long").alias("rate_a_e6"),
+        F.round(F.col("conv_b") * 1e6 / F.col("n_b"))
+        .cast("long").alias("rate_b_e6"),
+        F.round(z * 1e6).cast("long").alias("z_e6"),
+    )
 
 
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9748,6 +10000,10 @@ SELECT a.variant AS variant_a, b.variant AS variant_b,
                     * (1.0 / a.n + 1.0 / b.n))) * 1e6) AS BIGINT) AS z_e6
 FROM pv a JOIN pv b ON a.variant < b.variant"""
 
+# the streaming experiment store's readout contract IS the one-shot
+# batch z-test (defined here, after the batch oracle it aliases)
+ORACLES["stream_ab_state"] = ORACLES["ab_test_ztest"]
+
 
 def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-baseline scoring (events.seasonal_naive_eval): daily
@@ -10325,6 +10581,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_scd2_state": q_stream_scd2_state,
     "stream_holt_state": q_stream_holt_state,
     "stream_hist_state": q_stream_hist_state,
+    "stream_kmv_state": q_stream_kmv_state,
+    "stream_expectations_state": q_stream_expectations_state,
+    "stream_cooccurrence_state": q_stream_cooccurrence_state,
+    "stream_dsir_state": q_stream_dsir_state,
+    "stream_ab_state": q_stream_ab_state,
+    "stream_ivfpq_state": q_stream_ivfpq_state,
     "stream_heavy_hitters_state": q_stream_heavy_hitters_state,
     "stream_cdc_state": q_stream_cdc_state,
     "stream_reservoir_state": q_stream_reservoir_state,

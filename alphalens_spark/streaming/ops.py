@@ -1805,6 +1805,35 @@ def ab_store_ztest(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+def stream_ab(
+    events_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    assignment,
+    success_type: str = "purchase",
+    exposure_type: str = "view",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    available_now: bool = False,
+):
+    """Maintain the per-(user, variant) experiment flag store from an
+    event stream via foreachBatch over :func:`ab_store_update`; read the
+    z-test any time with :func:`ab_store_ztest`."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        ab_store_update(
+            batch_df, store_path, assignment, success_type, exposure_type,
+            user_col, type_col,
+        )
+
+    w = events_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def dsir_store_update(
     batch_df: DataFrame,
     store_path: str,
@@ -1880,6 +1909,30 @@ def dsir_store_weights(
     )
     ct = dsir_bucket_counts(target, n_buckets, text_col, id_col)
     return _dsir_score(rawdb, cr, ct, n_buckets, smoothing, id_col)
+
+
+def stream_dsir(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+):
+    """Maintain the DSIR raw-distribution store from a document stream
+    via foreachBatch over :func:`dsir_store_update`; score any slice
+    against the live store with :func:`dsir_store_weights`."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        dsir_store_update(batch_df, store_path, n_buckets, text_col, id_col)
+
+    w = docs_stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def stream_user_stats_tws(

@@ -59,6 +59,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "epoch_shuffle",
         # trailing mean over the per-date IC series (one row per date)
         "rolling_mean_ic",
+        # cumulative bin counts over the ≤64-row fixed grid (the
+        # histogram-store readout's window is bounded by bins, not data)
+        "stream_hist_state",
         # MoM lag over the MONTHLY rollup (one row per month, bounded by
         # the date dimension)
         "sql_revenue_trend",
@@ -88,6 +91,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "decayed_activity",
         # 3-row probs literal broadcast, non-equi rank-crossing condition
         "histogram_quantiles",
+        # same readout shape off the streamed store: 1-row total + 3-row
+        # probs broadcasts onto the ≤bins-row cumulative grid
+        "stream_hist_state",
         # 1-row corpus-size (N) broadcast crossJoin for the idf term
         "tfidf_top_terms",
         # 1-row (n_keys, n_rows) stats broadcast onto the top-n keys
@@ -122,9 +128,12 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "search_bm25_topk",
         # variant-dimension pair join (a handful of rows, non-equi <)
         "ab_test_ztest",
+        "stream_ab_state",
         # 1-row (Tr, Tt) feature-totals broadcast onto the B-row
         # bucket-count table (bounded by n_buckets, never corpus-sized)
         "dsir_weights",
+        # same scoring plan off the streamed distribution store
+        "stream_dsir_state",
         # language-dimension broadcast (|langs| rows) replicated onto the
         # per-doc gram counts + 1-row vocab-size broadcast
         "langid_ngram",
