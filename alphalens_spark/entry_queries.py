@@ -6326,6 +6326,121 @@ SELECT event_type, max(day) AS last_o,
 FROM ord GROUP BY event_type HAVING count(*) < 7"""
 
 
+def q_psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift screen
+    (scale.profile.psi_report): the cent-quantized order-value
+    distribution before vs from 1997-01-01, on a FIXED 10-bucket
+    integer grid to $600k — the standard production-ML feature-drift
+    monitor (PSI < 0.1 stable). Per-bucket Laplace-smoothed shares and
+    ln-ratio contributions; Σ psi_contrib is the headline PSI."""
+    from alphalens_spark.scale.profile import psi_report
+
+    orders = datasets.load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_e2"),
+    )
+    ref = orders.where(F.col("o_orderdate") < "1997-01-01")
+    cur = orders.where(F.col("o_orderdate") >= "1997-01-01")
+    return psi_report(ref, cur, "price_e2", lo=0, hi=60_000_000, bins=10)
+
+
+ORACLES["psi_drift_orders"] = r"""
+WITH r AS (
+  SELECT least(9, greatest(0,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) * 10
+                // 60000000 AS INT))) AS bucket,
+         count(*) AS n_ref
+  FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+),
+c AS (
+  SELECT least(9, greatest(0,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) * 10
+                // 60000000 AS INT))) AS bucket,
+         count(*) AS n_cur
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+),
+dim AS (SELECT unnest(range(10)) AS bucket),
+j AS (
+  SELECT d.bucket,
+         CAST(coalesce(r.n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur
+  FROM dim d LEFT JOIN r ON r.bucket = d.bucket
+  LEFT JOIN c ON c.bucket = d.bucket
+),
+tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+               CAST(sum(n_cur) AS BIGINT) AS tc FROM j)
+SELECT CAST(bucket AS INT) AS bucket, n_ref, n_cur,
+       CAST(round((2 * n_ref + 1) * 1e6
+                  / CAST(2 * tr + 10 AS DOUBLE)) AS BIGINT)
+         AS ref_share_e6,
+       CAST(round((2 * n_cur + 1) * 1e6
+                  / CAST(2 * tc + 10 AS DOUBLE)) AS BIGINT)
+         AS cur_share_e6,
+       round(((2 * n_cur + 1) / CAST(2 * tc + 10 AS DOUBLE)
+              - (2 * n_ref + 1) / CAST(2 * tr + 10 AS DOUBLE))
+             * (ln((2 * n_cur + 1) / CAST(2 * tc + 10 AS DOUBLE))
+                - ln((2 * n_ref + 1) / CAST(2 * tr + 10 AS DOUBLE))), 6)
+         + 0.0 AS psi_contrib
+FROM j CROSS JOIN tot"""
+
+
+def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance
+    (scale.profile.ks_two_sample) between returned ('R') and regular
+    ('N') line items' cent-quantized extended prices — the binning-free
+    distribution-shift companion to the PSI screen. The whole statistic
+    is exact integer arithmetic (max |c1·n2 − c2·n1| over the pooled
+    CDF via the zipWithIndex running-count pattern — no global window),
+    so it reproduces bit-for-bit across engines."""
+    from alphalens_spark.scale.profile import ks_two_sample
+
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_e2"),
+    )
+    return ks_two_sample(
+        li.where(F.col("l_returnflag") == "R"),
+        li.where(F.col("l_returnflag") == "N"),
+        "p_e2",
+    )
+
+
+ORACLES["ks_price_drift"] = r"""
+WITH a AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+b AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem WHERE l_returnflag = 'N'
+),
+ca AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM a GROUP BY 1),
+cb AS (SELECT v, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1),
+pooled AS (
+  SELECT coalesce(ca.v, cb.v) AS v,
+         CAST(coalesce(c1, 0) AS BIGINT) AS c1,
+         CAST(coalesce(c2, 0) AS BIGINT) AS c2
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+),
+cum AS (
+  SELECT CAST(sum(c1) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum1,
+         CAST(sum(c2) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum2
+  FROM pooled
+),
+tot AS (SELECT CAST(max(cum1) AS BIGINT) AS n1,
+               CAST(max(cum2) AS BIGINT) AS n2 FROM cum)
+SELECT t.n1, t.n2,
+       CAST(max(abs(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_num,
+       CAST(round(1e6 * CAST(max(abs(cum1 * t.n2 - cum2 * t.n1)) AS DOUBLE)
+                  / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)))
+            AS BIGINT) AS d_e6
+FROM cum CROSS JOIN tot t GROUP BY t.n1, t.n2"""
+
+
 def q_stream_holt_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Holt smoothing store (#13) certified end-to-end: each
     event type's daily 1e-4-integer value series streams through
@@ -10578,6 +10693,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_orders": q_benford_orders,
     "revenue_concentration": q_revenue_concentration,
     "stream_cusum_state": q_stream_cusum_state,
+    "psi_drift_orders": q_psi_drift_orders,
+    "ks_price_drift": q_ks_price_drift,
     "stream_scd2_state": q_stream_scd2_state,
     "stream_holt_state": q_stream_holt_state,
     "stream_hist_state": q_stream_hist_state,

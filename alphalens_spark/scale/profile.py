@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch",
     "cm_estimate", "winsorize", "heavy_hitters", "robust_zscore",
-    "validate_expectations", "kmv_set_estimates",
+    "validate_expectations", "kmv_set_estimates", "psi_report",
+    "ks_two_sample",
 ]
 
 
@@ -715,4 +716,223 @@ def concentration_report(
         F.when(b > 0, F.round(share).cast("long")).alias(
             "top_decile_share_e6"
         ),
+    )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_int_col: str,
+    lo: int,
+    hi: int,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index — the standard production-ML drift
+    screen between a reference window and a current window of one
+    feature (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    Input contract: ``value_int_col`` is an INTEGER-GRID value
+    (quantize currency to cents first) and the bucket GRID is fixed by
+    the caller (lo/hi/bins) — data-derived edges would make the report
+    non-reproducible across windows, which defeats a monitoring series.
+    Buckets assign by exact integer arithmetic
+    (``(v−lo)·bins DIV (hi−lo)``, clamped) — no float boundary
+    knife-edges. Shares are Laplace-smoothed (+½ per bucket) so empty
+    buckets contribute a finite, correct penalty instead of ±∞.
+
+    Per bucket: n_ref, n_cur, the smoothed shares in micro-units
+    (integer-numerator rounding) and the PSI contribution
+    ``(p−q)·ln(p/q)`` rounded to 6 dp (ln is the one transcendental —
+    6-dp exports of ln-based scores are proven cross-engine-stable by
+    the DSIR family). Σ contribution = the headline PSI.
+
+    Scale shape: two map-side-combinable groupBys onto a ≤bins-row
+    dimension, one bins-row join — nothing data-sized past the first
+    aggregation.
+    """
+    span = hi - lo
+    if span <= 0 or bins <= 0:
+        raise ValueError("need hi > lo and bins > 0")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_int_col).cast("long")
+        # bucket by INTEGER DIV — a double divide rounds correctly AT
+        # boundaries but can round a just-below-integer quotient UP to
+        # the integer before truncation, off-by-one vs another engine
+        # (the k-anonymity DIV lesson). Values below lo clamp to 0, so
+        # the Spark-truncates / DuckDB-floors negative divergence is
+        # clamped away too.
+        num = ((v - F.lit(int(lo))) * F.lit(int(bins))).alias("_num")
+        b = F.expr(
+            f"int(least({bins - 1}, greatest(0, _num DIV {int(span)})))"
+        )
+        return (
+            df.where(v.isNotNull())
+            .select(num)
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    dim = ref.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    j = (
+        dim.join(counts(ref, "n_ref"), "bucket", "left")
+        .join(counts(cur, "n_cur"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    jj = j.crossJoin(F.broadcast(tot))
+    # Laplace ½ smoothing via exact integer numerators: share =
+    # (2n+1)/(2N+bins·1) on a doubled grid — both engines divide the
+    # same exact integers
+    p = (2 * F.col("n_ref") + 1).cast("double") / (
+        (2 * F.col("_tr") + bins).cast("double")
+    )
+    q = (2 * F.col("n_cur") + 1).cast("double") / (
+        (2 * F.col("_tc") + bins).cast("double")
+    )
+    contrib = (q - p) * (F.log(q) - F.log(p))
+    return jj.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p * 1e6).cast("long").alias("ref_share_e6"),
+        F.round(q * 1e6).cast("long").alias("cur_share_e6"),
+        (F.round(contrib, 6) + F.lit(0.0)).alias("psi_contrib"),
+    )
+
+
+def ks_two_sample(
+    df1: DataFrame,
+    df2: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance, distributed — the
+    nonparametric distribution-shift test to pair with :func:`psi_report`
+    (PSI needs a binning choice; KS is binning-free).
+
+    D = max over the pooled values of |F̂₁(x) − F̂₂(x)|. The entire
+    statistic is EXACT INTEGER arithmetic:
+    ``D = max |c1(x)·n2 − c2(x)·n1| / (n1·n2)`` where c_i(x) is the
+    running count of sample i at value x — so the result is
+    engine-reproducible with no float comparisons anywhere (export in
+    micro-units; bounded by n1·n2 < 2⁶³ up to ~3e9 rows per side).
+
+    Scale shape — a global CDF WITHOUT a global window (the
+    build_vocab / epoch_shuffle zipWithIndex pattern): per-value counts
+    aggregate first (one shuffle), the counts range-repartition by
+    value, each partition computes a local running sum, and
+    per-partition offsets (ONE row per partition) shift them to global
+    running counts. The only unpartitioned window runs over one row
+    per partition. NULLs are excluded.
+
+    Output: one row (n1, n2, d_num, d_e6).
+    """
+    from pyspark.sql import Window
+
+    v1 = df1.select(F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    v2 = df2.select(F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    pooled = (
+        v1.groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .join(
+            v2.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("c2")),
+            "_v",
+            "full",
+        )
+        .select(
+            "_v",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+        )
+    )
+    # pin: the keyed frame feeds both the offsets aggregate and the main
+    # running-sum job; unpinned, spark_partition_id() evaluates twice on
+    # a re-executed range shuffle (the epoch_shuffle lesson)
+    keyed = (
+        pooled.repartitionByRange(F.col("_v").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    offs = (
+        keyed.groupBy("_pid")
+        .agg(
+            F.sum("c1").alias("_s1"),
+            F.sum("c2").alias("_s2"),
+        )
+        .withColumn(
+            "_o1",
+            F.coalesce(
+                F.sum("_s1").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_o2",
+            F.coalesce(
+                F.sum("_s2").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_o1", "_o2")
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        keyed.withColumn("_r1", F.sum("c1").over(w_in))
+        .withColumn("_r2", F.sum("c2").over(w_in))
+        .join(F.broadcast(offs), "_pid")
+        .select(
+            (F.col("_r1") + F.col("_o1")).alias("cum1"),
+            (F.col("_r2") + F.col("_o2")).alias("cum2"),
+        )
+    )
+    tot = run.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    d = run.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.col("n1").cast("long")).alias("n1"),
+        F.max(F.col("n2").cast("long")).alias("n2"),
+        F.max(
+            F.abs(
+                F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+            )
+        )
+        .cast("long")
+        .alias("d_num"),
+    )
+    return d.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.round(
+            F.lit(1e6)
+            * F.col("d_num").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        )
+        .cast("long")
+        .alias("d_e6"),
     )

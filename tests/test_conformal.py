@@ -285,3 +285,75 @@ def test_kendall_nan_excluded_identically(spark):
     assert rows["pairs"] == rows["sorted"]
     assert rows["pairs"][0][0] == 3
     assert rows["pairs"][0][4] == 1_000_000
+
+
+def test_psi_identical_and_shifted(spark):
+    from alphalens_spark.scale.profile import psi_report
+
+    a = spark.createDataFrame([(i % 100,) for i in range(1000)], "v long")
+    # identical distributions -> every contribution 0 (p == q exactly:
+    # same counts, same totals)
+    out = psi_report(a, a, "v", lo=0, hi=100, bins=10).collect()
+    assert len(out) == 10
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+    assert all(r["ref_share_e6"] == r["cur_share_e6"] for r in out)
+    # fully shifted: ref in [0,50), cur in [50,100) -> large positive PSI
+    lo_half = spark.createDataFrame([(i % 50,) for i in range(500)], "v long")
+    hi_half = spark.createDataFrame(
+        [(50 + i % 50,) for i in range(500)], "v long"
+    )
+    out2 = psi_report(lo_half, hi_half, "v", lo=0, hi=100, bins=10).collect()
+    total = sum(r["psi_contrib"] for r in out2)
+    assert total > 0.25  # the standard "population shifted" threshold
+    # contributions are symmetric in this construction
+    by_bucket = {r["bucket"]: r for r in out2}
+    assert by_bucket[0]["n_ref"] == 100 and by_bucket[0]["n_cur"] == 0
+    assert by_bucket[9]["n_ref"] == 0 and by_bucket[9]["n_cur"] == 100
+
+
+def test_psi_bucket_boundaries_and_clamp(spark):
+    from alphalens_spark.scale.profile import psi_report
+
+    # values exactly on bucket edges land in the upper bucket (integer
+    # DIV), out-of-range values clamp to the edge buckets
+    rows = [(-5,), (0,), (9,), (10,), (99,), (100,), (150,)]
+    df = spark.createDataFrame(rows, "v long")
+    out = {r["bucket"]: r for r in psi_report(df, df, "v", 0, 100, 10).collect()}
+    assert out[0]["n_ref"] == 3   # -5 (clamped), 0, 9
+    assert out[1]["n_ref"] == 1   # 10
+    assert out[9]["n_ref"] == 3   # 99, 100 (clamped), 150 (clamped)
+
+
+def test_ks_known_values(spark):
+    from alphalens_spark.scale.profile import ks_two_sample
+
+    # identical samples -> D = 0
+    a = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    r = ks_two_sample(a, a, "v").collect()[0]
+    assert (r["n1"], r["n2"], r["d_num"], r["d_e6"]) == (100, 100, 0, 0)
+    # disjoint supports -> D = 1
+    b = spark.createDataFrame([(1000 + i,) for i in range(50)], "v long")
+    r = ks_two_sample(a, b, "v").collect()[0]
+    assert r["d_e6"] == 1_000_000
+    # textbook small case: x={1,2}, y={2,3}: D = 1/2 at v=1
+    x = spark.createDataFrame([(1,), (2,)], "v long")
+    y = spark.createDataFrame([(2,), (3,)], "v long")
+    r = ks_two_sample(x, y, "v").collect()[0]
+    assert r["d_num"] == 2 and r["d_e6"] == 500_000
+    # scipy cross-check when available
+    try:
+        from scipy.stats import ks_2samp
+    except ImportError:
+        return
+    import random
+
+    rng = random.Random(7)
+    s1 = [rng.randint(0, 40) for _ in range(137)]
+    s2 = [rng.randint(10, 60) for _ in range(211)]
+    d = ks_2samp(s1, s2).statistic
+    r = ks_two_sample(
+        spark.createDataFrame([(v,) for v in s1], "v long"),
+        spark.createDataFrame([(v,) for v in s2], "v long"),
+        "v",
+    ).collect()[0]
+    assert abs(r["d_num"] / (r["n1"] * r["n2"]) - d) < 1e-12

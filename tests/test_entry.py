@@ -57,6 +57,7 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # bounded by partition count, never by terms/rows)
         "vocab_encode",
         "epoch_shuffle",
+        "ks_price_drift",
         # trailing mean over the per-date IC series (one row per date)
         "rolling_mean_ic",
         # cumulative bin counts over the ≤64-row fixed grid (the
@@ -98,6 +99,10 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "tfidf_top_terms",
         # 1-row (n_keys, n_rows) stats broadcast onto the top-n keys
         "skew_report",
+        # 1-row window-totals broadcast onto the ≤bins-row PSI grid /
+        # the pooled-CDF running counts
+        "psi_drift_orders",
+        "ks_price_drift",
         # 1-row (n_dates, obs_sum) broadcast onto the B-bounded resample
         # grid — the documented scalar-broadcast contract
         "ic_bootstrap",
