@@ -785,10 +785,18 @@ def psi_report(
             F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
         )
     )
-    tot = j.agg(
-        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    # window totals over the ≤bins-row grid: ONE lineage, so the two
+    # count scans run once (a separate agg + crossJoin re-executed the
+    # whole counts lineage — 4 fact scans for a 10-row report). The
+    # unpartitioned window is bounded by bins, never by data.
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    jj = j.crossJoin(F.broadcast(tot))
+    jj = j.withColumn("_tr", F.sum("n_ref").over(wall)).withColumn(
+        "_tc", F.sum("n_cur").over(wall)
+    )
     # Laplace ½ smoothing via exact integer numerators: share =
     # (2n+1)/(2N+bins·1) on a doubled grid — both engines divide the
     # same exact integers

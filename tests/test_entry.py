@@ -99,9 +99,7 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "tfidf_top_terms",
         # 1-row (n_keys, n_rows) stats broadcast onto the top-n keys
         "skew_report",
-        # 1-row window-totals broadcast onto the ≤bins-row PSI grid /
-        # the pooled-CDF running counts
-        "psi_drift_orders",
+        # 1-row totals broadcast onto the pooled-CDF running counts
         "ks_price_drift",
         # 1-row (n_dates, obs_sum) broadcast onto the B-bounded resample
         # grid — the documented scalar-broadcast contract
