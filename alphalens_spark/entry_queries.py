@@ -90,6 +90,43 @@ def _roundtrip_path(prefix: str, sf_dir: str) -> str:
 _ROUNDTRIP_CLEANUP: set[str] = set()
 
 
+def _stream_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    src_df: DataFrame,
+    start_fn,
+    n_files: int = 1,
+    seed: DataFrame | None = None,
+) -> str:
+    """The shared scaffold of every store-certification query: write
+    ``src_df`` to a fresh pid-scoped scratch dir, stream it back
+    (``n_files > 1`` → repartition into that many files and drain ONE
+    per micro-batch via maxFilesPerTrigger — a genuinely multi-batch
+    incremental run; ``n_files == 1`` → coalesce(1), the single-batch
+    form for stores whose arrival contract an unordered file listing
+    cannot honor), optionally pre-seed the store (``seed`` — the CDC
+    base snapshot), run ``start_fn(stream_df, store_path, checkpoint)``
+    to completion, and return the store path for the readout.
+    Review-extracted: 13 certification queries each carried this
+    ~10-line block; a scaffold change now lands once."""
+    import shutil
+
+    root = _roundtrip_path(prefix, sf_dir)
+    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+    shutil.rmtree(root, ignore_errors=True)
+    if seed is not None:
+        seed.coalesce(1).write.mode("overwrite").parquet(store)
+    w = src_df.coalesce(1) if n_files == 1 else src_df.repartition(n_files)
+    w.write.mode("overwrite").parquet(src)
+    reader = spark.readStream.schema(src_df.schema)
+    if n_files > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    q = start_fn(reader.parquet(src), store, ck)
+    q.awaitTermination(300)
+    return store
+
+
 def _fd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical factor_data, persisted per (session, sf_dir).
 
@@ -6228,30 +6265,17 @@ def q_stream_cusum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     VALUES carry a full oracle, not a rows-only check. Replay-safe:
     re-running against an existing store is a no-op (the monotone
     last_o filter drops already-folded rows)."""
-    import shutil
-
     from alphalens_spark.streaming.ops import stream_cusum
 
     daily = _daily_event_value_e4(spark, sf_dir)
-    root = _roundtrip_path("cusum_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    # fresh run per process: the pid-scoped root makes this race-free
-    shutil.rmtree(root, ignore_errors=True)
-    daily.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(daily.schema).parquet(src)
-    q = stream_cusum(
-        stream,
-        store,
-        ck,
-        ["event_type"],
-        "value_e4",
-        "day",
-        baseline=7,
-        drift_frac=0.05,
-        threshold_frac=0.5,
-        available_now=True,
+    store = _stream_roundtrip(
+        spark, sf_dir, "cusum_stream", daily,
+        lambda st, p, ck: stream_cusum(
+            st, p, ck, ["event_type"], "value_e4", "day",
+            baseline=7, drift_frac=0.05, threshold_frac=0.5,
+            available_now=True,
+        ),
     )
-    q.awaitTermination(300)
     return spark.read.parquet(store).select(
         "event_type", "last_o", "mu", "k", "h", "gp", "gn", "alarm"
     )
@@ -6450,21 +6474,16 @@ def q_stream_holt_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned multiply-add sequence on exact-integer inputs, so store ==
     batch is BIT-exact; export in 1e-6 units via round(x·1e6) (the
     cross-engine-stable form — see holt_factor)."""
-    import shutil
-
     from alphalens_spark.streaming.ops import stream_holt
 
     daily = _daily_event_value_e4(spark, sf_dir)
-    root = _roundtrip_path("holt_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    daily.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(daily.schema).parquet(src)
-    q = stream_holt(
-        stream, store, ck, ["event_type"], "value_e4", "day",
-        alpha=0.5, beta=0.3, available_now=True,
+    store = _stream_roundtrip(
+        spark, sf_dir, "holt_stream", daily,
+        lambda st, p, ck: stream_holt(
+            st, p, ck, ["event_type"], "value_e4", "day",
+            alpha=0.5, beta=0.3, available_now=True,
+        ),
     )
-    q.awaitTermination(300)
     return spark.read.parquet(store).select(
         "event_type",
         "last_o",
@@ -6515,8 +6534,6 @@ def q_stream_hist_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi=110000, 64 bins — the store's contract: a stream cannot revisit
     history to re-bin), unlike batch histogram_quantiles' data-derived
     range."""
-    import shutil
-
     from alphalens_spark.streaming.ops import (
         hist_store_quantiles,
         stream_histogram,
@@ -6525,20 +6542,14 @@ def q_stream_hist_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = datasets.load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice"
     )
-    root = _roundtrip_path("hist_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    li.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(li.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    store = _stream_roundtrip(
+        spark, sf_dir, "hist_stream", li,
+        lambda st, p, ck: stream_histogram(
+            st, p, ck, "l_extendedprice", lo=0.0, hi=110000.0, bins=64,
+            available_now=True,
+        ),
+        n_files=4,
     )
-    q = stream_histogram(
-        stream, store, ck, "l_extendedprice", lo=0.0, hi=110000.0, bins=64,
-        available_now=True,
-    )
-    q.awaitTermination(300)
     return hist_store_quantiles(
         spark, store, probs=[0.5, 0.9, 0.99], lo=0.0, hi=110000.0, bins=64
     )
@@ -6586,8 +6597,6 @@ def q_stream_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-batch incremental == one-shot property is unit-tested where
     batch boundaries are controlled
     (tests/test_round3_ops.py::test_stream_scd2_equals_batch)."""
-    import shutil
-
     from alphalens_spark.streaming.ops import stream_scd2
 
     ev = datasets.load_table(spark, sf_dir, "events")
@@ -6596,15 +6605,12 @@ def q_stream_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("ts"), F.col("event_type"))).alias("_last"))
         .select("user_id", "day", F.col("_last.event_type").alias("state"))
     )
-    root = _roundtrip_path("scd2_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    snap.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(snap.schema).parquet(src)
-    q = stream_scd2(
-        stream, store, ck, ["user_id"], ["state"], "day", available_now=True
+    store = _stream_roundtrip(
+        spark, sf_dir, "scd2_stream", snap,
+        lambda st, p, ck: stream_scd2(
+            st, p, ck, ["user_id"], ["state"], "day", available_now=True
+        ),
     )
-    q.awaitTermination(300)
     return spark.read.parquet(store).select(
         "user_id", "state", "valid_from", "valid_to"
     )
@@ -6622,26 +6628,18 @@ def q_stream_heavy_hitters_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch boundaries. The hh_store_topk readout must equal the one-shot
     batch heavy_hitters SQL (`heavy_hitters_terms`'s oracle): CM merge
     is exact, and top-20 survives the k·slack=160 candidate prune."""
-    import shutil
-
     from alphalens_spark.scale.text import _tokens
     from alphalens_spark.streaming.ops import hh_store_topk, stream_heavy_hitters
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(_tokens("text")).alias("tok"))
-    root = _roundtrip_path("hh_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    toks.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(toks.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    store = _stream_roundtrip(
+        spark, sf_dir, "hh_stream", toks,
+        lambda st, p, ck: stream_heavy_hitters(
+            st, p, ck, "tok", k=20, depth=4, width=512, available_now=True
+        ),
+        n_files=4,
     )
-    q = stream_heavy_hitters(
-        stream, store, ck, "tok", k=20, depth=4, width=512, available_now=True
-    )
-    q.awaitTermination(300)
     return hh_store_topk(spark, store, k=20, depth=4, width=512)
 
 
@@ -6657,8 +6655,6 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (coalesce(1) feed write): the store's documented
     arrival contract is per-key seq-monotone ACROSS batches; the
     controlled multi-batch equality is unit-tested."""
-    import shutil
-
     from alphalens_spark.streaming.ops import stream_apply_cdc
 
     cust = datasets.load_table(spark, sf_dir, "customer").select(
@@ -6677,14 +6673,13 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.col("o_orderkey").alias("seq"),
     )
-    root = _roundtrip_path("cdc_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    cust.coalesce(1).write.mode("overwrite").parquet(store)
-    changes.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(changes.schema).parquet(src)
-    q = stream_apply_cdc(stream, store, ck, ["c_custkey"], available_now=True)
-    q.awaitTermination(300)
+    store = _stream_roundtrip(
+        spark, sf_dir, "cdc_stream", changes,
+        lambda st, p, ck: stream_apply_cdc(
+            st, p, ck, ["c_custkey"], available_now=True
+        ),
+        seed=cust,
+    )
     return _finalize(
         spark.read.parquet(store).select(
             "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
@@ -6700,27 +6695,19 @@ def q_stream_reservoir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-shot weighted_priority_sample of the whole corpus exactly
     (`weighted_sample`'s oracle), independent of how the stream was
     batched."""
-    import shutil
-
     from alphalens_spark.streaming.ops import stream_weighted_sample
 
     docs = datasets.load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    root = _roundtrip_path("reservoir_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    docs.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    store = _stream_roundtrip(
+        spark, sf_dir, "reservoir_stream", docs,
+        lambda st, p, ck: stream_weighted_sample(
+            st, p, ck, "n_chars", k=5, group_cols=["source"],
+            available_now=True,
+        ),
+        n_files=4,
     )
-    q = stream_weighted_sample(
-        stream, store, ck, "n_chars", k=5, group_cols=["source"],
-        available_now=True,
-    )
-    q.awaitTermination(300)
     return _finalize(
         spark.read.parquet(store).select(
             "source", "doc_id", "weight", "priority_key"
@@ -6740,7 +6727,6 @@ def q_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k=16, the estimator branch) must equal the one-shot batch
     kmv_distinct SQL exactly — KMV's merge rule makes the maintained
     sketch THE sketch of the full history regardless of batching."""
-    import shutil
 
     from alphalens_spark.streaming.ops import (
         kmv_store_estimate,
@@ -6750,22 +6736,18 @@ def q_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datasets.load_table(spark, sf_dir, "documents").select(
         "source", "text"
     )
-    root = _roundtrip_path("kmv_stream", sf_dir)
-    src, ck = f"{root}/src", f"{root}/ck"
-    cm_path, kmv_path = f"{root}/cm", f"{root}/kmv"
-    shutil.rmtree(root, ignore_errors=True)
-    docs.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    store = _stream_roundtrip(
+        spark, sf_dir, "kmv_stream", docs,
+        lambda st, p, ck: stream_sketch_maintenance(
+            st, f"{p}/cm", f"{p}/kmv", ck, item_col="text",
+            group_col="source", depth=4, width=512, k=16,
+            available_now=True,
+        ),
+        n_files=4,
     )
-    q = stream_sketch_maintenance(
-        stream, cm_path, kmv_path, ck, item_col="text", group_col="source",
-        depth=4, width=512, k=16, available_now=True,
+    return _finalize(
+        kmv_store_estimate(spark, f"{store}/kmv", ["source"], k=16)
     )
-    q.awaitTermination(300)
-    return _finalize(kmv_store_estimate(spark, kmv_path, ["source"], k=16))
 
 
 ORACLES["stream_kmv_state"] = ORACLES["kmv_distinct"]
@@ -6777,8 +6759,6 @@ def q_stream_expectations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     violation counters merge by addition, so the streamed store must
     equal the one-shot validate_expectations SQL over the whole history
     — the 'has anything EVER violated rule X' gate without reprocessing."""
-    import shutil
-
     from alphalens_spark.streaming.ops import stream_validate_expectations
 
     rules = {
@@ -6792,17 +6772,13 @@ def q_stream_expectations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
         "l_returnflag",
     )
-    root = _roundtrip_path("expect_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    li.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(li.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    store = _stream_roundtrip(
+        spark, sf_dir, "expect_stream", li,
+        lambda st, p, ck: stream_validate_expectations(
+            st, p, ck, rules, available_now=True
+        ),
+        n_files=4,
     )
-    q = stream_validate_expectations(stream, store, ck, rules, available_now=True)
-    q.awaitTermination(300)
     return spark.read.parquet(store).select(
         "rule",
         "n_rows",
@@ -6822,22 +6798,17 @@ def q_stream_cooccurrence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch by construction (coalesce(1) source write): the store's
     documented contract is basket-COMPLETE batches — a basket split
     across micro-batches under-counts its cross-batch pairs."""
-    import shutil
-
     from alphalens_spark.streaming.ops import stream_cooccurrence
 
     li = datasets.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    root = _roundtrip_path("cooc_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    li.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(li.schema).parquet(src)
-    q = stream_cooccurrence(
-        stream, store, ck, "l_orderkey", "l_partkey", available_now=True
+    store = _stream_roundtrip(
+        spark, sf_dir, "cooc_stream", li,
+        lambda st, p, ck: stream_cooccurrence(
+            st, p, ck, "l_orderkey", "l_partkey", available_now=True
+        ),
     )
-    q.awaitTermination(300)
     return spark.read.parquet(store).select("item_a", "item_b", "n_baskets")
 
 
@@ -6858,24 +6829,16 @@ def q_stream_dsir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed the whole corpus, dsir_store_weights scored against it
     must equal the one-shot dsir_importance_weights SQL exactly (same
     target domain src0/src1, same 256 buckets)."""
-    import shutil
-
     from alphalens_spark.streaming.ops import dsir_store_weights, stream_dsir
 
     docs = datasets.load_table(spark, sf_dir, "documents")
-    root = _roundtrip_path("dsir_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    docs.select("doc_id", "text").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    store = _stream_roundtrip(
+        spark, sf_dir, "dsir_stream", docs.select("doc_id", "text"),
+        lambda st, p, ck: stream_dsir(
+            st, p, ck, n_buckets=256, available_now=True
+        ),
+        n_files=4,
     )
-    q = stream_dsir(stream, store, ck, n_buckets=256, available_now=True)
-    q.awaitTermination(300)
     target = docs.where(F.col("source").isin("src0", "src1"))
     return dsir_store_weights(docs, store, target, n_buckets=256)
 
@@ -6894,8 +6857,6 @@ def q_stream_ivfpq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     searching it with the identical ivfpq_topk config must reproduce
     the batch `embedding_ivfpq_topk` output, whose oracle re-derives
     both quantizers in unrolled CTEs."""
-    import shutil
-
     from alphalens_spark.scale.similarity import build_ivfpq, ivfpq_topk
     from alphalens_spark.streaming.ops import stream_index_maintenance
 
@@ -6903,19 +6864,13 @@ def q_stream_ivfpq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, books, _ = build_ivfpq(
         emb, n_cells=16, m_sub=8, ksub=16, iters=2
     )
-    root = _roundtrip_path("ivfpq_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    emb.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    store = _stream_roundtrip(
+        spark, sf_dir, "ivfpq_stream", emb,
+        lambda st, p, ck: stream_index_maintenance(
+            st, p, ck, cents, books, available_now=True
+        ),
+        n_files=4,
     )
-    q = stream_index_maintenance(
-        stream, store, ck, cents, books, available_now=True
-    )
-    q.awaitTermination(300)
     queries = emb.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -6939,8 +6894,6 @@ def q_stream_ab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot batch ab_test_ztest SQL. The readout projection recomputes
     rates/z from the store's EXACT integer counts with the same
     micro-unit expressions as the batch query."""
-    import shutil
-
     from alphalens_spark.scale.dedup import md5_long
     from alphalens_spark.streaming.ops import ab_store_ztest, stream_ab
 
@@ -6950,36 +6903,16 @@ def q_stream_ab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment = F.pmod(
         md5_long(F.col("user_id").cast("string"), 15), F.lit(2)
     ).cast("int")
-    root = _roundtrip_path("ab_stream", sf_dir)
-    src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
-    shutil.rmtree(root, ignore_errors=True)
-    ev.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    store = _stream_roundtrip(
+        spark, sf_dir, "ab_stream", ev,
+        lambda st, p, ck: stream_ab(
+            st, p, ck, assignment, available_now=True
+        ),
+        n_files=4,
     )
-    q = stream_ab(stream, store, ck, assignment, available_now=True)
-    q.awaitTermination(300)
-    out = ab_store_ztest(spark, store)
-    # identical micro-unit projection as the batch ab_test_ztest query:
-    # rates re-derive from the exact integer counts; z comes from the
-    # readout's raw counts via the same pooled expression, quantized once
-    p_a = F.col("conv_a") / F.col("n_a")
-    p_b = F.col("conv_b") / F.col("n_b")
-    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
-    z = F.try_divide(
-        p_a - p_b,
-        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
-    )
-    return out.select(
-        "variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
-        F.round(F.col("conv_a") * 1e6 / F.col("n_a"))
-        .cast("long").alias("rate_a_e6"),
-        F.round(F.col("conv_b") * 1e6 / F.col("n_b"))
-        .cast("long").alias("rate_b_e6"),
-        F.round(z * 1e6).cast("long").alias("z_e6"),
-    )
+    # THE shared micro-unit projection (batch and stream alias one
+    # oracle, so the export arithmetic must be shared verbatim)
+    return _ab_micro_projection(ab_store_ztest(spark, store))
 
 
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10062,6 +9995,31 @@ def _bpe_segments_oracle() -> str:
 ORACLES["bpe_vocab_segments"] = _bpe_segments_oracle()
 
 
+def _ab_micro_projection(out: DataFrame) -> DataFrame:
+    """Shared micro-unit export over an A/B readout's exact integer
+    counts (variant_a/b, n_a/b, conv_a/b): rates re-derive from the
+    counts, and z recomputes from the RAW counts and quantizes exactly
+    ONCE — never round(round(z,6)·1e6), whose double rounding diverges
+    from the oracle's round(z·1e6) within an ulp of the .5 grid
+    (review-caught; both the batch and stream A/B queries alias the
+    same oracle, so they must share this projection verbatim)."""
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return out.select(
+        "variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
+        F.round(F.col("conv_a") * 1e6 / F.col("n_a"))
+        .cast("long").alias("rate_a_e6"),
+        F.round(F.col("conv_b") * 1e6 / F.col("n_b"))
+        .cast("long").alias("rate_b_e6"),
+        F.round(z * 1e6).cast("long").alias("z_e6"),
+    )
+
+
 def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment readout (events.ab_test_ztest): user-level
     view→purchase conversion per md5-hash-bucket variant, pooled
@@ -10075,18 +10033,7 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment = F.pmod(
         md5_long(F.col("user_id").cast("string"), 15), F.lit(2)
     ).cast("int")
-    out = ab_test_ztest(ev, assignment)
-    # micro-unit integer output contract: rates re-derive from the exact
-    # integer counts; z quantizes its (bit-identical-across-engines)
-    # double once — every output column is BIGINT/INT
-    return out.select(
-        "variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
-        F.round(F.col("conv_a") * 1e6 / F.col("n_a"))
-        .cast("long").alias("rate_a_e6"),
-        F.round(F.col("conv_b") * 1e6 / F.col("n_b"))
-        .cast("long").alias("rate_b_e6"),
-        F.round(F.col("z") * 1e6).cast("long").alias("z_e6"),
-    )
+    return _ab_micro_projection(ab_test_ztest(ev, assignment))
 
 
 ORACLES["ab_test_ztest"] = r"""

@@ -807,12 +807,27 @@ def psi_report(
         (2 * F.col("_tc") + bins).cast("double")
     )
     contrib = (q - p) * (F.log(q) - F.log(p))
+    # share exports multiply the integer numerator FIRST — round((a/b)·1e6)
+    # and round(a·1e6/b) disagree by 1 when a·1e6/b lands exactly on .5
+    # (e.g. a=1615, b=3200 → 504687.5; the pre-divided double is
+    # ...7.49999999999994) and the oracle divides a·1e6/b
+    # (review-confirmed counterexample)
+    p_e6 = F.round(
+        (2 * F.col("n_ref") + 1).cast("double")
+        * F.lit(1e6)
+        / ((2 * F.col("_tr") + bins).cast("double"))
+    )
+    q_e6 = F.round(
+        (2 * F.col("n_cur") + 1).cast("double")
+        * F.lit(1e6)
+        / ((2 * F.col("_tc") + bins).cast("double"))
+    )
     return jj.select(
         "bucket",
         "n_ref",
         "n_cur",
-        F.round(p * 1e6).cast("long").alias("ref_share_e6"),
-        F.round(q * 1e6).cast("long").alias("cur_share_e6"),
+        p_e6.cast("long").alias("ref_share_e6"),
+        q_e6.cast("long").alias("cur_share_e6"),
         (F.round(contrib, 6) + F.lit(0.0)).alias("psi_contrib"),
     )
 
@@ -917,9 +932,13 @@ def ks_two_sample(
             (F.col("_r2") + F.col("_o2")).alias("cum2"),
         )
     )
-    tot = run.agg(
-        F.max("cum1").cast("long").alias("n1"),
-        F.max("cum2").cast("long").alias("n2"),
+    # totals come from the checkpointed per-value counts — NOT from
+    # max(cum) over `run`, which would re-execute the running-sum window
+    # lineage a second time (review-caught: it doubled the most
+    # expensive stage)
+    tot = keyed.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n2"),
     )
     d = run.crossJoin(F.broadcast(tot)).agg(
         F.max(F.col("n1").cast("long")).alias("n1"),
@@ -932,15 +951,20 @@ def ks_two_sample(
         .cast("long")
         .alias("d_num"),
     )
+    # D is undefined for an empty sample: round(0/0 = NaN) casts to 0 in
+    # Spark, which would read as "no drift" — export NULL instead
+    # (review-caught)
+    defined = (F.col("n1") > 0) & (F.col("n2") > 0)
     return d.select(
-        "n1",
-        "n2",
-        "d_num",
-        F.round(
-            F.lit(1e6)
-            * F.col("d_num").cast("double")
-            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
-        )
-        .cast("long")
-        .alias("d_e6"),
+        F.coalesce(F.col("n1"), F.lit(0).cast("long")).alias("n1"),
+        F.coalesce(F.col("n2"), F.lit(0).cast("long")).alias("n2"),
+        F.when(defined, F.col("d_num")).alias("d_num"),
+        F.when(
+            defined,
+            F.round(
+                F.lit(1e6)
+                * F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).cast("long"),
+        ).alias("d_e6"),
     )
