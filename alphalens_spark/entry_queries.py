@@ -8150,6 +8150,64 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_kcore"] = _copurchase_kcore_oracle()
 
 
+def q_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability distances (graph.bfs_distances): exact hop counts
+    from the lowest-keyed part to every part within 4 hops of the
+    co-purchase graph — multi-source BFS frontier expansion, one
+    node-key join + visited anti-join per round, checkpointed (the
+    k-core discipline). The oracle replays the identical rounds as
+    unrolled MATERIALIZED CTEs (graph.bfs_sql); BFS is iteration-order
+    independent, so the distance map is unique."""
+    from alphalens_spark.graph import bfs_distances
+    from alphalens_spark.scale.affinity import cooccurrence_pairs
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    e = edges.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    # seed = the max-degree node (smallest key on ties) — deterministic,
+    # and its component is non-trivial at every SF (min(l_partkey) is
+    # isolated at sf0.1; the co-purchase graph fragments as the catalog
+    # outgrows the pair-repeat rate)
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sources = (
+        deg.orderBy(F.col("d").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    return bfs_distances(e, sources, max_depth=4)
+
+
+def _copurchase_bfs_oracle() -> str:
+    from alphalens_spark.graph import bfs_sql
+
+    edges_cte = r"""
+SELECT item_a AS src, item_b AS dst FROM (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c FROM
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+    JOIN
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+    sources_cte = f"""SELECT node FROM (
+  SELECT node, count(*) AS d FROM (
+    SELECT src AS node FROM ({edges_cte})
+    UNION ALL SELECT dst FROM ({edges_cte})
+  ) GROUP BY 1
+) ORDER BY d DESC, node ASC LIMIT 1"""
+    return bfs_sql(edges_cte, sources_cte, n_rounds=4)
+
+
+ORACLES["copurchase_bfs"] = _copurchase_bfs_oracle()
+
+
 def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the co-purchase graph by synchronous
     label propagation (graph.label_propagation — Raghavan et al. 2007
@@ -10594,6 +10652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_multitouch": q_attribution_multitouch,
     "rfm_segments": q_rfm_segments,
     "copurchase_kcore": q_copurchase_kcore,
+    "copurchase_bfs": q_copurchase_bfs,
     "copurchase_communities": q_copurchase_communities,
     "quantile_drawdown": q_quantile_drawdown,
     "event_ohlc": q_event_ohlc,

@@ -319,6 +319,20 @@ def run_suite(
     timed("revenue_concentration",
           lambda: q_revenue_concentration(spark, sf_dir).count())
 
+    # round-7 batch: drift monitoring pair + BFS reachability
+    from alphalens_spark.entry_queries import (
+        q_copurchase_bfs,
+        q_ks_price_drift,
+        q_psi_drift_orders,
+    )
+
+    timed("psi_drift",
+          lambda: q_psi_drift_orders(spark, sf_dir).count())
+    timed("ks_drift",
+          lambda: q_ks_price_drift(spark, sf_dir).count())
+    timed("copurchase_bfs",
+          lambda: q_copurchase_bfs(spark, sf_dir).count())
+
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
           lambda: similarity.ivfpq_topk(

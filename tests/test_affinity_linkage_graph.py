@@ -619,3 +619,34 @@ def test_label_propagation_weighted_tie_breaks_on_label(spark):
         )
         # 0.1+0.2 snaps to 0.3 == label-2 mass → tie → smaller label wins
         assert got[0] == 1
+
+
+def test_bfs_distances_path_graph(spark):
+    from alphalens_spark.graph import bfs_distances
+
+    # path 1-2-3-4-5 plus isolated edge 10-11: from {1}, dists are exact
+    # hop counts; 10/11 unreachable; max_depth truncates the far tail
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["dist"] for r in bfs_distances(edges, src).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    out3 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, src, max_depth=3).collect()
+    }
+    assert out3 == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_multi_source_and_undirected(spark):
+    from alphalens_spark.graph import bfs_distances
+
+    # edges stored one direction only; BFS must traverse both ways.
+    # multi-source: dist = min over seeds
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (5, 4)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,), (5,)], "node long")
+    out = {r["node"]: r["dist"] for r in bfs_distances(edges, src).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
