@@ -8208,6 +8208,63 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_bfs"] = _copurchase_bfs_oracle()
 
 
+def q_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reachability (graph.sssp_distances): hop-bounded
+    Bellman-Ford shortest paths from the max-degree part over the
+    co-purchase graph with an integer AFFINITY DISTANCE per edge
+    (1e6 DIV n_baskets — stronger co-purchase = closer), 4 relaxation
+    rounds. Monotone integer relaxation replays exactly as unrolled
+    MATERIALIZED CTEs (graph.sssp_sql); the weighted sibling of
+    `copurchase_bfs` (hop counts vs weighted cost over the same
+    graph)."""
+    from alphalens_spark.graph import sssp_distances
+    from alphalens_spark.scale.affinity import cooccurrence_pairs
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    e = edges.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.expr("1000000 DIV n_baskets").alias("weight"),
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sources = (
+        deg.orderBy(F.col("d").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    return sssp_distances(e, sources, max_hops=4)
+
+
+def _copurchase_sssp_oracle() -> str:
+    from alphalens_spark.graph import sssp_sql
+
+    edges_cte = r"""
+SELECT item_a AS src, item_b AS dst, 1000000 // c AS weight FROM (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c FROM
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+    JOIN
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+    sources_cte = f"""SELECT node FROM (
+  SELECT node, count(*) AS d FROM (
+    SELECT src AS node FROM ({edges_cte})
+    UNION ALL SELECT dst FROM ({edges_cte})
+  ) GROUP BY 1
+) ORDER BY d DESC, node ASC LIMIT 1"""
+    return sssp_sql(edges_cte, sources_cte, n_rounds=4)
+
+
+ORACLES["copurchase_sssp"] = _copurchase_sssp_oracle()
+
+
 def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the co-purchase graph by synchronous
     label propagation (graph.label_propagation — Raghavan et al. 2007
@@ -10653,6 +10710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "copurchase_kcore": q_copurchase_kcore,
     "copurchase_bfs": q_copurchase_bfs,
+    "copurchase_sssp": q_copurchase_sssp,
     "copurchase_communities": q_copurchase_communities,
     "quantile_drawdown": q_quantile_drawdown,
     "event_ohlc": q_event_ohlc,

@@ -679,3 +679,114 @@ def bfs_sql(edges_cte: str, sources_cte: str, n_rounds: int = 8) -> str:
         parts.append(f"f{i} AS MATERIALIZED (SELECT node FROM w{i})")
     body = ",\n".join(parts)
     return f"{body}\nSELECT node, dist FROM v{n_rounds}"
+
+
+def sssp_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Hop-bounded weighted shortest paths (synchronous Bellman-Ford
+    rounds) over an undirected graph with NON-NEGATIVE INTEGER weights
+    — the weighted sibling of :func:`bfs_distances`: "how strongly is
+    every item connected to this seed set" when edges carry a distance
+    (e.g. an affinity-derived cost), the primitive behind
+    related-item expansion rails and taint propagation with decay.
+
+    Semantics: ``dist(v)`` = the minimum total weight over paths of AT
+    MOST ``max_hops`` edges (sources at 0). The hop bound makes the
+    result well-defined and oracle-replayable without a convergence
+    proof — round k's map is exactly the k-hop relaxation of round
+    k−1's (Bellman-Ford is monotone, so extra rounds past convergence
+    are no-ops), and integer weights make every value exact.
+
+    Scale shape: each round is ONE dist⋈edges node-key equi-join + one
+    min groupBy (both linear, node-keyed shuffles), the distance map
+    eagerly localCheckpointed per round (the PageRank discipline);
+    early stop when a round leaves every distance unchanged (bounded
+    count over the improved set).
+
+    Output: (node, dist long) for every node reachable within
+    ``max_hops``.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("u"),
+            F.col(dst_col).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("u"),
+                F.col(src_col).alias("v"),
+                F.col(weight_col).cast("long").alias("w"),
+            ).where(F.col("u") != F.col("v"))
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col("node"), F.lit(0).cast("long").alias("dist"))
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["node"] == e["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_dist.join(
+                dist.select(F.col("node"), F.col("dist").alias("_old")),
+                "node",
+                "left",
+            )
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if improved == 0:
+            break
+    return dist
+
+
+def sssp_sql(
+    edges_cte: str, sources_cte: str, n_rounds: int = 8
+) -> str:
+    """Unrolled-CTE SQL twin of :func:`sssp_distances` for DuckDB
+    oracles. ``edges_cte`` must produce (src, dst, weight) with
+    non-negative integer weights; ``sources_cte`` one column ``node``.
+    Extra rounds past convergence are no-ops (monotone relaxation)."""
+    parts = [
+        f"WITH eraw AS MATERIALIZED ({edges_cte})",
+        "eb AS MATERIALIZED (SELECT u, v, CAST(min(w) AS BIGINT) AS w FROM ("
+        "SELECT src AS u, dst AS v, weight AS w FROM eraw WHERE src <> dst "
+        "UNION ALL SELECT dst, src, weight FROM eraw WHERE src <> dst"
+        ") GROUP BY 1, 2)",
+        f"d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist "
+        f"FROM (SELECT DISTINCT node FROM ({sources_cte})))",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT e.v AS node, d.dist + e.w AS dist "
+            f"FROM d{i - 1} d JOIN eb e ON d.node = e.u"
+            f") GROUP BY 1)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, dist FROM d{n_rounds}"

@@ -650,3 +650,38 @@ def test_bfs_distances_multi_source_and_undirected(spark):
     src = spark.createDataFrame([(1,), (5,)], "node long")
     out = {r["node"]: r["dist"] for r in bfs_distances(edges, src).collect()}
     assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_sssp_weighted_shorter_path_wins(spark):
+    from alphalens_spark.graph import sssp_distances
+
+    # 1-2 (10), 2-3 (10), 1-3 (100): the 2-hop route to 3 costs 20 and
+    # must beat the direct heavy edge
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 10), (1, 3, 100)], "src long, dst long, weight long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["dist"] for r in sssp_distances(edges, src).collect()}
+    assert out == {1: 0, 2: 10, 3: 20}
+
+
+def test_sssp_hop_bound_and_multi_source(spark):
+    from alphalens_spark.graph import sssp_distances
+
+    # path 1-2-3-4 (unit weights): max_hops=2 can't reach 4
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, weight long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges, src, max_hops=2).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2}
+    # multi-source: dist = min over seeds; traversal is undirected
+    src2 = spark.createDataFrame([(1,), (4,)], "node long")
+    out2 = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges, src2, max_hops=8).collect()
+    }
+    assert out2 == {1: 0, 4: 0, 2: 1, 3: 1}
