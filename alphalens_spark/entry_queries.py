@@ -10816,33 +10816,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # about which subset the driver's budget reaches.
 # ---------------------------------------------------------------------------
 _CERT_ROUND: dict[str, int] = {
-    # latest green: r02
-    "asof_next_click_1h": 2,
-    "asof_purchase_view": 2,
-    "cohort_retention": 2,
-    "cumulative_return_by_quantile_log": 2,
-    "dedup_exact": 2,
-    "doc_bpe_token_count": 2,
-    "doc_token_stats": 2,
-    "embedding_centroids": 2,
-    "embedding_near_dup": 2,
-    "embedding_topk": 2,
-    "event_counts_daily": 2,
-    "event_funnel": 2,
-    "event_pivot_daily": 2,
-    "event_props_extract": 2,
-    "event_rollup": 2,
-    "event_sessionize": 2,
-    "event_type_user_stats": 2,
-    "ic_group_adjusted": 2,
-    "infer_holidays": 2,
-    "lang_stopword_id": 2,
-    "ngram_jaccard": 2,
-    "quality_score": 2,
-    "quantize_zero_aware": 2,
-    "returns_table_bps": 2,
-    "rolling_active_users": 2,
-    "stream_interval_join": 2,
     # latest green: r03
     "backshift_returns": 3,
     "bigram_cross_entropy": 3,
@@ -10851,14 +10824,10 @@ _CERT_ROUND: dict[str, int] = {
     "cm_frequency": 3,
     "common_start_returns_raw": 3,
     "decayed_activity": 3,
-    "decontaminate": 3,
     "dedup_clusters": 3,
     "dedupe_words_within_doc": 3,
     "dup_span_stats": 3,
-    "embedding_ivfpq_topk": 3,
-    "embedding_near_dup_exact": 3,
     "factor_returns_equal_weight": 3,
-    "factor_weights": 3,
     "gopher_quality": 3,
     "groupby_labels_remap": 3,
     "hard_negatives": 3,
@@ -10879,7 +10848,6 @@ _CERT_ROUND: dict[str, int] = {
     "quality_classifier": 3,
     "quantile_returns_one_period": 3,
     "random_projection": 3,
-    "redact_pii": 3,
     "remove_boilerplate": 3,
     "robust_zscore": 3,
     "semantic_dedup": 3,
@@ -10889,7 +10857,6 @@ _CERT_ROUND: dict[str, int] = {
     "stream_sessionize": 3,
     "tfidf_top_terms": 3,
     "time_varying_groups": 3,
-    "token_budget_sample": 3,
     "top_terms_per_source": 3,
     "unigram_cross_entropy": 3,
     "zorder_key": 3,
@@ -11039,6 +11006,57 @@ _CERT_ROUND: dict[str, int] = {
     "top_supplier_revenue": 6,
     "turnover_summary": 6,
     "volume_shipping_pairs": 6,
+    # latest green: r07
+    "asof_next_click_1h": 7,
+    "asof_purchase_view": 7,
+    "cm_error_eval": 7,
+    "cohort_retention": 7,
+    "copurchase_bfs": 7,
+    "copurchase_sssp": 7,
+    "cumulative_return_by_quantile_log": 7,
+    "decontaminate": 7,
+    "dedup_exact": 7,
+    "doc_bpe_token_count": 7,
+    "doc_token_stats": 7,
+    "embedding_centroids": 7,
+    "embedding_ivfpq_topk": 7,
+    "embedding_near_dup": 7,
+    "embedding_near_dup_exact": 7,
+    "embedding_topk": 7,
+    "event_counts_daily": 7,
+    "event_funnel": 7,
+    "event_pivot_daily": 7,
+    "event_props_extract": 7,
+    "event_rollup": 7,
+    "event_sessionize": 7,
+    "event_type_user_stats": 7,
+    "factor_weights": 7,
+    "ic_group_adjusted": 7,
+    "infer_holidays": 7,
+    "ks_price_drift": 7,
+    "lang_stopword_id": 7,
+    "ngram_jaccard": 7,
+    "psi_drift_orders": 7,
+    "quality_score": 7,
+    "quantize_zero_aware": 7,
+    "redact_pii": 7,
+    "returns_table_bps": 7,
+    "rolling_active_users": 7,
+    "simhash_recall_eval": 7,
+    "stream_ab_state": 7,
+    "stream_cdc_state": 7,
+    "stream_cooccurrence_state": 7,
+    "stream_dsir_state": 7,
+    "stream_expectations_state": 7,
+    "stream_heavy_hitters_state": 7,
+    "stream_hist_state": 7,
+    "stream_holt_state": 7,
+    "stream_interval_join": 7,
+    "stream_ivfpq_state": 7,
+    "stream_kmv_state": 7,
+    "stream_reservoir_state": 7,
+    "stream_scd2_state": 7,
+    "token_budget_sample": 7,
 }
 # Within the never-certified group, these run LAST (families with a
 # certified sibling; see rule 1 above).
