@@ -90,6 +90,17 @@ def _roundtrip_path(prefix: str, sf_dir: str) -> str:
 _ROUNDTRIP_CLEANUP: set[str] = set()
 
 
+def _await_done(q, what) -> None:
+    """Block until the streaming query finishes, raising loudly on a
+    timeout: a hung stream must fail certification as a TimeoutError,
+    not surface later as a confusing partially-updated-store oracle
+    mismatch (awaitTermination returns False on timeout — round-8
+    ADVICE finding)."""
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"streaming query for {what!r} did not finish in 300s")
+
+
 def _stream_roundtrip(
     spark: SparkSession,
     sf_dir: str,
@@ -123,7 +134,7 @@ def _stream_roundtrip(
     if n_files > 1:
         reader = reader.option("maxFilesPerTrigger", 1)
     q = start_fn(reader.parquet(src), store, ck)
-    q.awaitTermination(300)
+    _await_done(q, prefix)
     return store
 
 
@@ -1441,7 +1452,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q, name)
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -1471,7 +1482,7 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.5,
             shingle_hash="md5",
         ).start()
-        q.awaitTermination(300)
+        _await_done(q, "stream_dedup_minhash")
         kept = [r["doc_id"] for r in spark.read.parquet(f"{tmp}/out").select("doc_id").collect()]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1504,7 +1515,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q, name)
     return spark.table(name).select(
         "event_id", "user_id", "ts",
         F.col("ts_v").alias("view_ts"),
@@ -10452,7 +10463,7 @@ def q_stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q, name)
     return _finalize(spark.table(name))
 
 

@@ -399,8 +399,8 @@ def pagerank_sql(
         "outw AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1)",
         "e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w / outw.outw AS p "
         "FROM e0 JOIN outw ON e0.src = outw.src)",
-        "dn AS MATERIALIZED "
-        "(SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e0))",
+        "dn AS MATERIALIZED (SELECT node FROM nodes nd WHERE NOT EXISTS "
+        "(SELECT 1 FROM e0 WHERE e0.src = nd.node))",
         "r0 AS MATERIALIZED "
         "(SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
     ]
@@ -578,7 +578,7 @@ def label_propagation_sql(
     return (
         f"{body}\nSELECT node, label FROM l{n_iter} "
         "UNION ALL SELECT node, node AS label FROM alln "
-        "WHERE node NOT IN (SELECT node FROM l0)"
+        "WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = alln.node)"
     )
 
 
@@ -623,7 +623,12 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     visited = (
+        # non-null node contract, mirrored in bfs_sql's v0: NULL seeds
+        # are unreachable by definition (edge endpoints are non-null —
+        # the u != v filter drops NULL-endpoint rows) and would poison
+        # the SQL twin's visited-set subquery (round-8 ADVICE finding)
         sources.select(F.col("node"), F.lit(0).cast("int").alias("dist"))
+        .where(F.col("node").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -661,8 +666,14 @@ def bfs_sql(edges_cte: str, sources_cte: str, n_rounds: int = 8) -> str:
         "eb AS MATERIALIZED (SELECT src AS u, dst AS v FROM eraw "
         "WHERE src <> dst UNION SELECT dst, src FROM eraw "
         "WHERE src <> dst)",
+        # node IS NOT NULL: a single NULL in the visited set would make
+        # every later "NOT IN" three-valued-NULL and silently empty all
+        # frontiers (round-8 ADVICE finding); the Spark twin's left_anti
+        # join matches NULLs, so the SQL twin enforces the same non-null
+        # node contract explicitly (eb already drops NULL-endpoint edges
+        # via the src <> dst comparison).
         f"v0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS INT) AS dist "
-        f"FROM ({sources_cte}))",
+        f"FROM ({sources_cte}) WHERE node IS NOT NULL)",
         "f0 AS MATERIALIZED (SELECT node FROM v0)",
     ]
     for i in range(1, n_rounds + 1):
@@ -670,7 +681,8 @@ def bfs_sql(edges_cte: str, sources_cte: str, n_rounds: int = 8) -> str:
             f"w{i} AS MATERIALIZED (SELECT DISTINCT e.v AS node, "
             f"CAST({i} AS INT) AS dist "
             f"FROM f{i - 1} f JOIN eb e ON f.node = e.u "
-            f"WHERE e.v NOT IN (SELECT node FROM v{i - 1}))"
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} p "
+            f"WHERE p.node = e.v))"
         )
         parts.append(
             f"v{i} AS MATERIALIZED (SELECT node, dist FROM v{i - 1} "

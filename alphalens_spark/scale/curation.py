@@ -1266,6 +1266,13 @@ def pretraining_funnel(
     aggregate, unpivoted to the 4 stage rows. 2 scans / 4 shuffles
     total, no persistence required, plan stays audit-transparent
     (no checkpoint blanking).
+
+    NOT fully lazy: ``budget_keep_condition`` collects its ≤5-row
+    bucket-threshold table at PLAN-CONSTRUCTION time, so calling this
+    function eagerly runs one scan of the stage-2 survivors before the
+    returned DataFrame is ever acted on (the second of the two scans
+    above). Callers that need a deferred plan should stage the funnel
+    themselves from the same library operators.
     """
     from alphalens_spark.scale.text import (
         budget_keep_condition,

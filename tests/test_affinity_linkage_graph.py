@@ -652,6 +652,30 @@ def test_bfs_distances_multi_source_and_undirected(spark):
     assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
 
 
+def test_bfs_null_seed_matches_sql_twin(spark):
+    """A NULL seed must not poison either twin (round-8 ADVICE): the
+    Spark side drops it under the non-null node contract, and the SQL
+    twin's NOT EXISTS (was NOT IN) keeps expanding frontiers."""
+    import duckdb
+
+    from alphalens_spark.graph import bfs_distances, bfs_sql
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,), (None,)], "node long")
+    out = {r["node"]: r["dist"] for r in bfs_distances(edges, src).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    sql = bfs_sql(
+        "SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4)) t(src, dst)",
+        "SELECT * FROM (VALUES (1), (NULL)) s(node)",
+        n_rounds=5,
+    )
+    got = {int(n): int(d) for n, d in duckdb.sql(sql).fetchall()}
+    assert got == out
+
+
 def test_sssp_weighted_shorter_path_wins(spark):
     from alphalens_spark.graph import sssp_distances
 
