@@ -285,14 +285,16 @@ def k_core(
     Output: (node, degree) for surviving nodes, degree measured INSIDE
     the k-core. Empty result when the graph has no k-core.
 
-    Scale shape: each round is one degree groupBy + two semi-joins
-    keyed on node (all linear shuffles), with the edge set
-    localCheckpointed per round so lineage stays flat; rounds stop at
-    the fixpoint (checked by a bounded count, the cm_estimate scalar
-    contract). Peeling removes ≥1 node per non-final round, but in
-    practice converges in a handful of rounds — ``max_rounds`` is a
-    runaway guard, and hitting it raises rather than returning a
-    non-core.
+    Scale shape: each round is one degree groupBy + two anti-joins
+    keyed on node (all linear shuffles). TWO peel rounds run per eager
+    materialization with ONE edge-count fixpoint check per block
+    (round-8: per-round job-barrier latency, not data volume, dominates
+    this class at bench SF); peeling is monotone, so an unchanged edge
+    count after a block means BOTH rounds were no-ops and the block's
+    first degree frame is the fixpoint. Peeling removes ≥1 node per
+    non-final round, but in practice converges in a handful of rounds —
+    ``max_rounds`` is a runaway guard, and hitting it raises rather
+    than returning a non-core.
     """
     e = (
         edges.select(
@@ -304,32 +306,45 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
-    for _ in range(max_rounds):
-        if n_edges == 0:
-            break
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .union(e.select(F.col("v").alias("node")))
+
+    def _deg(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.col("u").alias("node"))
+            .union(frame.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        # peel via ANTI-join on the DROPPED set, not semi-join on the
-        # survivors: the peeled set is the small side (a handful of
-        # sub-k nodes per round vs nearly all of |V| surviving), so AQE
-        # broadcasts it and neither anti-join shuffles the edge list —
-        # the degree groupBy is the round's only |E|-sized shuffle.
-        # Identical semantics: every endpoint is in deg, so
-        # NOT-in-drop ≡ in-keep.
-        drop = deg.where(F.col("degree") < k).select("node")
-        e2 = (
-            e.join(drop.withColumnRenamed("node", "u"), "u", "left_anti")
-            .join(drop.withColumnRenamed("node", "v"), "v", "left_anti")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
+
+    rounds = 0
+    while rounds < max_rounds:
+        if n_edges == 0:
+            break
+        cur, deg0 = e, None
+        for _ in range(min(2, max_rounds - rounds)):
+            deg = _deg(cur)
+            if deg0 is None:
+                deg0 = deg
+            # peel via ANTI-join on the DROPPED set, not semi-join on
+            # the survivors: the peeled set is the small side (a handful
+            # of sub-k nodes per round vs nearly all of |V| surviving),
+            # so AQE broadcasts it and neither anti-join shuffles the
+            # edge list — the degree groupBy is the round's only
+            # |E|-sized shuffle. Identical semantics: every endpoint is
+            # in deg, so NOT-in-drop ≡ in-keep.
+            drop = deg.where(F.col("degree") < k).select("node")
+            cur = (
+                cur.join(drop.withColumnRenamed("node", "u"), "u", "left_anti")
+                .join(drop.withColumnRenamed("node", "v"), "v", "left_anti")
+                .select("u", "v")
+            )
+            rounds += 1
+        e2 = cur.localCheckpoint(eager=True)
         n2 = e2.count()
         if n2 == n_edges:
-            return deg.where(F.col("degree") >= k)
+            # monotone peel: an unchanged count across the whole block
+            # means its first round already removed nothing, so deg0
+            # (degrees over the incoming edge set) is the fixpoint
+            return deg0.where(F.col("degree") >= k)
         e, n_edges = e2, n2
     if n_edges == 0:
         return e.sparkSession.createDataFrame(
@@ -606,10 +621,15 @@ def bfs_distances(
     Scale shape (the k-core discipline): each round is ONE
     frontier⋈edges node-key equi-join + a distinct + an anti-join
     against the visited set (all linear, node-keyed shuffles — the
-    frontier is the small side and AQE broadcasts it on real graphs);
-    visited/frontier are eagerly localCheckpointed per round so lineage
-    stays flat; rounds stop early when a frontier comes back empty
-    (bounded count, the cm_estimate scalar contract).
+    frontier is the small side and AQE broadcasts it on real graphs).
+    TWO expansion rounds run per eager materialization (two joins of
+    lineage is well inside planner comfort; round-8 measured the
+    per-round job barrier, not data volume, dominating this class at
+    bench SF — the LPA checkpoint-cadence lesson), and the emptiness /
+    deepest-layer check is ONE 1-row aggregate over the checkpointed
+    block, so a 2-round block costs 2 jobs where the 1-round form cost
+    4. Early stop when a block comes back empty or its deepest layer
+    produced no nodes.
     """
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -633,25 +653,41 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     frontier = visited.select("node")
-    for d in range(1, max_depth + 1):
-        nbrs = (
-            frontier.join(e, frontier["node"] == e["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-        )
-        new = (
-            nbrs.join(visited, "node", "left_anti")
-            .withColumn("dist", F.lit(d).cast("int"))
-            .localCheckpoint(eager=True)
-        )
-        if new.limit(1).count() == 0:
+    d = 0
+    while d < max_depth:
+        step = min(2, max_depth - d)
+        fr, vis, layers = frontier, visited, []
+        for i in range(1, step + 1):
+            nbrs = (
+                fr.join(e, fr["node"] == e["u"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+            )
+            layer = nbrs.join(vis, "node", "left_anti").withColumn(
+                "dist", F.lit(d + i).cast("int")
+            )
+            layers.append(layer)
+            # lineage-only union: the second expansion must exclude the
+            # first's nodes too; materialization happens once per block
+            vis = vis.unionByName(layer)
+            fr = layer.select("node")
+        new = layers[0]
+        for extra in layers[1:]:
+            new = new.unionByName(extra)
+        new = new.localCheckpoint(eager=True)
+        stats = new.agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist").alias("md")
+        ).collect()[0]
+        if stats["n"] == 0:
             break
-        # visited is a flat union of already-checkpointed frontiers, so
-        # its lineage never deepens past one union per round — a second
-        # checkpoint here is a pure job barrier (measured ~0.3 s/round
-        # at toy SF, the LPA checkpoint-cadence lesson)
+        # visited is a flat union of already-checkpointed blocks, so
+        # its lineage never deepens past one union per block — a second
+        # checkpoint here is a pure job barrier
         visited = visited.unionByName(new)
-        frontier = new.select("node")
+        if stats["md"] < d + step:
+            break  # the deepest layer is empty — no frontier remains
+        frontier = new.where(F.col("dist") == d + step).select("node")
+        d += step
     return visited
 
 
@@ -716,10 +752,12 @@ def sssp_distances(
     are no-ops), and integer weights make every value exact.
 
     Scale shape: each round is ONE dist⋈edges node-key equi-join + one
-    min groupBy (both linear, node-keyed shuffles), the distance map
-    eagerly localCheckpointed per round (the PageRank discipline);
-    early stop when a round leaves every distance unchanged (bounded
-    count over the improved set).
+    min groupBy (both linear, node-keyed shuffles). TWO relaxation
+    rounds run per eager materialization with ONE improved-set check
+    per block (round-8: job-barrier latency, not data volume, dominates
+    this class at bench SF; two joins + two aggs of lineage stay well
+    inside planner comfort); early stop when a block leaves every
+    distance unchanged (bounded count over the improved set).
 
     Output: (node, dist long) for every node reachable within
     ``max_hops``.
@@ -748,17 +786,21 @@ def sssp_distances(
         .agg(F.min("dist").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_hops):
-        relaxed = (
-            dist.join(e, dist["node"] == e["u"])
-            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        new_dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+    hops = 0
+    while hops < max_hops:
+        step = min(2, max_hops - hops)
+        cur = dist
+        for _ in range(step):
+            relaxed = cur.join(e, cur["node"] == e["u"]).select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            cur = (
+                cur.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        new_dist = cur.localCheckpoint(eager=True)
         improved = (
             new_dist.join(
                 dist.select(F.col("node"), F.col("dist").alias("_old")),
@@ -770,6 +812,7 @@ def sssp_distances(
             .count()
         )
         dist = new_dist
+        hops += step
         if improved == 0:
             break
     return dist

@@ -62,6 +62,14 @@ def main() -> int:
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
     oq, nq = old.get("queries", {}), new.get("queries", {})
     oband = old.get("query_band", {})
+    if not oband and isinstance(old.get("qmax"), list):
+        # compact driver line (round 8+): queries[q] is the best-of-N
+        # minimum and "qmax" is the band max ALIGNED to the key order of
+        # "queries" — reconstruct the [min, max] band from the pair
+        oband = {
+            q: [v, hi]
+            for (q, v), hi in zip(oq.items(), old["qmax"])
+        }
     # host-speed normalization: when both artifacts carry the CPU
     # calibration probe, a slower NEW host scales every wall time up by
     # roughly the single-thread ratio (fixed per-stage cost dominates at
