@@ -6787,6 +6787,53 @@ def q_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["stream_kmv_state"] = ORACLES["kmv_distinct"]
 
 
+def q_stream_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store COMPACTION certified end-to-end (round-8: the 14 stores
+    proved incremental == one-shot within a stream; this proves the
+    cross-GENERATION merge): the corpus splits into two halves that run
+    as two fully independent multi-batch streaming store generations
+    (own source, checkpoint, and store each — the sharded-deployment /
+    backfill-plus-live shape), then streaming.merge_kmv_stores folds the
+    two generations into ONE compacted store (union → distinct →
+    bottom-k, the KMV merge rule — closed, so the compacted store IS the
+    sketch of the concatenated histories). The estimate read off the
+    MERGED store must equal the one-shot batch kmv_distinct SQL over the
+    full corpus exactly."""
+    from alphalens_spark.streaming.ops import (
+        kmv_store_estimate,
+        merge_kmv_stores,
+        stream_sketch_maintenance,
+    )
+
+    docs = datasets.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    halves = [
+        docs.where(F.col("doc_id") % 2 == i).select("source", "text")
+        for i in (0, 1)
+    ]
+    stores = [
+        _stream_roundtrip(
+            spark, sf_dir, f"kmvc_g{i}", half,
+            lambda st, p, ck: stream_sketch_maintenance(
+                st, f"{p}/cm", f"{p}/kmv", ck, item_col="text",
+                group_col="source", depth=4, width=512, k=16,
+                available_now=True,
+            ),
+            n_files=2,
+        )
+        for i, half in enumerate(halves)
+    ]
+    merged = f"{stores[0]}_compacted"
+    merge_kmv_stores(
+        spark, [f"{s}/kmv" for s in stores], merged, ["source"], k=16
+    )
+    return _finalize(kmv_store_estimate(spark, merged, ["source"], k=16))
+
+
+ORACLES["stream_kmv_compacted"] = ORACLES["kmv_distinct"]
+
+
 def q_stream_expectations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming data-quality store certified end-to-end — and GENUINELY
     multi-batch (4 source files, one per micro-batch): per-rule
@@ -9655,6 +9702,175 @@ WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY 1, 2"""
 
 
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit, adapted to this corpus
+    with the Q2 observed-price convention (no partsupp table:
+    ps_supplycost := the minimum observed unit price
+    l_extendedprice/l_quantity over each (part, supplier) pair —
+    deterministic, and the min of identical raw doubles is the same
+    double on every engine). Per supplier nation and order year, the
+    profit on one part-name family: revenue minus supply cost × qty.
+
+    Scale shape: ONE lineitem scan — the pair-level supply cost is a
+    min WINDOW over (l_partkey, l_suppkey) on the already-joined rows
+    (the part filter only restricts partkeys, so the window sees
+    exactly the pair's full lineitem set; the Q2 one-pass lesson),
+    never a second aggregate joined back. part / supplier⋈nation
+    broadcast; orders is the only big-big join (orderkey equi-join).
+    Money stays on the 1e-4 integer grid: rev_e4 − round(unit·qty·1e4)
+    per row, integer sums after (reference: TPC-H spec Q9; alphalens
+    has no OLAP surface — this extends the engine's warehouse family).
+    """
+    from pyspark.sql import Window
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    pa = datasets.load_table(spark, sf_dir, "part")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    na = datasets.load_table(spark, sf_dir, "nation")
+    o = datasets.load_table(spark, sf_dir, "orders")
+    pf = F.broadcast(
+        pa.where(F.col("p_name").like("%red%")).select("p_partkey")
+    )
+    sn = F.broadcast(
+        su.join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    j = (
+        li.join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            _rev_e4().alias("_rev_e4"),
+            unit.alias("_unit"),
+        )
+    )
+    min_unit = F.min("_unit").over(
+        Window.partitionBy("l_partkey", "l_suppkey")
+    )
+    cost_e4 = F.round(min_unit * F.col("l_quantity") * 1e4).cast("long")
+    return (
+        j.withColumn("_amt_e4", F.col("_rev_e4") - cost_e4)
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_amt_e4").alias("profit_e4"))
+    )
+
+
+ORACLES["product_type_profit"] = r"""
+WITH j AS MATERIALIZED (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_partkey, l_suppkey, l_quantity,
+         CAST(round(l_extendedprice * (1 - l_discount) * 1e4) AS BIGINT)
+           AS rev_e4,
+         l_extendedprice / l_quantity AS unit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%red%'
+),
+c AS MATERIALIZED (
+  SELECT nation, o_year, l_quantity, rev_e4,
+         min(unit) OVER (PARTITION BY l_partkey, l_suppkey) AS min_unit
+  FROM j
+)
+SELECT nation, o_year,
+       CAST(sum(rev_e4 - CAST(round(min_unit * l_quantity * 1e4) AS BIGINT))
+            AS BIGINT) AS profit_e4
+FROM c
+GROUP BY 1, 2"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock, adapted to this corpus (no
+    partsupp: ps_supplycost := the Q2/Q9 observed minimum unit price
+    per (part, supplier); ps_availqty := the pair's total ordered
+    quantity — the stock a supplier demonstrably turned over). For one
+    region's suppliers, the parts whose stock value exceeds 0.01% of
+    the region total. Region filter instead of the spec's single
+    nation so the query is non-degenerate at every test SF (sf0.001
+    has ≤1 supplier per nation).
+
+    The HAVING threshold is compared ENTIRELY in integers
+    (value_e4 · 10000 > total_e4 ⇔ value > total·0.0001 — no float
+    division at the boundary, the idle_rich_customers rule); the
+    1-row total is the documented scalar-broadcast contract. ONE
+    lineitem scan: pair aggregate → per-part sum → threshold filter.
+    """
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    na = datasets.load_table(spark, sf_dir, "nation")
+    re = datasets.load_table(spark, sf_dir, "region")
+    rsupp = F.broadcast(
+        su.join(
+            F.broadcast(
+                na.join(
+                    re.where(F.col("r_name") == "ASIA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    pairs = (
+        li.join(rsupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("_unit"), F.sum("l_quantity").alias("_qty"))
+    )
+    per_part = (
+        pairs.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("_unit") * F.col("_qty") * 1e4)
+            .cast("long")
+            .alias("_v_e4"),
+        )
+        .groupBy("ps_partkey")
+        .agg(F.sum("_v_e4").alias("stock_value_e4"))
+    )
+    total = per_part.agg(F.sum("stock_value_e4").alias("_t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("stock_value_e4") * 10000 > F.col("_t"))
+        .select("ps_partkey", "stock_value_e4")
+    )
+
+
+ORACLES["important_stock"] = r"""
+WITH pairs AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit,
+         sum(l_quantity) AS qty
+  FROM lineitem
+  JOIN (SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA') s ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+per_part AS MATERIALIZED (
+  SELECT l_partkey AS ps_partkey,
+         CAST(sum(CAST(round(unit * qty * 1e4) AS BIGINT)) AS BIGINT)
+           AS stock_value_e4
+  FROM pairs GROUP BY 1
+)
+SELECT ps_partkey, stock_value_e4
+FROM per_part
+WHERE stock_value_e4 * 10000 >
+      (SELECT CAST(sum(stock_value_e4) AS BIGINT) FROM per_part)"""
+
+
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped sales opportunity: per market segment, the
     count and total balance of customers richer than the positive-
@@ -10562,6 +10778,102 @@ SELECT q_from, q_to, n,
 FROM cnt"""
 
 
+# --- composed full tear sheet (reference tears.py:488-526) -----------------
+# The reference's create_full_tear_sheet is a FIXED fan-out DAG over one
+# cached factor_data: the returns sheet (factor_returns, quantile means,
+# alpha/beta, spread), the information sheet (IC, IC summary, monthly
+# IC), and the turnover sheet (turnover, its summary, rank autocorr).
+# This query certifies that composition END-TO-END as one DataFrame:
+# every constituent table melts to a common long schema
+# (tbl, k, metric, value) and the oracle is the UNION ALL of the
+# constituents' own certified oracles (each embedded verbatim as a
+# nested-WITH CTE), melted identically — so a pass means the whole
+# tear-sheet batch agrees with DuckDB in one shot, not just each table
+# in isolation. Keys render as strings (dates at day granularity — all
+# tear-sheet axes are day-granular) and values cast to DOUBLE (the
+# bigint counts are exact in double far below 2^53).
+_FULL_TEAR_SHEET_TABLES: list[tuple[str, list[str], list[str]]] = [
+    ("factor_returns", ["date"], ["ret_1p", "ret_5p"]),
+    ("mean_return_by_quantile", ["factor_quantile"],
+     ["mean_1p", "std_1p", "count_1p", "stderr_1p",
+      "mean_5p", "std_5p", "count_5p", "stderr_5p"]),
+    ("mean_return_spread", ["date"], ["spread_1p", "spread_stderr_1p"]),
+    ("factor_alpha_beta", [], ["alpha_1p", "beta_1p", "alpha_5p", "beta_5p"]),
+    ("factor_ic", ["date"], ["ic_1p", "ic_5p"]),
+    ("ic_summary", [],
+     ["mean_1p", "std_1p", "ir_1p", "tstat_1p", "skew_1p", "kurtosis_1p",
+      "n_1p", "mean_5p", "std_5p", "ir_5p", "tstat_5p", "skew_5p",
+      "kurtosis_5p", "n_5p"]),
+    ("mean_ic_monthly", ["month"], ["ic_1p", "ic_5p"]),
+    ("quantile_turnover", ["factor_quantile", "period", "date"],
+     ["turnover"]),
+    ("turnover_summary", ["factor_quantile", "period"], ["mean_turnover"]),
+    ("rank_autocorr", ["date"], ["autocorr"]),
+]
+_TS_KEYS = {"date", "month"}
+
+
+def q_full_tear_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tear-sheet batch (tears.create_full_tear_sheet's DAG,
+    reference tears.py:488-526) certified as ONE composed result: each
+    constituent driver query melts to (tbl, k, metric, value) rows and
+    the union is hash-compared against the UNION ALL of the
+    constituents' certified oracles. One cached factor_data (_fd)
+    feeds every branch — the reference's 'cache factor_data' contract
+    (SURVEY §3.1)."""
+    parts = []
+    for tbl, keys, vals in _FULL_TEAR_SHEET_TABLES:
+        df = globals()["q_" + tbl](spark, sf_dir)
+        if keys:
+            kparts = [
+                f"date_format({c}, 'yyyy-MM-dd')" if c in _TS_KEYS
+                else f"CAST({c} AS STRING)"
+                for c in keys
+            ]
+            kexpr = "concat_ws('|', " + ", ".join(kparts) + ")"
+        else:
+            kexpr = "''"
+        stack_args = ", ".join(f"'{v}', CAST({v} AS DOUBLE)" for v in vals)
+        parts.append(
+            df.selectExpr(
+                f"'{tbl}' AS tbl",
+                f"{kexpr} AS k",
+                f"stack({len(vals)}, {stack_args}) AS (metric, value)",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _full_tear_sheet_oracle() -> str:
+    ctes, selects = [], []
+    for tbl, keys, vals in _FULL_TEAR_SHEET_TABLES:
+        # each constituent's full certified oracle text becomes a
+        # nested-WITH CTE body — its internal CTE names stay scoped to
+        # the body, so the shared panel names don't collide
+        ctes.append(f"__ts_{tbl} AS MATERIALIZED (\n{ORACLES[tbl]}\n)")
+        if keys:
+            kparts = [
+                f"strftime({c}, '%Y-%m-%d')" if c in _TS_KEYS
+                else f"CAST({c} AS VARCHAR)"
+                for c in keys
+            ]
+            kexpr = "concat_ws('|', " + ", ".join(kparts) + ")"
+        else:
+            kexpr = "''"
+        for v in vals:
+            selects.append(
+                f"SELECT '{tbl}' AS tbl, {kexpr} AS k, '{v}' AS metric, "
+                f"CAST({v} AS DOUBLE) AS value FROM __ts_{tbl}"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["full_tear_sheet"] = _full_tear_sheet_oracle()
+
+
 # -0.0 → +0.0 on the oracle side as well: every round(...) result gets
 # +0.0 added (round() only ever appears over double expressions here).
 ORACLES = {k: v.replace("round(", "0.0 + round(") for k, v in ORACLES.items()}
@@ -10763,12 +11075,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "holt_factor": q_holt_factor,
     # remaining TPC-H shapes, second batch: Q6 direct; Q2/Q8/Q12 adapted
     # to this corpus's columns (observed unit price for ps_supplycost,
-    # (returnflag, linestatus) for shipmode). Still column-blocked:
-    # Q9/Q11/Q20 (ps_supplycost / ps_availqty).
+    # (returnflag, linestatus) for shipmode). Third batch (round 8):
+    # Q9/Q11 via the same observed-price convention (min unit price per
+    # (part, supplier) for ps_supplycost; ordered-quantity sums for
+    # ps_availqty). Still column-blocked: Q20 (needs true availqty
+    # semantics its observed stand-in would make circular).
     "forecast_revenue_change": q_forecast_revenue_change,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "nation_market_share": q_nation_market_share,
     "shipclass_priority_counts": q_shipclass_priority_counts,
+    "product_type_profit": q_product_type_profit,
+    "important_stock": q_important_stock,
+    # the composed tear-sheet batch (every constituent already
+    # individually certified; this certifies the fan-out as one result)
+    "full_tear_sheet": q_full_tear_sheet,
+    # cross-generation store compaction (merge N store generations → 1)
+    "stream_kmv_compacted": q_stream_kmv_compacted,
     "seasonal_daily_revenue": q_seasonal_daily_revenue,
     "gapfill_supplier_revenue": q_gapfill_supplier_revenue,
     "factor_ic_kendall": q_factor_ic_kendall,

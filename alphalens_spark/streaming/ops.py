@@ -779,6 +779,66 @@ def stream_heavy_hitters(
     return w.start()
 
 
+def merge_kmv_stores(
+    spark: SparkSession,
+    store_paths: list[str],
+    out_path: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> None:
+    """Compact N independently-maintained KMV store GENERATIONS into one
+    store (round-8: the stores proved incremental == one-shot within a
+    stream, but a deployment also shards streams — per-region sidecars,
+    blue/green checkpoints, backfill + live — and must be able to fold
+    the resulting store generations back into one). The KMV merge rule
+    is closed under this: union of bottom-k sets → distinct → bottom-k
+    per group IS the sketch of the concatenated histories, exactly —
+    so the compacted store answers with the same numbers the one big
+    stream would have. Cost: O(Σ store sizes) = O(N·k·|groups|),
+    independent of the data the stores summarize."""
+    from pyspark.sql import Window
+
+    merged = None
+    for p in store_paths:
+        cur = spark.read.parquet(p)
+        merged = cur if merged is None else merged.unionByName(cur)
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    topk = (
+        merged.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    topk.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        out_path
+    )
+
+
+def merge_counter_stores(
+    spark: SparkSession,
+    store_paths: list[str],
+    out_path: str,
+    key_cols: list[str],
+    count_cols: list[str],
+) -> None:
+    """Compact N generations of any ADDITION-merge store (count-min
+    counters, fixed-grid histogram bins, expectations violation
+    counters, pair co-occurrence counts, DSIR bucket counts) into one:
+    counters over disjoint histories sum. The sibling of
+    :func:`merge_kmv_stores` for the union→bottom-k family; together
+    they cover every mergeable-store algebra this module ships."""
+    merged = None
+    for p in store_paths:
+        cur = spark.read.parquet(p)
+        merged = cur if merged is None else merged.unionByName(cur)
+    out = merged.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in count_cols]
+    )
+    out.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        out_path
+    )
+
+
 def stream_sketch_maintenance(
     stream_df: DataFrame,
     cm_path: str,

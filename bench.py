@@ -332,6 +332,18 @@ def run_suite(
     timed("copurchase_bfs",
           lambda: q_copurchase_bfs(spark, sf_dir).count())
 
+    # round-8 batch: the composed tear-sheet fan-out (10 metric tables
+    # off one cached factor_data in one job wave) + the Q9 profit shape
+    from alphalens_spark.entry_queries import (
+        q_full_tear_sheet,
+        q_product_type_profit,
+    )
+
+    timed("full_tear_sheet",
+          lambda: q_full_tear_sheet(spark, sf_dir).count())
+    timed("product_type_profit",
+          lambda: q_product_type_profit(spark, sf_dir).count())
+
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
           lambda: similarity.ivfpq_topk(

@@ -148,6 +148,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "top_supplier_revenue",
         # 1-row integer balance-threshold broadcast (Q22)
         "idle_rich_customers",
+        # 1-row region-total stock-value broadcast (Q11)
+        "important_stock",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":

@@ -299,6 +299,49 @@ def test_kmv_store_incremental_equals_oneshot(spark, tmp_path):
     assert got == want  # union->bottom-k merge preserves the exact sketch
 
 
+def test_kmv_store_generation_merge_equals_oneshot(spark, tmp_path):
+    """Cross-GENERATION compaction: two independently-maintained KMV
+    stores (disjoint halves, each incrementally built) merged via
+    merge_kmv_stores must equal the one-shot sketch of everything."""
+    from alphalens_spark.scale.profile import kmv_distinct
+    from alphalens_spark.streaming.ops import (
+        kmv_store_estimate,
+        kmv_store_update,
+        merge_kmv_stores,
+    )
+
+    rows = [Row(g="a" if i % 3 else "b", item=f"v{i}") for i in range(300)]
+    df = spark.createDataFrame(rows)
+    g1, g2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    # generation 1: first half in two increments; generation 2: the rest
+    kmv_store_update(spark.createDataFrame(rows[:80]), g1, ["g"], "item", k=32)
+    kmv_store_update(spark.createDataFrame(rows[80:150]), g1, ["g"], "item", k=32)
+    kmv_store_update(spark.createDataFrame(rows[150:]), g2, ["g"], "item", k=32)
+    merged = str(tmp_path / "merged")
+    merge_kmv_stores(spark, [g1, g2], merged, ["g"], k=32)
+    got = sorted(
+        tuple(r) for r in kmv_store_estimate(spark, merged, ["g"], k=32).collect()
+    )
+    want = sorted(tuple(r) for r in kmv_distinct(df, ["g"], "item", k=32).collect())
+    assert got == want
+
+
+def test_counter_store_generation_merge_equals_oneshot(spark, tmp_path):
+    from alphalens_spark.scale.profile import cm_sketch
+    from alphalens_spark.streaming.ops import cm_store_update, merge_counter_stores
+
+    items = [Row(item=f"i{n % 37}") for n in range(400)]
+    df = spark.createDataFrame(items)
+    g1, g2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    cm_store_update(spark.createDataFrame(items[:250]), g1, width=128)
+    cm_store_update(spark.createDataFrame(items[250:]), g2, width=128)
+    merged = str(tmp_path / "merged")
+    merge_counter_stores(spark, [g1, g2], merged, ["row", "col"], ["count"])
+    got = sorted(tuple(r) for r in spark.read.parquet(merged).collect())
+    want = sorted(tuple(r) for r in cm_sketch(df, "item", width=128).collect())
+    assert got == want  # counters over disjoint histories sum exactly
+
+
 def test_stream_sketch_maintenance_equals_batch(spark, tmp_path):
     from alphalens_spark.scale.profile import cm_sketch
     from alphalens_spark.sources import SyntheticEventsDataSource
