@@ -839,6 +839,65 @@ def merge_counter_stores(
     )
 
 
+def merge_reservoir_stores(
+    spark: SparkSession,
+    store_paths: list[str],
+    out_path: str,
+    k: int = 100,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Compact N weighted-reservoir store generations into one: A-ES
+    priorities are deterministic functions of (id, weight), so the
+    top-k of the union of the generations' kept rows IS the sample of
+    the concatenated histories — the same closure
+    :func:`sample_store_update` relies on within a stream, applied
+    across stores. Ids colliding across generations dedupe by id
+    (same contract as the store update: one id = one item)."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    merged = None
+    for p in store_paths:
+        cur = spark.read.parquet(p)
+        merged = cur if merged is None else merged.unionByName(cur)
+    both = merged.dropDuplicates(gcols + [id_col])
+    w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy(
+        F.col("priority_key").desc(), F.col(id_col)
+    )
+    topk = (
+        both.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    topk.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        out_path
+    )
+
+
+def merge_ivfpq_stores(
+    spark: SparkSession,
+    store_paths: list[str],
+    out_path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Compact N IVF-PQ index store generations into one — the
+    APPEND-SET merge algebra (the third after union→bottom-k and
+    counter addition): index rows are pure functions of the vector
+    under the generations' SHARED frozen quantizers, so the merged
+    index is just the union deduped by id (an id colliding across
+    generations must be the same vector and encodes identically, so
+    any-wins dedup is exact). Completes the sharded-ANN deployment
+    story: per-shard streams maintain per-shard indexes; this folds
+    them into the one searchable store."""
+    merged = None
+    for p in store_paths:
+        cur = spark.read.parquet(p)
+        merged = cur if merged is None else merged.unionByName(cur)
+    out = merged.dropDuplicates([id_col])
+    out.localCheckpoint().write.mode("overwrite").parquet(out_path)
+
+
 def stream_sketch_maintenance(
     stream_df: DataFrame,
     cm_path: str,

@@ -320,6 +320,47 @@ def test_sample_store_incremental_equals_oneshot(spark, tmp_path):
     assert got == want
 
 
+def test_reservoir_store_generation_merge_equals_oneshot(spark, tmp_path):
+    """Cross-generation compaction for the A-ES reservoir: two stores
+    built over disjoint halves merged via merge_reservoir_stores must
+    equal the one-shot weighted sample of everything (deterministic
+    md5 priorities make the top-k of the union exact)."""
+    from alphalens_spark.scale.curation import weighted_priority_sample
+    from alphalens_spark.streaming.ops import (
+        merge_reservoir_stores,
+        sample_store_update,
+    )
+
+    rows = [(f"d{i}", "s1" if i % 3 else "s2", float(1 + i % 7)) for i in range(200)]
+    schema = "doc_id string, source string, w double"
+    df = spark.createDataFrame(rows, schema)
+    g1, g2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    sample_store_update(
+        spark.createDataFrame(rows[:70], schema), g1, "w", k=8,
+        group_cols=["source"],
+    )
+    sample_store_update(
+        spark.createDataFrame(rows[70:110], schema), g1, "w", k=8,
+        group_cols=["source"],
+    )
+    sample_store_update(
+        spark.createDataFrame(rows[110:], schema), g2, "w", k=8,
+        group_cols=["source"],
+    )
+    merged = str(tmp_path / "merged")
+    merge_reservoir_stores(
+        spark, [g1, g2], merged, k=8, group_cols=["source"]
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(merged).collect())
+    want = sorted(
+        tuple(r)
+        for r in weighted_priority_sample(
+            df, "w", k=8, group_cols=["source"]
+        ).collect()
+    )
+    assert got == want
+
+
 def test_groupwise_ols(spark):
     from alphalens_spark.scale.features import groupwise_ols
 

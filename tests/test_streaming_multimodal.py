@@ -342,6 +342,40 @@ def test_ivfpq_store_incremental_equals_oneshot(spark, tmp_path):
     assert got == want
 
 
+def test_ivfpq_store_generation_merge_equals_oneshot(spark, tmp_path):
+    """Cross-generation compaction for the vector index (append-set
+    algebra): two per-shard index stores built against the SAME frozen
+    quantizers merge by union+id-dedup into exactly the one-shot
+    encoding of everything (an id collision across generations encodes
+    identically, so any-wins dedup is exact)."""
+    from alphalens_spark.scale.similarity import build_ivfpq, encode_pq
+    from alphalens_spark.streaming.ops import ivfpq_store_update, merge_ivfpq_stores
+
+    from alphalens_spark import datasets
+
+    emb = datasets.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, books, _ = build_ivfpq(emb, n_cells=4, m_sub=4, ksub=8, iters=1)
+    rows = emb.collect()
+    schema = emb.schema
+    g1, g2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    # generation 2 re-sends one of generation 1's ids (shard overlap)
+    ivfpq_store_update(spark.createDataFrame(rows[:120], schema), g1, cents, books)
+    ivfpq_store_update(
+        spark.createDataFrame(rows[120:] + rows[:1], schema), g2, cents, books
+    )
+    merged = str(tmp_path / "merged")
+    merge_ivfpq_stores(spark, [g1, g2], merged)
+    got = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(merged).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in encode_pq(emb, cents, books).collect()
+    )
+    assert got == want
+
+
 def test_png_codec_round_trip():
     """make_png → parse_png is the identity for gray and RGB rasters
     (PNG's entropy coding is stdlib zlib — a REAL compressed codec, no
