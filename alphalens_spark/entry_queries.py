@@ -111,6 +111,7 @@ def _stream_roundtrip(
     start_fn,
     n_files: int = 1,
     seed: DataFrame | None = None,
+    split_col: str | None = None,
 ) -> str:
     """The shared scaffold of every store-certification query: write
     ``src_df`` to a fresh pid-scoped scratch dir, stream it back
@@ -130,7 +131,16 @@ def _stream_roundtrip(
     shutil.rmtree(root, ignore_errors=True)
     if seed is not None:
         seed.coalesce(1).write.mode("overwrite").parquet(store)
-    w = src_df.coalesce(1) if n_files == 1 else src_df.repartition(n_files)
+    if n_files == 1:
+        w = src_df.coalesce(1)
+    elif split_col is not None:
+        # hash-split on a KEY: every row group sharing split_col lands in
+        # ONE source file = one micro-batch — the multi-batch form for
+        # stores whose contract is group-complete (not time-ordered)
+        # batches, e.g. basket-complete pair co-occurrence
+        w = src_df.repartition(n_files, F.col(split_col))
+    else:
+        w = src_df.repartition(n_files)
     w.write.mode("overwrite").parquet(src)
     reader = spark.readStream.schema(src_df.schema)
     if n_files > 1:
@@ -6876,10 +6886,12 @@ def q_stream_cooccurrence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming pair co-occurrence store certified end-to-end: order
     baskets (l_orderkey → distinct l_partkey) stream through
     streaming.stream_cooccurrence; pair counts merge by addition, so
-    the store must equal the one-shot batch pair-count SQL. Single
-    batch by construction (coalesce(1) source write): the store's
-    documented contract is basket-COMPLETE batches — a basket split
-    across micro-batches under-counts its cross-batch pairs."""
+    the store must equal the one-shot batch pair-count SQL. GENUINELY
+    multi-batch as of round 8: the store's contract is basket-COMPLETE
+    batches (a basket split across micro-batches under-counts its
+    cross-batch pairs), which hash-splitting the source files on the
+    basket key satisfies — every order lands whole in exactly one of
+    the 4 micro-batches, and pair counts then merge by addition."""
     from alphalens_spark.streaming.ops import stream_cooccurrence
 
     li = datasets.load_table(spark, sf_dir, "lineitem").select(
@@ -6890,6 +6902,8 @@ def q_stream_cooccurrence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda st, p, ck: stream_cooccurrence(
             st, p, ck, "l_orderkey", "l_partkey", available_now=True
         ),
+        n_files=4,
+        split_col="l_orderkey",
     )
     return spark.read.parquet(store).select("item_a", "item_b", "n_baskets")
 
