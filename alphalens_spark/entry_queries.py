@@ -112,6 +112,7 @@ def _stream_roundtrip(
     n_files: int = 1,
     seed: DataFrame | None = None,
     split_col: str | None = None,
+    ordered_splits: list[DataFrame] | None = None,
 ) -> str:
     """The shared scaffold of every store-certification query: write
     ``src_df`` to a fresh pid-scoped scratch dir, stream it back
@@ -131,6 +132,23 @@ def _stream_roundtrip(
     shutil.rmtree(root, ignore_errors=True)
     if seed is not None:
         seed.coalesce(1).write.mode("overwrite").parquet(store)
+    if ordered_splits is not None:
+        # TIME/SEQ-ORDERED multi-batch: each split writes SEQUENTIALLY to
+        # its own numbered subdir, so both file mtime and lexicographic
+        # path follow the split order; FileStreamSource sorts pending
+        # files by (timestamp, path), so maxFilesPerTrigger=1 drains one
+        # split per micro-batch IN ORDER — the per-key-monotone arrival
+        # contract of the SCD2/CDC stores, satisfied across real batch
+        # boundaries (the oracle compare fails loudly if the order ever
+        # breaks)
+        for i, part in enumerate(ordered_splits):
+            part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        reader = spark.readStream.schema(src_df.schema).option(
+            "maxFilesPerTrigger", 1
+        )
+        q = start_fn(reader.parquet(f"{src}/b*"), store, ck)
+        _await_done(q, prefix)
+        return store
     if n_files == 1:
         w = src_df.coalesce(1)
     elif split_col is not None:
@@ -6636,12 +6654,12 @@ def q_stream_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     through streaming.stream_scd2's foreachBatch maintenance and the
     resulting dimension store is value-compared against the batch
     scd2_from_snapshots SQL — store == batch is the op's contract.
-    Single batch by construction (coalesce(1) source write): SCD2's
-    documented arrival contract is per-key time-monotonic ACROSS
-    batches, which an unordered file listing cannot guarantee; the
-    multi-batch incremental == one-shot property is unit-tested where
-    batch boundaries are controlled
-    (tests/test_round3_ops.py::test_stream_scd2_equals_batch)."""
+    GENUINELY multi-batch as of round 8: SCD2's arrival contract is
+    per-key time-monotone ACROSS batches, which the scaffold's
+    ordered_splits form satisfies — the snapshot feed splits at its
+    midpoint day into two sequentially-written source files drained one
+    per micro-batch in time order (the midpoint is a 1-row bounded
+    collect, the scalar contract)."""
     from alphalens_spark.streaming.ops import stream_scd2
 
     ev = datasets.load_table(spark, sf_dir, "events")
@@ -6650,11 +6668,17 @@ def q_stream_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("ts"), F.col("event_type"))).alias("_last"))
         .select("user_id", "day", F.col("_last.event_type").alias("state"))
     )
+    lo, hi = snap.agg(F.min("day"), F.max("day")).first()
+    mid = lo + (hi - lo) / 2
     store = _stream_roundtrip(
         spark, sf_dir, "scd2_stream", snap,
         lambda st, p, ck: stream_scd2(
             st, p, ck, ["user_id"], ["state"], "day", available_now=True
         ),
+        ordered_splits=[
+            snap.where(F.col("day") <= F.lit(mid)),
+            snap.where(F.col("day") > F.lit(mid)),
+        ],
     )
     return spark.read.parquet(store).select(
         "user_id", "state", "valid_from", "valid_to"
@@ -6696,10 +6720,12 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEEDED with the `customer` base snapshot, then the (op, seq)
     changelog (same derivation as `apply_cdc`) streams through
     streaming.stream_apply_cdc — the resulting store must equal the
-    one-shot batch apply_cdc(base, whole_feed) SQL. Single batch by
-    construction (coalesce(1) feed write): the store's documented
-    arrival contract is per-key seq-monotone ACROSS batches; the
-    controlled multi-batch equality is unit-tested."""
+    one-shot batch apply_cdc(base, whole_feed) SQL. GENUINELY
+    multi-batch as of round 8: the arrival contract is per-key
+    seq-monotone ACROSS batches, satisfied by the scaffold's
+    ordered_splits form — the changelog splits at its median seq into
+    two sequentially-written source files drained one per micro-batch
+    in seq order."""
     from alphalens_spark.streaming.ops import stream_apply_cdc
 
     cust = datasets.load_table(spark, sf_dir, "customer").select(
@@ -6718,12 +6744,19 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.col("o_orderkey").alias("seq"),
     )
+    mid_seq = changes.agg(
+        F.percentile_approx("seq", 0.5, 2147483647)
+    ).first()[0]
     store = _stream_roundtrip(
         spark, sf_dir, "cdc_stream", changes,
         lambda st, p, ck: stream_apply_cdc(
             st, p, ck, ["c_custkey"], available_now=True
         ),
         seed=cust,
+        ordered_splits=[
+            changes.where(F.col("seq") <= F.lit(int(mid_seq))),
+            changes.where(F.col("seq") > F.lit(int(mid_seq))),
+        ],
     )
     return _finalize(
         spark.read.parquet(store).select(
