@@ -6878,6 +6878,51 @@ def q_stream_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["stream_kmv_compacted"] = ORACLES["kmv_distinct"]
 
 
+def q_stream_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom membership store (store #15, the bit-OR algebra)
+    certified end-to-end — and GENUINELY multi-batch (4 source files,
+    one per micro-batch): the tracked key set (even-keyed customers)
+    streams into the store, whose filter of the full history is the
+    bitwise OR of per-batch filters; the readout prunes orders through
+    bloom_store_prefilter (NO false negatives — every order of a
+    tracked customer must survive the probe) and the verification
+    semi-join removes the false positives, so the result is
+    row-identical to the plain semi-join the oracle runs. One lost bit
+    anywhere in the OR-merge → a false negative → a missing row → hash
+    mismatch."""
+    from alphalens_spark.streaming.ops import (
+        bloom_store_prefilter,
+        stream_bloom,
+    )
+
+    cust = (
+        datasets.load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey")
+    )
+    store = _stream_roundtrip(
+        spark, sf_dir, "bloom_stream", cust,
+        lambda st, p, ck: stream_bloom(
+            st, p, ck, ["c_custkey"], available_now=True
+        ),
+        n_files=4,
+    )
+    orders = datasets.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    pruned = bloom_store_prefilter(spark, store, orders, ["c_custkey"])
+    return pruned.join(cust, "c_custkey", "left_semi").select(
+        "o_orderkey", "c_custkey"
+    )
+
+
+ORACLES["stream_bloom_state"] = r"""
+SELECT o_orderkey, o_custkey AS c_custkey
+FROM orders
+WHERE o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)"""
+
+
 def q_stream_expectations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming data-quality store certified end-to-end — and GENUINELY
     multi-batch (4 source files, one per micro-batch): per-rule
@@ -11147,6 +11192,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_tear_sheet": q_full_tear_sheet,
     # cross-generation store compaction (merge N store generations → 1)
     "stream_kmv_compacted": q_stream_kmv_compacted,
+    # streaming store #15: Bloom membership (bit-OR merge algebra)
+    "stream_bloom_state": q_stream_bloom_state,
     "seasonal_daily_revenue": q_seasonal_daily_revenue,
     "gapfill_supplier_revenue": q_gapfill_supplier_revenue,
     "factor_ic_kendall": q_factor_ic_kendall,

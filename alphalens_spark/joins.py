@@ -246,6 +246,26 @@ def keyed_bloom(
     word = pos div 64, mask bit = pos mod 64. groupBy(word) bit_or is
     map-side combinable; the map never exceeds n_bits/64 entries.
     """
+    return (
+        bloom_words(df, key_cols, n_bits=n_bits, depth=depth)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("_bf")
+        )
+    )
+
+
+def bloom_words(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+) -> DataFrame:
+    """The Bloom filter as (word, bits) ROWS — :func:`keyed_bloom`'s
+    pre-map form, shared with the streaming Bloom store (parquet-
+    friendly, and two filters over the same hash family merge by
+    groupBy(word) bit_or — set union, the bit-OR store algebra)."""
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     ex = df.select(key.alias("_k")).select(
         "_k", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("_i")
@@ -259,14 +279,44 @@ def keyed_bloom(
             "bit"
         ),
     )
-    return (
-        words.groupBy("word")
-        .agg(F.bit_or("bit").alias("bits"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word", "bits"))
-            ).alias("_bf")
+    return words.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_prune(
+    big: DataFrame,
+    bf: DataFrame,
+    on: Sequence[str],
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+) -> DataFrame:
+    """Rows of ``big`` whose key MAY be in the Bloom filter ``bf``
+    (keyed_bloom's 1-row map form) — no false negatives; false
+    positives ride through to whatever verification follows. The probe
+    half of :func:`bloom_filtered_join`, shared with the streaming
+    Bloom store's readout."""
+    on = list(on)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+    probe = big.crossJoin(F.broadcast(bf)).withColumn("_k", key)
+    hit = None
+    for i in range(depth):
+        probe = probe.withColumn(
+            f"_pos{i}",
+            F.pmod(F.xxhash64(F.lit(i), F.col("_k")), F.lit(n_bits)),
         )
+        t = F.coalesce(
+            F.expr(
+                # try_element_at: a missing word is NULL (-> no hit) in
+                # BOTH ANSI and non-ANSI sessions; plain element_at
+                # throws under the driver's ANSI default
+                f"try_element_at(_bf, CAST(_pos{i} / 64 AS INT)) "
+                f"& shiftleft(CAST(1 AS BIGINT), CAST(_pos{i} % 64 AS INT))"
+            )
+            != 0,
+            F.lit(False),
+        )
+        hit = t if hit is None else (hit & t)
+    return probe.where(hit).drop(
+        "_bf", "_k", *[f"_pos{i}" for i in range(depth)]
     )
 
 
@@ -298,27 +348,5 @@ def bloom_filtered_join(
         )
     on = list(on)
     bf = keyed_bloom(small, on, n_bits=n_bits, depth=depth)
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
-    probe = big.crossJoin(F.broadcast(bf)).withColumn("_k", key)
-    hit = None
-    for i in range(depth):
-        probe = probe.withColumn(
-            f"_pos{i}",
-            F.pmod(F.xxhash64(F.lit(i), F.col("_k")), F.lit(n_bits)),
-        )
-        t = F.coalesce(
-            F.expr(
-                # try_element_at: a missing word is NULL (-> no hit) in
-                # BOTH ANSI and non-ANSI sessions; plain element_at
-                # throws under the driver's ANSI default
-                f"try_element_at(_bf, CAST(_pos{i} / 64 AS INT)) "
-                f"& shiftleft(CAST(1 AS BIGINT), CAST(_pos{i} % 64 AS INT))"
-            )
-            != 0,
-            F.lit(False),
-        )
-        hit = t if hit is None else (hit & t)
-    filtered = probe.where(hit).drop(
-        "_bf", "_k", *[f"_pos{i}" for i in range(depth)]
-    )
+    filtered = bloom_prune(big, bf, on, n_bits=n_bits, depth=depth)
     return filtered.join(small, on, how)

@@ -839,6 +839,119 @@ def merge_counter_stores(
     )
 
 
+def bloom_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    key_cols: list[str],
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+) -> None:
+    """One incremental Bloom membership-filter maintenance step — the
+    FIFTH mergeable-store algebra (bit OR): the filter of the full
+    history is the bitwise OR of per-batch filters under the same hash
+    family (Bloom insertion is set union on the bit array), so
+    incremental == one-shot BIT-EXACTLY regardless of batching. Store
+    stays ≤ n_bits/64 (word, bits) rows forever; read it back with
+    :func:`bloom_store_prefilter` to prune a fact table's shuffle to
+    only possibly-tracked keys — the sharded-deployment form of
+    joins.bloom_filtered_join, without ever re-reading the tracked set.
+    ``n_bits``/``depth`` are the store's contract (a filter cannot be
+    re-hashed from its bits) — keep them fixed across the store's life.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.joins import bloom_words
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    words = bloom_words(batch_df, key_cols, n_bits=n_bits, depth=depth)
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(words)
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+    except AnalysisException:  # first batch
+        merged = words
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_bloom(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+    available_now: bool = False,
+):
+    """Maintain the Bloom membership store from a key stream via
+    foreachBatch over :func:`bloom_store_update` — 'have we EVER seen
+    this key' at O(n_bits/8) state, queryable without stopping the
+    stream (no false negatives; false-positive rate set by n_bits/depth
+    vs the tracked cardinality)."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        bloom_store_update(batch_df, store_path, key_cols, n_bits, depth)
+
+    w = stream_df.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def bloom_store_prefilter(
+    spark: SparkSession,
+    store_path: str,
+    big: DataFrame,
+    key_cols: list[str],
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+) -> DataFrame:
+    """Rows of ``big`` whose key MAY be in the maintained Bloom store
+    (no false negatives — every truly-tracked key survives; false
+    positives ride through to whatever verification join follows). The
+    store rows re-assemble into keyed_bloom's 1-row map and probe via
+    joins.bloom_prune — constant-time bit tests per row against a
+    broadcast that is n_bits/8 bytes no matter how large the tracked
+    set grew."""
+    from alphalens_spark.joins import bloom_prune
+
+    bf = (
+        spark.read.parquet(store_path)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("_bf")
+        )
+    )
+    return bloom_prune(big, bf, key_cols, n_bits=n_bits, depth=depth)
+
+
+def merge_bloom_stores(
+    spark: SparkSession,
+    store_paths: list[str],
+    out_path: str,
+) -> None:
+    """Compact N Bloom store generations into one: bit OR per word —
+    the same closure :func:`bloom_store_update` relies on within a
+    stream (generations must share n_bits/depth, the store contract)."""
+    merged = None
+    for p in store_paths:
+        cur = spark.read.parquet(p)
+        merged = cur if merged is None else merged.unionByName(cur)
+    out = merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    out.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        out_path
+    )
+
+
 def merge_reservoir_stores(
     spark: SparkSession,
     store_paths: list[str],

@@ -150,6 +150,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         "idle_rich_customers",
         # 1-row region-total stock-value broadcast (Q11)
         "important_stock",
+        # 1-row Bloom mask broadcast off the maintained store (the
+        # bloom_filtered_orders pattern, store-backed)
+        "stream_bloom_state",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":

@@ -342,6 +342,60 @@ def test_counter_store_generation_merge_equals_oneshot(spark, tmp_path):
     assert got == want  # counters over disjoint histories sum exactly
 
 
+def test_bloom_store_incremental_equals_oneshot(spark, tmp_path):
+    """Bit-OR store algebra: the maintained filter of the full history
+    is BIT-EXACTLY the one-shot filter, regardless of batching."""
+    from alphalens_spark.joins import bloom_words
+    from alphalens_spark.streaming.ops import bloom_store_update
+
+    rows = [Row(k=f"key{i}") for i in range(300)]
+    df = spark.createDataFrame(rows)
+    store = str(tmp_path / "bloom")
+    for lo, hi in [(0, 90), (90, 130), (130, 300)]:
+        bloom_store_update(
+            spark.createDataFrame(rows[lo:hi]), store, ["k"], n_bits=1 << 12
+        )
+    got = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    want = sorted(
+        tuple(r) for r in bloom_words(df, ["k"], n_bits=1 << 12).collect()
+    )
+    assert got == want
+
+
+def test_bloom_store_generation_merge_and_no_false_negatives(spark, tmp_path):
+    from alphalens_spark.joins import bloom_words
+    from alphalens_spark.streaming.ops import (
+        bloom_store_prefilter,
+        bloom_store_update,
+        merge_bloom_stores,
+    )
+
+    rows = [Row(k=f"key{i}") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    g1, g2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    bloom_store_update(spark.createDataFrame(rows[:110]), g1, ["k"], n_bits=1 << 12)
+    bloom_store_update(spark.createDataFrame(rows[110:]), g2, ["k"], n_bits=1 << 12)
+    merged = str(tmp_path / "merged")
+    merge_bloom_stores(spark, [g1, g2], merged)
+    got = sorted(tuple(r) for r in spark.read.parquet(merged).collect())
+    want = sorted(
+        tuple(r) for r in bloom_words(df, ["k"], n_bits=1 << 12).collect()
+    )
+    assert got == want  # OR of generations == one-shot filter, bit-exact
+    # no false negatives through the readout: every tracked key survives
+    probes = spark.createDataFrame(
+        [Row(k=f"key{i}") for i in range(200)]
+        + [Row(k=f"absent{i}") for i in range(50)]
+    )
+    kept = {
+        r["k"]
+        for r in bloom_store_prefilter(
+            spark, merged, probes, ["k"], n_bits=1 << 12
+        ).collect()
+    }
+    assert {f"key{i}" for i in range(200)} <= kept
+
+
 def test_stream_sketch_maintenance_equals_batch(spark, tmp_path):
     from alphalens_spark.scale.profile import cm_sketch
     from alphalens_spark.sources import SyntheticEventsDataSource
