@@ -62,6 +62,8 @@ def _finalize(df: DataFrame, dp: int = ROUND_DP) -> DataFrame:
 _FD_CACHE: dict[tuple[int, str], DataFrame] = {}
 _COPURCHASE_CACHE: dict[tuple[int, str], DataFrame] = {}
 _STOCK_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IC_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TO_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _roundtrip_path(prefix: str, sf_dir: str) -> str:
@@ -277,9 +279,32 @@ def q_mean_return_by_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out.select(*sel))
 
 
+def _ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date Spearman IC frame, persisted per (session, sf_dir) —
+    shared by q_factor_ic / q_ic_summary / q_mean_ic_monthly (and so by
+    the composed full_tear_sheet, which otherwise re-ranked the full
+    panel once per IC view — round-8 review finding)."""
+    key = (id(spark), sf_dir)
+    if key not in _IC_CACHE:
+        _IC_CACHE[key] = perf.factor_information_coefficient(
+            _fd(spark, sf_dir), PERIOD_COLS
+        ).persist()
+    return _IC_CACHE[key]
+
+
+def _turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_turnover(periods=(1, 5)) persisted per (session,
+    sf_dir) — shared by q_quantile_turnover / q_turnover_summary."""
+    key = (id(spark), sf_dir)
+    if key not in _TO_CACHE:
+        _TO_CACHE[key] = perf.quantile_turnover(
+            _fd(spark, sf_dir), periods=(1, 5)
+        ).persist()
+    return _TO_CACHE[key]
+
+
 def q_factor_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fd = _fd(spark, sf_dir)
-    ic = perf.factor_information_coefficient(fd, PERIOD_COLS)
+    ic = _ic(spark, sf_dir)
     return _finalize(
         ic.select(
             "date",
@@ -316,7 +341,9 @@ def q_factor_ic_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mean_ic_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     fd = _fd(spark, sf_dir)
-    ic = perf.mean_information_coefficient(fd, PERIOD_COLS, by_time="month")
+    ic = perf.mean_information_coefficient(
+        fd, PERIOD_COLS, by_time="month", ic=_ic(spark, sf_dir)
+    )
     return _finalize(
         ic.select(
             F.col("time_bucket").alias("month"),
@@ -326,9 +353,7 @@ def q_mean_ic_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fd = _fd(spark, sf_dir)
-    ic = perf.factor_information_coefficient(fd, PERIOD_COLS)
-    out = perf.ic_summary(ic, PERIOD_COLS)
+    out = perf.ic_summary(_ic(spark, sf_dir), PERIOD_COLS)
     sel = []
     for c in PERIOD_COLS:
         a = ALIAS[c]
@@ -375,8 +400,7 @@ def q_mean_return_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantile_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fd = _fd(spark, sf_dir)
-    out = perf.quantile_turnover(fd, periods=(1, 5))
+    out = _turnover(spark, sf_dir)
     return _finalize(out.select("factor_quantile", "period", "date", "turnover"))
 
 
@@ -450,8 +474,7 @@ def q_ic_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_turnover_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean turnover per (quantile, period) — ref plotting.py:150-163."""
-    fd = _fd(spark, sf_dir)
-    t = perf.quantile_turnover(fd, periods=(1, 5))
+    t = _turnover(spark, sf_dir)
     out = t.groupBy("factor_quantile", "period").agg(
         F.avg("turnover").alias("mean_turnover")
     )
@@ -6667,19 +6690,25 @@ def q_stream_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.col("user_id"), F.date_trunc("day", "ts").alias("day"))
         .agg(F.max(F.struct(F.col("ts"), F.col("event_type"))).alias("_last"))
         .select("user_id", "day", F.col("_last.event_type").alias("state"))
+        # one computation feeds the midpoint collect AND both split
+        # writes (round-8 review: the groupBy otherwise ran 3×)
+        .persist()
     )
-    lo, hi = snap.agg(F.min("day"), F.max("day")).first()
-    mid = lo + (hi - lo) / 2
-    store = _stream_roundtrip(
-        spark, sf_dir, "scd2_stream", snap,
-        lambda st, p, ck: stream_scd2(
-            st, p, ck, ["user_id"], ["state"], "day", available_now=True
-        ),
-        ordered_splits=[
-            snap.where(F.col("day") <= F.lit(mid)),
-            snap.where(F.col("day") > F.lit(mid)),
-        ],
-    )
+    try:
+        lo, hi = snap.agg(F.min("day"), F.max("day")).first()
+        mid = lo + (hi - lo) / 2
+        store = _stream_roundtrip(
+            spark, sf_dir, "scd2_stream", snap,
+            lambda st, p, ck: stream_scd2(
+                st, p, ck, ["user_id"], ["state"], "day", available_now=True
+            ),
+            ordered_splits=[
+                snap.where(F.col("day") <= F.lit(mid)),
+                snap.where(F.col("day") > F.lit(mid)),
+            ],
+        )
+    finally:
+        snap.unpersist()
     return spark.read.parquet(store).select(
         "user_id", "state", "valid_from", "valid_to"
     )
@@ -6744,20 +6773,25 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.col("o_orderkey").alias("seq"),
     )
-    mid_seq = changes.agg(
-        F.percentile_approx("seq", 0.5, 2147483647)
-    ).first()[0]
-    store = _stream_roundtrip(
-        spark, sf_dir, "cdc_stream", changes,
-        lambda st, p, ck: stream_apply_cdc(
-            st, p, ck, ["c_custkey"], available_now=True
-        ),
-        seed=cust,
-        ordered_splits=[
-            changes.where(F.col("seq") <= F.lit(int(mid_seq))),
-            changes.where(F.col("seq") > F.lit(int(mid_seq))),
-        ],
-    )
+    # one computation feeds the median collect AND both split writes
+    changes = changes.persist()
+    try:
+        mid_seq = changes.agg(
+            F.percentile_approx("seq", 0.5, 2147483647)
+        ).first()[0]
+        store = _stream_roundtrip(
+            spark, sf_dir, "cdc_stream", changes,
+            lambda st, p, ck: stream_apply_cdc(
+                st, p, ck, ["c_custkey"], available_now=True
+            ),
+            seed=cust,
+            ordered_splits=[
+                changes.where(F.col("seq") <= F.lit(int(mid_seq))),
+                changes.where(F.col("seq") > F.lit(int(mid_seq))),
+            ],
+        )
+    finally:
+        changes.unpersist()
     return _finalize(
         spark.read.parquet(store).select(
             "c_custkey", "c_name", "c_acctbal", "c_mktsegment"

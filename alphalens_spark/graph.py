@@ -350,6 +350,16 @@ def k_core(
         return e.sparkSession.createDataFrame(
             [], "node " + dict(edges.dtypes)[src_col] + ", degree long"
         )
+    # exhausted max_rounds without an unchanged-count block: the 2-round
+    # blocks can consume the budget one round PAST convergence (round C
+    # removes edges, round C+1 is the no-op — the block's count still
+    # changed, so detection needs the NEXT block). One bounded check
+    # distinguishes that from genuine non-convergence, so a caller-tight
+    # max_rounds that sufficed for the 1-round form still returns the
+    # core instead of raising (round-8 review finding).
+    deg = _deg(e)
+    if deg.where(F.col("degree") < k).limit(1).count() == 0:
+        return deg.where(F.col("degree") >= k)
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 

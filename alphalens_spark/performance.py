@@ -104,13 +104,21 @@ def mean_information_coefficient(
     group_adjust: bool = False,
     by_group: bool = False,
     by_time: str | None = None,
+    ic: DataFrame | None = None,
 ) -> DataFrame:
     """Mean IC, optionally bucketed by calendar period and/or group.
 
     Reference performance.py:77-126 (pd.Grouper(freq=by_time)). by_time is
-    a ``date_trunc`` unit: 'month', 'week', 'year', ...
+    a ``date_trunc`` unit: 'month', 'week', 'year', ... Pass a
+    precomputed ``ic`` (factor_information_coefficient's output, same
+    group_adjust/by_group flags) to reuse one cached per-date IC frame
+    across the summary/monthly/by-group views — the tear-sheet batch
+    otherwise re-ranks the full panel once per view.
     """
-    ic = factor_information_coefficient(factor_data, period_cols, group_adjust, by_group)
+    if ic is None:
+        ic = factor_information_coefficient(
+            factor_data, period_cols, group_adjust, by_group
+        )
     keys = []
     if by_time is not None:
         ic = ic.withColumn("time_bucket", F.date_trunc(by_time, "date"))

@@ -543,15 +543,10 @@ def kmv_store_update(
     new_h = batch_df.select(*group_cols, h.alias("_h")).distinct()
     try:
         old = spark.read.parquet(store_path)
-        merged = old.unionByName(new_h).distinct()
+        merged = old.unionByName(new_h)
     except AnalysisException:
         merged = new_h
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    topk = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    topk = _kmv_bottom_k(merged, group_cols, k)
     topk.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(store_path)
 
 
@@ -779,6 +774,34 @@ def stream_heavy_hitters(
     return w.start()
 
 
+def _read_union(spark: SparkSession, store_paths: list[str]) -> DataFrame:
+    """Union the rows of N persisted store generations — the shared
+    first step of every merge_*_stores compaction."""
+    merged = None
+    for p in store_paths:
+        cur = spark.read.parquet(p)
+        merged = cur if merged is None else merged.unionByName(cur)
+    return merged
+
+
+def _kmv_bottom_k(
+    hashes: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Distinct → per-group bottom-k by hash — the KMV merge rule,
+    shared by in-stream maintenance (kmv_store_update) and
+    cross-generation compaction (merge_kmv_stores) so a tie-break or
+    rule change lands in one place."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        hashes.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def merge_kmv_stores(
     spark: SparkSession,
     store_paths: list[str],
@@ -796,19 +819,7 @@ def merge_kmv_stores(
     so the compacted store answers with the same numbers the one big
     stream would have. Cost: O(Σ store sizes) = O(N·k·|groups|),
     independent of the data the stores summarize."""
-    from pyspark.sql import Window
-
-    merged = None
-    for p in store_paths:
-        cur = spark.read.parquet(p)
-        merged = cur if merged is None else merged.unionByName(cur)
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    topk = (
-        merged.distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    topk = _kmv_bottom_k(_read_union(spark, store_paths), group_cols, k)
     topk.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
         out_path
     )
@@ -827,11 +838,7 @@ def merge_counter_stores(
     counters over disjoint histories sum. The sibling of
     :func:`merge_kmv_stores` for the union→bottom-k family; together
     they cover every mergeable-store algebra this module ships."""
-    merged = None
-    for p in store_paths:
-        cur = spark.read.parquet(p)
-        merged = cur if merged is None else merged.unionByName(cur)
-    out = merged.groupBy(*key_cols).agg(
+    out = _read_union(spark, store_paths).groupBy(*key_cols).agg(
         *[F.sum(c).alias(c) for c in count_cols]
     )
     out.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
@@ -942,11 +949,9 @@ def merge_bloom_stores(
     """Compact N Bloom store generations into one: bit OR per word —
     the same closure :func:`bloom_store_update` relies on within a
     stream (generations must share n_bits/depth, the store contract)."""
-    merged = None
-    for p in store_paths:
-        cur = spark.read.parquet(p)
-        merged = cur if merged is None else merged.unionByName(cur)
-    out = merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    out = _read_union(spark, store_paths).groupBy("word").agg(
+        F.bit_or("bits").alias("bits")
+    )
     out.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
         out_path
     )
@@ -970,11 +975,7 @@ def merge_reservoir_stores(
     from pyspark.sql import Window
 
     gcols = list(group_cols or [])
-    merged = None
-    for p in store_paths:
-        cur = spark.read.parquet(p)
-        merged = cur if merged is None else merged.unionByName(cur)
-    both = merged.dropDuplicates(gcols + [id_col])
+    both = _read_union(spark, store_paths).dropDuplicates(gcols + [id_col])
     w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy(
         F.col("priority_key").desc(), F.col(id_col)
     )
@@ -1003,11 +1004,7 @@ def merge_ivfpq_stores(
     any-wins dedup is exact). Completes the sharded-ANN deployment
     story: per-shard streams maintain per-shard indexes; this folds
     them into the one searchable store."""
-    merged = None
-    for p in store_paths:
-        cur = spark.read.parquet(p)
-        merged = cur if merged is None else merged.unionByName(cur)
-    out = merged.dropDuplicates([id_col])
+    out = _read_union(spark, store_paths).dropDuplicates([id_col])
     out.localCheckpoint().write.mode("overwrite").parquet(out_path)
 
 

@@ -283,6 +283,22 @@ def test_k_core_random_vs_brute(spark):
         assert got == want, k
 
 
+def test_k_core_tight_max_rounds_still_converges(spark):
+    """The 2-round-per-block form must not raise when max_rounds is
+    exactly the count the 1-round form needed (round-8 review finding:
+    a block can consume the budget one round past convergence, so the
+    exhaustion path re-checks the fixpoint before raising)."""
+    # tail 1-2-3-4-5 onto triangle 5-6-7: peeling the tail to the
+    # 2-core takes several sequential rounds (one tail node per round)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (5, 7)],
+        "src int, dst int",
+    )
+    # 1-round form needs 4 peel rounds + 1 detection = 5
+    got = {r["node"]: r["degree"] for r in graph.k_core(df, 2, max_rounds=5).collect()}
+    assert got == {5: 2, 6: 2, 7: 2}
+
+
 def test_k_core_empty(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
     out = graph.k_core(df, 3)

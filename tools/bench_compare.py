@@ -65,11 +65,20 @@ def main() -> int:
     if not oband and isinstance(old.get("qmax"), list):
         # compact driver line (round 8+): queries[q] is the best-of-N
         # minimum and "qmax" is the band max ALIGNED to the key order of
-        # "queries" — reconstruct the [min, max] band from the pair
-        oband = {
-            q: [v, hi]
-            for (q, v), hi in zip(oq.items(), old["qmax"])
-        }
+        # "queries" — reconstruct the [min, max] band from the pair.
+        # Length guard: a re-serialized artifact (e.g. jq -S sorts keys)
+        # or a truncated qmax would silently pair maxima with the wrong
+        # queries; better to degrade to the bandless threshold rule.
+        if len(old["qmax"]) == len(oq):
+            oband = {
+                q: [v, hi]
+                for (q, v), hi in zip(oq.items(), old["qmax"])
+            }
+        else:
+            print(
+                f"WARNING: qmax length {len(old['qmax'])} != queries "
+                f"{len(oq)} — alignment unknown, ignoring bands"
+            )
     # host-speed normalization: when both artifacts carry the CPU
     # calibration probe, a slower NEW host scales every wall time up by
     # roughly the single-thread ratio (fixed per-stage cost dominates at
