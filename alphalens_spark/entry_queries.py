@@ -7187,6 +7187,54 @@ def q_jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partitioned_factor_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The month-partitioned warehouse layout certified end-to-end with
+    a value oracle (it previously had only a pruning plan test):
+    factor_data writes through datasets.write_factor_data_partitioned
+    (the 100 TB layout — month directories keep file counts sane while
+    every date-range query prunes at the source), reads back filtered
+    to the FIRST month (an equality on the partition column, so the
+    scan lists only that directory), and aggregates per quantile with
+    order-proof integer sums. A wrong partition assignment, a row lost
+    or duplicated in the write, or a pruning bug that reads the wrong
+    month all change the hash."""
+    fd = _fd(spark, sf_dir)
+    path = _roundtrip_path("fd_part", sf_dir)
+    datasets.write_factor_data_partitioned(fd, path)
+    first_month = fd.agg(
+        F.date_format(F.min("date"), "yyyy-MM")
+    ).first()[0]
+    back = spark.read.parquet(path).where(
+        F.col("date_month") == first_month
+    )
+    return _finalize(
+        back.groupBy("factor_quantile").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("asset").cast("long").alias("n_assets"),
+            F.sum(F.round(F.col("factor") * 1e6).cast("long")).alias(
+                "factor_sum_e6"
+            ),
+            F.sum(F.round(F.col("1D") * 1e6).cast("long")).alias(
+                "fwd1_sum_e6"
+            ),
+        )
+    )
+
+
+ORACLES["partitioned_factor_store"] = f"""{_P}
+SELECT factor_quantile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT asset) AS BIGINT) AS n_assets,
+       CAST(sum(CAST(round(factor * 1e6) AS BIGINT)) AS BIGINT)
+         AS factor_sum_e6,
+       CAST(sum(CAST(round(fwd_1p * 1e6) AS BIGINT)) AS BIGINT)
+         AS fwd1_sum_e6
+FROM fd
+WHERE date_trunc('month', date) =
+      (SELECT date_trunc('month', min(date)) FROM fd)
+GROUP BY 1"""
+
+
 ORACLES["jsonl_source_agg"] = r"""
 SELECT source, CAST(count(*) AS INT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -11228,6 +11276,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_kmv_compacted": q_stream_kmv_compacted,
     # streaming store #15: Bloom membership (bit-OR merge algebra)
     "stream_bloom_state": q_stream_bloom_state,
+    # month-partitioned warehouse sink + partition-pruned read, value-certified
+    "partitioned_factor_store": q_partitioned_factor_store,
     "seasonal_daily_revenue": q_seasonal_daily_revenue,
     "gapfill_supplier_revenue": q_gapfill_supplier_revenue,
     "factor_ic_kendall": q_factor_ic_kendall,
