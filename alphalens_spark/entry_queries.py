@@ -4120,6 +4120,94 @@ SELECT source, n_mins,
 FROM agg"""
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-texts-per-source estimate (p=6 → 64
+    registers, scale.profile.hll_distinct) — the fixed-state complement
+    to kmv_distinct, and (unusually for HLL) fully value-oracled: the
+    registers are integer-exact functions of the shared 60-bit md5
+    prefix (bucket = top 6 bits, rank = leading zeros of the remainder
+    via binary-digit length) and the estimator's harmonic sum is a
+    BIGINT of exact powers of two, so raw and small-range branches both
+    replay bit-exactly in DuckDB."""
+    from alphalens_spark.scale.profile import hll_distinct
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(hll_distinct(docs, ["source"], "text", p=6))
+
+
+def _hll_oracle_sql(p: int = 6) -> str:
+    from alphalens_spark.scale.profile import _hll_alpha
+
+    m = 1 << p
+    w = 60 - p
+    w1 = w + 1
+    mask = (1 << w) - 1
+    num = repr(_hll_alpha(m) * m * m * float(1 << w1))
+    return f"""
+WITH h AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT source, CAST(h >> {w} AS INT) AS bucket,
+         CAST(CASE WHEN (h & {mask}) = 0 THEN {w1}
+              ELSE {w1} - length(bin(h & {mask})) END AS INT) AS rho
+  FROM h
+),
+regs AS (SELECT source, bucket, max(rho) AS max_rho FROM b GROUP BY 1, 2),
+agg AS (
+  SELECT source, CAST(count(*) AS INT) AS n_buckets,
+         CAST(sum(1::BIGINT << ({w1} - max_rho)) AS BIGINT) AS s
+  FROM regs GROUP BY 1
+)
+SELECT source, n_buckets,
+  round(CASE WHEN raw <= {2.5 * m!r} AND n_buckets < {m}
+             THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_buckets AS DOUBLE))
+             ELSE raw END, 6) + 0.0 AS est_distinct
+FROM (
+  SELECT source, n_buckets,
+         {num} / CAST(s + CAST({m} - n_buckets AS BIGINT) * (1::BIGINT << {w1})
+                      AS DOUBLE) AS raw
+  FROM agg
+)"""
+
+
+ORACLES["hll_distinct"] = _hll_oracle_sql(6)
+
+
+def q_stream_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog register store (store #16, the element-wise
+    MAX algebra) certified end-to-end — GENUINELY multi-batch (4 source
+    files, one per micro-batch): the document stream maintains per-source
+    registers via streaming.stream_hll_maintenance; the
+    hll_store_estimate readout must equal the one-shot batch
+    hll_distinct SQL exactly — register max over disjoint histories IS
+    the register of the concatenated history, so the maintained store is
+    THE sketch of the full corpus regardless of batching (and unlike the
+    addition family, replaying a batch cannot inflate it)."""
+    from alphalens_spark.streaming.ops import (
+        hll_store_estimate,
+        stream_hll_maintenance,
+    )
+
+    docs = datasets.load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    store = _stream_roundtrip(
+        spark, sf_dir, "hll_stream", docs,
+        lambda st, sp, ck: stream_hll_maintenance(
+            st, sp, ck, group_col="source", value_col="text", p=6,
+            available_now=True,
+        ),
+        n_files=4,
+    )
+    return _finalize(hll_store_estimate(spark, store, ["source"], p=6))
+
+
+ORACLES["stream_hll_state"] = ORACLES["hll_distinct"]
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss gaussian projection 64→8 dims
     (scale.similarity.random_projection, seeded plane literals), exploded
@@ -4659,6 +4747,38 @@ WITH px AS (
 )
 SELECT media_id, 8 AS width, 8 AS height,
        CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(min(p) AS INT) AS px_min,
+       CAST(max(p) AS INT) AS px_max
+FROM px GROUP BY 1"""
+
+
+def q_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Windows-BMP decode end-to-end: embeddings render as genuine
+    24-bit BI_RGB BMPs (the same deterministic quantization as the
+    netpbm/PNG corpus, gray replicated across B=G=R), then the struct/
+    numpy codec walks the real headers, honors the pixel-data offset,
+    un-pads the 4-byte rows, flips the bottom-up raster, and emits
+    exact-integer per-channel stats — so px_sum is exactly 3× the gray
+    raster's and the whole decode path value-oracles in SQL
+    (scale.multimodal.embeddings_as_bmp/bmp_pixel_stats)."""
+    from alphalens_spark.scale.multimodal import (
+        bmp_pixel_stats,
+        embeddings_as_bmp,
+    )
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return bmp_pixel_stats(embeddings_as_bmp(emb, w=8, h=8))
+
+
+ORACLES["bmp_decode_stats"] = r"""
+WITH px AS (
+  SELECT vec_id AS media_id,
+         CAST(floor(least(greatest((CAST(x AS DOUBLE) + 1.0) / 2.0, 0.0), 1.0)
+                    * 255.0) AS BIGINT) AS p
+  FROM (SELECT vec_id, unnest(embedding[1:64]) AS x FROM embeddings)
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       CAST(3 * sum(p) AS BIGINT) AS px_sum,
        CAST(min(p) AS INT) AS px_min,
        CAST(max(p) AS INT) AS px_max
 FROM px GROUP BY 1"""
@@ -8549,6 +8669,41 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_communities"] = _copurchase_communities_oracle()
 
 
+def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (graph.hits, Kleinberg JACM'99) on the
+    DIRECTED customer→part purchase graph — the two-sided ranking next
+    to PageRank's one-sided one: hub customers are broad high-volume
+    buyers, authority parts are what those buyers converge on. Node ids
+    are namespaced ('c'/'p' prefix) because custkey and partkey ranges
+    overlap. 4 synchronous L1-normalized iterations; the oracle replays
+    them as graph.hits_sql's unrolled MATERIALIZED CTE chain."""
+    from alphalens_spark.graph import hits
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+    )
+    return hits(edges, n_iter=4)
+
+
+def _purchase_hits_oracle() -> str:
+    from alphalens_spark.graph import hits_sql
+
+    edges_cte = r"""
+SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+       'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    return hits_sql(edges_cte, n_iter=4)
+
+
+ORACLES["purchase_hits"] = _purchase_hits_oracle()
+
+
 def q_quantile_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max drawdown + trough date of each quantile's compounded daily
     mean return (performance.max_drawdown — log-space running peak, so
@@ -11166,6 +11321,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_dataset": q_split_dataset,
     "chunk_documents": q_chunk_documents,
     "kmv_distinct": q_kmv_distinct,
+    "hll_distinct": q_hll_distinct,
+    "stream_hll_state": q_stream_hll_state,
     "random_projection": q_random_projection,
     "decayed_activity": q_decayed_activity,
     "histogram_quantiles": q_histogram_quantiles,
@@ -11184,6 +11341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_list": q_dedup_keep_list,
     "netpbm_decode_stats": q_netpbm_decode_stats,
     "png_decode_stats": q_png_decode_stats,
+    "bmp_decode_stats": q_bmp_decode_stats,
     "jpeg_decode_stats": q_jpeg_decode_stats,
     "scd2_user_state": q_scd2_user_state,
     "attribution_last_touch": q_attribution_last_touch,
@@ -11231,6 +11389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_bfs": q_copurchase_bfs,
     "copurchase_sssp": q_copurchase_sssp,
     "copurchase_communities": q_copurchase_communities,
+    "purchase_hits": q_purchase_hits,
     "quantile_drawdown": q_quantile_drawdown,
     "event_ohlc": q_event_ohlc,
     "bigram_collocations": q_bigram_collocations,

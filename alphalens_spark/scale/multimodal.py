@@ -462,6 +462,161 @@ def netpbm_pixel_stats(media: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# REAL image codec #2: Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+# 24bpp BI_RGB) — uncompressed like netpbm but with the real-world headers,
+# BGR channel order, 4-byte row padding, and bottom-up/top-down raster
+# orientations that trip naive readers; pure struct + numpy
+# --------------------------------------------------------------------------
+
+
+def make_bmp(arr) -> bytes:
+    """Encode a uint8 image as a genuine 24-bit BI_RGB Windows BMP:
+    (h, w) gray replicates into B=G=R, (h, w, 3) is taken as RGB and
+    stored in BMP's on-disk BGR order; rows are written bottom-up with
+    each padded to a 4-byte boundary, exactly per the format spec."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(arr, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("make_bmp expects (h, w) gray or (h, w, 3) RGB")
+    h, w, _ = img.shape
+    row_bytes = (3 * w + 3) // 4 * 4
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        raster += row + b"\x00" * (row_bytes - len(row))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40
+    )
+    return header + info + bytes(raster)
+
+
+def parse_bmp(payload: bytes):
+    """REAL BMP decode for 24-bit BI_RGB payloads (the make_bmp output
+    and any standard uncompressed 24bpp BMP): validates the file
+    header, honors the pixel-data offset, un-pads rows, flips the
+    bottom-up raster (or accepts top-down negative heights), and
+    returns an (h, w, 3) RGB uint8 array."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (planes={planes}, bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    row_bytes = (3 * w + 3) // 4 * 4
+    if len(payload) < data_off + row_bytes * h:
+        raise ValueError("truncated BMP raster")
+    rows = []
+    for i in range(h):
+        off = data_off + i * row_bytes
+        row = np.frombuffer(payload, dtype=np.uint8, count=3 * w, offset=off)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    img = np.stack(rows)
+    return img if top_down else img[::-1]
+
+
+def embeddings_as_bmp(
+    emb: DataFrame, w: int = 8, h: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a real 24-bit BMP (same deterministic
+    quantization as the netpbm/PNG corpus: px = floor(clip((x+1)/2,
+    0, 1)·255), gray replicated across B=G=R) so the BMP decode path —
+    through real headers, BGR order, row padding, and the bottom-up
+    flip — gets a full value oracle (per-channel stats are 3× the gray
+    raster's, replayed in SQL)."""
+    import numpy as np
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nb = [], []
+            for vec in pdf[vec_col]:
+                v = np.asarray(vec, dtype=np.float64)[: w * h]
+                px = np.floor(np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255.0)
+                img = px.astype(np.uint8).reshape(h, w)
+                p = make_bmp(img)
+                payloads.append(p)
+                nb.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "width": pd.array([w] * len(pdf), dtype="Int32"),
+                    "height": pd.array([h] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode summary for BMP payloads with exact-integer outputs
+    (oracle-friendly): per item (media_id, width, height, px_sum,
+    px_min, px_max) over ALL channels of the actually-parsed RGB
+    raster. Malformed payloads → NULL stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums, mins, maxs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    img = parse_bmp(payload)
+                    hh, ww, _ = img.shape
+                    flat = img.astype("int64")
+                    ws.append(ww)
+                    hs.append(hh)
+                    sums.append(int(flat.sum()))
+                    mins.append(int(flat.min()))
+                    maxs.append(int(flat.max()))
+                except ValueError:
+                    ws.append(None); hs.append(None)
+                    sums.append(None); mins.append(None); maxs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, width int, height int, "
+            "px_sum long, px_min int, px_max int"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # REAL audio codec: RIFF/WAVE PCM16 (pure numpy + struct — PCM is not
 # entropy-coded, so like netpbm it needs no external library; the stub
 # boundary shrinks to entropy-coded formats: JPEG/PNG, MP3/AAC, video)

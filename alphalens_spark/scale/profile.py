@@ -20,7 +20,7 @@ __all__ = [
     "profile_columns", "kmv_distinct", "histogram_quantiles", "cm_sketch",
     "cm_estimate", "winsorize", "heavy_hitters", "robust_zscore",
     "validate_expectations", "kmv_set_estimates", "psi_report",
-    "ks_two_sample",
+    "ks_two_sample", "hll_registers", "hll_estimate", "hll_distinct",
 ]
 
 
@@ -482,6 +482,135 @@ def kmv_set_estimates(
         (F.lit(0.0) + F.round(jac, 6)).alias("est_jaccard"),
         (F.lit(0.0) + F.round(jac * est_u, 6)).alias("est_intersection"),
     )
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """The HyperLogLog sketch rows (Flajolet et al. 2007): per
+    (group, bucket) the max leading-zero rank observed — 2^p registers
+    of state per group, ever.
+
+    The usual HLL objection — "it needs a platform hash, so you can't
+    verify it" — doesn't hold here: the bucket is the top ``p`` bits and
+    the rank the leading-zero count of the remaining ``60−p`` bits of
+    the SAME 60-bit md5 prefix every sketch in this module uses, and the
+    leading-zero count is computed from the integer-exact binary-digit
+    length (``length(bin(w))`` — identical in Spark and DuckDB), so the
+    registers and therefore the estimate replay bit-exactly in plain
+    SQL. No floats anywhere in the sketch itself.
+
+    Scale shape: project → hash → ONE groupBy on (group, bucket) with
+    map-side partial max — values never shuffle, only (bucket ≤ 2^p,
+    rank ≤ 61−p) integers. Registers merge by element-wise MAX, which
+    is why the sketch is also the streaming-store algebra of
+    :func:`alphalens_spark.streaming.ops.hll_store_update`.
+    Output: (group…, bucket, max_rho).
+    """
+    from alphalens_spark.scale.dedup import md5_long
+
+    w = 60 - p
+    h = md5_long(F.col(value_col).cast("string"), 15)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    # rho = leading zeros of the w-bit remainder + 1 = w+1 − bit_length;
+    # bin() renders without leading zeros on both engines, so
+    # length(bin(rem)) IS the bit length (0 handled explicitly).
+    bitlen = F.when(rem == 0, F.lit(0)).otherwise(F.length(F.bin(rem)))
+    rho = (F.lit(w + 1) - bitlen).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.shiftright(h, w).cast("int").alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """Cardinality estimates off HLL register rows — shared by the batch
+    path (:func:`hll_distinct`) and the streaming-store readout so the
+    estimator can never desynchronize between them.
+
+    Engine-reproducible arithmetic: the harmonic-mean denominator
+    Σ 2^(−M_j) is scaled by 2^(w+1) into a BIGINT sum of exact powers of
+    two (every term and the total fit in 63 bits for p ≥ 4), so the only
+    float steps are one cast, one division by the literal α·m²·2^(w+1),
+    and the small-range ``m·ln(m/V)`` correction — each deterministic
+    under round-to-nearest on both engines, then rounded to 6 dp.
+    Output: (group…, n_buckets, est_distinct).
+    """
+    m = 1 << p
+    w1 = 60 - p + 1
+    num = _hll_alpha(m) * m * m * float(1 << w1)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {w1} - max_rho)")
+        ).alias("_s"),
+    )
+    # unseen buckets carry M_j = 0 → scaled term 2^(w+1) each
+    total = F.col("_s") + (
+        (F.lit(m).cast("long") - F.col("n_buckets").cast("long"))
+        * F.lit(1 << w1).cast("long")
+    )
+    raw = F.lit(num) / total.cast("double")
+    small = (raw <= F.lit(2.5 * m)) & (F.col("n_buckets") < m)
+    corrected = F.when(
+        small,
+        F.lit(float(m))
+        * F.log(
+            F.lit(float(m))
+            / (F.lit(m).cast("double") - F.col("n_buckets").cast("double"))
+        ),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_buckets",
+        (F.round(corrected, 6) + F.lit(0.0)).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (Flajolet et al.
+    2007) — the fixed-state complement to :func:`kmv_distinct`: KMV
+    state grows with k and its accuracy with k, HLL state is a flat
+    2^p SMALL INTEGERS per group (≤ 6 bits each) with relative error
+    ≈ 1.04/√m, which is what a 100 TB profile keeps per column when even
+    k hashes per group is too much. Registers merge by element-wise max,
+    so sketches from independent shards/streams combine losslessly.
+
+    Deterministic md5-based bucketing + integer-exact estimator
+    arithmetic (see :func:`hll_registers` / :func:`hll_estimate`) make
+    this — unusually for HLL — fully value-oracle-checkable against
+    another SQL engine. Output: (group…, n_buckets, est_distinct).
+    """
+    return hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)
 
 
 def column_entropy(

@@ -568,6 +568,89 @@ def kmv_store_estimate(
     )
 
 
+def hll_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> None:
+    """One incremental HyperLogLog maintenance step — the SIXTH
+    mergeable-store algebra (element-wise MAX): sketch the arriving
+    micro-batch's values into (group, bucket, max_rho) registers and
+    merge them into the persisted store by per-register max. Register
+    max over disjoint histories IS the register of the concatenated
+    history (max is associative, commutative, idempotent), so the
+    maintained store equals the one-shot sketch of everything ever seen
+    — bit-exactly, regardless of batching, and idempotent under batch
+    REPLAY (unlike the addition family, a re-delivered batch cannot
+    inflate it). State stays ≤ 2^p rows per group forever. Read
+    estimates off the store with :func:`hll_store_estimate`; compact
+    generations with :func:`merge_hll_stores`. ``p`` is the store's
+    contract — registers hashed under one precision cannot be re-binned.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from alphalens_spark.scale.profile import hll_registers
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_regs = hll_registers(batch_df, group_cols, value_col, p)
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(batch_regs)
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+    except AnalysisException:  # first batch
+        merged = batch_regs
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def hll_store_estimate(
+    spark: SparkSession,
+    store_path: str,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """Distinct-count estimates off a maintained HLL store — the same
+    estimator expression as scale.profile.hll_distinct
+    (scale.profile.hll_estimate is shared by both), applied to the
+    persisted registers."""
+    from alphalens_spark.scale.profile import hll_estimate
+
+    return hll_estimate(spark.read.parquet(store_path), group_cols, p)
+
+
+def merge_hll_stores(
+    spark: SparkSession,
+    store_paths: list[str],
+    out_path: str,
+    group_cols: list[str],
+) -> None:
+    """Compact N independently-maintained HLL store GENERATIONS into one
+    — the max-algebra sibling of :func:`merge_kmv_stores` (bottom-k),
+    :func:`merge_counter_stores` (addition), merge_reservoir_stores
+    (priority top-k), merge_ivfpq_stores (id-dedup append), and
+    merge_bloom_stores (bit OR): per-register max over the union of
+    generations is exactly the register set of the concatenated
+    histories, so the compacted store answers with the same numbers one
+    big stream would have. Cost O(Σ store sizes) ≤ O(N·2^p·|groups|),
+    independent of the data the stores summarize."""
+    out = (
+        _read_union(spark, store_paths)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    out.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        out_path
+    )
+
+
 def hist_store_update(
     batch_df: DataFrame,
     store_path: str,
@@ -1036,6 +1119,34 @@ def stream_sketch_maintenance(
         cm_store_update(batch_df, cm_path, item_col, depth, width)
         kmv_store_update(batch_df, kmv_path, [group_col], item_col, k)
         batch_df.unpersist()
+
+    w = stream_df.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def stream_hll_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    group_col: str = "g",
+    value_col: str = "item",
+    p: int = 6,
+    available_now: bool = False,
+):
+    """Maintain a per-group HyperLogLog register store from a stream via
+    foreachBatch — fixed 2^p-integer state per group, exact equality
+    with the batch sketch of everything ever seen (max algebra), and
+    replay-idempotent: a redelivered micro-batch is absorbed by the
+    per-register max. The streaming answer to "how many distinct X per
+    group, ever" when per-group bottom-k hashes (the KMV store) is
+    already too much state."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        hll_store_update(batch_df, store_path, [group_col], value_col, p)
 
     w = stream_df.writeStream.foreachBatch(_step).option(
         "checkpointLocation", checkpoint
