@@ -8669,6 +8669,183 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_communities"] = _copurchase_communities_oracle()
 
 
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    SIGIR'09) — the production search stack's standard two-leg shape:
+    a LEXICAL leg (idf-weighted rare-term overlap, integer-exact
+    scores, max_df posting caps — scale.text.rare_term_overlap_topk)
+    and a VECTOR leg (exact cosine top-k over the aligned embeddings —
+    scale.similarity.brute_force_topk_vectorized) fused per query by
+    summed 1/(60+rank) contributions on the 1e-9 integer grid
+    (scale.similarity.rrf_fuse). RRF compares only rank positions, so
+    the legs need no score calibration; both legs and the fusion replay
+    exactly in SQL."""
+    from alphalens_spark.scale.similarity import (
+        brute_force_topk_vectorized,
+        rrf_fuse,
+    )
+    from alphalens_spark.scale.text import rare_term_overlap_topk
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    vec = brute_force_topk_vectorized(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rnk"
+    )
+    lex = rare_term_overlap_topk(
+        docs, queries.select("query_id"), k=10
+    ).select("query_id", "doc_id", "rnk")
+    return _finalize(rrf_fuse([lex, vec], rrf_k=60, topk=10))
+
+
+ORACLES["search_hybrid_rrf"] = r"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 20 = 0
+),
+p AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cs
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+vec AS MATERIALIZED (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cs, 6) DESC, doc_id) AS rnk
+    FROM p
+  ) WHERE rnk <= 10
+),
+dterms AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+nd AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+dfreq AS MATERIALIZED (
+  SELECT t, count(*) AS df,
+         CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS idf_e6
+  FROM dterms WHERE t <> '' GROUP BY 1
+  HAVING count(*) <= (SELECT n FROM nd) * 100 // 1000
+),
+qterms AS MATERIALIZED (
+  SELECT d.doc_id AS query_id, d.t, f.idf_e6
+  FROM dterms d JOIN dfreq f USING (t)
+  WHERE d.doc_id % 20 = 0
+),
+pairs AS (
+  SELECT qt.query_id, dt.doc_id,
+         CAST(count(*) AS INT) AS n_shared_terms,
+         CAST(sum(qt.idf_e6) AS BIGINT) AS score_e6
+  FROM qterms qt JOIN dterms dt ON qt.t = dt.t AND dt.t <> ''
+  WHERE dt.doc_id <> qt.query_id
+  GROUP BY 1, 2
+),
+lex AS MATERIALIZED (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_e6 DESC, doc_id) AS rnk
+    FROM pairs
+  ) WHERE rnk <= 10
+),
+c AS (
+  SELECT query_id, doc_id,
+         CAST(round(1e9 / (60 + CAST(rnk AS DOUBLE))) AS BIGINT) AS c
+  FROM lex
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(round(1e9 / (60 + CAST(rnk AS DOUBLE))) AS BIGINT) AS c
+  FROM vec
+),
+f AS (
+  SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_legs,
+         CAST(sum(c) AS BIGINT) AS rrf_e9
+  FROM c GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_legs, rrf_e9, CAST(fused_rank AS INT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_e9 DESC, doc_id) AS fused_rank
+  FROM f
+) WHERE fused_rank <= 10"""
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier fulfillment-survival curves per order priority
+    (events.kaplan_meier): duration = days from order date to the
+    order's LAST ship date, event observed for fulfilled orders
+    ('F' status), open/pending orders right-censored at their current
+    duration — the censoring-aware answer a plain duration histogram
+    gets wrong. Survival is the ordered-window running sum of
+    ln(1−d/n) terms exponentiated once (deterministic sequential
+    accumulation), extinction pinned to hard 0."""
+    from alphalens_spark.events import kaplan_meier
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    subj = orders.join(
+        ship, orders["o_orderkey"] == ship["l_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias("duration"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("event"),
+    )
+    return _finalize(kaplan_meier(subj, ["priority"]))
+
+
+ORACLES["survival_km"] = r"""
+WITH ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+),
+subj AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', o.o_orderdate, s.last_ship) AS duration,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+),
+per_t AS (
+  SELECT priority, CAST(duration AS BIGINT) AS t,
+         CAST(sum(event) AS BIGINT) AS d,
+         CAST(sum(1 - event) AS BIGINT) AS c
+  FROM subj GROUP BY 1, 2
+),
+staged AS (
+  SELECT priority, t, d, c,
+         sum(d + c) OVER (PARTITION BY priority)
+         - coalesce(sum(d + c) OVER (PARTITION BY priority ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+),
+runs AS (
+  SELECT priority, t, d, c, n_risk,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w_run AS extinct,
+         sum(CASE WHEN d < n_risk
+                  THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                  ELSE 0.0 END) OVER w_run AS lnsum
+  FROM staged
+  WINDOW w_run AS (PARTITION BY priority ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT priority, t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       c AS n_censored,
+       round(CASE WHEN extinct = 1 THEN 0.0 ELSE exp(lnsum) END, 6) + 0.0
+         AS survival
+FROM runs"""
+
+
 def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (graph.hits, Kleinberg JACM'99) on the
     DIRECTED customer→part purchase graph — the two-sided ranking next
@@ -11390,6 +11567,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_sssp": q_copurchase_sssp,
     "copurchase_communities": q_copurchase_communities,
     "purchase_hits": q_purchase_hits,
+    "survival_km": q_survival_km,
+    "search_hybrid_rrf": q_search_hybrid_rrf,
     "quantile_drawdown": q_quantile_drawdown,
     "event_ohlc": q_event_ohlc,
     "bigram_collocations": q_bigram_collocations,

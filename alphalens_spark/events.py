@@ -1461,3 +1461,88 @@ def theil_sen_slope(
         m.cast("long").alias("n_pairs"),
         F.round(median).cast("long").alias("slope_e6_per_day"),
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group (Kaplan & Meier JASA'58) —
+    the right-censoring-aware "what fraction survives past t" that a
+    naive duration histogram gets wrong the moment open-ended subjects
+    exist: churn/retention ("how long do users stay"), fulfillment
+    ("how long until an order fully ships"), incident MTTR — any
+    duration analysis where some subjects haven't finished yet.
+
+    Input: one row per subject with an integer ``duration_col`` (time
+    units survived, ≥ 0) and ``event_col`` = 1 if the terminal event
+    was OBSERVED at that duration, 0 if the subject was CENSORED there
+    (still alive when observation stopped). Estimator:
+    Ŝ(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with dᵢ events and nᵢ the at-risk
+    count at event time tᵢ; censored subjects leave the risk set AFTER
+    their time passes (the standard convention — they are at risk AT
+    their censor time).
+
+    Parity shape: dᵢ/nᵢ and the at-risk arithmetic are exact integers;
+    the product is a RUNNING ordered-window sum of ln(1 − d/n) terms
+    (sequential accumulation in frame order — deterministic on both
+    engines, unlike a groupBy float sum) exponentiated once at the end,
+    with the d = n extinction case pinned to a hard 0.0 via a running
+    flag instead of ln(0) (the cumulative-returns sign/zero-pin
+    lesson). All magnitudes live in [0, 1] — no large-argument exp.
+
+    Scale shape: one groupBy on (group, t), then windows PARTITIONED BY
+    group over the duration dimension (rows per group ≤ distinct
+    durations — bounded by the time axis, never subject count). One
+    shuffle on the group key. Output: group… + (t, n_risk, n_events,
+    n_censored, survival), one row per distinct duration in the group.
+    """
+    keys = list(group_cols)
+    ev = F.col(event_col).cast("int")
+    per_t = (
+        subjects.where(
+            F.col(duration_col).isNotNull() & ev.isNotNull()
+        )
+        .groupBy(*keys, F.col(duration_col).cast("long").alias("t"))
+        .agg(
+            F.sum(ev).alias("n_events"),
+            F.sum(F.lit(1) - ev).alias("n_censored"),
+        )
+    )
+    w_all = Window.partitionBy(*keys)
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    removed = F.col("n_events") + F.col("n_censored")
+    staged = per_t.withColumn(
+        "n_risk",
+        F.sum(removed).over(w_all)
+        - F.coalesce(F.sum(removed).over(w_prev), F.lit(0)),
+    )
+    frac = F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"), F.log(F.lit(1.0) - frac)
+    ).otherwise(F.lit(0.0))
+    extinct = F.max(
+        (F.col("n_events") == F.col("n_risk")).cast("int")
+    ).over(w_run)
+    surv = F.when(extinct == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(term).over(w_run))
+    )
+    return staged.select(
+        *keys,
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        (F.round(surv, 6) + F.lit(0.0)).alias("survival"),
+    )

@@ -1229,3 +1229,50 @@ def mmr_rerank(
         "query_id long, neighbor_id long, mmr_rank int, mmr_score_e7 long"
     )
     return cand_v.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    rrf_k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of N per-query
+    rankings — the standard hybrid-search combiner (lexical BM25/idf
+    leg + embedding-cosine leg, or any mix): each list contributes
+    ``1/(rrf_k + rank)`` for every (query, doc) it ranks, and documents
+    are re-ranked by the summed contribution. Rank positions are all
+    that survives — RRF never compares raw scores across legs, which is
+    exactly why it needs no per-leg calibration.
+
+    Each input frame carries (query_id, doc_id, rnk). Contributions are
+    quantized to the 1e-9 grid up front (``round(1e9/(rrf_k+rnk))`` as
+    BIGINT) so the fused score is a summation-order-proof integer sum
+    regardless of how many legs fuse — the mmr_rerank integer-grid
+    lesson. Ties break on doc_id.
+
+    Scale shape: a union of the leg frames (each already ≤ k rows per
+    query by contract) → one groupBy on (query_id, doc_id) → a
+    per-query window over ≤ N·k rows. Nothing corpus-sized shuffles.
+    Output: (query_id, doc_id, n_legs, rrf_e9, fused_rank ≤ topk).
+    """
+    tagged = None
+    for leg in rankings:
+        contrib = leg.select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(1e9) / (F.lit(rrf_k) + F.col("rnk")).cast("double"))
+            .cast("long")
+            .alias("_c"),
+        )
+        tagged = contrib if tagged is None else tagged.unionByName(contrib)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_legs"),
+        F.sum("_c").alias("rrf_e9"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e9").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= topk)
+    )

@@ -1841,3 +1841,73 @@ def unigram_lm_train(
         counts.join(final_cost, "piece")
         .select("piece", F.col("c").alias("usage"), F.col("cost").alias("cost_micro"))
     )
+
+
+def rare_term_overlap_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    max_df_per_mille: int = 100,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical retrieval leg for hybrid search: per query document, the
+    top-k corpus documents by idf-weighted RARE-term overlap —
+    score(q, d) = Σ_{t ∈ q ∩ d, df(t)·1000 ≤ N·max_df_per_mille} idf(t)
+    (the cap is exact integer arithmetic so it replays identically in
+    SQL — a float ratio would truncate engine-dependently).
+    The df cap is the scale guard (the max_df posting-cap lesson):
+    boilerplate terms whose posting lists span the corpus never enter
+    the candidate join, so the pair stage is |query terms| ⋈ bounded
+    posting lists — linear, never all-pairs.
+
+    Integer-exact scoring: each term contributes
+    ``idf_e6 = round(ln(N/df)·1e6)`` as a BIGINT, so per-pair scores
+    are summation-order-proof integer sums and the ranking (score desc,
+    doc_id asc) is deterministic cross-engine.
+
+    ``queries`` carries one column ``query_id`` (ids of documents in
+    ``docs``). Self-matches are excluded. Output: (query_id, doc_id,
+    n_shared_terms, score_e6, rnk ≤ k).
+    """
+    toks = _tokens(text_col)
+    dterms = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    dterms = dterms.localCheckpoint(eager=True)  # read by df agg + both join sides
+    n_docs = docs.count()
+    df_cap = n_docs * max_df_per_mille // 1000
+    dfreq = (
+        dterms.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .withColumn(
+            "idf_e6",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) * 1e6)
+            .cast("long"),
+        )
+    )
+    qterms = (
+        queries.select(F.col("query_id"))
+        .join(dterms.withColumnRenamed("doc_id", "query_id"), "query_id")
+        .join(dfreq, "t")
+    )
+    pairs = (
+        qterms.join(dterms, "t")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shared_terms"),
+            F.sum("idf_e6").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "n_shared_terms", "score_e6", "rnk")
+    )

@@ -153,6 +153,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # 1-row Bloom mask broadcast off the maintained store (the
         # bloom_filtered_orders pattern, store-backed)
         "stream_bloom_state",
+        # two 1-row L1-normalizer broadcasts per HITS iteration (the
+        # transition_pagerank pattern: scalar sums riding node-key joins)
+        "purchase_hits",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
