@@ -8669,6 +8669,103 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_communities"] = _copurchase_communities_oracle()
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction per source (scale.text.rake_keywords,
+    Rose et al. 2010): stopword-delimited phrase candidates, word
+    degree/frequency scores as exact integer divisions, phrase scores
+    as BIGINT sums — three linear aggregations and a vocabulary-keyed
+    join, all replayed in SQL."""
+    from alphalens_spark.scale.text import rake_keywords
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(rake_keywords(docs, k=12))
+
+
+ORACLES["rake_keywords"] = r"""
+WITH ph0 AS MATERIALIZED (
+  SELECT g, trim(p) AS phrase FROM (
+    SELECT source AS g,
+           unnest(string_split_regex(
+             array_to_string(list_transform(
+               string_split_regex(lower(trim(text)), '\s+'),
+               t -> CASE WHEN list_contains(
+                           ['the','a','and','of','to','in','is'], t)
+                    THEN '|' ELSE t END), ' '), '\|')) AS p
+    FROM documents
+  ) WHERE trim(p) <> ''
+),
+pw AS (
+  SELECT g, phrase, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS w
+  FROM ph0
+),
+ws AS MATERIALIZED (
+  SELECT g, w,
+         CAST(sum(plen - 1) * 1000000 // count(*) AS BIGINT) AS score_e6
+  FROM pw GROUP BY 1, 2
+),
+occ AS MATERIALIZED (
+  SELECT g, phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM ph0 GROUP BY 1, 2
+),
+dpw AS (
+  SELECT g, phrase, unnest(string_split(phrase, ' ')) AS w FROM occ
+),
+sc AS (
+  SELECT d.g, d.phrase, CAST(count(*) AS INT) AS n_words,
+         CAST(sum(ws.score_e6) AS BIGINT) AS score_e6
+  FROM dpw d JOIN ws ON d.g = ws.g AND d.w = ws.w
+  GROUP BY 1, 2
+)
+SELECT source, phrase, n_words, n_occurrences, score_e6,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT sc.g AS source, sc.phrase, sc.n_words, o.n_occurrences,
+         sc.score_e6,
+         row_number() OVER (PARTITION BY sc.g
+             ORDER BY sc.score_e6 DESC, o.n_occurrences DESC, sc.phrase)
+           AS rnk
+  FROM sc JOIN occ o ON sc.g = o.g AND sc.phrase = o.phrase
+) WHERE rnk <= 12"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (scale.text.readability_scores) — three exact integer counts
+    (words, [.!?]+ sentence runs min 1, [aeiouy]+ syllable runs with
+    the vowel-free-word correction) feeding two single deterministic
+    double formulas; a pure one-scan projection."""
+    from alphalens_spark.scale.text import readability_scores
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(readability_scores(docs))
+
+
+ORACLES["readability"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(lower(trim(text)), '[.!?]+')))
+           AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
+              + len(list_filter(
+                  string_split_regex(lower(trim(text)), '\s+'),
+                  t -> t <> '' AND NOT regexp_matches(t, '[aeiouy]')))
+           AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             6) + 0.0 AS flesch_ease,
+       round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             - 15.59, 6) + 0.0 AS fk_grade
+FROM c"""
+
+
 def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
     SIGIR'09) — the production search stack's standard two-leg shape:
@@ -11569,6 +11666,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchase_hits": q_purchase_hits,
     "survival_km": q_survival_km,
     "search_hybrid_rrf": q_search_hybrid_rrf,
+    "rake_keywords": q_rake_keywords,
+    "readability": q_readability,
     "quantile_drawdown": q_quantile_drawdown,
     "event_ohlc": q_event_ohlc,
     "bigram_collocations": q_bigram_collocations,

@@ -1911,3 +1911,139 @@ def rare_term_overlap_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "doc_id", "n_shared_terms", "score_e6", "rnk")
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    k: int = 20,
+    group_col: str = "source",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) per group: candidate
+    phrases are maximal stopword-delimited token runs, each word scores
+    degree/frequency over the group's phrase table (degree = how many
+    other words it co-occurs with across its phrase occurrences), and a
+    phrase scores the sum of its member-word scores — the classic
+    no-model keyphrase extractor, here as three linear aggregations.
+
+    Integer-exact scoring: word score is ``deg·1e6 DIV freq`` (exact
+    integer division — deterministic cross-engine, and phrase sums of
+    BIGINTs are summation-order-proof). Ties break on occurrence count
+    then phrase text.
+
+    Scale shape: phrase extraction is pure per-row expressions (token →
+    delimiter mapping + split — no window, no Python); then one groupBy
+    per (group, word) over the vocabulary dimension, one broadcast-able
+    word-score join keyed on the vocabulary, one groupBy per (group,
+    phrase), and a per-group top-k window over ≤ distinct-phrase rows.
+    Output: (group, phrase, n_words, n_occurrences, score_e6, rnk ≤ k).
+    """
+    sw = stopwords if stopwords is not None else STOPWORDS_EN
+    toks = _tokens(text_col)
+    swarr = F.array(*[F.lit(s) for s in sw])
+    marked = F.transform(
+        toks, lambda t: F.when(F.array_contains(swarr, t), F.lit("|")).otherwise(t)
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), r"\|"), lambda p: F.trim(p)
+        ),
+        lambda p: p != "",
+    )
+    ph = docs.select(
+        F.col(group_col).alias("g"), F.explode(phrases).alias("phrase")
+    )
+    ph = ph.localCheckpoint(eager=True)  # read by word stats + phrase table
+    pw = ph.select(
+        "g",
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wscore = (
+        pw.groupBy("g", "w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("plen") - 1).alias("deg"),
+        )
+        .withColumn(
+            "score_e6", F.expr("CAST(deg * 1000000 DIV freq AS BIGINT)")
+        )
+    )
+    occ = ph.groupBy("g", "phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    dpw = occ.select(
+        "g", "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    scored = (
+        dpw.join(wscore.select("g", "w", "score_e6"), ["g", "w"])
+        .groupBy("g", "phrase")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("score_e6").alias("score_e6"),
+        )
+        .join(occ, ["g", "phrase"])
+    )
+    w_rank = Window.partitionBy("g").orderBy(
+        F.col("score_e6").desc(), F.col("n_occurrences").desc(), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("g").alias(group_col),
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_e6",
+            "rnk",
+        )
+    )
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic no-model readability pair, from three integer counts:
+    words (whitespace tokens), sentences (runs of [.!?], min 1), and
+    syllables (runs of [aeiouy] per word, min 1 per word — the standard
+    heuristic). The counts are exact integers on both engines
+    (regexp_extract_all + a vowel-free-word correction), so the two
+    formula evaluations are single deterministic double expressions,
+    rounded to 6 dp.
+
+    ease = 206.835 − 1.015·(W/S) − 84.6·(Syl/W);
+    grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+
+    One scan, no shuffle — a pure projection the optimizer fuses into
+    whatever reads it. Output: (id, n_words, n_sentences, n_syllables,
+    flesch_ease, fk_grade).
+    """
+    low = F.lower(F.trim(F.col(text_col)))
+    words = F.split(low, r"\s+")
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(low, F.lit(r"[.!?]+"), F.lit(0)))
+    )
+    vowel_runs = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0)))
+    no_vowel_words = F.size(
+        F.filter(words, lambda t: (t != "") & ~t.rlike("[aeiouy]"))
+    )
+    n_syll = vowel_runs + no_vowel_words
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        (F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+         + F.lit(0.0)).alias("flesch_ease"),
+        (F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+         + F.lit(0.0)).alias("fk_grade"),
+    )
