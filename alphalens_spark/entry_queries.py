@@ -8669,6 +8669,104 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_communities"] = _copurchase_communities_oracle()
 
 
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report (scale.governance.k_anonymity_report,
+    Sweeney 2002) over the customer table's (nation, market-segment)
+    quasi-identifier: per threshold k ∈ {2,5,10}, how many equivalence
+    classes and rows fail k-anonymity. Integer class-size arithmetic;
+    percentages multiply-first on the 1e-6 grid."""
+    from alphalens_spark.scale.governance import k_anonymity_report
+
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    return _finalize(
+        k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], [2, 5, 10])
+    )
+
+
+ORACLES["k_anonymity_customers"] = r"""
+WITH cls AS MATERIALIZED (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+  FROM customer GROUP BY 1, 2
+),
+ks AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT CAST(k AS INT) AS k,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_below,
+       CAST(round(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+                  * 1e8 / sum(sz)) AS BIGINT) AS pct_rows_below_e6
+FROM cls CROSS JOIN ks
+GROUP BY k"""
+
+
+def q_dp_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP order counts per priority (scale.governance.dp_noisy_counts,
+    Laplace mechanism, ε=0.5): the noise is the inverse-CDF transform of
+    the shared 60-bit md5 uniform keyed on (group ‖ seed) — a derived,
+    reproducible draw, so the private release itself replays bit-exactly
+    in SQL."""
+    from alphalens_spark.scale.governance import dp_noisy_counts
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    return _finalize(
+        dp_noisy_counts(orders, ["o_orderpriority"], epsilon=0.5, seed=11)
+    )
+
+
+ORACLES["dp_order_counts"] = r"""
+WITH g AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_true
+  FROM orders GROUP BY 1
+),
+n AS (
+  SELECT *,
+         ('0x' || substr(md5(CAST(o_orderpriority AS VARCHAR)
+                              || chr(31) || '11'), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM g
+)
+SELECT o_orderpriority, n_true,
+       round(n_true + (-2.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+             6) + 0.0 AS n_noisy
+FROM n"""
+
+
+def q_fd_violations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation report source → lang
+    (scale.governance.fd_violations): violating sources with their
+    majority repair candidate under the deterministic (count, value)
+    max-struct tie-break — the structural data-quality check next to
+    validate_expectations."""
+    from alphalens_spark.scale.governance import fd_violations
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return _finalize(fd_violations(docs, ["source"], "lang"))
+
+
+ORACLES["fd_violations_docs"] = r"""
+WITH pair AS (
+  SELECT source, CAST(lang AS VARCHAR) AS rhs, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+r AS (
+  SELECT source, c, rhs,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, rhs DESC)
+           AS rn,
+         sum(c) OVER (PARTITION BY source) AS n_rows,
+         count(*) OVER (PARTITION BY source) AS n_distinct_rhs
+  FROM pair
+)
+SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct_rhs AS BIGINT) AS n_distinct_rhs,
+       rhs AS majority_rhs, CAST(c AS BIGINT) AS majority_count,
+       CAST(n_rows - c AS BIGINT) AS violation_rows
+FROM r WHERE rn = 1 AND n_distinct_rhs > 1"""
+
+
 def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction per source (scale.text.rake_keywords,
     Rose et al. 2010): stopword-delimited phrase candidates, word
@@ -11668,6 +11766,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_hybrid_rrf": q_search_hybrid_rrf,
     "rake_keywords": q_rake_keywords,
     "readability": q_readability,
+    "k_anonymity_customers": q_k_anonymity_customers,
+    "dp_order_counts": q_dp_order_counts,
+    "fd_violations_docs": q_fd_violations_docs,
     "quantile_drawdown": q_quantile_drawdown,
     "event_ohlc": q_event_ohlc,
     "bigram_collocations": q_bigram_collocations,

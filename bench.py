@@ -344,6 +344,26 @@ def run_suite(
     timed("product_type_profit",
           lambda: q_product_type_profit(spark, sf_dir).count())
 
+    # round-8 second batch: HLL profile sketch, HITS two-sided ranking,
+    # hybrid lexical+vector retrieval with RRF, censoring-aware survival
+    from alphalens_spark.entry_queries import (
+        q_purchase_hits,
+        q_rake_keywords,
+        q_search_hybrid_rrf,
+        q_survival_km,
+    )
+
+    timed("hll_distinct",
+          lambda: prof.hll_distinct(docs, ["source"], "text", p=6).count())
+    timed("purchase_hits",
+          lambda: q_purchase_hits(spark, sf_dir).count())
+    timed("search_hybrid_rrf",
+          lambda: q_search_hybrid_rrf(spark, sf_dir).count())
+    timed("survival_km",
+          lambda: q_survival_km(spark, sf_dir).count())
+    timed("rake_keywords",
+          lambda: q_rake_keywords(spark, sf_dir).count())
+
     timed("ivfpq_build", _build)
     timed("ivfpq_search",
           lambda: similarity.ivfpq_topk(
@@ -358,15 +378,22 @@ def run_suite(
     # every fd-derived metric recomputes ingestion — review-confirmed)
     fd.unpersist()
     panel.unpersist()
-    # entry_queries._FD_CACHE entries get the same treatment: the raw-RDD
-    # sweep below would free their blocks while the Python dict entry
-    # survives, recreating the silent no-op re-persist hazard for any
-    # future bench entry that calls entry_queries._fd
+    # entry_queries' per-session caches get the same treatment — ALL of
+    # them, not just _FD_CACHE: the raw-RDD sweep below would free their
+    # blocks while the Python dict entries survive, recreating the
+    # silent no-op re-persist hazard on the next pass for every bench
+    # entry that routes through a shared frame (co-purchase edges under
+    # the graph queries, the IC/turnover frames under full_tear_sheet,
+    # the stock rollup under important_stock)
     from alphalens_spark import entry_queries as _eq
 
-    for _df in _eq._FD_CACHE.values():
-        _df.unpersist()
-    _eq._FD_CACHE.clear()
+    for _cache in (
+        _eq._FD_CACHE, _eq._COPURCHASE_CACHE, _eq._IC_CACHE,
+        _eq._TO_CACHE, _eq._STOCK_CACHE,
+    ):
+        for _df in _cache.values():
+            _df.unpersist()
+        _cache.clear()
     # then free every remaining persistent RDD — px's localCheckpoint
     # blocks survive DataFrame.unpersist and would leak across passes
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
