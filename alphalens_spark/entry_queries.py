@@ -9076,6 +9076,76 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
 ORACLES["purchase_hits"] = _purchase_hits_oracle()
 
 
+def q_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart, Jeh & Widom
+    WWW'03) from the max-degree part over the weighted symmetrized
+    co-purchase graph — 'items related to X' as stationary visit mass,
+    the seed-anchored companion to the global transition_pagerank.
+    Runs the DISTRIBUTED loop (small_graph_edges=0) with teleport and
+    dangling mass landing on the seed; the oracle replays the identical
+    8 rounds via graph.pagerank_sql's personalized CTE chain."""
+    from alphalens_spark.graph import pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("n_baskets").alias("weight"),
+    ).unionByName(
+        edges.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("dst"),
+            F.col("n_baskets").alias("weight"),
+        )
+    )
+    deg = (
+        edges.select(F.col("item_a").alias("node"))
+        .unionByName(edges.select(F.col("item_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    seeds = (
+        deg.orderBy(F.col("d").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    return _finalize(
+        pagerank(
+            sym, n_iter=8, weight_col="weight", small_graph_edges=0,
+            personalization=seeds,
+        )
+    )
+
+
+def _copurchase_ppr_oracle() -> str:
+    from alphalens_spark.graph import pagerank_sql
+
+    pairs = r"""
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c FROM
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+    JOIN
+    (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2"""
+    edges_cte = f"""
+SELECT src, dst, CAST(w AS DOUBLE) AS w FROM (
+  SELECT item_a AS src, item_b AS dst, c AS w FROM ({pairs})
+  UNION ALL
+  SELECT item_b, item_a, c FROM ({pairs})
+)"""
+    sources_cte = f"""
+SELECT node, 1.0 AS weight FROM (
+  SELECT node, count(*) AS d FROM (
+    SELECT item_a AS node FROM ({pairs})
+    UNION ALL SELECT item_b FROM ({pairs})
+  ) GROUP BY 1 ORDER BY d DESC, node ASC LIMIT 1
+)"""
+    return pagerank_sql(edges_cte, n_iter=8, sources_cte=sources_cte)
+
+
+ORACLES["copurchase_ppr"] = _copurchase_ppr_oracle()
+
+
 def q_quantile_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max drawdown + trough date of each quantile's compounded daily
     mean return (performance.max_drawdown — log-space running peak, so
@@ -11762,6 +11832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_sssp": q_copurchase_sssp,
     "copurchase_communities": q_copurchase_communities,
     "purchase_hits": q_purchase_hits,
+    "copurchase_ppr": q_copurchase_ppr,
     "survival_km": q_survival_km,
     "search_hybrid_rrf": q_search_hybrid_rrf,
     "rake_keywords": q_rake_keywords,

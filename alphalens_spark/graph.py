@@ -33,14 +33,24 @@ def pagerank(
     weight_col: str | None = None,
     checkpoint_every: int = 3,
     small_graph_edges: int = 500_000,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
-    """Weighted PageRank with uniform dangling-mass redistribution.
+    """Weighted PageRank with uniform dangling-mass redistribution —
+    or, with ``personalization``, PERSONALIZED PageRank (random walk
+    with restart, Jeh & Widom WWW'03).
 
-    ``pr_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} pr_t(u)·w(u,v)/outw(u) + D_t/N)``
-    where ``D_t`` is the rank mass sitting on dangling nodes (no
-    out-edges) at step t. Fixed ``n_iter`` power iterations from the
-    uniform start — deterministic, so the whole computation replays as
-    an unrolled SQL CTE chain for the value oracle.
+    Uniform: ``pr_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} pr_t(u)·w(u,v)/outw(u)
+    + D_t/N)`` where ``D_t`` is the rank mass sitting on dangling nodes
+    (no out-edges) at step t. Personalized: every ``/N`` teleport term
+    becomes ``·s(v)`` — the normalized seed distribution — and the walk
+    starts at ``s`` instead of uniform, so mass concentrates around the
+    seeds ("items related to X" over a co-purchase graph, trust
+    propagation from a verified set). ``personalization`` carries a
+    ``node`` column and an optional ``weight`` column (default 1 each);
+    seeds are restricted to graph nodes and must be non-empty after the
+    restriction. Fixed ``n_iter`` power iterations — deterministic, so
+    both variants replay as unrolled SQL CTE chains for the value
+    oracle.
 
     ``weight_col=None`` treats every edge as weight 1; parallel edges
     accumulate. Output: (node, pagerank), one row per distinct node
@@ -64,8 +74,23 @@ def pagerank(
     # eigh and the IVF coarse quantizer. The guard is the REDUCED edge
     # count (nodes ≤ 2·edges), so any real graph falls through to the
     # distributed loop below.
+    seeds = None
+    if personalization is not None:
+        pw = (
+            F.col("weight").cast("double")
+            if "weight" in personalization.columns
+            else F.lit(1.0)
+        )
+        seeds = personalization.select(F.col("node"), pw.alias("_w"))
+
     if small_graph_edges and e.count() <= small_graph_edges:
-        return _pagerank_driver(e, n_iter, damping)
+        # seed set is bounded by the small-graph guard itself here
+        seed_rows = (
+            [(r["node"], r["_w"]) for r in seeds.collect()]
+            if seeds is not None
+            else None
+        )
+        return _pagerank_driver(e, n_iter, damping, seed_rows)
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -87,9 +112,28 @@ def pagerank(
     # on a 25-edge graph.
     n_nodes = nodes.count()
 
-    ranks = nodes.select(
-        "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr")
-    )
+    tele = None
+    if seeds is not None:
+        # restrict to graph nodes, normalize to a distribution, and pin
+        # s(v) = 0 on every non-seed node; the restricted-seed total is a
+        # bounded scalar (1-row agg, the n_nodes contract)
+        in_graph = seeds.join(nodes, "node")
+        tot = in_graph.agg(F.sum("_w").alias("t")).collect()[0]["t"]
+        if not tot:
+            raise ValueError(
+                "personalization seeds have zero total weight on this graph"
+            )
+        tele = nodes.join(in_graph, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("_w"), F.lit(0.0)) / F.lit(float(tot))).alias(
+                "_s"
+            ),
+        ).localCheckpoint(eager=True)
+        ranks = tele.select("node", F.col("_s").alias("pr"))
+    else:
+        ranks = nodes.select(
+            "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr")
+        )
     has_out = outw.select(F.col("src").alias("node")).distinct()
     dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint(
         eager=True
@@ -107,22 +151,27 @@ def pagerank(
             .agg(F.sum(F.col("pr") * F.col("p")).alias("_c"))
             .withColumnRenamed("dst", "node")
         )
-        nxt = nodes.join(contrib, "node", "left")
+        base = tele if tele is not None else nodes
+        nxt = base.join(contrib, "node", "left")
         if any_dangling:
             dang = dangling_nodes.join(ranks, "node").agg(
                 F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang")
             )  # 1 row
             nxt = nxt.crossJoin(F.broadcast(dang))
-            dang_term = F.col("_dang") / F.lit(float(n_nodes))
+            dang_mass = F.col("_dang")
         else:
-            dang_term = F.lit(0.0)
-        ranks = nxt.select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n_nodes)
-                + damping * (F.coalesce(F.col("_c"), F.lit(0.0)) + dang_term)
-            ).alias("pr"),
-        )
+            dang_mass = F.lit(0.0)
+        if tele is not None:
+            # personalized: every /N teleport term becomes ·s(v)
+            pr_expr = F.lit(1.0 - damping) * F.col("_s") + damping * (
+                F.coalesce(F.col("_c"), F.lit(0.0)) + dang_mass * F.col("_s")
+            )
+        else:
+            pr_expr = F.lit((1.0 - damping) / n_nodes) + damping * (
+                F.coalesce(F.col("_c"), F.lit(0.0))
+                + dang_mass / F.lit(float(n_nodes))
+            )
+        ranks = nxt.select("node", pr_expr.alias("pr"))
         # checkpoint every few iterations, not every one: each eager
         # checkpoint is a scheduled job (fixed latency that dominates on
         # small graphs), while lineage only needs to stay bounded —
@@ -141,10 +190,12 @@ def _pagerank_driver(
     e: DataFrame,
     n_iter: int,
     damping: float,
+    seed_rows: list | None = None,
 ) -> DataFrame:
     """Driver-local power iteration over a BOUNDED reduced edge list
     (callers guard size). Identical recurrence and float64 arithmetic as
-    the distributed loop; result returns as a small literal frame."""
+    the distributed loop (personalized when ``seed_rows`` is given);
+    result returns as a small literal frame."""
     import numpy as np
 
     rows = e.collect()
@@ -157,6 +208,27 @@ def _pagerank_driver(
     out = W.sum(axis=1)
     has_out = out > 0
     P = np.divide(W, out[:, None], out=np.zeros_like(W), where=has_out[:, None])
+    if seed_rows is not None:
+        s = np.zeros(n_nodes)
+        for node, wgt in seed_rows:
+            if node in idx:
+                s[idx[node]] += wgt
+        if s.sum() == 0:
+            raise ValueError(
+                "personalization seeds have zero total weight on this graph"
+            )
+        s = s / s.sum()
+        pr = s.copy()
+        for _ in range(n_iter):
+            dang = pr[~has_out].sum()
+            pr = (1.0 - damping) * s + damping * (P.T @ pr + dang * s)
+        spark = e.sparkSession
+        out_schema = e.select(F.col("src").alias("node")).schema.add(
+            "pagerank", "double"
+        )
+        return spark.createDataFrame(
+            [(v, float(pr[idx[v]])) for v in node_list], schema=out_schema
+        )
     pr = np.full(n_nodes, 1.0 / n_nodes)
     for _ in range(n_iter):
         dang = pr[~has_out].sum()
@@ -403,13 +475,20 @@ def pagerank_sql(
     n_iter: int = 10,
     damping: float = 0.85,
     round_dp: int = 6,
+    sources_cte: str | None = None,
 ) -> str:
     """Unrolled-CTE SQL twin of :func:`pagerank` for DuckDB oracles.
 
-    ``edges_cte`` must be a SELECT producing (src, dst, w). Returns a
-    full query emitting (node, pagerank) after ``n_iter`` iterations —
-    textbook power iteration written as chained CTEs, one pair per step.
+    ``edges_cte`` must be a SELECT producing (src, dst, w). With
+    ``sources_cte`` (a SELECT producing (node, weight)) the chain
+    replays the PERSONALIZED variant: teleport and dangling mass land
+    on the normalized seed distribution instead of 1/N, starting from
+    the seeds. Returns a full query emitting (node, pagerank) after
+    ``n_iter`` iterations — textbook power iteration written as chained
+    CTEs, one pair per step.
     """
+    if sources_cte is not None:
+        return _ppr_sql(edges_cte, sources_cte, n_iter, damping, round_dp)
     d = damping
     # Every CTE is AS MATERIALIZED: r{i} is referenced twice per step
     # (dangling mass + contributions), so default inlining would expand
@@ -443,6 +522,60 @@ def pagerank_sql(
             f"(1.0 - {d}) / (SELECT n FROM nn) + {d} * ("
             f"coalesce(c.c, 0.0) + (SELECT m FROM d{i}) / (SELECT n FROM nn)"
             f") AS pr FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, round(pr, {round_dp}) AS pagerank FROM r{n_iter}"
+    )
+
+
+def _ppr_sql(
+    edges_cte: str,
+    sources_cte: str,
+    n_iter: int,
+    damping: float,
+    round_dp: int,
+) -> str:
+    """The personalized unrolled chain behind pagerank_sql(sources_cte=…):
+    identical edge/node/dangling scaffolding, with teleport mass landing
+    on the normalized seed distribution ``tele.s`` and the walk starting
+    at the seeds — matching :func:`pagerank`'s personalized expressions
+    term for term."""
+    d = damping
+    parts = [
+        f"WITH eraw AS MATERIALIZED ({edges_cte})",
+        "e0 AS MATERIALIZED (SELECT src, dst, sum(w) AS w FROM eraw GROUP BY 1, 2)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e0 UNION SELECT dst FROM e0))",
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1)",
+        "e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w / outw.outw AS p "
+        "FROM e0 JOIN outw ON e0.src = outw.src)",
+        "dn AS MATERIALIZED (SELECT node FROM nodes nd WHERE NOT EXISTS "
+        "(SELECT 1 FROM e0 WHERE e0.src = nd.node))",
+        f"s0 AS MATERIALIZED (SELECT s.node, CAST(s.weight AS DOUBLE) AS w "
+        f"FROM ({sources_cte}) s WHERE EXISTS "
+        f"(SELECT 1 FROM nodes n WHERE n.node = s.node))",
+        "st AS MATERIALIZED (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM s0)",
+        "tele AS MATERIALIZED (SELECT n.node, "
+        "coalesce(s.w, 0.0) / (SELECT tw FROM st) AS s "
+        "FROM nodes n LEFT JOIN s0 s ON n.node = s.node)",
+        "r0 AS MATERIALIZED (SELECT node, s AS pr FROM tele)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS m "
+            f"FROM r{i} WHERE node IN (SELECT node FROM dn))"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS node, sum(r.pr * e.p) AS c "
+            f"FROM e JOIN r{i} r ON e.src = r.node GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT t.node, "
+            f"(1.0 - {d}) * t.s + {d} * ("
+            f"coalesce(c.c, 0.0) + (SELECT m FROM d{i}) * t.s"
+            f") AS pr FROM tele t LEFT JOIN c{i} c ON t.node = c.node)"
         )
     body = ",\n".join(parts)
     return (
