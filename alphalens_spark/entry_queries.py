@@ -8669,6 +8669,51 @@ SELECT item_a AS src, item_b AS dst FROM (
 ORACLES["copurchase_communities"] = _copurchase_communities_oracle()
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-cosine drift between two embedding snapshots
+    (scale.similarity.embedding_drift; even vec_ids = reference, odd =
+    current) — the vector-space drift alarm next to PSI/KS. One
+    posexplode + (label, dim) mean per side, a dimension-keyed centroid
+    join, per-label 1-row cosine; raw vectors never pair-join."""
+    from alphalens_spark.scale.similarity import embedding_drift
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    return _finalize(embedding_drift(ref, cur))
+
+
+ORACLES["embedding_drift"] = r"""
+WITH ex AS MATERIALIZED (
+  SELECT label, vec_id % 2 AS half, i.i AS pos,
+         CAST(embedding[i.i + 1] AS DOUBLE) AS v
+  FROM embeddings, range(0, 64) i(i)
+),
+cent AS MATERIALIZED (
+  SELECT label, half, pos, avg(v) AS m FROM ex GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT r.label, sum(r.m * c.m) AS dot,
+         sum(r.m * r.m) AS nr2, sum(c.m * c.m) AS nc2
+  FROM (SELECT * FROM cent WHERE half = 0) r
+  JOIN (SELECT * FROM cent WHERE half = 1) c
+    ON r.label = c.label AND r.pos = c.pos
+  GROUP BY 1
+),
+n AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM embeddings GROUP BY 1
+)
+SELECT j.label, n.n_ref, n.n_cur,
+       round(dot / (sqrt(nr2) * sqrt(nc2)), 6) + 0.0 AS cos_sim,
+       round(1.0 - dot / (sqrt(nr2) * sqrt(nc2)), 6) + 0.0 AS drift
+FROM j JOIN n ON j.label = n.label"""
+
+
 def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity risk report (scale.governance.k_anonymity_report,
     Sweeney 2002) over the customer table's (nation, market-segment)
@@ -11838,6 +11883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keywords": q_rake_keywords,
     "readability": q_readability,
     "k_anonymity_customers": q_k_anonymity_customers,
+    "embedding_drift": q_embedding_drift,
     "dp_order_counts": q_dp_order_counts,
     "fd_violations_docs": q_fd_violations_docs,
     "quantile_drawdown": q_quantile_drawdown,

@@ -1276,3 +1276,64 @@ def rrf_fuse(
         fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
         .where(F.col("fused_rank") <= topk)
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine similarity
+    between the reference snapshot's centroid and the current one's —
+    the vector-space sibling of the scalar drift pair (PSI for
+    distributions, KS for samples). A feed whose class/topic centroids
+    rotate is drifting even when every scalar profile looks stable;
+    this is the alarm a retraining trigger watches on an embedding
+    column.
+
+    Scale shape: each side is ONE posexplode → groupBy (label, dim)
+    mean — linear in rows, state bounded by |labels|·dim — then a
+    dimension-keyed join of the two centroid tables and a per-label
+    1-row cosine aggregate. Raw vectors never pair-join. Means and the
+    final cosine carry the usual 6-dp rounding (groupBy float sums are
+    summation-order noisy at the ulp level, the round-4 lesson).
+    Output: (label, n_ref, n_cur, cos_sim, drift = round(1 − cos, 6)).
+    """
+
+    def centroids(df, tag):
+        return (
+            df.select(
+                F.col(label_col).alias("label"),
+                F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+            )
+            .groupBy("label", "pos")
+            .agg(F.avg(F.col("_v").cast("double")).alias(tag))
+        )
+
+    cr = centroids(ref, "mr")
+    cc = centroids(cur, "mc")
+    nr = ref.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref")
+    )
+    nc = cur.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cur")
+    )
+    j = cr.join(cc, ["label", "pos"])
+    per = j.groupBy("label").agg(
+        F.sum(F.col("mr") * F.col("mc")).alias("_dot"),
+        F.sum(F.col("mr") * F.col("mr")).alias("_nr2"),
+        F.sum(F.col("mc") * F.col("mc")).alias("_nc2"),
+    )
+    cos = F.col("_dot") / (F.sqrt(F.col("_nr2")) * F.sqrt(F.col("_nc2")))
+    return (
+        per.join(nr, "label")
+        .join(nc, "label")
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            (F.round(cos, 6) + F.lit(0.0)).alias("cos_sim"),
+            (F.round(F.lit(1.0) - cos, 6) + F.lit(0.0)).alias("drift"),
+        )
+    )

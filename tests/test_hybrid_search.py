@@ -85,3 +85,22 @@ def test_rrf_topk_truncates(spark):
         [(1, d, d) for d in range(1, 30)], "query_id long, doc_id long, rnk int"
     )
     assert rrf_fuse([leg], 60, 5).count() == 5
+
+
+def test_embedding_drift_identity_and_rotation(spark):
+    from alphalens_spark.scale.similarity import embedding_drift
+
+    base = [(i, "l0", [1.0, 0.0, 0.0, float(i % 3)]) for i in range(12)]
+    df = spark.createDataFrame(
+        base, "vec_id long, label string, embedding array<double>"
+    )
+    same = {r["label"]: r for r in embedding_drift(df, df).collect()}
+    assert same["l0"]["cos_sim"] == 1.0 and same["l0"]["drift"] == 0.0
+    assert same["l0"]["n_ref"] == 12 and same["l0"]["n_cur"] == 12
+    rotated = spark.createDataFrame(
+        [(i, "l0", [0.0, 1.0, 0.0, float(i % 3)]) for i in range(12)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    rot = {r["label"]: r for r in embedding_drift(df, rotated).collect()}
+    assert 0.0 < rot["l0"]["cos_sim"] < 1.0
+    assert rot["l0"]["drift"] == pytest.approx(1.0 - rot["l0"]["cos_sim"], abs=2e-6)
