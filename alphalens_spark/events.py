@@ -1511,6 +1511,18 @@ def kaplan_meier(
             F.sum(F.lit(1) - ev).alias("n_censored"),
         )
     )
+    return km_from_counts(per_t, keys)
+
+
+def km_from_counts(per_t: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """The Kaplan-Meier estimator applied to an aggregated per-time
+    count table (group… + t, n_events, n_censored) — shared by
+    :func:`kaplan_meier` (which aggregates subjects first) and the
+    streaming survival-counter store readout (which reads the persisted
+    counters), so estimator fixes land once. Same windows-over-the-
+    duration-dimension shape and log-space parity discipline as
+    documented on :func:`kaplan_meier`."""
+    keys = list(group_cols)
     w_all = Window.partitionBy(*keys)
     w_prev = (
         Window.partitionBy(*keys)

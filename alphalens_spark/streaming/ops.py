@@ -651,6 +651,89 @@ def merge_hll_stores(
     )
 
 
+def km_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    group_cols: list[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> None:
+    """One incremental survival-counter maintenance step — the
+    Kaplan-Meier store, an ADDITION-algebra member: per (group, t) the
+    observed-event and censored counts, which sum over disjoint subject
+    batches (each subject's final (duration, event) arrives exactly
+    once — the same exactly-once group contract as the co-occurrence
+    store's basket-complete batches). The store stays bounded by
+    |groups| × duration-domain rows forever; the KM curve is a pure
+    function of the counters, read with :func:`km_store_survival`.
+    Compaction across generations is plain
+    :func:`merge_counter_stores` on (n_events, n_censored)."""
+    from pyspark.sql.utils import AnalysisException
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    ev = F.col(event_col).cast("int")
+    batch_c = (
+        batch_df.where(F.col(duration_col).isNotNull() & ev.isNotNull())
+        .groupBy(*group_cols, F.col(duration_col).cast("long").alias("t"))
+        .agg(
+            F.sum(ev).alias("n_events"),
+            F.sum(F.lit(1) - ev).alias("n_censored"),
+        )
+    )
+    try:
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(batch_c)
+            .groupBy(*group_cols, "t")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("n_censored").alias("n_censored"),
+            )
+        )
+    except AnalysisException:  # first batch
+        merged = batch_c
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def km_store_survival(
+    spark: SparkSession, store_path: str, group_cols: list[str]
+) -> DataFrame:
+    """Kaplan-Meier curves off a maintained survival-counter store —
+    the same estimator as events.kaplan_meier (events.km_from_counts is
+    shared by both), applied to the persisted per-(group, t) counts."""
+    from alphalens_spark.events import km_from_counts
+
+    return km_from_counts(spark.read.parquet(store_path), group_cols)
+
+
+def stream_km_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    available_now: bool = False,
+):
+    """Maintain the survival-counter store from a stream of finished
+    subjects via foreachBatch — bounded state, exact equality with the
+    batch KM curve of everything ever seen (counter addition)."""
+
+    def _step(batch_df: DataFrame, _bid: int) -> None:
+        km_store_update(batch_df, store_path, group_cols, duration_col, event_col)
+
+    w = stream_df.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def hist_store_update(
     batch_df: DataFrame,
     store_path: str,

@@ -68,3 +68,46 @@ def test_km_groups_independent(spark):
     assert rows[("a", 3)] == pytest.approx(0.5)
     assert rows[("a", 4)] == pytest.approx(0.5)  # censor leaves S flat
     assert rows[("b", 1)] == 0.0
+
+
+def test_km_store_incremental_equals_oneshot_and_compacts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from alphalens_spark.events import kaplan_meier
+    from alphalens_spark.streaming.ops import (
+        km_store_survival,
+        km_store_update,
+        merge_counter_stores,
+    )
+
+    df = spark.createDataFrame(
+        [("g", d, e) for d, e in SIX_MP], "g string, duration int, event int"
+    )
+    want = {
+        (r["g"], r["t"]): tuple(r)
+        for r in kaplan_meier(df, ["g"]).collect()
+    }
+    # two disjoint subject batches -> one store
+    store = str(tmp_path / "km")
+    km_store_update(df.where(F.col("duration") % 2 == 0), store, ["g"])
+    km_store_update(df.where(F.col("duration") % 2 == 1), store, ["g"])
+    got = {
+        (r["g"], r["t"]): tuple(r)
+        for r in km_store_survival(spark, store, ["g"]).collect()
+    }
+    assert got == want
+    # two independent generations -> merge_counter_stores compaction
+    gens = []
+    for i in (0, 1):
+        p = str(tmp_path / f"gen{i}")
+        km_store_update(df.where(F.col("duration") % 2 == i), p, ["g"])
+        gens.append(p)
+    merged = str(tmp_path / "merged")
+    merge_counter_stores(
+        spark, gens, merged, ["g", "t"], ["n_events", "n_censored"]
+    )
+    got2 = {
+        (r["g"], r["t"]): tuple(r)
+        for r in km_store_survival(spark, merged, ["g"]).collect()
+    }
+    assert got2 == want
