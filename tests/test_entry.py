@@ -69,6 +69,9 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # centered trend window over the DAILY rollup (one row per day,
         # bounded by the date dimension)
         "seasonal_daily_revenue",
+        # cumulative counts over the DISTINCT-SCORE dimension (≤ 1e6+1
+        # rows by the integer-grid contract, never row-count-sized)
+        "auc_stopword_en",
     }
     FACT_WIDTH = {
         t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)

@@ -1,0 +1,52 @@
+"""Calibration + AUC evaluation ops against sklearn-style hand
+references."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphalens_spark.scale.evaluation import auc_score, reliability_report
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "score_e6 long, y int")
+
+
+def test_reliability_bins_and_brier(spark):
+    rows = [
+        (50_000, 0), (150_000, 0), (150_000, 1),   # bins 0, 1, 1
+        (950_000, 1), (1_000_000, 1),              # bins 9 (1e6 clamps)
+    ]
+    out = {r["bin"]: r for r in reliability_report(_scored(spark, rows), "score_e6", "y").collect()}
+    assert out[0]["n"] == 1 and out[0]["n_pos"] == 0
+    assert out[1]["n"] == 2 and out[1]["n_pos"] == 1
+    assert out[1]["avg_score_e6"] == 150_000
+    assert out[1]["pos_rate_e6"] == 500_000
+    assert out[9]["n"] == 2 and out[9]["n_pos"] == 2
+    # brier contribution: (0.05-0)^2 -> 50000^2
+    assert out[0]["brier_e12_sum"] == 50_000**2
+    assert out[9]["brier_e12_sum"] == 50_000**2 + 0  # (0.95-1)^2 + (1-1)^2
+
+
+def test_auc_perfect_random_and_ties(spark):
+    perfect = [(100_000, 0)] * 5 + [(900_000, 1)] * 5
+    r = auc_score(_scored(spark, perfect), "score_e6", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (5, 5, 1.0)
+
+    inverted = [(900_000, 0)] * 5 + [(100_000, 1)] * 5
+    assert auc_score(_scored(spark, inverted), "score_e6", "y").collect()[0]["auc"] == 0.0
+
+    # all tied -> 0.5 exactly (average ranks)
+    tied = [(500_000, 0)] * 4 + [(500_000, 1)] * 6
+    assert auc_score(_scored(spark, tied), "score_e6", "y").collect()[0]["auc"] == 0.5
+
+
+def test_auc_matches_pairwise_definition(spark):
+    # AUC = P(score_pos > score_neg) + 0.5 P(tie), brute-forced
+    rows = [(10, 0), (20, 1), (20, 0), (30, 1), (40, 0), (50, 1)]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    want = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    r = auc_score(_scored(spark, rows), "score_e6", "y").collect()[0]
+    assert r["auc"] == pytest.approx(round(want, 6), abs=1e-9)
