@@ -8767,6 +8767,111 @@ FROM agg"""
 )
 
 
+def q_ap_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (scale.evaluation.average_precision,
+    sklearn's step-wise PR-area definition) of the stopword-ratio
+    English classifier — cumulative TP/total counts over the
+    DISTINCT-score grid, the AP sum as an ordered-window running total
+    (deterministic sequential accumulation), last row wins."""
+    from alphalens_spark.scale.evaluation import average_precision
+
+    return _finalize(
+        average_precision(_stopword_scored(spark, sf_dir), "score_e6", "y")
+    )
+
+
+ORACLES["ap_stopword_en"] = (
+    "WITH sc AS MATERIALIZED (" + _STOPWORD_SCORED_SQL + r"""),
+per_s AS (
+  SELECT score_e6 AS s, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS np
+  FROM sc GROUP BY 1
+),
+cum AS (
+  SELECT s, n, np,
+         sum(n) OVER w AS total,
+         sum(np) OVER w AS tp,
+         sum(np) OVER () AS npos,
+         sum(n - np) OVER () AS nneg
+  FROM per_s
+  WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+run AS (
+  SELECT total, npos, nneg,
+         sum((CAST(np AS DOUBLE) / CAST(npos AS DOUBLE))
+             * (CAST(tp AS DOUBLE) / CAST(total AS DOUBLE)))
+           OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS ap
+  FROM cum
+)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       round(ap, 6) + 0.0 AS average_precision
+FROM run ORDER BY total DESC LIMIT 1"""
+)
+
+
+def q_welch_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (events.welch_ttest) on mean
+    order value between BUILDING- and MACHINERY-segment customers —
+    the continuous-metric A/B companion to ab_test_ztest. Each side is
+    one 1-row aggregate with DECIMAL-exact Σv and Σv² on the cent
+    grid, so t and the Welch-Satterthwaite df evaluate identically on
+    both engines."""
+    from alphalens_spark.events import welch_ttest
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v_e2"),
+    )
+    a = j.where(F.col("c_mktsegment") == "BUILDING")
+    b = j.where(F.col("c_mktsegment") == "MACHINERY")
+    return _finalize(welch_ttest(a, b, "v_e2", scale=100.0))
+
+
+ORACLES["welch_price_test"] = r"""
+WITH j AS MATERIALIZED (
+  SELECT c.c_mktsegment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+s AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         sum(v) AS s1, sum(v * v) AS s2
+  FROM j GROUP BY 1
+),
+w AS (
+  SELECT
+    (SELECT n FROM s WHERE c_mktsegment = 'BUILDING') AS n_a,
+    (SELECT CAST(s1 AS DOUBLE) FROM s WHERE c_mktsegment = 'BUILDING') AS s1a,
+    (SELECT CAST(s2 AS DOUBLE) FROM s WHERE c_mktsegment = 'BUILDING') AS s2a,
+    (SELECT n FROM s WHERE c_mktsegment = 'MACHINERY') AS n_b,
+    (SELECT CAST(s1 AS DOUBLE) FROM s WHERE c_mktsegment = 'MACHINERY') AS s1b,
+    (SELECT CAST(s2 AS DOUBLE) FROM s WHERE c_mktsegment = 'MACHINERY') AS s2b
+),
+c AS (
+  SELECT n_a, n_b,
+         s1a / n_a AS ma, s1b / n_b AS mb,
+         (s2a - (s1a * s1a) / n_a) / (n_a - 1.0) AS va,
+         (s2b - (s1b * s1b) / n_b) / (n_b - 1.0) AS vb
+  FROM w
+)
+SELECT n_a, n_b,
+       round(ma * 0.01, 6) + 0.0 AS mean_a,
+       round(mb * 0.01, 6) + 0.0 AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) + 0.0 AS t_stat,
+       round(((va / n_a + vb / n_b) * (va / n_a + vb / n_b))
+             / ((va / n_a) * (va / n_a) / (n_a - 1.0)
+                + (vb / n_b) * (vb / n_b) / (n_b - 1.0)), 6) + 0.0 AS df
+FROM c"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid-cosine drift between two embedding snapshots
     (scale.similarity.embedding_drift; even vec_ids = reference, odd =
@@ -12035,6 +12140,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_drift": q_embedding_drift,
     "reliability_stopword_en": q_reliability_stopword_en,
     "auc_stopword_en": q_auc_stopword_en,
+    "ap_stopword_en": q_ap_stopword_en,
+    "welch_price_test": q_welch_price_test,
     "dp_order_counts": q_dp_order_counts,
     "fd_violations_docs": q_fd_violations_docs,
     "quantile_drawdown": q_quantile_drawdown,

@@ -1558,3 +1558,62 @@ def km_from_counts(per_t: DataFrame, group_cols: Sequence[str]) -> DataFrame:
         F.col("n_censored").cast("long").alias("n_censored"),
         (F.round(surv, 6) + F.lit(0.0)).alias("survival"),
     )
+
+
+def welch_ttest(
+    a: DataFrame,
+    b: DataFrame,
+    value_int_col: str,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Welch's two-sample t-test for MEANS (unequal variances) — the
+    continuous-metric companion to :func:`ab_test_ztest`'s proportion
+    test: revenue per order, latency, tokens per document. Reports the
+    t statistic and the Welch-Satterthwaite degrees of freedom; attach
+    a p-value driver-side with ``performance.student_t_sf`` (the
+    ic_summary precedent — the incomplete beta is not SQL-expressible,
+    everything else is).
+
+    Contract: ``value_int_col`` is an INTEGER-grid metric (e.g.
+    ``round(price·100)``; ``scale`` converts means back). Each side is
+    ONE 1-row aggregate with DECIMAL(38,0)-exact Σv and Σv² (a BIGINT
+    Σv² overflows at ~3e9·√rows), so both engines see identical exact
+    integers and the t/df doubles evaluate identically. Output: one row
+    (n_a, n_b, mean_a, mean_b, t_stat, df).
+    """
+
+    def side(df, tag):
+        v = F.col(value_int_col).cast("decimal(38,0)")
+        return df.agg(
+            F.count(value_int_col).cast("long").alias(f"n_{tag}"),
+            F.sum(v).alias(f"s1_{tag}"),
+            F.sum(v * v).alias(f"s2_{tag}"),
+        )
+
+    row = side(a, "a").crossJoin(F.broadcast(side(b, "b")))  # 1×1 rows
+
+    def stats(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        s1 = F.col(f"s1_{tag}").cast("double")
+        s2 = F.col(f"s2_{tag}").cast("double")
+        mean = s1 / n
+        var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
+        return n, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    inv = F.lit(1.0 / scale)
+    return row.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        (F.round(ma * inv, 6) + F.lit(0.0)).alias("mean_a"),
+        (F.round(mb * inv, 6) + F.lit(0.0)).alias("mean_b"),
+        (F.round(t, 6) + F.lit(0.0)).alias("t_stat"),
+        (F.round(dof, 6) + F.lit(0.0)).alias("df"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["reliability_report", "auc_score"]
+__all__ = ["reliability_report", "auc_score", "average_precision"]
 
 
 def reliability_report(
@@ -113,4 +113,60 @@ def auc_score(
         F.col("_npos").cast("long").alias("n_pos"),
         F.col("_nneg").cast("long").alias("n_neg"),
         (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
+    )
+
+
+def average_precision(
+    scored: DataFrame,
+    score_e6_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact average precision (the step-wise PR-curve area, sklearn's
+    ``average_precision_score`` definition): AP = Σ_k (R_k − R_{k−1})·P_k
+    over descending score thresholds, ties collapsed per threshold —
+    the ranking metric that, unlike AUC, weights the head of the
+    ranking where retrieval/filter decisions actually happen.
+
+    Same scale shape as :func:`auc_score`: rows collapse to the
+    DISTINCT-score dimension (bounded by the 1e-6 grid), cumulative
+    TP/total counts come from an ordered window over that bounded grid,
+    and the AP sum itself is ANOTHER ordered-window running sum (its
+    terms are genuine fractions, so sequential frame-order accumulation
+    — deterministic on both engines — replaces the order-unstable
+    groupBy float sum); the last running-total row is the answer.
+    Output: one row (n_pos, n_neg, average_precision).
+    """
+    s = F.col(score_e6_col).cast("long")
+    y = F.col(label_col).cast("long")
+    per_s = scored.groupBy(s.alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(y).cast("long").alias("_np"),
+    )
+    w_desc = Window.orderBy(F.col("_s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = per_s.select(
+        "_s",
+        "_n",
+        "_np",
+        F.sum("_n").over(w_desc).alias("_all"),
+        F.sum("_np").over(w_desc).alias("_tp"),
+        F.sum("_np").over(w_all).alias("_npos"),
+        F.sum(F.col("_n") - F.col("_np")).over(w_all).alias("_nneg"),
+    )
+    term = (
+        F.col("_np").cast("double") / F.col("_npos").cast("double")
+    ) * (F.col("_tp").cast("double") / F.col("_all").cast("double"))
+    run = cum.select(
+        "_all",
+        "_npos",
+        "_nneg",
+        F.sum(term).over(w_desc).alias("_ap"),
+    )
+    last = run.orderBy(F.col("_all").desc()).limit(1)
+    return last.select(
+        F.col("_npos").cast("long").alias("n_pos"),
+        F.col("_nneg").cast("long").alias("n_neg"),
+        (F.round(F.col("_ap"), 6) + F.lit(0.0)).alias("average_precision"),
     )

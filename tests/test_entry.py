@@ -72,6 +72,7 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # cumulative counts over the DISTINCT-SCORE dimension (≤ 1e6+1
         # rows by the integer-grid contract, never row-count-sized)
         "auc_stopword_en",
+        "ap_stopword_en",
     }
     FACT_WIDTH = {
         t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)
@@ -159,6 +160,8 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # two 1-row L1-normalizer broadcasts per HITS iteration (the
         # transition_pagerank pattern: scalar sums riding node-key joins)
         "purchase_hits",
+        # the 1-row × 1-row cross of the two Welch side aggregates
+        "welch_price_test",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":

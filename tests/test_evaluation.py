@@ -50,3 +50,52 @@ def test_auc_matches_pairwise_definition(spark):
     ) / (len(pos) * len(neg))
     r = auc_score(_scored(spark, rows), "score_e6", "y").collect()[0]
     assert r["auc"] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_average_precision_matches_sklearn_definition(spark):
+    # hand example with ties; reference AP computed step-wise over
+    # descending distinct thresholds (sklearn average_precision_score)
+    rows = [(90, 1), (80, 0), (80, 1), (70, 0), (60, 1), (50, 0)]
+    from alphalens_spark.scale.evaluation import average_precision
+
+    # thresholds desc: 90 -> P=1/1 R=1/3; 80 -> P=2/3 R=2/3; 70 -> P=2/4;
+    # 60 -> P=3/5 R=3/3; 50 -> P=3/6
+    want = (1 / 3) * (1 / 1) + (1 / 3) * (2 / 3) + 0 + (1 / 3) * (3 / 5) + 0
+    r = average_precision(_scored(spark, rows), "score_e6", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (3, 3)
+    assert r["average_precision"] == pytest.approx(round(want, 6), abs=1e-9)
+
+    perfect = [(900_000, 1)] * 4 + [(100_000, 0)] * 4
+    r2 = average_precision(_scored(spark, perfect), "score_e6", "y").collect()[0]
+    assert r2["average_precision"] == 1.0
+
+
+def test_welch_ttest_matches_scipy_closed_form(spark):
+    import numpy as np
+
+    from alphalens_spark.events import welch_ttest
+
+    rng = np.random.default_rng(5)
+    xa = rng.integers(80, 140, size=40)
+    xb = rng.integers(100, 180, size=25)
+    a = spark.createDataFrame([(int(v),) for v in xa], "v long")
+    b = spark.createDataFrame([(int(v),) for v in xb], "v long")
+    r = welch_ttest(a, b, "v").collect()[0]
+    ma, mb = xa.mean(), xb.mean()
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    se2 = va / len(xa) + vb / len(xb)
+    t = (ma - mb) / np.sqrt(se2)
+    dof = se2**2 / (
+        (va / len(xa)) ** 2 / (len(xa) - 1) + (vb / len(xb)) ** 2 / (len(xb) - 1)
+    )
+    assert (r["n_a"], r["n_b"]) == (40, 25)
+    assert r["mean_a"] == pytest.approx(round(ma, 6), abs=1e-6)
+    assert r["t_stat"] == pytest.approx(round(float(t), 6), abs=1e-6)
+    assert r["df"] == pytest.approx(round(float(dof), 6), abs=1e-6)
+    try:
+        from scipy import stats as sps
+
+        ref = sps.ttest_ind(xa, xb, equal_var=False)
+        assert r["t_stat"] == pytest.approx(float(ref.statistic), abs=1e-6)
+    except ImportError:
+        pass
