@@ -8917,21 +8917,24 @@ SELECT j.label, n.n_ref, n.n_cur,
 FROM j JOIN n ON j.label = n.label"""
 
 
-def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity risk report (scale.governance.k_anonymity_report,
-    Sweeney 2002) over the customer table's (nation, market-segment)
-    quasi-identifier: per threshold k ∈ {2,5,10}, how many equivalence
-    classes and rows fail k-anonymity. Integer class-size arithmetic;
-    percentages multiply-first on the 1e-6 grid."""
-    from alphalens_spark.scale.governance import k_anonymity_report
+def q_k_anonymity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-threshold k-anonymity risk sweep (scale.governance.
+    k_anonymity_sweep, Sweeney 2002) over the customer table's
+    (nation, market-segment) quasi-identifier: per threshold
+    k ∈ {2,5,10}, how many equivalence classes and rows fail
+    k-anonymity — the risk CURVE next to k_anonymity_customers'
+    single-k screen (different QI and output shape). Integer
+    class-size arithmetic; percentages multiply-first on the 1e-6
+    grid."""
+    from alphalens_spark.scale.governance import k_anonymity_sweep
 
     cust = datasets.load_table(spark, sf_dir, "customer")
     return _finalize(
-        k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], [2, 5, 10])
+        k_anonymity_sweep(cust, ["c_nationkey", "c_mktsegment"], [2, 5, 10])
     )
 
 
-ORACLES["k_anonymity_customers"] = r"""
+ORACLES["k_anonymity_sweep"] = r"""
 WITH cls AS MATERIALIZED (
   SELECT c_nationkey, c_mktsegment, count(*) AS sz
   FROM customer GROUP BY 1, 2
@@ -12136,7 +12139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_hybrid_rrf": q_search_hybrid_rrf,
     "rake_keywords": q_rake_keywords,
     "readability": q_readability,
-    "k_anonymity_customers": q_k_anonymity_customers,
+    "k_anonymity_sweep": q_k_anonymity_sweep,
     "embedding_drift": q_embedding_drift,
     "reliability_stopword_en": q_reliability_stopword_en,
     "auc_stopword_en": q_auc_stopword_en,

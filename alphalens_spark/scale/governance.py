@@ -18,15 +18,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report", "dp_noisy_counts", "fd_violations"]
+__all__ = ["k_anonymity_sweep", "dp_noisy_counts", "fd_violations"]
 
 
-def k_anonymity_report(
+def k_anonymity_sweep(
     df: DataFrame,
     qi_cols: list[str],
     k_thresholds: list[int] = (2, 5, 10),
 ) -> DataFrame:
-    """Re-identification risk under a quasi-identifier set: group rows
+    """Re-identification risk under a quasi-identifier set, swept over
+    MULTIPLE k thresholds — the multi-k companion to
+    scale.curation.k_anonymity_report's single-k screen (that one also
+    ships suppression enforcement; this one reports the risk CURVE a
+    release review reads): group rows
     into equivalence classes on ``qi_cols`` (rows indistinguishable on
     the QI attributes) and report, per requested k, how much of the
     table fails k-anonymity — a class of size < k means its members are

@@ -9,15 +9,15 @@ from pyspark.sql import functions as F
 from alphalens_spark.scale.governance import (
     dp_noisy_counts,
     fd_violations,
-    k_anonymity_report,
+    k_anonymity_sweep,
 )
 
 
-def test_k_anonymity_counts(spark):
+def test_k_anonymity_sweep_counts(spark):
     # classes: (a,x)=3 rows, (a,y)=1, (b,x)=2
     rows = [("a", "x")] * 3 + [("a", "y")] + [("b", "x")] * 2
     df = spark.createDataFrame(rows, "q1 string, q2 string")
-    out = {r["k"]: r for r in k_anonymity_report(df, ["q1", "q2"], [2, 3]).collect()}
+    out = {r["k"]: r for r in k_anonymity_sweep(df, ["q1", "q2"], [2, 3]).collect()}
     assert out[2]["n_rows"] == 6 and out[2]["n_classes"] == 3
     assert out[2]["min_class_size"] == 1
     assert out[2]["n_classes_below"] == 1  # only the singleton
