@@ -44,7 +44,15 @@ def k_anonymity_sweep(
     Output: one row per threshold — (k, n_rows, n_classes,
     min_class_size, n_classes_below, n_rows_below, pct_rows_below_e6).
     """
-    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_sz"))
+    # materialize the class-size table once: each threshold's 1-row
+    # aggregate reads it, so the QI groupBy (the only data-sized stage)
+    # runs once instead of once per threshold (PLANS.md caught the
+    # 3-scan plan)
+    classes = (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .localCheckpoint(eager=True)
+    )
     rows = []
     for k in k_thresholds:
         below = F.col("_sz") < k
