@@ -9186,9 +9186,12 @@ dfreq AS MATERIALIZED (
   HAVING count(*) <= (SELECT n FROM nd) * 100 // 1000
 ),
 qterms AS MATERIALIZED (
+  -- query ids come from the EMBEDDINGS side (same set as the vector
+  -- leg) — doc_id % 20 alone diverges when the two tables' id ranges
+  -- differ, as they do at sf0.1 (2000 vecs vs 5000 docs)
   SELECT d.doc_id AS query_id, d.t, f.idf_e6
   FROM dterms d JOIN dfreq f USING (t)
-  WHERE d.doc_id % 20 = 0
+  WHERE EXISTS (SELECT 1 FROM q WHERE q.query_id = d.doc_id)
 ),
 pairs AS (
   SELECT qt.query_id, dt.doc_id,

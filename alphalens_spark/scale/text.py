@@ -1869,6 +1869,13 @@ def rare_term_overlap_topk(
     ``queries`` carries one column ``query_id`` (ids of documents in
     ``docs``). Self-matches are excluded. Output: (query_id, doc_id,
     n_shared_terms, score_e6, rnk ≤ k).
+
+    NOTE: calling this runs two eager jobs at PLAN-CONSTRUCTION time —
+    the distinct (doc, term) table materializes (localCheckpoint; it is
+    read by the df aggregate and both join sides) and ``docs`` is
+    counted for the integer df cap — the documented
+    budget_keep_condition/brute-force precedent for construction-time
+    side effects.
     """
     toks = _tokens(text_col)
     dterms = (
