@@ -8681,8 +8681,8 @@ def _stopword_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.expr(
-            f"CAST(size(filter(split(lower(trim(text)), '\\\\s+'), "
-            f"t -> array_contains(array({','.join(repr(s) for s in STOPWORDS_EN)}), t)))"
+            f"CAST(CAST(size(filter(split(lower(trim(text)), '\\\\s+'), "
+            f"t -> array_contains(array({','.join(repr(s) for s in STOPWORDS_EN)}), t))) AS BIGINT)"
             f" * 1000000 DIV greatest(1, size(split(lower(trim(text)), '\\\\s+')))"
             f" AS BIGINT)"
         ).alias("score_e6"),
@@ -8975,7 +8975,8 @@ WITH g AS (
 ),
 n AS (
   SELECT *,
-         ('0x' || substr(md5(CAST(o_orderpriority AS VARCHAR)
+         ('0x' || substr(md5(coalesce(CAST(o_orderpriority AS VARCHAR),
+                                      chr(0) || 'NULL')
                               || chr(31) || '11'), 1, 15))::BIGINT
            / 1152921504606846976.0 AS u
   FROM g

@@ -81,7 +81,15 @@ def pagerank(
             if "weight" in personalization.columns
             else F.lit(1.0)
         )
-        seeds = personalization.select(F.col("node"), pw.alias("_w"))
+        # aggregate per node FIRST: duplicate seed rows must accumulate
+        # (as the driver path's s[idx] += w does), not duplicate the
+        # node through the tele join (review finding — dup seeds gave
+        # duplicate output rows and total mass > 1)
+        seeds = (
+            personalization.select(F.col("node"), pw.alias("_w"))
+            .groupBy("node")
+            .agg(F.sum("_w").alias("_w"))
+        )
 
     if small_graph_edges and e.count() <= small_graph_edges:
         # seed set is bounded by the small-graph guard itself here
@@ -553,9 +561,10 @@ def _ppr_sql(
         "FROM e0 JOIN outw ON e0.src = outw.src)",
         "dn AS MATERIALIZED (SELECT node FROM nodes nd WHERE NOT EXISTS "
         "(SELECT 1 FROM e0 WHERE e0.src = nd.node))",
-        f"s0 AS MATERIALIZED (SELECT s.node, CAST(s.weight AS DOUBLE) AS w "
+        f"s0 AS MATERIALIZED (SELECT s.node, "
+        f"sum(CAST(s.weight AS DOUBLE)) AS w "
         f"FROM ({sources_cte}) s WHERE EXISTS "
-        f"(SELECT 1 FROM nodes n WHERE n.node = s.node))",
+        f"(SELECT 1 FROM nodes n WHERE n.node = s.node) GROUP BY 1)",
         "st AS MATERIALIZED (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM s0)",
         "tele AS MATERIALIZED (SELECT n.node, "
         "coalesce(s.w, 0.0) / (SELECT tw FROM st) AS s "
@@ -1031,6 +1040,8 @@ def hits(
     a real plan. Output: (node, hub, authority), one row per distinct
     endpoint.
     """
+    if n_iter < 1:
+        raise ValueError("hits requires n_iter >= 1")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())

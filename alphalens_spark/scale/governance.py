@@ -101,8 +101,17 @@ def dp_noisy_counts(
     """
     from alphalens_spark.scale.dedup import md5_long
 
+    # NULL-safe key: concat_ws silently DROPS null elements, which
+    # would both collide distinct groups and diverge from the SQL
+    # replay (where || propagates NULL) — encode NULL explicitly on
+    # both engines (review finding)
     key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols], F.lit(str(seed))
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in group_cols
+        ],
+        F.lit(str(seed)),
     )
     u = md5_long(key, 15).cast("double") / F.lit(float(1 << 60))
     centered = u - F.lit(0.5)

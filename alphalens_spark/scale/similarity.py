@@ -1255,6 +1255,8 @@ def rrf_fuse(
     per-query window over ≤ N·k rows. Nothing corpus-sized shuffles.
     Output: (query_id, doc_id, n_legs, rrf_e9, fused_rank ≤ topk).
     """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking leg")
     tagged = None
     for leg in rankings:
         contrib = leg.select(

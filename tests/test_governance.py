@@ -74,3 +74,21 @@ def test_fd_violations_tiebreak_deterministic(spark):
     )
     r = fd_violations(df, ["src"], "lang").collect()[0]
     assert r["majority_rhs"] == "bb"  # (count, value) max-struct: ties -> larger value
+
+
+def test_dp_counts_null_group_gets_own_noise(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("g1",)] * 3 + [(None,)] * 2, "g string"
+    )
+    out = {r["g"]: r for r in dp_noisy_counts(df, ["g"], 1.0, 7).collect()}
+    # NULL group draws real, deterministic noise under the sentinel key
+    key = "\x00NULL\x1f7"
+    u = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / float(1 << 60)
+    noise = -math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5))
+    assert out[None]["n_noisy"] == pytest.approx(round(2 + noise, 6), abs=1e-9)
+    # and does NOT collide with g1's draw
+    assert out[None]["n_noisy"] - out[None]["n_true"] != pytest.approx(
+        out["g1"]["n_noisy"] - out["g1"]["n_true"], abs=1e-9
+    )

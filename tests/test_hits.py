@@ -72,3 +72,9 @@ def test_hits_structural_zeroes(spark):
     # L1 normalization: hubs and authorities each sum to 1
     assert sum(h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-5)
     assert sum(a for _, a in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(df, n_iter=0)

@@ -104,3 +104,8 @@ def test_embedding_drift_identity_and_rotation(spark):
     rot = {r["label"]: r for r in embedding_drift(df, rotated).collect()}
     assert 0.0 < rot["l0"]["cos_sim"] < 1.0
     assert rot["l0"]["drift"] == pytest.approx(1.0 - rot["l0"]["cos_sim"], abs=2e-6)
+
+
+def test_rrf_fuse_rejects_empty_legs(spark):
+    with pytest.raises(ValueError, match="at least one ranking leg"):
+        rrf_fuse([])

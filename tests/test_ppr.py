@@ -100,3 +100,12 @@ def test_ppr_zero_weight_seeds_raise(spark, edges_df):
             edges_df, weight_col="weight", personalization=sdf,
             small_graph_edges=0,
         ).collect()
+
+
+def test_ppr_duplicate_seed_rows_accumulate(spark, edges_df):
+    # duplicate seed rows must sum (driver path's += semantics), not
+    # duplicate the node through the tele join (review finding)
+    dup = _run(spark, edges_df, [("a", 0.5), ("a", 0.5)], small_graph_edges=0)
+    one = _run(spark, edges_df, [("a", 1.0)], small_graph_edges=0)
+    assert dup == one
+    assert sum(dup.values()) == pytest.approx(1.0, abs=1e-5)
