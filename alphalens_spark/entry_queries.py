@@ -64,6 +64,8 @@ _COPURCHASE_CACHE: dict[tuple[int, str], DataFrame] = {}
 _STOCK_CACHE: dict[tuple[int, str], DataFrame] = {}
 _IC_CACHE: dict[tuple[int, str], DataFrame] = {}
 _TO_CACHE: dict[tuple[int, str], DataFrame] = {}
+_FR_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MRBD_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _roundtrip_path(prefix: str, sf_dir: str) -> str:
@@ -265,8 +267,9 @@ def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mean_return_by_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fd = _fd(spark, sf_dir)
-    out = perf.mean_return_by_quantile(fd, PERIOD_COLS, demeaned=True)
+    out = perf.aggregate_mean_returns_over_dates(
+        _mean_returns_by_date(spark, sf_dir), PERIOD_COLS, ["factor_quantile"]
+    )
     sel = [F.col("factor_quantile")]
     for c in PERIOD_COLS:
         a = ALIAS[c]
@@ -301,6 +304,34 @@ def _turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fd(spark, sf_dir), periods=(1, 5)
         ).persist()
     return _TO_CACHE[key]
+
+
+def _factor_returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date demeaned factor returns, persisted per (session, sf_dir)
+    — shared by q_factor_returns / q_factor_alpha_beta (and so by the
+    composed full_tear_sheet, which otherwise re-ran the whole
+    weights-window + weighted-sum pipeline once per view — round-8
+    optimization, same pattern as _ic/_turnover)."""
+    key = (id(spark), sf_dir)
+    if key not in _FR_CACHE:
+        _FR_CACHE[key] = perf.factor_returns(
+            _fd(spark, sf_dir), PERIOD_COLS, demeaned=True
+        ).persist()
+    return _FR_CACHE[key]
+
+
+def _mean_returns_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(quantile, date) demeaned mean forward returns, persisted per
+    (session, sf_dir) — ONE demean + two-level aggregation feeds both
+    the aggregate quantile table (via
+    perf.aggregate_mean_returns_over_dates) and the top-minus-bottom
+    spread, which each re-derived it before round 8."""
+    key = (id(spark), sf_dir)
+    if key not in _MRBD_CACHE:
+        _MRBD_CACHE[key] = perf.mean_return_by_quantile(
+            _fd(spark, sf_dir), PERIOD_COLS, by_date=True, demeaned=True
+        ).persist()
+    return _MRBD_CACHE[key]
 
 
 def q_factor_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,8 +394,7 @@ def q_ic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_factor_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fd = _fd(spark, sf_dir)
-    out = perf.factor_returns(fd, PERIOD_COLS, demeaned=True)
+    out = _factor_returns_frame(spark, sf_dir)
     return _finalize(
         out.select(
             "date",
@@ -375,7 +405,10 @@ def q_factor_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_factor_alpha_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     fd = _fd(spark, sf_dir)
-    out = perf.factor_alpha_beta(fd, PERIOD_COLS, annualize=False)
+    out = perf.factor_alpha_beta(
+        fd, PERIOD_COLS, annualize=False,
+        returns=_factor_returns_frame(spark, sf_dir),
+    )
     sel = []
     for c in PERIOD_COLS:
         a = ALIAS[c]
@@ -387,8 +420,7 @@ def q_factor_alpha_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mean_return_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fd = _fd(spark, sf_dir)
-    by_date = perf.mean_return_by_quantile(fd, PERIOD_COLS, by_date=True, demeaned=True)
+    by_date = _mean_returns_by_date(spark, sf_dir)
     out = perf.compute_mean_returns_spread(by_date, 5, 1, PERIOD_COLS)
     return _finalize(
         out.select(

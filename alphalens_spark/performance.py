@@ -718,7 +718,21 @@ def mean_return_by_quantile(
             ],
         )
         return out
-    final = level1.groupBy(*keys).agg(
+    return aggregate_mean_returns_over_dates(level1, period_cols, keys)
+
+
+def aggregate_mean_returns_over_dates(
+    by_date: DataFrame, period_cols: Sequence[str], keys: Sequence[str]
+) -> DataFrame:
+    """Collapse a per-(keys, date) mean-returns frame to the reference's
+    date-averaged table (mean of by-date means, std/count/stderr across
+    dates). Shared by :func:`mean_return_by_quantile` (by_date=False) and
+    callers holding a cached by-date frame (the tear-sheet batch derives
+    both the aggregate table and the spread from ONE cached by-date
+    frame instead of re-demeaning the panel per view). Only the
+    ``mean_<c>`` columns are referenced, so the by_date=True output
+    (which carries std/stderr columns too) is a valid input."""
+    final = by_date.groupBy(*keys).agg(
         *[F.avg(f"mean_{c}").alias(f"mean_{c}") for c in period_cols],
         *[F.stddev_samp(f"mean_{c}").alias(f"std_{c}") for c in period_cols],
         *[F.count(f"mean_{c}").alias(f"count_{c}") for c in period_cols],
@@ -816,30 +830,48 @@ def quantile_turnover(
     )
     if quantile is not None:
         mem = mem.where(F.col("factor_quantile") == quantile)
-    # ONE join for every period: replicate the current side per period
-    # (explode of a tiny literal array), probe membership at didx - p.
-    # O(P) separate passes (the reference's loop shape) become a single
-    # shuffle join + one grouped aggregation.
-    per = F.explode(F.array(*[F.lit(int(p)) for p in periods])).alias("period")
-    cur = mem.select("factor_quantile", "asset", "date", "_didx", per).where(
-        F.col("_didx") > F.col("period")
+    # Membership at didx - p as a per-asset RANGE window (frame
+    # [-p, -p] over the dense date index) instead of the former
+    # membership self-join: fd is unique per (date, asset), so
+    # ``last(quantile)`` over that frame is exactly the asset's quantile
+    # p factor dates ago (NULL when the asset is absent — the "new
+    # name" case), and one asset-keyed exchange serves EVERY period
+    # (the join form exchanged the per-period-replicated frame twice
+    # and re-derived its own input for the probe side). A row is new to
+    # its quantile when the lagged quantile is NULL or different —
+    # identical to the former same-quantile left-anti null-match test.
+    w = Window.partitionBy("asset").orderBy("_didx")
+    lagged = mem.select(
+        "factor_quantile",
+        "date",
+        "_didx",
+        *[
+            F.last("factor_quantile")
+            .over(w.rangeBetween(-int(p), -int(p)))
+            .alias(f"_pq_{p}")
+            for p in periods
+        ],
     )
-    prev = mem.select(
-        F.col("factor_quantile").alias("_q"),
-        F.col("asset").alias("_a"),
-        F.col("_didx").alias("_pidx"),
+    per = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(p)).alias("period"), F.col(f"_pq_{p}").alias("_pq")
+                )
+                for p in periods
+            ]
+        )
+    ).alias("_s")
+    cur = (
+        lagged.select("factor_quantile", "date", "_didx", per)
+        .select("factor_quantile", "date", "_didx", "_s.period", "_s._pq")
+        .where(F.col("_didx") > F.col("period"))
     )
-    joined = cur.join(
-        prev,
-        (F.col("factor_quantile") == F.col("_q"))
-        & (F.col("asset") == F.col("_a"))
-        & (F.col("_didx") - F.col("period") == F.col("_pidx")),
-        "left",
-    )
+    is_new = F.col("_pq").isNull() | (F.col("_pq") != F.col("factor_quantile"))
     return (
-        joined.groupBy("factor_quantile", "period", "date")
+        cur.groupBy("factor_quantile", "period", "date")
         .agg(
-            (F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0)) / F.count(F.lit(1)))
+            (F.sum(F.when(is_new, 1).otherwise(0)) / F.count(F.lit(1)))
             .alias("turnover")
         )
         .select("factor_quantile", "period", "date", "turnover")
@@ -862,13 +894,15 @@ def factor_rank_autocorrelation(
         )
         .join(F.broadcast(didx), "date")
     )
-    prev = ranked.select(
-        F.col("asset").alias("_a"),
-        (F.col("_didx") + period).alias("_t"),
-        F.col("_rank").alias("_prev_rank"),
-    )
-    joined = ranked.join(
-        prev, (F.col("asset") == F.col("_a")) & (F.col("_didx") == F.col("_t")), "inner"
+    # rank at didx - period via a per-asset RANGE window (frame [-p, -p]
+    # over the dense date index) — the former self-join re-derived the
+    # whole rank pipeline for the probe side and exchanged both sides on
+    # (asset, didx); this is one asset-keyed exchange, and the inner-join
+    # row set is reproduced exactly by dropping rows with no observation
+    # p dates back (NULL lag).
+    w = Window.partitionBy("asset").orderBy("_didx").rangeBetween(-period, -period)
+    joined = ranked.withColumn("_prev_rank", F.last("_rank").over(w)).where(
+        F.col("_prev_rank").isNotNull()
     )
     return (
         joined.groupBy("date")

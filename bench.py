@@ -389,7 +389,7 @@ def run_suite(
 
     for _cache in (
         _eq._FD_CACHE, _eq._COPURCHASE_CACHE, _eq._IC_CACHE,
-        _eq._TO_CACHE, _eq._STOCK_CACHE,
+        _eq._TO_CACHE, _eq._STOCK_CACHE, _eq._FR_CACHE, _eq._MRBD_CACHE,
     ):
         for _df in _cache.values():
             _df.unpersist()
