@@ -1006,6 +1006,8 @@ def hits(
     dst_col: str = "dst",
     checkpoint_every: int = 1,
     renorm_every: int = 8,
+    broadcast_scores: bool | None = None,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg JACM'99) over a DIRECTED
     edge list — the ranking that separates the two sides PageRank
@@ -1031,9 +1033,19 @@ def hits(
     exactly like the final normalization. Nodes with no out-edges rank
     hub 0, no in-edges authority 0.
 
-    Scale shape (the pagerank discipline): each half-step is ONE
-    edges⋈scores node-key equi-join + a groupBy on the opposite
-    endpoint (linear shuffles); lineage is cut once per
+    Scale shape (the pagerank discipline, round-8 hardened): the edge
+    list is materialized TWICE, hash-partitioned by src and by dst
+    (localCheckpoint preserves outputPartitioning — the LPA lesson), so
+    the static 2|E| rows are shuffled exactly twice up front and never
+    again; every half-step then joins the |V|-sized score frame and
+    aggregates on the endpoint its edge copy is already partitioned by.
+    When the score frame is small enough to broadcast
+    (``broadcast_scores``; auto when |V| <= ``broadcast_max_nodes``,
+    the matrix-vector-product regime), each half-step is a single
+    ZERO-shuffle stage: in-memory edge scan + broadcast hash lookup +
+    partial-agg-free final aggregation. On graphs whose score vector
+    outgrows the broadcast budget the score frame is shuffle-joined
+    instead (still no edge shuffle). Lineage is cut once per
     ``checkpoint_every`` iterations (h only — the iteration's a is
     re-derived lazily from the checkpointed h where needed), and the
     final iteration stays un-checkpointed so the returned frame keeps
@@ -1042,29 +1054,43 @@ def hits(
     """
     if n_iter < 1:
         raise ValueError("hits requires n_iter >= 1")
-    e = (
+    # one exchange for distinct+src-partitioning (HashPartitioning(src)
+    # satisfies the (src, dst) clustering dropDuplicates needs), one
+    # more for the dst-partitioned copy of the in-memory rows
+    e_src = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
+        .repartition(F.col("src"))
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
+    e_dst = e_src.repartition(F.col("dst")).localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_src.select(F.col("src").alias("node"))
+        .union(e_src.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if broadcast_scores is None:
+        broadcast_scores = nodes.count() <= broadcast_max_nodes
+    bc = F.broadcast if broadcast_scores else (lambda df: df)
+    # a-step joins scores on src and groups by dst; h-step the reverse.
+    # Broadcast mode uses the copy partitioned by the GROUPING key so
+    # the aggregation needs no exchange; shuffle mode uses the copy
+    # partitioned by the JOIN key so only the score frame moves.
+    e_for_a = e_dst if broadcast_scores else e_src
+    e_for_h = e_src if broadcast_scores else e_dst
     h = nodes.select("node", F.lit(1.0).alias("h"))
     a = None
     for it in range(n_iter):
         a = (
-            e.join(h.withColumnRenamed("node", "src"), "src")
+            e_for_a.join(bc(h.withColumnRenamed("node", "src")), "src")
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
             .withColumnRenamed("dst", "node")
         )
         h = (
-            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            e_for_h.join(bc(a.withColumnRenamed("node", "dst")), "dst")
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
             .withColumnRenamed("src", "node")

@@ -1280,12 +1280,19 @@ def average_cumulative_return_by_quantile(
     two agree on the mean when each date has equal universe size, and
     differ on std.
 
-    Spark plan (SURVEY §2.3 event-window row): NO range join — explode a
-    ``sequence(-before, after)`` on the event side, equi-join prices on
-    (asset, day_idx + offset), normalize by the offset-0 price. The
-    explode keeps the join an equi hash/sort-merge join instead of a
-    BroadcastNestedLoopJoin — the one place a naive port goes quadratic
-    (SURVEY §4.2).
+    Spark plan (SURVEY §2.3 event-window row, round-8 form): NO range
+    join and no per-offset self-join at all — attach the event quantile
+    to the price panel with ONE (date, asset) equi-join, then resolve
+    ``price@(day_idx + o)`` for every offset with per-asset window
+    lead/lag columns (the compute_forward_returns CASE pattern,
+    extended to negative offsets) and explode the 7-ish
+    (offset, price) structs AFTER the join. The former plan exploded
+    events ×|offsets| and shuffled that amplified frame plus the full
+    price panel into a second (asset, day_idx+offset) join; this one
+    shuffles each input once, un-amplified. Offsets whose calendar slot
+    is absent for the asset yield NULL cum_ret — every downstream
+    aggregate (avg/stddev/count and the demean window) skips NULLs, so
+    the result is identical to the former inner join's dropped rows.
 
     demeaned: subtract the per-(date, offset) universe average path
     (reference demean_forward_returns analogue for event windows).
@@ -1296,32 +1303,54 @@ def average_cumulative_return_by_quantile(
 
     cal = calendar if calendar is not None else trading_calendar(prices)
     px = with_day_idx(prices, cal)
-    events = with_day_idx(
-        factor_data.select("date", "asset", "factor_quantile"), cal
-    ).select(
-        "asset",
-        "factor_quantile",
-        F.col("date").alias("event_date"),
-        F.col(DAY_IDX).alias("_eidx"),
+    ev = factor_data.select("date", "asset", "factor_quantile")
+    base = px.join(ev, ["date", "asset"], "left")
+    w = Window.partitionBy("asset").orderBy(DAY_IDX)
+    base = base.select(
+        "*",
+        *[F.lead(DAY_IDX, j).over(w).alias(f"_ld{j}") for j in range(1, periods_after + 1)],
+        *[F.lead("price", j).over(w).alias(f"_lp{j}") for j in range(1, periods_after + 1)],
+        *[F.lag(DAY_IDX, j).over(w).alias(f"_bd{j}") for j in range(1, periods_before + 1)],
+        *[F.lag("price", j).over(w).alias(f"_bp{j}") for j in range(1, periods_before + 1)],
     )
-    base = px.select(
-        F.col("asset"), F.col(DAY_IDX).alias("_eidx"), F.col("price").alias("_p0")
+
+    def price_at(o: int) -> Column:
+        """Price at calendar slot day_idx + o; NULL when absent (day_idx
+        is strictly monotonic over an asset's present rows, so only the
+        nearest |o| leads/lags can hold slot day_idx + o)."""
+        if o == 0:
+            return F.col("price")
+        if o > 0:
+            expr = F.when(F.col("_ld1") == F.col(DAY_IDX) + o, F.col("_lp1"))
+            for j in range(2, o + 1):
+                expr = expr.when(F.col(f"_ld{j}") == F.col(DAY_IDX) + o, F.col(f"_lp{j}"))
+            return expr
+        expr = F.when(F.col("_bd1") == F.col(DAY_IDX) + o, F.col("_bp1"))
+        for j in range(2, -o + 1):
+            expr = expr.when(F.col(f"_bd{j}") == F.col(DAY_IDX) + o, F.col(f"_bp{j}"))
+        return expr
+
+    paths = F.array(
+        *[
+            F.struct(
+                F.lit(o).alias("offset"), price_at(o).alias("_pt")
+            )
+            for o in range(-periods_before, periods_after + 1)
+        ]
     )
-    at_offset = px.select(
-        F.col("asset"), F.col(DAY_IDX).alias("_oidx"), F.col("price").alias("_pt")
-    )
-    # offset-0 join BEFORE the explode (offset-independent) — the first
-    # join probes |events| rows instead of |events|·|offsets|
     joined = (
-        events.join(base, ["asset", "_eidx"])
+        base.where(F.col("factor_quantile").isNotNull())
         .select(
-            "*",
-            F.explode(
-                F.sequence(F.lit(-periods_before), F.lit(periods_after))
-            ).alias("offset"),
+            "asset",
+            "factor_quantile",
+            F.col("date").alias("event_date"),
+            F.col("price").alias("_p0"),
+            F.explode(paths).alias("_s"),
         )
-        .withColumn("_oidx", F.col("_eidx") + F.col("offset"))
-        .join(at_offset, ["asset", "_oidx"])
+        .select(
+            "asset", "factor_quantile", "event_date", "_p0",
+            "_s.offset", "_s._pt",
+        )
         .withColumn("cum_ret", F.col("_pt") / F.col("_p0") - 1)
     )
     if demeaned:
