@@ -6654,17 +6654,29 @@ def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer arithmetic (max |c1·n2 − c2·n1| over the pooled
     CDF via the zipWithIndex running-count pattern — no global window),
     so it reproduces bit-for-bit across engines."""
-    from alphalens_spark.scale.profile import ks_two_sample
+    from alphalens_spark.scale.profile import ks_from_counts
 
     li = datasets.load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_e2"),
     )
-    return ks_two_sample(
-        li.where(F.col("l_returnflag") == "R"),
-        li.where(F.col("l_returnflag") == "N"),
-        "p_e2",
+    # both samples are flag-filters of ONE scan: a single conditional-
+    # count groupBy builds the identical pooled per-value counts the
+    # generic two-frame form derives from two scans + a full outer join
+    pooled = (
+        li.where(F.col("l_returnflag").isin("R", "N"))
+        .where(F.col("p_e2").isNotNull())
+        .groupBy(F.col("p_e2").alias("_v"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
     )
+    return ks_from_counts(pooled)
 
 
 ORACLES["ks_price_drift"] = r"""

@@ -1177,11 +1177,26 @@ def allpairs_jaccard_pairs(
 
     # global order: df ASC, gram ASC (total order; gram is distinct per doc)
     dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(dfreq, "gram").withColumn(
-        "_pos",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("gram").asc())
-        ),
+    # df == 1 grams are shared by NO other document: they generate zero
+    # join output, so dropping them before the per-doc position window
+    # shrinks the window's sort/shuffle to only join-capable postings
+    # (most trigram postings are df=1 on real corpora). The pruning
+    # stays sound: positions among the surviving grams are <= the true
+    # prefix positions, so the _pos <= prefix_len filter keeps a
+    # superset of the true prefix and the positional overlap bound only
+    # weakens — candidates remain a superset of every qualifying pair,
+    # and the exact-Jaccard verification makes the OUTPUT identical.
+    ranked = (
+        ex.join(dfreq, "gram")
+        .where(F.col("_df") >= 2)
+        .withColumn(
+            "_pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("_df").asc(), F.col("gram").asc()
+                )
+            ),
+        )
     )
     prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     prefix = ranked.where(F.col("_pos") <= prefix_len).select(

@@ -1009,6 +1009,19 @@ def ks_two_sample(
             F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
         )
     )
+    return ks_from_counts(pooled)
+
+
+def ks_from_counts(pooled: DataFrame) -> DataFrame:
+    """KS distance from a prepared per-value count frame
+    ``(_v, c1 long, c2 long)`` — the shared tail of
+    :func:`ks_two_sample`. Callers whose two samples are FILTERS of one
+    source build ``pooled`` with a single scan + one conditional-count
+    groupBy (sum of 1-if-sample-i per value) instead of two scans, two
+    shuffles and a full outer join; the per-value counts, and therefore
+    the exact integer statistic, are identical. ``pooled`` must exclude
+    NULL values and contain one row per distinct value."""
+    from pyspark.sql import Window
     # pin: the keyed frame feeds both the offsets aggregate and the main
     # running-sum job; unpinned, spark_partition_id() evaluates twice on
     # a re-executed range shuffle (the epoch_shuffle lesson)
