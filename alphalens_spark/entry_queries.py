@@ -5359,7 +5359,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     target = docs.where(F.col("source").isin("src0", "src1"))
-    return dsir_importance_weights(docs, target, n_buckets=256)
+    return dsir_importance_weights(
+        docs, target, n_buckets=256, target_ids=target.select("doc_id")
+    )
 
 
 ORACLES["dsir_weights"] = r"""

@@ -1016,6 +1016,7 @@ def dsir_importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     hasher: str = "md5",
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", NeurIPS 2023): score every raw
@@ -1049,7 +1050,19 @@ def dsir_importance_weights(
         .localCheckpoint(eager=True)
     )
     cr = rawdb.groupBy("_b").agg(F.sum("_c").alias("_cr"))
-    ct = dsir_bucket_counts(target, n_buckets, text_col, id_col, hasher)
+    if target_ids is not None:
+        # the target is a SUBSET of raw (the common in-corpus-domain
+        # case): its bucket counts are a sum over the already-computed
+        # per-doc counts — one id equi-join on the checkpointed rawdb
+        # instead of a second full tokenize+hash pass over the target
+        # half of the corpus. Identical integer counts by construction.
+        ct = (
+            rawdb.join(target_ids.select(F.col(id_col)), id_col)
+            .groupBy("_b")
+            .agg(F.sum("_c").alias("_ct"))
+        )
+    else:
+        ct = dsir_bucket_counts(target, n_buckets, text_col, id_col, hasher)
     return _dsir_score(rawdb, cr, ct, n_buckets, smoothing, id_col)
 
 

@@ -224,6 +224,9 @@ def run_suite(
           lambda: curation.dsir_importance_weights(
               docs, docs.where(F.col("source").isin("src0", "src1")),
               n_buckets=256, hasher="xxhash64",
+              target_ids=docs.where(
+                  F.col("source").isin("src0", "src1")
+              ).select("doc_id"),
           ).count())
     # through the driver query so it shares the per-session persisted
     # co-purchase edge list with copurchase_bfs (round-8: the iterative
