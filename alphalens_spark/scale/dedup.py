@@ -96,37 +96,6 @@ def exact_duplicates(
     )
 
 
-def _exact_group_members(
-    docs: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """(_m_id, _rep) membership map of the exact-duplicate groups:
-    every document mapped to the min-id representative of its md5(text)
-    group. ONE shuffle total — a min window over the digest partition
-    (uniform 32-byte keys) — instead of the groupBy + re-join form,
-    which shuffles the corpus twice for the same answer."""
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    return docs.select(
-        F.col(id_col).alias("_m_id"),
-        F.min(id_col).over(w).alias("_rep"),
-    )
-
-
-def _collapse_to_reps(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One representative (min-id) row per distinct text, as a single
-    map-side-combinable aggregation: clone groups collapse INSIDE each
-    scan partition before anything shuffles, so a 100k-copy template
-    contributes one shuffle row per map partition, not 100k. ``first``
-    over the group text is value-deterministic — md5-exact groups share
-    the identical text by construction. This replaces the earlier
-    window-then-rejoin rep selection, which shuffled the full corpus
-    text twice (window pass + docs⋈reps join) for the same output."""
-    return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("_digest"))
-        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
-        .drop("_digest")
-    )
-
-
 def _expand_rep_pairs(
     rep_pairs: DataFrame, members: DataFrame, score_col: str, exact_score
 ) -> DataFrame:
@@ -189,8 +158,14 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
     shingle_hash: str = "xxhash64",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document MinHash signature (array of num_hashes longs).
+
+    ``extra_cols`` ride along unchanged next to (id, minhash) — the LSH
+    caller threads the exact-dup member lists through so the persisted
+    signature frame can answer the member re-expansion without a second
+    corpus scan.
 
     Shingle → xxhash64 (JVM, one higher-order-function pass, reduced to
     31 bits) → the ``num_hashes`` universal-hash minima in ONE
@@ -235,11 +210,15 @@ def minhash_signatures(
     else:
         raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
     sh = _shingles(text_col, shingle_k)
+    extras = [F.col(c) for c in extra_cols]
     base = spread_for_compute(docs).select(
         F.col(id_col),
         F.transform(sh, reduce31).alias("_shash"),
+        *extras,
     )
-    return base.select(id_col, _perm_mins("_shash").alias("minhash"))
+    return base.select(
+        id_col, _perm_mins("_shash").alias("minhash"), *extra_cols
+    )
 
 
 def minhash_coeffs(num_hashes: int = 64, seed: int = 42) -> tuple[list[int], list[int]]:
@@ -269,77 +248,116 @@ def minhash_lsh_duplicates(
     """Near-duplicate pairs via banded MinHash-LSH.
 
     Signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
-    hash each band → explode (doc, band_id, band_hash) → self equi-join on
-    (band_id, band_hash) to get candidates → estimate Jaccard as the
-    fraction of agreeing signature positions → filter by threshold.
+    hash each band → explode (doc, band_id, band_hash) → group the
+    (id, signature) items by (band_id, band_hash) → expand in-bucket
+    pairs and estimate Jaccard as the fraction of agreeing signature
+    positions, inline → filter by threshold.
 
-    The band join is an equi-join on a uniform hash: linear shuffle, never
-    the O(n²) all-pairs comparison — with one residual hazard: a
-    100k-copy template document puts 100k IDENTICAL rows in one
-    (band, hash) bucket and the in-bucket join goes quadratic (10¹⁰
-    candidate pairs, each paying the signature-agreement verify). Real
-    corpora have exactly such clone clusters, so ``collapse_exact``
-    (default) first collapses md5-exact duplicate groups
-    (:func:`exact_duplicates`) and bands only the one representative per
-    group — the band join then never sees two identical texts — and
-    re-expands the pair set afterwards (:func:`_expand_rep_pairs`;
-    output provably identical to the uncollapsed run, since exact dups
-    share signatures). Output: (id_a, id_b, est_jaccard), id_a < id_b,
-    distinct.
+    The band bucketing is a uniform-hash groupBy: ONE linear shuffle of
+    the signature frame, never the O(n²) all-pairs comparison. (An
+    earlier form expressed the bucketing as a self equi-join plus two
+    signature-lookup verification joins — four exchanges over the same
+    data for the same pair set; the groupBy form carries the signatures
+    into the bucket so verification is a zip_with over the grouped row,
+    no join anywhere. Candidate pairs stream out of the bucket via two
+    chained explodes, so a pathological hot bucket produces many rows,
+    not one giant one — the same output volume the join form would have
+    streamed.) Residual hazard: a 100k-copy template document puts 100k
+    IDENTICAL items in one (band, hash) bucket and the in-bucket
+    expansion goes quadratic (10¹⁰ candidate pairs). Real corpora have
+    exactly such clone clusters, so ``collapse_exact`` (default) first
+    collapses md5-exact duplicate groups in ONE map-side-combinable
+    groupBy that also records each group's member-id list; only the one
+    representative per group is signed and banded — a bucket then never
+    holds two identical texts — and the pair set re-expands afterwards
+    (:func:`_expand_rep_pairs`; output provably identical to the
+    uncollapsed run, since exact dups share signatures). The member
+    lists ride through the persisted signature frame (``extra_cols``),
+    so the whole computation scans the corpus text exactly ONCE (the
+    earlier form paid a second scan + window shuffle to rebuild the
+    membership map). ``broadcast_candidates`` is kept for API
+    compatibility; the joinless form has no candidate relation to
+    broadcast. Output: (id_a, id_b, est_jaccard), id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
     members = None
     if collapse_exact:
-        # members only feeds the final pair re-expansion joins (lazy);
-        # the rep rows come from the map-side-combined collapse, no join
-        members = _exact_group_members(docs, text_col, id_col)
-        docs = _collapse_to_reps(docs, text_col, id_col)
-    # persist + eager materialize: the signature projection feeds the band
-    # join (twice) and the verification joins. persist() alone is lazy —
-    # the self-join's two scan stages then race to fill the cache and each
-    # recomputes the whole shingle→hash→UDF pipeline before the first
-    # partition lands (measured ~1 s duplicated work at sf0.1; at 100 TB
-    # it's the full signature job run twice). One count() action pins the
-    # cache before any consumer fans out.
+        # one aggregation yields BOTH the min-id representative rows fed
+        # to the signature pass and the member-id lists the final pair
+        # re-expansion needs. ``first`` over the group text is
+        # value-deterministic — md5-exact groups share identical text.
+        docs = (
+            docs.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.first(text_col).alias(text_col),
+                F.collect_list(id_col).alias("_ids"),
+            )
+            .drop("_digest")
+        )
+    # persist + eager materialize: the signature projection feeds the
+    # banding pass and (collapsed case) the member re-expansion joins.
+    # persist() alone is lazy — the consumers race to fill the cache and
+    # each recomputes the whole shingle→hash→UDF pipeline before the
+    # first partition lands; one count() action pins the cache first.
     sigs = minhash_signatures(
-        docs, text_col, id_col, num_hashes, shingle_k, shingle_hash=shingle_hash
+        docs,
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_k,
+        shingle_hash=shingle_hash,
+        extra_cols=("_ids",) if collapse_exact else (),
     ).persist()
     sigs.count()
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
-        F.col("minhash"),
-    ).select(
-        "id",
-        "band_id",
-        F.xxhash64(
-            F.slice("minhash", F.col("band_id") * rows_per_band + 1, rows_per_band),
+    if collapse_exact:
+        members = sigs.select(
+            F.col(id_col).alias("_rep"), F.explode("_ids").alias("_m_id")
+        )
+    buckets = (
+        sigs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+            F.col("minhash"),
+        )
+        .select(
             "band_id",
-        ).alias("band_hash"),
+            F.xxhash64(
+                F.slice(
+                    "minhash", F.col("band_id") * rows_per_band + 1, rows_per_band
+                ),
+                "band_id",
+            ).alias("band_hash"),
+            F.struct(F.col("id"), F.col("minhash")).alias("_item"),
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.collect_list("_item").alias("_items"))
+        .where(F.size("_items") > 1)
     )
-    a = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col("id").alias("id_b"), "band_id", "band_hash")
-    cand = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # two chained explodes stream the in-bucket pair set row by row
+    pairs = (
+        buckets.select(F.explode("_items").alias("_x"), "_items")
+        .select("_x", F.explode("_items").alias("_y"))
+        .where(F.col("_x.id") < F.col("_y.id"))
     )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
-    # candidate pairs ≈ actual near-dups ≪ corpus — broadcast them into the
-    # signature lookups so the big side never shuffles. Disable for corpora
-    # where the candidate set itself is huge (then AQE picks SMJ/SHJ).
-    cand_side = F.broadcast(cand) if broadcast_candidates else cand
-    pairs = sa.join(cand_side, "id_a").join(sb, "id_b")
     agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        F.filter(
+            F.zip_with("_x.minhash", "_y.minhash", lambda x, y: x == y),
+            lambda m: m,
+        )
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     out = (
-        pairs.withColumn("est_jaccard", est)
+        pairs.select(
+            F.col("_x.id").alias("id_a"),
+            F.col("_y.id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        # the same pair qualifies in every band where the two signatures
+        # agree; est_jaccard is a pure function of the two signatures, so
+        # any surviving duplicate row carries the identical value
+        .dropDuplicates(["id_a", "id_b"])
     )
     if members is not None:
         out = _expand_rep_pairs(out, members, "est_jaccard", 1.0)
@@ -448,8 +466,12 @@ def simhash(
     id_col: str = "doc_id",
     token_hash: str = "xxhash64",
     impl: str = "vectorized",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """SimHash over whitespace tokens (63-bit xxhash64 / 60-bit md5).
+
+    ``extra_cols`` ride along unchanged next to (id, simhash) — see
+    :func:`minhash_signatures`.
 
     For each bit position, sum ±1 votes from each token's hash bit; the
     fingerprint sets bit i when the vote is positive.
@@ -477,7 +499,9 @@ def simhash(
         else (lambda t: F.xxhash64(t))
     )
     hashed = spread_for_compute(docs).select(
-        F.col(id_col), F.transform(toks, th).alias("_th")
+        F.col(id_col),
+        F.transform(toks, th).alias("_th"),
+        *[F.col(c) for c in extra_cols],
     )
 
     if impl == "vectorized":
@@ -505,7 +529,9 @@ def simhash(
                 out.append(int(sim))
             return pd.Series(out, dtype="object")
 
-        return hashed.select(id_col, _vote_pack("_th").alias("simhash"))
+        return hashed.select(
+            id_col, _vote_pack("_th").alias("simhash"), *extra_cols
+        )
 
     if impl != "hof":
         raise ValueError(f"unknown impl {impl!r}")
@@ -523,7 +549,7 @@ def simhash(
         sim = sim + F.when(_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
-    return hashed.select(id_col, sim.alias("simhash"))
+    return hashed.select(id_col, sim.alias("simhash"), *extra_cols)
 
 
 def ngram_jaccard_pairs(
@@ -773,19 +799,25 @@ def simhash_duplicates(
 
     Pigeonhole banding (Manku et al., WWW'07 simhash dedup): split the
     63-bit fingerprint into ``bands`` contiguous blocks — any pair within
-    Hamming distance < ``bands`` must agree exactly on ≥1 block, so an
-    equi-join on (band_id, block_bits) finds every such pair without the
-    all-pairs comparison (require ``max_hamming < bands`` for a lossless
-    candidate set). Verification counts differing bits via
-    bit_count(xor) — pure JVM bit arithmetic, no UDF anywhere.
+    Hamming distance < ``bands`` must agree exactly on ≥1 block, so
+    grouping (id, sig) items by (band_id, block_bits) finds every such
+    pair without the all-pairs comparison (require ``max_hamming <
+    bands`` for a lossless candidate set). Verification counts differing
+    bits via bit_count(xor) inside the bucket — pure JVM bit arithmetic,
+    no UDF and no join anywhere. (An earlier form expressed the
+    bucketing as a self equi-join of the UNPERSISTED fingerprint frame —
+    two fingerprint computations and two exchanges for the same pair
+    set; the groupBy form computes fingerprints once, shuffles once, and
+    streams in-bucket pairs out through two chained explodes.)
 
     ``collapse_exact`` (default) guards the clone-cluster hot bucket the
     same way as :func:`minhash_lsh_duplicates`: md5-exact duplicate
-    groups collapse to one representative before banding (identical text
-    ⇒ identical fingerprint ⇒ identical blocks, so a 100k-clone group
-    would otherwise put 100k rows in each of its 4 blocks' buckets), and
-    the pair set re-expands afterwards with hamming 0 inside groups —
-    output identical to the uncollapsed run.
+    groups collapse to one representative in the same single
+    aggregation that records their member-id lists (one corpus scan
+    total — identical text ⇒ identical fingerprint ⇒ identical blocks,
+    so a 100k-clone group would otherwise put 100k rows in each of its
+    4 blocks' buckets), and the pair set re-expands afterwards with
+    hamming 0 inside groups — output identical to the uncollapsed run.
 
     Output: (id_a, id_b, hamming int), id_a < id_b, hamming ≤ max_hamming.
     """
@@ -796,15 +828,35 @@ def simhash_duplicates(
         )
     members = None
     if collapse_exact:
-        members = _exact_group_members(docs, text_col, id_col)
-        docs = _collapse_to_reps(docs, text_col, id_col)
+        docs = (
+            docs.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.first(text_col).alias(text_col),
+                F.collect_list(id_col).alias("_ids"),
+            )
+            .drop("_digest")
+        )
     # ceil-divide so the blocks cover every fingerprint bit (64-bit family
     # → width 16 over bits 0..63; 60-bit md5 family → width 15 over 0..59)
     n_bits = simhash_bits(token_hash) + (1 if token_hash == "xxhash64" else 0)
     width = -(-n_bits // bands)
-    sh = simhash(docs, text_col, id_col, token_hash=token_hash).select(
-        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
-    )
+    sh = simhash(
+        docs,
+        text_col,
+        id_col,
+        token_hash=token_hash,
+        extra_cols=("_ids",) if collapse_exact else (),
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sig"),
+        *(["_ids"] if collapse_exact else []),
+    ).persist()
+    sh.count()
+    if collapse_exact:
+        members = sh.select(
+            F.col("id").alias("_rep"), F.explode("_ids").alias("_m_id")
+        )
     mask = (1 << width) - 1
     # shift counts must be plan-time literals; bands is small so unroll
     blocks = F.array(
@@ -818,23 +870,29 @@ def simhash_duplicates(
             for i in range(bands)
         ]
     )
-    banded = sh.select("id", "sig", F.explode(blocks).alias("bb")).select(
-        "id", "sig", F.col("bb.band_id").alias("band_id"), F.col("bb.block").alias("block")
+    buckets = (
+        sh.select(F.struct("id", "sig").alias("_item"), F.explode(blocks).alias("bb"))
+        .select("bb.band_id", "bb.block", "_item")
+        .groupBy("band_id", "block")
+        .agg(F.collect_list("_item").alias("_items"))
+        .where(F.size("_items") > 1)
     )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "block"
+    pairs = (
+        buckets.select(F.explode("_items").alias("_x"), "_items")
+        .select("_x", F.explode("_items").alias("_y"))
+        .where(F.col("_x.id") < F.col("_y.id"))
     )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "block"
-    )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ham = F.bit_count(F.col("_x.sig").bitwiseXOR(F.col("_y.sig")))
     out = (
-        a.join(b, ["band_id", "block"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham.cast("int"))
+        pairs.select(
+            F.col("_x.id").alias("id_a"),
+            F.col("_y.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        # hamming is a pure function of the two fingerprints — duplicate
+        # qualifications from other agreeing blocks carry the same value
+        .dropDuplicates(["id_a", "id_b"])
     )
     if members is not None:
         out = _expand_rep_pairs(out, members, "hamming", F.lit(0).cast("int"))
