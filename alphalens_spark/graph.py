@@ -599,6 +599,8 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    broadcast_labels: bool | None = None,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007; the GraphFrames/Pregel LPA): every node starts labeled
@@ -617,11 +619,20 @@ def label_propagation(
     propagation and keeps its own id as its label (GraphFrames LPA
     parity).
 
-    Scale shape: per round ONE neighbor⋈labels equi-join on the node
-    key plus two linear groupBys ((node, label) mass, then per-node
-    argmax via a min-struct — no window, no skew beyond true hub
-    degree), labels eagerly localCheckpointed so lineage stays flat —
-    the pagerank/k_core iteration pattern.
+    Scale shape (the HITS broadcast discipline, round-8): the static
+    2|E| neighbor list is hash-partitioned ONCE and checkpointed; when
+    the label frame fits the broadcast budget (``broadcast_labels``;
+    auto below ``broadcast_max_nodes``) it is partitioned by the
+    GROUPING key ``node`` and each round is one ZERO-shuffle stage —
+    in-memory edge scan + broadcast label lookup + two aggregations
+    already clustered by their key (HashPartitioning(node) satisfies
+    both the (node, label) mass groupBy and the per-node argmax).
+    On graphs whose label vector outgrows the broadcast budget the
+    neighbor list is partitioned by the JOIN key ``nbr`` instead and
+    each round shuffle-joins only the |V|-sized label frame plus two
+    linear groupBys — never the edge list. Labels are eagerly
+    localCheckpointed every second round so lineage stays flat — the
+    pagerank/k_core iteration pattern.
     """
     canon = edges.select(
         F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -638,23 +649,32 @@ def label_propagation(
         # summation orders, and an ulp here flips the adopted LABEL —
         # the rank_normalize / _avg_rank tie-grid rule applied to masses
         e = canon.groupBy("u", "v").agg(F.round(F.sum("w"), 6).alias("w"))
-    nbrs = (
-        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w")
-        .unionByName(
-            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
-        )
-        # hash-partition the (big, static) neighbor list by the join key
-        # BEFORE the checkpoint: localCheckpoint preserves
-        # outputPartitioning, so every round's nbrs⋈labels join shuffles
-        # only the |V|-sized label frame, not the 2|E| neighbor rows —
-        # n_iter× fewer big shuffles (the union otherwise erases e's
-        # partitioning and each round re-shuffles the full edge list)
-        .repartition(F.col("nbr"))
-        .localCheckpoint(eager=True)
+    both = e.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr"), "w"
+    ).unionByName(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
     )
-    lab = nbrs.select("node").distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    nodes = both.select("node").distinct().persist()
+    # bounded-scalar count off the materialized node set (the
+    # hits/pagerank n_nodes contract) — also eagerly materializes it
+    n_nodes = nodes.count()
+    if broadcast_labels is None:
+        broadcast_labels = n_nodes <= broadcast_max_nodes
+    # hash-partition the (big, static) neighbor list ONCE and persist:
+    # an InMemoryRelation PRESERVES outputPartitioning into every
+    # consumer plan, which localCheckpoint's LogicalRDD does not
+    # (verified on this Spark: repartition(k).localCheckpoint().groupBy(k)
+    # still exchanges; the cached form does not). Broadcast mode
+    # partitions by the GROUPING key so both per-round aggregations run
+    # exchange-free on top of the broadcast-hash label join; shuffle
+    # mode partitions by the JOIN key so only the |V|-sized label frame
+    # moves per round, never the 2|E| neighbor rows.
+    nbrs = both.repartition(
+        F.col("node") if broadcast_labels else F.col("nbr")
+    ).persist()
+    nbrs.count()
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
+    lab = nodes.select("node", F.col("node").alias("label"))
     # self-loop-only vertices: present in the input edge list but absent
     # from nbrs (self-loops are dropped before propagation); they keep
     # their own id as label, matching GraphFrames LPA's every-vertex
@@ -666,12 +686,12 @@ def label_propagation(
         edges.where(F.col(src_col) == F.col(dst_col))
         .select(F.col(src_col).alias("node"))
         .distinct()
-        .join(nbrs.select("node").distinct(), "node", "left_anti")
+        .join(nodes, "node", "left_anti")
     )
     for it in range(n_iter):
         mass = (
             nbrs.join(
-                lab.select(F.col("node").alias("nbr"), "label"), "nbr"
+                bc(lab.select(F.col("node").alias("nbr"), "label")), "nbr"
             )
             .groupBy("node", "label")
             # 6-dp mass snap (no-op long for the unweighted path): ties
@@ -783,6 +803,12 @@ def bfs_distances(
     4. Early stop when a block comes back empty or its deepest layer
     produced no nodes.
     """
+    # ONE build exchange (the repartition; hash(v) ⊆ (u, v) satisfies the
+    # distinct's clustering), then persist: the InMemoryRelation keeps
+    # the v-partitioning visible to every round (localCheckpoint loses
+    # it), so when AQE broadcasts the small frontier the expand join
+    # preserves hash(v) and the layer distinct below runs exchange-free
+    # — a zero-shuffle expansion round.
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -791,9 +817,11 @@ def bfs_distances(
                 F.col(dst_col).alias("u"), F.col(src_col).alias("v")
             ).where(F.col("u") != F.col("v"))
         )
+        .repartition(F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    e.count()
     visited = (
         # non-null node contract, mirrored in bfs_sql's v0: NULL seeds
         # are unreachable by definition (edge endpoints are non-null —
@@ -1057,19 +1085,25 @@ def hits(
     # one exchange for distinct+src-partitioning (HashPartitioning(src)
     # satisfies the (src, dst) clustering dropDuplicates needs), one
     # more for the dst-partitioned copy of the in-memory rows
+    # persist (NOT localCheckpoint) the two static edge copies: an
+    # InMemoryRelation preserves outputPartitioning into every consumer
+    # plan, which localCheckpoint's LogicalRDD does not (verified on
+    # this Spark) — the zero-shuffle half-steps below depend on it
     e_src = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .repartition(F.col("src"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    e_dst = e_src.repartition(F.col("dst")).localCheckpoint(eager=True)
+    e_src.count()
+    e_dst = e_src.repartition(F.col("dst")).persist()
+    e_dst.count()
     nodes = (
         e_src.select(F.col("src").alias("node"))
         .union(e_src.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     if broadcast_scores is None:
         broadcast_scores = nodes.count() <= broadcast_max_nodes
@@ -1105,8 +1139,8 @@ def hits(
     sh = h.agg(F.sum("h").alias("_sh"))  # 1 row
     sa = a.agg(F.sum("a").alias("_sa"))  # 1 row
     return (
-        nodes.join(h, "node", "left")
-        .join(a, "node", "left")
+        nodes.join(bc(h), "node", "left")
+        .join(bc(a), "node", "left")
         .crossJoin(F.broadcast(sh))
         .crossJoin(F.broadcast(sa))
         .select(
