@@ -62,6 +62,22 @@ class ScanInfo:
     n_paths: int | None = None
 
 
+# Lines that can ONLY come from an already-EXECUTED plan rendering:
+# query-stage wrappers, AQE section headers and whole-stage-codegen
+# star markers are inserted at execution time, and the frames PLANS.md
+# audits are never executed before the audit — so inside a cached
+# build's rendering these lines prove we are still INSIDE the build
+# even when Spark rebases a nested AdaptiveSparkPlan's section
+# indentation SHALLOWER than the InMemoryRelation line that owns it
+# (observed on nested caches: graph queries persist frames derived
+# from other persisted frames, and the inner cache's "== Final Plan
+# ==" printed left of the outer skip threshold, resuming the strip
+# mid-build and overcounting scans/shuffles).
+_EXECUTED_ONLY = re.compile(
+    r"== (?:Final|Initial) Plan ==|QueryStage|AQEShuffleRead|\*\(\d+\)"
+)
+
+
 def strip_cached_builds(plan_text: str) -> str:
     """Drop every InMemoryRelation BUILD subtree from a plan rendering:
     those operators run once at cache materialization, not per query,
@@ -69,12 +85,19 @@ def strip_cached_builds(plan_text: str) -> str:
     InMemoryTableScan line itself survives — that IS the steady-state
     read. Subtree extent is the tree indentation: every following line
     whose operator name starts deeper than the InMemoryRelation's
-    belongs to its cached plan."""
+    belongs to its cached plan — except that nested executed-plan
+    sections may print SHALLOWER than the owning InMemoryRelation, so
+    any executed-only line (see ``_EXECUTED_ONLY``) keeps the skip
+    alive and tightens the threshold to fence in the bare operator
+    lines of the section it heads."""
     out = []
     skip_deeper_than = None
     for line in plan_text.splitlines():
         indent = len(re.match(r"^[ :+\-]*", line).group(0))
         if skip_deeper_than is not None:
+            if _EXECUTED_ONLY.search(line):
+                skip_deeper_than = min(skip_deeper_than, indent - 1)
+                continue
             if indent > skip_deeper_than:
                 continue
             skip_deeper_than = None

@@ -123,3 +123,45 @@ def test_strip_cached_builds_excludes_build_subtree(spark):
         assert "InMemoryRelation" not in kept
     finally:
         base.unpersist()
+
+
+def test_strip_cached_builds_nested_executed_sections():
+    """A cached build that itself reads another cache renders the inner
+    AdaptiveSparkPlan's "== Final Plan ==" sections REBASED — often
+    SHALLOWER than the owning InMemoryRelation line — so a purely
+    indentation-based strip resumed mid-build and counted build
+    operators as steady-state cost (observed on the graph queries'
+    nested persists). Executed-only lines must keep the skip alive."""
+    from alphalens_spark.plans import strip_cached_builds
+
+    txt = "\n".join(
+        [
+            "AdaptiveSparkPlan isFinalPlan=false",
+            "+- HashAggregate(keys=[node], functions=[sum(w)])",
+            "   +- BroadcastHashJoin [nbr], [nbr], Inner, BuildRight, false",
+            "      :- InMemoryTableScan [node, nbr, w]",
+            "      :     +- InMemoryRelation [node, nbr, w], StorageLevel(memory)",
+            "      :           +- AdaptiveSparkPlan isFinalPlan=true",
+            # nested executed render: rebased LEFT of the InMemoryRelation
+            # line (indent 12 < 15) but right of the genuine outer tree
+            "            +- == Final Plan ==",
+            "               ResultQueryStage 2",
+            "               +- ShuffleQueryStage 1",
+            "                  +- Exchange hashpartitioning(u, 32), ENSURE_REQUIREMENTS",
+            "                     +- *(1) HashAggregate(keys=[u], functions=[])",
+            "                        +- FileScan parquet [l_orderkey,l_partkey]",
+            "            +- == Initial Plan ==",
+            "               Exchange hashpartitioning(u, 32), ENSURE_REQUIREMENTS",
+            "               +- HashAggregate(keys=[u], functions=[])",
+            "                  +- FileScan parquet [l_orderkey,l_partkey]",
+            # genuine outer-tree continuation (the join's build side)
+            "      +- BroadcastExchange HashedRelationBroadcastMode(List(input))",
+            "         +- Filter isnotnull(nbr)",
+        ]
+    )
+    kept = strip_cached_builds(txt)
+    assert "FileScan" not in kept, kept
+    assert "Exchange hashpartitioning" not in kept, kept
+    assert "InMemoryTableScan" in kept
+    assert "BroadcastExchange" in kept
+    assert "Filter isnotnull(nbr)" in kept
