@@ -1878,11 +1878,15 @@ def rare_term_overlap_topk(
     side effects.
     """
     toks = _tokens(text_col)
-    dterms = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t"))
-        .where(F.col("t") != "")
-        .distinct()
-    )
+    # distinct (doc, term) pairs == per-document token dedup, so
+    # array_distinct INSIDE the row does the whole job map-side — the
+    # .distinct() this replaces shuffled the full exploded pair set for
+    # a dedup whose key never crosses rows (guide §2.4: remove shuffles
+    # outright). The checkpointed frame is now a scan-only plan.
+    dterms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(toks)).alias("t"),
+    ).where(F.col("t") != "")
     dterms = dterms.localCheckpoint(eager=True)  # read by df agg + both join sides
     n_docs = docs.count()
     df_cap = n_docs * max_df_per_mille // 1000
