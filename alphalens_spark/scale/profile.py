@@ -163,11 +163,15 @@ def histogram_quantiles(
     )
     # degenerate group (all values equal): width 0 -> bin 0
     idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(idx)
-    counts = (
-        j.groupBy(*group_cols, idx.alias("_bin"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .join(F.broadcast(stats), group_cols)
-    )
+    # _lo/_hi/_n are constant per group (they came off the broadcast
+    # stats join), so grouping by them too changes no group while
+    # letting them ride through the aggregation — the re-join of the
+    # broadcast stats frame this replaces re-planned the whole stats
+    # aggregation (a third scan of the fact table when exchange reuse
+    # does not fire under AQE; guide §2.4)
+    counts = j.groupBy(
+        *group_cols, "_lo", "_hi", "_n", idx.alias("_bin")
+    ).agg(F.count(F.lit(1)).alias("_c"))
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("_bin")
