@@ -625,11 +625,18 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df(term) = rows of tf carrying that term, so an unordered count
+    # window over the term partition attaches it in place. The groupBy +
+    # join-back this replaces referenced the tf subtree TWICE — the
+    # whole tokenize→explode→tf aggregation ran once per reference —
+    # and then shuffled tf by term for the join anyway, which is the
+    # same exchange the window needs (guide §2.4: two operations keyed
+    # the same way share one exchange; one corpus scan instead of two).
+    wdf = Window.partitionBy("term")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.lit(0.0) + F.round(F.col("tf") * idf, 6))
     )
