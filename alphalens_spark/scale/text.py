@@ -360,24 +360,35 @@ def unigram_cross_entropy(
     smoothing is the deterministic analogue: gibberish and
     rare-token-soup documents score high, templated text scores low).
 
-    Two shuffles, both linear: (token -> corpus count) and
-    (doc, token -> tf). The corpus vocabulary joins back by token hash
-    (uniform key); P(w) = (c_w + k) / (total + k*|V|).
+    One corpus scan: the (doc, token) tf aggregation is eagerly
+    checkpointed (a construction-time job — the rare_term_overlap_topk
+    precedent) and everything else derives from it. Corpus counts
+    attach via an unordered count window over the token partition
+    (c_w = Σ tf over the token's rows — the tfidf_top_terms df lesson:
+    the groupBy + join-back form referenced the exploded-token subtree
+    once per consumer, re-scanning the corpus three times), and the
+    (total, |V|) scalars are one 1-row broadcast aggregate off the same
+    frame. P(w) = (c_w + k) / (total + k*|V|).
     Output: (id, n_tokens, cross_entropy) with cross-entropy in
     nats/token.
     """
+    from pyspark.sql import Window
+
     toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("t"))
-    corpus = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cw"))
-    totals = corpus.agg(
-        F.sum("cw").alias("total"), F.count(F.lit(1)).alias("vocab")
+    tf = (
+        toks.groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # read by cw window, totals, scoring — one action fills it once
     )
-    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.agg(
+        F.sum("tf").alias("total"), F.count_distinct(F.col("t")).alias("vocab")
+    )
     logp = F.log(
         (F.col("cw") + F.lit(smoothing))
         / (F.col("total") + F.lit(smoothing) * F.col("vocab"))
     )
     scored = (
-        tf.join(corpus, "t")
+        tf.withColumn("cw", F.sum("tf").over(Window.partitionBy("t")))
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
@@ -482,7 +493,13 @@ def perplexity_buckets(
     labels cannot flake across engines on sub-rounding float noise.
     """
     ce = unigram_cross_entropy(docs, smoothing, text_col, id_col)
-    scored = ce.join(docs.select(F.col(id_col), F.col(source_col)), id_col)
+    # pin the scored frame (doc-sized, 4 narrow columns): both the
+    # tercile aggregate and the bucket projection read it — unpinned,
+    # the whole CE pipeline + source join re-planned under EACH (the
+    # pre-round plan scanned documents 8 times; now 2: tokens + source)
+    scored = ce.join(
+        docs.select(F.col(id_col), F.col(source_col)), id_col
+    ).persist()
     thr = scored.groupBy(source_col).agg(
         F.round(
             F.percentile("cross_entropy", F.lit(1.0) / 3), 6
@@ -527,18 +544,31 @@ def bigram_cross_entropy(
     same docs) and add-k smoothed unigrams. Jelinek-Mercer interpolation,
     the standard backoff when the bigram table is sparse.
 
-    Scale shape: one bigram explode feeds BOTH the per-doc tf and (by a
-    second-level aggregation with map-side partials) the corpus bigram /
-    context-head counts, so the raw stream shuffles once; the scoring
-    joins are all linear equi-joins on uniform token/bigram keys; the
-    (total, vocab) scalar row joins broadcast.
+    Scale shape: one bigram explode feeds the checkpointed per-doc tf,
+    and the corpus bigram / context-head counts attach to it via
+    unordered integer-sum windows over the (prev, cur) and prev
+    partitions (no join-back, no re-scan); the unigram table is a
+    checkpointed vocabulary-sized relation joined on its key; the
+    (total, vocab) scalar row joins broadcast. Calling this runs the
+    two checkpoint jobs at plan-construction time (the
+    rare_term_overlap_topk precedent).
     """
+    from pyspark.sql import Window
+
     ts = _tokens(text_col)
     base = docs.select(F.col(id_col), ts.alias("ts"))
 
-    # unigram corpus (token → count) + scalar totals
+    # unigram corpus (token → count) + scalar totals. Checkpoint the
+    # vocabulary-sized count table eagerly: it feeds THREE consumers
+    # (totals, the interpolation join, the first-token join) and each
+    # re-planned the full token explode without it (the pre-round plan
+    # scanned documents 8 times across this function).
     toks = base.select(id_col, F.explode("ts").alias("t"))
-    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cw"))
+    uni = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .persist()
+    )
     totals = uni.agg(F.sum("cw").alias("total"), F.count(F.lit(1)).alias("vocab"))
     k = F.lit(float(smoothing))
     p_uni = (F.col("cw") + k) / (F.col("total") + k * F.col("vocab"))
@@ -559,15 +589,23 @@ def bigram_cross_entropy(
     bi = base.select(id_col, F.explode(bi_arr).alias("bg")).select(
         id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
     )
-    tf_bi = bi.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("tfb"))
-    corpus_bi = tf_bi.groupBy("prev", "cur").agg(F.sum("tfb").alias("cb"))
-    heads = corpus_bi.groupBy("prev").agg(F.sum("cb").alias("ch"))
-
+    # checkpoint the (doc, bigram) tf once; the corpus bigram count and
+    # the context-head count attach via unordered sum windows over the
+    # (prev, cur) and prev partitions — sums of exact integers, so cb/ch
+    # are bit-identical to the groupBy + join-back form they replace,
+    # which referenced the tf_bi subtree three times (tfidf df lesson)
+    tf_bi = (
+        bi.groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tfb"))
+        .persist()
+    )
     lam_c = F.lit(float(lam))
     p_mix = lam_c * F.col("cb") / F.col("ch") + (F.lit(1.0) - lam_c) * p_uni
     part2 = (
-        tf_bi.join(corpus_bi, ["prev", "cur"])
-        .join(heads, "prev")
+        tf_bi.withColumn(
+            "cb", F.sum("tfb").over(Window.partitionBy("prev", "cur"))
+        )
+        .withColumn("ch", F.sum("tfb").over(Window.partitionBy("prev")))
         .join(uni.withColumnRenamed("t", "cur"), "cur")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
