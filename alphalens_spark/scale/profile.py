@@ -445,8 +445,13 @@ def kmv_set_estimates(
         h = md5_long(F.col(value_col).cast("string"), 15)
         return df.select(h.alias("_h")).distinct().orderBy("_h").limit(k)
 
-    ka = mins(df_a).withColumn("_in_a", F.lit(1))
-    kb = mins(df_b).withColumn("_in_b", F.lit(1))
+    # each ≤k-row sketch feeds THREE consumers (the union sketch, the
+    # membership tags, its own stats row); unpersisted, every reference
+    # re-planned the full scan + distinct + bottom-k over the raw
+    # population — six fact scans for one 1-row answer (guide §5:
+    # persist when reused and recomputation is the expensive part)
+    ka = mins(df_a).withColumn("_in_a", F.lit(1)).persist()
+    kb = mins(df_b).withColumn("_in_b", F.lit(1)).persist()
     u = (
         ka.select("_h")
         .unionByName(kb.select("_h"))
