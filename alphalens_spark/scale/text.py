@@ -716,9 +716,16 @@ def build_vocab(
     if min_df > 1:
         counts = counts.where(F.col("df") >= min_df)
 
-    ranked = counts.repartitionByRange(
-        F.col("count").desc(), F.col("term").asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    # persist: the keyed frame feeds both the offsets aggregate and the
+    # in-partition ranking — unpersisted, each consumer re-planned the
+    # whole explode + count pipeline (two corpus scans), and a
+    # re-executed range shuffle would re-evaluate spark_partition_id()
+    # (the ks_from_counts / epoch_shuffle pin rule)
+    ranked = (
+        counts.repartitionByRange(F.col("count").desc(), F.col("term").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
     # per-partition sizes -> cumulative offsets: bounded by the partition
     # count (the one legal unpartitioned window here)
     offsets = (
