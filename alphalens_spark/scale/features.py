@@ -86,11 +86,19 @@ def rfm_scores(
         F.round(F.sum(F.col(amount_col)), 6).alias("monetary"),
     )
     anchor = orders.agg(F.max(F.col(date_col)).alias("_anchor"))
-    base = agg.crossJoin(F.broadcast(anchor)).select(
-        "customer",
-        F.datediff(F.col("_anchor"), F.col("_last")).alias("recency_days"),
-        "frequency",
-        "monetary",
+    # persist: the customer-dimension metric frame feeds both the
+    # threshold aggregate and the scoring projection — unpersisted, each
+    # consumer re-planned the customer groupBy + anchor scan (four fact
+    # scans for one segmentation; guide §5)
+    base = (
+        agg.crossJoin(F.broadcast(anchor))
+        .select(
+            "customer",
+            F.datediff(F.col("_anchor"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .persist()
     )
     qs = [k / n_bins for k in range(1, n_bins)]
     qarr = "array(" + ", ".join(f"{q}D" for q in qs) + ")"
@@ -165,9 +173,15 @@ def purged_time_splits(
     """
     if n_folds < 2:
         raise ValueError("n_folds must be >= 2")
+    # persist the date axis and the fold map: dd feeds its own count and
+    # the fold projection, folded feeds the bounds aggregate and the
+    # K-way explode — unpersisted, every reference re-planned the
+    # collect_set over the fact table (four scans for a date-dimension
+    # result; guide §5). Both frames are date-dimension sized.
     dd = (
         df.agg(F.array_sort(F.collect_set(date_col)).alias("_ds"))
         .select(F.posexplode("_ds").alias("idx", "date"))
+        .persist()
     )
     n = dd.agg(F.count(F.lit(1)).alias("_n"))
     folded = dd.crossJoin(F.broadcast(n)).select(
@@ -176,7 +190,7 @@ def purged_time_splits(
         F.least(
             F.floor(F.col("idx") * n_folds / F.col("_n")), F.lit(n_folds - 1)
         ).cast("int").alias("_fold_of"),
-    )
+    ).persist()
     bounds = folded.groupBy("_fold_of").agg(
         F.min("idx").alias("_lo"), F.max("idx").alias("_hi")
     ).withColumnRenamed("_fold_of", "fold")
