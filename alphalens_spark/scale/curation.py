@@ -330,7 +330,15 @@ def remove_boilerplate(
     Output: (id, clean_text, n_units, n_kept).
     """
     units, sep = _unitize(text_col, unit)
-    ex = docs.select(F.col(id_col), F.posexplode(units).alias("pos", "u"))
+    # persist the unitized frame: the exploded view feeds the docfreq
+    # count AND the anti-filter, and the final join needs every doc id
+    # with its unit count — unpersisted, each consumer re-planned the
+    # unitize over the raw corpus (four fact scans; guide §5). n_units
+    # is just size(_units) on the cached row — the separate
+    # explode+groupBy it replaces recomputed the corpus for a number
+    # the array already knows (guide §2.4).
+    base = docs.select(F.col(id_col), units.alias("_units")).persist()
+    ex = base.select(id_col, F.posexplode("_units").alias("pos", "u"))
     per_unit = (
         ex.select("u", id_col)
         .distinct()
@@ -341,13 +349,33 @@ def remove_boilerplate(
     if broadcast_boilerplate:
         boiler = F.broadcast(boiler)
     kept = ex.join(boiler, "u", "left_anti")
-    out = _rebuild(kept.select(id_col, "pos", "u"), docs, id_col, sep)
-    n_units = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
-    return out.join(n_units, id_col, "left").select(
-        id_col,
-        "clean_text",
-        F.coalesce("n_units", F.lit(0)).alias("n_units"),
-        "n_kept",
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                lambda s: s["u"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        # coalesce: a NULL-text doc has a NULL unit array (no exploded
+        # rows before), so its n_units must be 0, not size(NULL)
+        base.select(
+            id_col,
+            # cast: size() is INT, the groupBy count this replaces was LONG
+            F.coalesce(F.size("_units"), F.lit(0))
+            .cast("long")
+            .alias("n_units"),
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_units",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     )
 
 

@@ -309,11 +309,16 @@ def bm25_scores(
     """
     toks = _tokens(text_col)
     term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    # persist: the (id, dl, query-term) projection feeds the tf stream,
+    # the corpus stats and the all-docs left-join spine — unpersisted,
+    # each consumer re-planned the tokenize+filter over the raw corpus
+    # (four fact scans; guide §5). The frame is narrow (id, dl, matched
+    # terms only).
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
         F.filter(toks, lambda w: F.array_contains(term_arr, w)).alias("_qt"),
-    )
+    ).persist()
     tf = (
         base.select(id_col, "dl", F.explode("_qt").alias("t"))
         .groupBy(id_col, "dl", "t")
@@ -336,7 +341,7 @@ def bm25_scores(
         )
     )
     return (
-        docs.select(id_col)
+        base.select(id_col)
         .join(scored, id_col, "left")
         .select(
             id_col,
