@@ -800,24 +800,39 @@ def dedupe_units_across_corpus(
     copy. Output: (id, clean_text, n_units, n_kept).
     """
     units, sep = _unitize(text_col, unit)
-    ex = docs.select(
-        F.col(id_col), F.posexplode(units).alias("pos", "u")
-    )
+    # persisted unitized frame + size(_units) for n_units — the same
+    # one-scan restructure as remove_boilerplate (the exploded view
+    # feeds the winner aggregation and the semi-join probe; the final
+    # spine and unit counts read the cached array row)
+    base = docs.select(F.col(id_col), units.alias("_units")).persist()
+    ex = base.select(id_col, F.posexplode("_units").alias("pos", "u"))
     # lexicographic (doc, pos) min in one agg: min over a struct
     win = ex.groupBy("u").agg(F.min(F.struct(id_col, "pos")).alias("_w"))
     winners = win.select(
         "u", F.col(f"_w.{id_col}").alias(id_col), F.col("_w.pos").alias("pos")
     )
     keep = ex.join(winners, ["u", id_col, "pos"], "left_semi")
-    out = _rebuild(keep, docs, id_col, sep)
-    n_units = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    rebuilt = keep.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                lambda s: s["u"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
     return (
-        out.join(n_units, id_col, "left")
+        base.select(
+            id_col,
+            F.coalesce(F.size("_units"), F.lit(0)).cast("long").alias("n_units"),
+        )
+        .join(rebuilt, id_col, "left")
         .select(
             id_col,
-            "clean_text",
-            F.coalesce("n_units", F.lit(0)).alias("n_units"),
-            "n_kept",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_units",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
 

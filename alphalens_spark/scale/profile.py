@@ -370,13 +370,18 @@ def robust_zscore(
     """
     v = F.col(value_col).cast("double")
     med = df.groupBy(*group_cols).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
-    dev = df.join(F.broadcast(med), group_cols)
-    mad = dev.groupBy(*group_cols).agg(
+    mad = df.join(F.broadcast(med), group_cols).groupBy(*group_cols).agg(
         F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
     )
+    # combine the two per-group stats BEFORE touching the fact table
+    # again: scoring joins ONE broadcast stats relation, so the fact
+    # table is scanned twice (median pass + scoring) instead of the
+    # old dev-frame form's four (dev re-planned the med join under both
+    # the MAD aggregate and the scoring projection; guide §2.4)
+    stats = med.join(mad, group_cols)
     z = F.lit(0.6745) * (v - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0))
     return (
-        dev.join(F.broadcast(mad), group_cols)
+        df.join(F.broadcast(stats), group_cols)
         .withColumn("robust_z", F.lit(0.0) + F.round(z, 6))
         .withColumn("is_outlier", F.abs(F.col("robust_z")) > threshold)
         .drop("_med", "_mad")
