@@ -1244,7 +1244,12 @@ def q_backshift_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alphalens_spark.calendar_ import trading_calendar
     from alphalens_spark.utils import backshift_returns_series, compute_forward_returns
 
-    pr = datasets.prices(spark, sf_dir)
+    # persist the aggregated panel: the calendar distinct, the
+    # forward-return grid and the backshift re-key each re-planned the
+    # lineitem scan + (week x supplier) aggregation without it (four
+    # fact scans; guide §5 — the panel is the post-aggregation frame,
+    # the thing a real cluster would cache)
+    pr = datasets.prices(spark, sf_dir).persist()
     cal = trading_calendar(pr)
     fwd = compute_forward_returns(pr, datasets.PERIODS, calendar=cal)
     out = backshift_returns_series(fwd, 2, cal, PERIOD_COLS)
