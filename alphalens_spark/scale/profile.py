@@ -369,7 +369,14 @@ def robust_zscore(
     (robust_z, is_outlier).
     """
     v = F.col(value_col).cast("double")
-    med = df.groupBy(*group_cols).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+    # persist the group-dimension median: it feeds the MAD pass and the
+    # combined stats relation, and unpersisted each reference re-planned
+    # the grouped percentile over the fact table
+    med = (
+        df.groupBy(*group_cols)
+        .agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+        .persist()
+    )
     mad = df.join(F.broadcast(med), group_cols).groupBy(*group_cols).agg(
         F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
     )
