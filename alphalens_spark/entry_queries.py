@@ -1514,13 +1514,18 @@ def q_intraday_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = datasets.load_table(spark, sf_dir, "events")
+    # persist: the hourly panel feeds BOTH the factor and the prices
+    # inputs (and the date-axis intersection inside the ingestion) —
+    # unpersisted, each consumer re-planned the events scan + groupBy
+    # (three fact scans; guide §5 — the same "ingest once, derive twice"
+    # treatment the core daily ingestion got in round 4)
     panel = ev.groupBy(
         F.date_trunc("hour", "ts").alias("date"),
         (F.col("user_id") % 50).alias("asset"),
     ).agg(
         (F.lit(100.0) + F.avg("value")).alias("price"),
         F.count(F.lit(1)).cast("double").alias("factor"),
-    )
+    ).persist()
     fd = get_clean_factor_and_forward_returns(
         panel.select("date", "asset", "factor"),
         panel.select("date", "asset", "price"),
@@ -8865,11 +8870,13 @@ FROM run ORDER BY total DESC LIMIT 1"""
 def q_welch_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test (events.welch_ttest) on mean
     order value between BUILDING- and MACHINERY-segment customers —
-    the continuous-metric A/B companion to ab_test_ztest. Each side is
-    one 1-row aggregate with DECIMAL-exact Σv and Σv² on the cent
-    grid, so t and the Welch-Satterthwaite df evaluate identically on
-    both engines."""
-    from alphalens_spark.events import welch_ttest
+    the continuous-metric A/B companion to ab_test_ztest. The two
+    cohorts are segment FILTERS of one orders⋈customer frame, so ONE
+    scan + ONE 1-row conditional aggregate (welch_ttest_flagged — the
+    ks_from_counts pattern) computes both sides' DECIMAL-exact Σv and
+    Σv² on the cent grid; t and the Welch-Satterthwaite df evaluate
+    identically on both engines."""
+    from alphalens_spark.events import welch_ttest_flagged
 
     orders = datasets.load_table(spark, sf_dir, "orders")
     cust = datasets.load_table(spark, sf_dir, "customer")
@@ -8880,9 +8887,15 @@ def q_welch_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v_e2"),
     )
-    a = j.where(F.col("c_mktsegment") == "BUILDING")
-    b = j.where(F.col("c_mktsegment") == "MACHINERY")
-    return _finalize(welch_ttest(a, b, "v_e2", scale=100.0))
+    return _finalize(
+        welch_ttest_flagged(
+            j,
+            F.col("c_mktsegment") == "BUILDING",
+            F.col("c_mktsegment") == "MACHINERY",
+            "v_e2",
+            scale=100.0,
+        )
+    )
 
 
 ORACLES["welch_price_test"] = r"""
@@ -10456,36 +10469,36 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped small-quantity revenue: total and yearly-average
     revenue from one brand's lineitems whose quantity is below 20% of
     that part's average — the correlated-average-subquery shape as a
-    per-part fact aggregate joined back. The threshold test is FULLY
-    integer (5·qty_e2·n_lines < sum_qty_e2 ⇔ qty < 0.2·avg with zero
-    float anywhere), so it cannot tie-break differently across
-    engines. The brand shortlist broadcasts and prunes BOTH fact
-    passes."""
+    per-part SUM/COUNT window over ONE brand-pruned fact pass (the
+    aggregate and the rows it gates are keyed the same way, so they
+    share one exchange — no second scan, no join-back; guide §2.4). The
+    threshold test is FULLY integer (5·qty_e2·n_lines < sum_qty_e2 ⇔
+    qty < 0.2·avg with zero float anywhere, and the window sums are
+    exact longs), so it cannot tie-break differently across engines.
+    The brand shortlist broadcasts and prunes the fact scan."""
+    from pyspark.sql import Window
+
     li = datasets.load_table(spark, sf_dir, "lineitem")
     pa = datasets.load_table(spark, sf_dir, "part")
     brand = F.broadcast(
         pa.where(F.col("p_brand") == "Brand#1").select("p_partkey")
     )
     q_e2 = F.round(F.col("l_quantity") * 1e2).cast("long")
-    per_part = (
-        li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(q_e2).alias("_sum_q_e2"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .select(
-            F.col("l_partkey").alias("_pk"), "_sum_q_e2", "_n"
-        )
-    )
     ext_e4 = F.round(F.col("l_extendedprice") * 1e4).cast("long")
+    wp = Window.partitionBy("l_partkey")
     small = (
         li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
-        .join(per_part, F.col("l_partkey") == F.col("_pk"))
-        .where(F.lit(5) * q_e2 * F.col("_n") < F.col("_sum_q_e2"))
+        .select(
+            "l_partkey",
+            q_e2.alias("_q_e2"),
+            ext_e4.alias("_ext_e4"),
+            F.sum(q_e2).over(wp).alias("_sum_q_e2"),
+            F.count(F.lit(1)).over(wp).alias("_n"),
+        )
+        .where(F.lit(5) * F.col("_q_e2") * F.col("_n") < F.col("_sum_q_e2"))
     )
     agg = small.agg(
-        F.sum(ext_e4).alias("total_extprice_e4"),
+        F.sum("_ext_e4").alias("total_extprice_e4"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     return agg.select(

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,40 +59,46 @@ def funnel(
     strictly after stage k-1's — and, with ``within_hours``, no later
     than that many hours after it (the Amplitude-style conversion
     window: a purchase a month after the click is not a funnel
-    conversion). One conditional-min aggregation per stage, chained by
-    per-user joins (tiny per-user dims). Output:
-    (user, t_<stage>..., stage int = how far the user got)."""
+    conversion). ONE conditional aggregation over one scan: stage 0 is a
+    plain conditional min; every later stage collects that user's sorted
+    event times once, and "min time strictly after t_prev (and inside
+    the window)" is the first surviving element of the sorted array — a
+    row-local filter, so the former per-stage rescan+rejoin chain
+    (N scans, N shuffles, N−1 joins) collapses to one user-keyed
+    exchange (guide §2.4; §5 — the per-user time lists are bounded by
+    that user's event count, the same bound the join form shuffled).
+    Output: (user, t_<stage>..., stage int = how far the user got)."""
     if not stages:
         raise ValueError("at least one stage required")
-    acc = events.groupBy(user_col).agg(
+    aggs = [
         F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).alias(
             f"t_{stages[0]}"
         )
-    )
+    ] + [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        ).alias(f"_ts_{s}")
+        for s in stages[1:]
+    ]
+    acc = events.groupBy(user_col).agg(*aggs)
+    def _after(lo: Column, hi: Column | None):
+        if hi is None:
+            return lambda x: x > lo
+        return lambda x: (x > lo) & (x <= hi)
+
     for prev, cur in zip(stages, stages[1:]):
-        keys = [user_col] + [f"t_{s}" for s in stages[: stages.index(cur)]]
-        acc = (
-            events.join(acc, user_col)
-            .groupBy(*keys)
-            .agg(
-                F.min(
-                    F.when(
-                        (F.col(type_col) == cur)
-                        & (F.col(ts_col) > F.col(f"t_{prev}"))
-                        & (
-                            F.lit(True)
-                            if within_hours is None
-                            else F.col(ts_col)
-                            <= F.col(f"t_{prev}")
-                            + F.expr(
-                                f"INTERVAL {int(within_hours * 3600)} SECONDS"
-                            )
-                        ),
-                        F.col(ts_col),
-                    )
-                ).alias(f"t_{cur}")
-            )
+        t_prev = F.col(f"t_{prev}")
+        hi = (
+            None
+            if within_hours is None
+            else t_prev + F.expr(f"INTERVAL {int(within_hours * 3600)} SECONDS")
         )
+        cond = _after(t_prev, hi)
+        # F.get (not element_at): NULL on the empty array under ANSI mode
+        acc = acc.withColumn(
+            f"t_{cur}", F.get(F.filter(F.col(f"_ts_{cur}"), cond), 0)
+        )
+    acc = acc.drop(*[f"_ts_{s}" for s in stages[1:]])
     stage = F.lit(0)
     for i, s in enumerate(stages):
         stage = F.when(F.col(f"t_{s}").isNotNull(), i + 1).otherwise(stage)
@@ -108,16 +114,24 @@ def cohort_retention(
     grain: str = "week",
 ) -> DataFrame:
     """Cohort = the user's first-ever active period; retention = distinct
-    actives per (cohort, periods since) over cohort size. Two linear
-    shuffles + broadcast cohort dims. Output: (cohort_week, weeks_since,
-    n_active, n_cohort, retention)."""
+    actives per (cohort, periods since) over cohort size. ONE scan: the
+    per-user aggregation carries the cohort (min period) AND the distinct
+    active-period set in the same user-keyed exchange, so the former
+    second scan + distinct shuffle + cohort join disappear (guide §2.4;
+    the per-user set is bounded by the number of periods, the same bound
+    the distinct shuffled). The user-dimension frame is persisted — it
+    feeds both the cohort sizes and the exploded actives (guide §5).
+    Output: (cohort_week, weeks_since, n_active, n_cohort, retention)."""
     per = F.date_trunc(grain, ts_col).cast("date")
     days = {"week": 7, "day": 1}[grain]
-    first = events.groupBy(user_col).agg(F.min(per).alias("cohort_week"))
-    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
-    active = events.select(user_col, per.alias("week")).distinct()
+    peru = (
+        events.groupBy(user_col)
+        .agg(F.min(per).alias("cohort_week"), F.collect_set(per).alias("_weeks"))
+        .persist()
+    )
+    sizes = peru.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
     ret = (
-        active.join(F.broadcast(first), user_col)
+        peru.select("cohort_week", F.explode("_weeks").alias("week"))
         .groupBy(
             "cohort_week",
             (F.datediff("week", "cohort_week") / days).cast("int").alias("weeks_since"),
@@ -1591,6 +1605,38 @@ def welch_ttest(
         )
 
     row = side(a, "a").crossJoin(F.broadcast(side(b, "b")))  # 1×1 rows
+    return _welch_from_sums(row, scale)
+
+
+def welch_ttest_flagged(
+    df: DataFrame,
+    flag_a: Column,
+    flag_b: Column,
+    value_int_col: str,
+    scale: float = 1.0,
+) -> DataFrame:
+    """:func:`welch_ttest` for two cohorts that are FILTERS of one frame
+    — the ks_from_counts pattern: ONE scan and ONE 1-row conditional
+    aggregate (``sum(if flag_a)`` / ``sum(if flag_b)``) instead of two
+    scans and two aggregates (guide §2.4). The per-side Σv/Σv²/n are the
+    same exact DECIMAL/BIGINT values the two-frame front computes, so
+    t and df are bit-identical."""
+    v = F.col(value_int_col).cast("decimal(38,0)")
+    row = df.agg(
+        F.count(F.when(flag_a, F.col(value_int_col))).cast("long").alias("n_a"),
+        F.sum(F.when(flag_a, v)).alias("s1_a"),
+        F.sum(F.when(flag_a, v * v)).alias("s2_a"),
+        F.count(F.when(flag_b, F.col(value_int_col))).cast("long").alias("n_b"),
+        F.sum(F.when(flag_b, v)).alias("s1_b"),
+        F.sum(F.when(flag_b, v * v)).alias("s2_b"),
+    )
+    return _welch_from_sums(row, scale)
+
+
+def _welch_from_sums(row: DataFrame, scale: float) -> DataFrame:
+    """Closed-form Welch t/df from the 1-row exact-sum frame
+    ``(n_a, s1_a, s2_a, n_b, s1_b, s2_b)`` — the shared tail of
+    :func:`welch_ttest` and :func:`welch_ttest_flagged`."""
 
     def stats(tag):
         n = F.col(f"n_{tag}").cast("double")

@@ -1068,9 +1068,12 @@ def rank_autocorr_profile(
     can trade cheaply; a fast drop-off means the alpha must be captured
     immediately, cf. net_factor_returns).
 
-    The rank window runs ONCE; each lag is one broadcast-date-index
-    equi-join + per-date corr off the same ranked frame (not |lags|
-    recomputations), then the per-date series collapses to its mean.
+    The rank window runs ONCE, and so does the lag join: the probe side
+    explodes each ranked row to its |lags| forward positions (bounded
+    ×|lags| fan-out), so ALL lags share one equi-join and one
+    (lag, date) corr aggregation instead of one self-join + two
+    aggregations per lag (guide §2.4 — the former per-lag plan paid
+    |lags| join exchanges over the same checkpointed frame).
     Output: (period, mean_autocorr, n_dates).
     """
     didx = _factor_dates_idx(factor_data)
@@ -1081,36 +1084,34 @@ def rank_autocorr_profile(
         .join(F.broadcast(didx), "date")
         .localCheckpoint(eager=True)
     )
-    outs = []
-    for period in lags:
-        prev = ranked.select(
-            F.col("asset").alias("_a"),
-            (F.col("_didx") + period).alias("_t"),
-            F.col("_rank").alias("_prev_rank"),
+    prev = ranked.select(
+        F.col("asset").alias("_a"),
+        F.col("_didx"),
+        F.col("_rank").alias("_prev_rank"),
+        F.explode(F.array(*[F.lit(int(p)) for p in lags])).alias("_p"),
+    ).select("_a", (F.col("_didx") + F.col("_p")).alias("_t"), "_p", "_prev_rank")
+    per_date = (
+        ranked.join(
+            prev,
+            (F.col("asset") == F.col("_a")) & (F.col("_didx") == F.col("_t")),
         )
-        per_date = (
-            ranked.join(
-                prev,
-                (F.col("asset") == F.col("_a"))
-                & (F.col("_didx") == F.col("_t")),
-            )
-            .groupBy("date")
-            .agg(_corr_safe("_rank", "_prev_rank").alias("_ac"))
-        )
-        outs.append(
-            per_date.agg(
-                F.round(F.avg("_ac"), 6).alias("mean_autocorr"),
-                F.count("_ac").alias("n_dates"),
-            ).select(
-                F.lit(int(period)).alias("period"),
-                "mean_autocorr",
-                "n_dates",
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        .groupBy("_p", "date")
+        .agg(_corr_safe("_rank", "_prev_rank").alias("_ac"))
+    )
+    per_lag = per_date.groupBy("_p").agg(
+        F.round(F.avg("_ac"), 6).alias("mean_autocorr"),
+        F.count("_ac").alias("n_dates"),
+    )
+    # literal lag spine: the former per-lag 1-row aggregates emitted a
+    # row even for a lag with zero matching dates — keep that contract
+    spine = factor_data.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(p)) for p in lags])).alias("_p")
+    )
+    return spine.join(per_lag, "_p", "left").select(
+        F.col("_p").alias("period"),
+        "mean_autocorr",
+        F.coalesce("n_dates", F.lit(0)).cast("long").alias("n_dates"),
+    )
 
 
 def cumulative_returns(

@@ -63,12 +63,13 @@ def gopher_quality(
 
     Scalar signals (word count, mean word length, alpha-word fraction,
     symbol-to-word ratio, stop-word presence, bullet/ellipsis line
-    fractions) are pure projections. Duplicate-line fractions come from
-    one explode→groupBy on (doc, line). ALL n-gram signals — the top-n-gram
-    character coverage for n in ``top_ns`` and the duplicated-n-gram
-    character coverage for n in ``dup_ns`` — come from a SINGLE explode of
-    (n, gram) pairs and one groupBy(doc, n, gram): one wide shuffle keyed
-    by doc id + gram content, not one pass per n. At 100 TB the explode is
+    fractions) are pure projections. ALL repetition signals — the
+    duplicate-line fractions (lines ride the explode as n=0), the
+    top-n-gram character coverage for n in ``top_ns`` and the
+    duplicated-n-gram character coverage for n in ``dup_ns`` — come from
+    a SINGLE explode of (n, unit) pairs and one groupBy(doc, n, unit):
+    one wide shuffle keyed by doc id + unit content, not one pass per n
+    and not a separate line scan+join. At 100 TB the explode is
     ~``sum(len(doc))·|ns|`` rows but partial aggregation combines map-side
     and every key includes doc_id, so there is no hot key.
 
@@ -119,27 +120,11 @@ def gopher_quality(
         F.round(F.coalesce(frac_ell, F.lit(0.0)), 6).alias("frac_ellipsis_lines"),
     )
 
-    # duplicate-line fractions: explode → per-(doc,line) counts → per-doc
-    lx = docs.select(F.col(id_col), F.explode(_nonempty_lines(text_col)).alias("l"))
-    lagg = (
-        lx.groupBy(id_col, "l")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            id_col,
-            F.col("c"),
-            (F.col("c") * F.length("l")).alias("lc"),
-            F.when(F.col("c") > 1, F.col("c") * F.length("l")).otherwise(0).alias("ldup"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("_lines_total"),
-            F.count(F.lit(1)).alias("_lines_distinct"),
-            F.sum("lc").alias("_line_chars"),
-            F.sum("ldup").alias("_dup_line_chars"),
-        )
-    )
-
-    # one exploded (n, gram) relation for every n in ns
+    # ONE exploded (n, unit) relation for every gram size AND the lines
+    # (as n=0): the former separate line explode re-scanned the corpus
+    # and re-joined per doc; folding lines into the same explode shares
+    # the scan, the (doc, n, unit) count exchange, and the per-doc join
+    # (guide §2.4 "two operations keyed the same way share one exchange")
     def grams_for(n: int) -> Column:
         return F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
@@ -148,9 +133,15 @@ def gopher_quality(
             ),
         )
 
+    line_structs = F.transform(
+        F.coalesce(_nonempty_lines(text_col), F.array()),
+        lambda l: F.struct(F.lit(0).alias("n"), l.alias("g")),
+    )
     gx = docs.select(
         F.col(id_col),
-        F.explode(F.flatten(F.array(*[grams_for(n) for n in ns]))).alias("s"),
+        F.explode(
+            F.flatten(F.array(*[grams_for(n) for n in ns], line_structs))
+        ).alias("s"),
     ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
     counts = gx.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
     wtop = Window.partitionBy(id_col, "n").orderBy(F.col("c").desc(), F.col("g").asc())
@@ -162,6 +153,9 @@ def gopher_quality(
             F.sum(
                 F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0)
             ).alias("dupc"),
+            F.sum("c").alias("tot"),
+            F.count(F.lit(1)).alias("dist"),
+            F.sum(F.col("c") * F.length("g")).alias("chars"),
         )
     )
     gagg = per_n.groupBy(id_col).agg(
@@ -173,9 +167,13 @@ def gopher_quality(
             F.max(F.when(F.col("n") == n, F.col("dupc"))).alias(f"_dup{n}")
             for n in dup_ns
         ],
+        F.max(F.when(F.col("n") == 0, F.col("tot"))).alias("_lines_total"),
+        F.max(F.when(F.col("n") == 0, F.col("dist"))).alias("_lines_distinct"),
+        F.max(F.when(F.col("n") == 0, F.col("chars"))).alias("_line_chars"),
+        F.max(F.when(F.col("n") == 0, F.col("dupc"))).alias("_dup_line_chars"),
     )
 
-    out = base.join(lagg, id_col, "left").join(gagg, id_col, "left")
+    out = base.join(gagg, id_col, "left")
     nc = F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
     dup_line_frac = F.round(
         F.coalesce(
@@ -286,23 +284,21 @@ def dedupe_units_within_doc(
     a pretraining pipeline — cf. the Gopher repetition filters, applied
     as a transform instead of a drop).
 
-    Plan: posexplode → min(pos) per (doc, unit) → rebuild in original
-    order. Two shuffles, both keyed by doc id (+ unit content) — linear
-    and skew-free. Output: (id, clean_text, n_units, n_kept).
+    The key never crosses rows, so the whole transform is row-local:
+    ``array_distinct`` keeps the FIRST occurrence in array order —
+    exactly the min(pos)-per-(doc, unit) + rebuild-by-pos pipeline it
+    replaces, without the explode, the two doc-keyed shuffles, or the
+    rebuild join (guide §2.4: the cheapest shuffle is no shuffle). Zero
+    exchanges, one scan. Output: (id, clean_text, n_units, n_kept).
     """
     units, sep = _unitize(text_col, unit)
-    ex = docs.select(F.col(id_col), F.posexplode(units).alias("pos", "u"))
-    first = ex.groupBy(id_col, "u").agg(F.min("pos").alias("pos"))
-    out = _rebuild(first.select(id_col, "pos", "u"), docs, id_col, sep)
-    n_units = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
-    return (
-        out.join(n_units, id_col, "left")
-        .select(
-            id_col,
-            "clean_text",
-            F.coalesce("n_units", F.lit(0)).alias("n_units"),
-            "n_kept",
-        )
+    u = F.coalesce(units, F.array())  # NULL text == no units, as posexplode had it
+    kept = F.array_distinct(u)
+    return docs.select(
+        F.col(id_col),
+        F.concat_ws(sep, kept).alias("clean_text"),
+        F.size(u).cast("long").alias("n_units"),
+        F.size(kept).cast("long").alias("n_kept"),
     )
 
 
@@ -471,10 +467,14 @@ def mixture_weights(
     loader applies per group).
     """
     toks = F.size(_words(text_col))
+    # persist: the group-dimension totals feed BOTH the 1-row normalizer
+    # aggregate and the output projection — unpersisted, each consumer
+    # re-planned the full corpus scan + groupBy (two fact scans for a
+    # |groups|-row frame; guide §5)
     g = docs.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),
-    )
+    ).persist()
     tot = g.agg(
         F.sum("n_tokens").alias("_tot"),
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_tot_a"),
@@ -534,14 +534,17 @@ def duplicate_ngram_spans(
     gx = docs.select(F.col(id_col), F.explode(grams).alias("s")).select(
         id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
     )
-    dup_grams = (
-        gx.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("g")
-    )
-    hits = gx.join(dup_grams, "g").select(
-        id_col, F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e")
+    # corpus gram count as an unordered count window over the gram
+    # partition: the former groupBy + join-back referenced the gram
+    # explode TWICE (the plan re-ran the full scan+explode per
+    # reference) and shuffled the occurrences a second time for the
+    # join; the window attaches c on the explode's one gram-keyed
+    # exchange (guide §2.4 — the tfidf df lesson)
+    wc = Window.partitionBy("g")
+    hits = (
+        gx.withColumn("_c", F.count(F.lit(1)).over(wc))
+        .where(F.col("_c") >= min_count)
+        .select(id_col, F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e"))
     )
     w = Window.partitionBy(id_col).orderBy("s", "e")
     prev_max_e = F.max("e").over(

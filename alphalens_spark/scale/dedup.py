@@ -934,12 +934,16 @@ def semantic_dedup(
     )
 
     cents = kmeans_lite_centroids(emb, n_cells, iters, id_col, vec_col)
+    # persist: the assigned frame feeds BOTH self-join sides and the
+    # final keep/dup_of projection — unpersisted, each consumer
+    # re-planned the scan + norm + nearest-cell assignment (three fact
+    # scans; guide §5)
     base = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col)).alias("_n"),
         _nearest_cell(F.col(vec_col), cents).alias("cell"),
-    )
+    ).persist()
     a = base.select(
         F.col("_id").alias("id_hi"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cell"
     )

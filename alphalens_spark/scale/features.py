@@ -36,11 +36,16 @@ def target_encode(
     """
     keys = list(key_cols)
     lab = F.col(label_col).cast("double")
+    # persist: the |keys|-row stats frame feeds BOTH the global prior
+    # and the encode join — unpersisted, each consumer re-planned the
+    # full fact scan + groupBy; and the prior itself is a sum over the
+    # per-key partials, not a third scan of the fact table (guide §5,
+    # §2.4 "aggregate before you shuffle")
     stats = df.groupBy(*keys).agg(
         F.sum(lab).alias("_ksum"), F.count(lab).alias("_kn")
-    )
-    prior = df.agg(
-        (F.sum(lab) / F.count(lab)).alias("_prior")
+    ).persist()
+    prior = stats.agg(
+        (F.sum("_ksum") / F.sum("_kn")).alias("_prior")
     )
     j = df.join(stats, keys).crossJoin(F.broadcast(prior))
     if loo:

@@ -1303,24 +1303,37 @@ def embedding_drift(
     Output: (label, n_ref, n_cur, cos_sim, drift = round(1 − cos, 6)).
     """
 
-    def centroids(df, tag):
-        return (
+    def side(df, tag, ntag):
+        # ONE scan per snapshot: posexplode_outer keeps a (pos NULL) row
+        # for empty/NULL vectors, so the per-label row count rides the
+        # same (label, pos) aggregation as the centroid — every input
+        # row lands in exactly one of pos == 0 / pos IS NULL — instead
+        # of a second scan per side (guide §2.4). The |labels|·(dim+1)
+        # group frame is persisted: it feeds both the centroid join and
+        # the count rollup (guide §5).
+        g = (
             df.select(
                 F.col(label_col).alias("label"),
-                F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+                F.posexplode_outer(F.col(vec_col)).alias("pos", "_v"),
             )
             .groupBy("label", "pos")
-            .agg(F.avg(F.col("_v").cast("double")).alias(tag))
+            .agg(
+                F.avg(F.col("_v").cast("double")).alias(tag),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .persist()
         )
+        n = g.groupBy("label").agg(
+            F.sum(
+                F.when((F.col("pos") == 0) | F.col("pos").isNull(), F.col("_c"))
+            )
+            .cast("long")
+            .alias(ntag)
+        )
+        return g.where(F.col("pos").isNotNull()).select("label", "pos", tag), n
 
-    cr = centroids(ref, "mr")
-    cc = centroids(cur, "mc")
-    nr = ref.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_ref")
-    )
-    nc = cur.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_cur")
-    )
+    cr, nr = side(ref, "mr", "n_ref")
+    cc, nc = side(cur, "mc", "n_cur")
     j = cr.join(cc, ["label", "pos"])
     per = j.groupBy("label").agg(
         F.sum(F.col("mr") * F.col("mc")).alias("_dot"),

@@ -836,7 +836,10 @@ def bigram_pmi(
     cross of the vocabulary.
     """
     ts = _tokens(text_col)
-    base = docs.select(ts.alias("_ts"))
+    # persist: the tokenized corpus feeds the bigram explode, the
+    # unigram explode AND the bigram-total aggregate — unpersisted, each
+    # consumer re-planned the full corpus scan + tokenize (guide §5)
+    base = docs.select(ts.alias("_ts")).persist()
     grams = F.when(
         F.size("_ts") >= 2,
         F.transform(
@@ -854,10 +857,13 @@ def bigram_pmi(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= min_count)
     )
+    # persist: the vocabulary-sized marginals feed the w1 join, the w2
+    # join and the unigram total — three consumers, one tiny frame
     uni = (
         base.select(F.explode("_ts").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .persist()
     )
     totals = uni.agg(F.sum("cw").alias("_nu"))
     # bigram total = Σ per-doc (len−1); count it exactly from the pair

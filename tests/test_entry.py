@@ -160,8 +160,6 @@ def test_no_quadratic_join_in_any_query_plan(spark):
         # two 1-row L1-normalizer broadcasts per HITS iteration (the
         # transition_pagerank pattern: scalar sums riding node-key joins)
         "purchase_hits",
-        # the 1-row × 1-row cross of the two Welch side aggregates
-        "welch_price_test",
     }
     for name, fn in entry_mod.queries().items():
         if name == "stream_sessionize":
