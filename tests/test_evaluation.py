@@ -99,3 +99,23 @@ def test_welch_ttest_matches_scipy_closed_form(spark):
         assert r["t_stat"] == pytest.approx(float(ref.statistic), abs=1e-6)
     except ImportError:
         pass
+
+
+def test_welch_ttest_flagged_matches_two_frame_front(spark):
+    """The one-scan conditional head must equal the two-frame front
+    exactly — same Σv/Σv²/n per side, same t/df — including rows that
+    belong to NEITHER cohort (they must not contaminate either side)."""
+    from alphalens_spark.events import welch_ttest, welch_ttest_flagged
+    from pyspark.sql import functions as F
+
+    rows = [("a", 10), ("a", 14), ("a", 11), ("b", 30), ("b", 25),
+            ("b", 27), ("b", 31), ("c", 999), ("c", -5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    two = welch_ttest(
+        df.where(F.col("g") == "a"), df.where(F.col("g") == "b"), "v",
+        scale=2.0,
+    ).collect()[0]
+    one = welch_ttest_flagged(
+        df, F.col("g") == "a", F.col("g") == "b", "v", scale=2.0
+    ).collect()[0]
+    assert one.asDict() == two.asDict()
