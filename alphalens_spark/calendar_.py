@@ -94,7 +94,11 @@ def infer_holidays(cal_dates: DataFrame, date_col: str = "date") -> DataFrame:
     between min and max observed date, keep weekdays whose day-of-week is
     ever observed, anti-join the observed dates. Returns (holiday date).
     """
-    days = cal_dates.select(F.to_date(date_col).alias("d")).distinct()
+    # persist: the date-dimension frame feeds the observed day-of-weeks,
+    # the min/max bounds AND the final anti-join — unpersisted, each
+    # consumer re-planned the full fact scan + distinct (three fact
+    # scans for a |dates|-row frame; guide §5)
+    days = cal_dates.select(F.to_date(date_col).alias("d")).distinct().persist()
     observed_dows = days.select(F.dayofweek("d").alias("dow")).distinct()
     bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     full = bounds.select(

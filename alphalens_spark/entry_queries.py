@@ -9758,25 +9758,24 @@ LIMIT 10"""
 
 def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped large-volume customers: orders whose total line
-    quantity clears a threshold, with customer attribution — the
-    canonical groupBy-HAVING + semi-join-back shape (the HAVING
-    aggregate is computed once on the fact table, semi-joins the orders
-    probe, and the final 3-way join re-aggregates). Quantities are
-    integral doubles in this corpus, so the sum casts to BIGINT
-    exactly; o_totalprice quantizes to 1e-4 integer units per row
-    (summation-order-proof money rule). Top-100 is
+    quantity clears a threshold, with customer attribution — the HAVING
+    aggregate as a per-order SUM window gating the rows on the exchange
+    it already shares with them (guide §2.4; the former groupBy +
+    semi-join-back re-scanned the fact table for the probe side).
+    Quantities are integral doubles in this corpus, so the window sum
+    (and the final sum over the identical row set) is order-proof and
+    casts to BIGINT exactly; o_totalprice quantizes to 1e-4 integer
+    units per row (summation-order-proof money rule). Top-100 is
     TakeOrderedAndProject on a total order — never a global sort."""
+    from pyspark.sql import Window
+
     cu = datasets.load_table(spark, sf_dir, "customer")
     o = datasets.load_table(spark, sf_dir, "orders")
     li = datasets.load_table(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
-        .where(F.col("_q") > 200)
-        .select("l_orderkey")
-    )
+    wo = Window.partitionBy("l_orderkey")
     return (
-        li.join(big, "l_orderkey", "left_semi")
+        li.withColumn("_q", F.sum("l_quantity").over(wo))
+        .where(F.col("_q") > 200)
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
@@ -10391,6 +10390,9 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie returns every tied supplier on both engines."""
     li = datasets.load_table(spark, sf_dir, "lineitem")
     su = datasets.load_table(spark, sf_dir, "supplier")
+    # persist: the |suppliers|-row rollup feeds BOTH the 1-row max and
+    # the equality filter — unpersisted, each consumer re-planned the
+    # full fact scan + groupBy (two lineitem scans; guide §5)
     rev = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
@@ -10398,6 +10400,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev_e4()).alias("total_revenue_e4"))
+        .persist()
     )
     mx = rev.agg(F.max("total_revenue_e4").alias("_mx"))
     return (
