@@ -12337,48 +12337,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 _CERT_ROUND: dict[str, int] = {
     # latest green: r03
-    "backshift_returns": 3,
     "bigram_cross_entropy": 3,
-    "bm25_scores": 3,
     "chunk_documents": 3,
     "cm_frequency": 3,
-    "common_start_returns_raw": 3,
     "decayed_activity": 3,
-    "dedup_clusters": 3,
-    "dedupe_words_within_doc": 3,
-    "dup_span_stats": 3,
-    "factor_returns_equal_weight": 3,
-    "gopher_quality": 3,
-    "groupby_labels_remap": 3,
     "hard_negatives": 3,
     "heavy_hitters_terms": 3,
     "histogram_quantiles": 3,
-    "intraday_ingestion": 3,
     "kmv_distinct": 3,
-    "mean_ic_by_group_monthly": 3,
-    "mixture_weights": 3,
     "multimodal_features": 3,
-    "pack_sequences": 3,
-    "per_source_cap": 3,
     "perplexity_buckets": 3,
     "profile_lineitem": 3,
-    "pyfolio_daily_returns": 3,
-    "pyfolio_positions": 3,
-    "pyfolio_returns": 3,
-    "quality_classifier": 3,
-    "quantile_returns_one_period": 3,
     "random_projection": 3,
-    "remove_boilerplate": 3,
     "robust_zscore": 3,
-    "semantic_dedup": 3,
     "split_dataset": 3,
-    "stratified_sample": 3,
-    "stream_dedup_minhash": 3,
-    "stream_sessionize": 3,
     "tfidf_top_terms": 3,
-    "time_varying_groups": 3,
     "top_terms_per_source": 3,
-    "unigram_cross_entropy": 3,
     "zorder_key": 3,
     # latest green: r04
     "allpairs_jaccard": 4,
@@ -12577,6 +12551,57 @@ _CERT_ROUND: dict[str, int] = {
     "stream_reservoir_state": 7,
     "stream_scd2_state": 7,
     "token_budget_sample": 7,
+    # latest green: r08
+    "ap_stopword_en": 8,
+    "auc_stopword_en": 8,
+    "backshift_returns": 8,
+    "bm25_scores": 8,
+    "bmp_decode_stats": 8,
+    "common_start_returns_raw": 8,
+    "copurchase_ppr": 8,
+    "dedup_clusters": 8,
+    "dedupe_words_within_doc": 8,
+    "dp_order_counts": 8,
+    "dup_span_stats": 8,
+    "embedding_drift": 8,
+    "factor_returns_equal_weight": 8,
+    "fd_violations_docs": 8,
+    "full_tear_sheet": 8,
+    "gopher_quality": 8,
+    "groupby_labels_remap": 8,
+    "hll_distinct": 8,
+    "important_stock": 8,
+    "intraday_ingestion": 8,
+    "k_anonymity_sweep": 8,
+    "mean_ic_by_group_monthly": 8,
+    "mixture_weights": 8,
+    "pack_sequences": 8,
+    "partitioned_factor_store": 8,
+    "per_source_cap": 8,
+    "product_type_profit": 8,
+    "purchase_hits": 8,
+    "pyfolio_daily_returns": 8,
+    "pyfolio_positions": 8,
+    "pyfolio_returns": 8,
+    "quality_classifier": 8,
+    "quantile_returns_one_period": 8,
+    "rake_keywords": 8,
+    "readability": 8,
+    "reliability_stopword_en": 8,
+    "remove_boilerplate": 8,
+    "search_hybrid_rrf": 8,
+    "semantic_dedup": 8,
+    "stratified_sample": 8,
+    "stream_bloom_state": 8,
+    "stream_dedup_minhash": 8,
+    "stream_hll_state": 8,
+    "stream_km_state": 8,
+    "stream_kmv_compacted": 8,
+    "stream_sessionize": 8,
+    "survival_km": 8,
+    "time_varying_groups": 8,
+    "unigram_cross_entropy": 8,
+    "welch_price_test": 8,
 }
 # Within the never-certified group, these run LAST (families with a
 # certified sibling; see rule 1 above).
