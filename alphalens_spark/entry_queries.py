@@ -1665,9 +1665,9 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 + TF-IDF keyword relevance for a fixed 3-term query over the
-    documents table (scale.text.bm25_scores): terms filtered before the
-    explode, corpus stats and per-term df broadcast — one data-sized
-    shuffle."""
+    documents table (scale.text.bm25_scores): per-term tf computed
+    in-row, corpus stats (N, avgdl, per-term df) as one broadcast 1-row
+    aggregate — zero data-sized shuffles, zero doc-keyed joins."""
     from alphalens_spark.scale.text import bm25_scores
 
     docs = datasets.load_table(spark, sf_dir, "documents")

@@ -296,59 +296,78 @@ def bm25_scores(
     the retrieval primitive of a corpus-curation pipeline (keyword
     filtering, topical subset selection).
 
-    Plan shape for 100 TB: tokens are filtered to the query terms BEFORE
-    the explode, so the shuffled relation is only the query-term
-    occurrences (|terms| tiny); corpus stats (N, avgdl) are a one-row
-    aggregate broadcast by crossJoin; per-term document frequencies are
-    <= |terms| rows and broadcast. One data-sized shuffle total (the
-    (doc, term) tf groupBy) plus the doc-length projection join, both
-    keyed by doc id.
+    Plan shape for 100 TB (round-9 fused form): the per-document tf of
+    every query term is computed IN-ROW (|terms| array filters over one
+    materialized token array — |terms| is a fixed small list), so no
+    (doc, term) relation is ever exploded or shuffled. The corpus stats
+    the formula needs — N, avgdl, and df per term — all collapse into
+    ONE 1-row aggregate (df_t = count of docs with tf_t > 0), which
+    broadcasts back over the same projection via crossJoin; scoring is
+    then a pure per-row map. Two corpus scans total (stats + scoring),
+    ZERO joins on doc id, zero data-sized exchanges, and no persist —
+    the round-8 persist of the (id, dl, terms) projection saved two
+    scans but its cache-fill barrier measured ~2x slower at sf0.1
+    (driver bench 0.17→0.50 s; VERDICT r08 item 1) and caches a
+    corpus-sized frame at 100 TB. Paired same-JVM A/B of the three
+    forms (r07 4-scan join, r08 persist, this): fused fastest on every
+    pair, output hash-identical.
 
     Output: (id, n_terms_matched, bm25, tfidf) for every document,
     zeros when no term occurs.
     """
     toks = _tokens(text_col)
-    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
-    # persist: the (id, dl, query-term) projection feeds the tf stream,
-    # the corpus stats and the all-docs left-join spine — unpersisted,
-    # each consumer re-planned the tokenize+filter over the raw corpus
-    # (four fact scans; guide §5). The frame is narrow (id, dl, matched
-    # terms only).
-    base = docs.select(
+    terms_sorted = sorted(set(terms))
+    term_arr = F.array(*[F.lit(t) for t in terms_sorted])
+    # two-step select: materialize the token array once per row so the
+    # per-term tf filters reference it instead of re-running the split
+    # |terms| times (CollapseProject keeps multi-referenced non-cheap
+    # aliases un-inlined)
+    proj = docs.select(F.col(id_col), toks.alias("_tk")).select(
         F.col(id_col),
-        F.size(toks).alias("dl"),
-        F.filter(toks, lambda w: F.array_contains(term_arr, w)).alias("_qt"),
-    ).persist()
-    tf = (
-        base.select(id_col, "dl", F.explode("_qt").alias("t"))
-        .groupBy(id_col, "dl", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        F.size("_tk").alias("dl"),
+        F.transform(
+            term_arr,
+            lambda t: F.size(F.filter(F.col("_tk"), lambda w: w == t)),
+        ).alias("tfs"),
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.array(
+            *[
+                F.sum(F.when(F.col("tfs")[i] > 0, 1).otherwise(0))
+                for i in range(len(terms_sorted))
+            ]
+        ).alias("dfs"),
     )
-    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "t")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_matched"),
-            F.sum(idf * F.col("tf") * (k1 + 1.0) / denom).alias("bm25"),
-            F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
-        )
+    tf_i = lambda i: F.col("tfs")[i]  # noqa: E731
+    df_i = lambda i: F.col("dfs")[i]  # noqa: E731
+    # identical formulas to the former per-(doc, term)-row aggregation,
+    # summed over the fixed term index instead of grouped rows; terms
+    # with tf = 0 are excluded exactly as the explode form excluded them
+    idf_i = lambda i: F.log(  # noqa: E731
+        (F.col("n_docs") - df_i(i) + 0.5) / (df_i(i) + 0.5) + 1.0
     )
-    return (
-        base.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_terms_matched", F.lit(0)).alias("n_terms_matched"),
-            F.round(F.coalesce("bm25", F.lit(0.0)), 6).alias("bm25"),
-            F.round(F.coalesce("tfidf", F.lit(0.0)), 6).alias("tfidf"),
-        )
+    denom_i = lambda i: tf_i(i) + k1 * (  # noqa: E731
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(terms_sorted) - 1))
+    matched = F.filter(idx, lambda i: tf_i(i) > 0)
+    bm25 = F.aggregate(
+        matched,
+        F.lit(0.0),
+        lambda acc, i: acc + idf_i(i) * tf_i(i) * (k1 + 1.0) / denom_i(i),
+    )
+    tfidf = F.aggregate(
+        matched,
+        F.lit(0.0),
+        lambda acc, i: acc + tf_i(i) * F.log(F.col("n_docs") / df_i(i)),
+    )
+    return proj.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        F.size(matched).cast("long").alias("n_terms_matched"),
+        F.round(bm25, 6).alias("bm25"),
+        F.round(tfidf, 6).alias("tfidf"),
     )
 
 

@@ -232,8 +232,28 @@ def run_suite(
     # co-purchase edge list with copurchase_bfs (round-8: the iterative
     # operators' internal checkpoints re-executed the ~1.8 s pair join
     # once per derived frame without it)
-    from alphalens_spark.entry_queries import q_copurchase_communities
+    #
+    # ATTRIBUTION (round-9, VERDICT r08 item 7): the shared edge-list
+    # cache build gets its OWN timed entry below, so the per-entry
+    # numbers of the graph family stop depending on which member runs
+    # first. Consequence for cross-round comparisons: from round 9 on,
+    # label_propagation times ONLY the LPA rounds (its r08 number
+    # included the ~1.8 s cache fill), and copurchase_bfs continues to
+    # ride the warm cache. Sum copurchase_edge_cache +
+    # label_propagation + copurchase_bfs for a like-for-like family
+    # total against r08's label_propagation + copurchase_bfs. Also note
+    # (r08 VERDICT): label_propagation has timed q_copurchase_communities
+    # since r08 (not the older inline cooccurrence_pairs build), and
+    # dsir_weights has passed target_ids= since r08 — both redefinitions
+    # are certified driver queries; their pre-r08 numbers are not
+    # like-for-like.
+    from alphalens_spark.entry_queries import (
+        _copurchase_edges,
+        q_copurchase_communities,
+    )
 
+    timed("copurchase_edge_cache",
+          lambda: _copurchase_edges(spark, sf_dir).count())
     timed("label_propagation",
           lambda: q_copurchase_communities(spark, sf_dir).count())
 

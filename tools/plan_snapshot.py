@@ -1,8 +1,9 @@
 """Dump `.explain("formatted")` snapshots for named driver queries.
 
 Usage: python tools/plan_snapshot.py <tag> <query> [query ...]
-Writes plans/r08/<query>_<tag>.txt with the same header format the
-round-8 before/after snapshots use (judge-checkable plan evidence).
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<query>_<tag>.txt (default r09) with
+the same header format the round-8 before/after snapshots use
+(judge-checkable plan evidence).
 """
 
 from __future__ import annotations
@@ -21,6 +22,8 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from alphalens_spark.session import get_spark
 
+    plan_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "r09")
+    os.makedirs(f"plans/{plan_dir}", exist_ok=True)
     spark = get_spark("plan_snapshot")
     qs = entry_mod.queries()
     for name in names:
@@ -28,7 +31,7 @@ def main() -> int:
         text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), "formatted"
         )
-        out = f"plans/r08/{name}_{tag}.txt"
+        out = f"plans/{plan_dir}/{name}_{tag}.txt"
         with open(out, "w") as fh:
             fh.write(f"# {name} @ {sf_dir} ({tag})\n{text}")
         print("wrote", out)
