@@ -99,6 +99,35 @@ def test_minhash_collapse_exact_output_identical(spark):
     assert on == off and len(on) >= 9 + 6 + 20  # cross a~b + within-a + within-b
 
 
+def test_minhash_shuffle_payload_arms_identical(spark):
+    """The ids-only banding shuffle (guide §2.3: shuffle keys, attach
+    the payload once) must produce exactly the signature-payload form's
+    pair set — the bytes switch may never change results. Covers both
+    the exact-collapse path (member re-expansion) and collapse off."""
+    words = [f"w{i}" for i in range(100)]
+    a = " ".join(words)
+    b = " ".join(words[:90] + [f"x{i}" for i in range(10)])
+    texts = [a] * 5 + [b] * 4 + ["unrelated material entirely " * 20]
+    docs = _docs(spark, texts)
+    for collapse in (True, False):
+        sig = _pairs(dedup.minhash_lsh_duplicates(
+            docs, threshold=0.5, collapse_exact=collapse,
+            shuffle_payload="signatures",
+        ))
+        ids = _pairs(dedup.minhash_lsh_duplicates(
+            docs, threshold=0.5, collapse_exact=collapse,
+            shuffle_payload="ids",
+        ))
+        assert sig == ids and len(sig) >= 9
+    # auto resolves small corpora to "signatures"; a tiny bytes budget
+    # flips it to "ids" — both deterministic in the data size
+    auto_small = _pairs(dedup.minhash_lsh_duplicates(docs, threshold=0.5))
+    auto_ids = _pairs(dedup.minhash_lsh_duplicates(
+        docs, threshold=0.5, ids_payload_min_bytes=1
+    ))
+    assert auto_small == auto_ids
+
+
 def test_simhash_collapse_exact_output_identical(spark):
     words = [f"tok{i}" for i in range(64)]
     a = " ".join(words)
