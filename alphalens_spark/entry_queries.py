@@ -47,16 +47,26 @@ def _finalize(df: DataFrame, dp: int = ROUND_DP) -> DataFrame:
 
     (-0.0 and 0.0 hash/sort differently in string form; adding +0.0 after
     the round forces the IEEE positive zero on both engines.)
+
+    Built as ONE selectExpr over parser strings instead of per-column
+    Column chains: the Column form cost ~8 Py4J round trips per double
+    column × 10+ finalized constituents (~0.5 s of the full tear
+    sheet's 2.9 s driver-side construction — round-9 cProfile); the
+    parsed expressions analyze to the identical plan (CASE WHEN isnan
+    ↔ when/otherwise, 0.0D ↔ lit(0.0)), verified by oracle hashes at
+    three SFs.
     """
-    cols = []
+    exprs = []
     for f in df.schema.fields:
+        name = f.name.replace("`", "``")
         if isinstance(f.dataType, T.DoubleType):
-            c = F.col(f.name)
-            c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
-            cols.append((F.round(c, dp) + F.lit(0.0)).alias(f.name))
+            exprs.append(
+                f"(round(CASE WHEN isnan(`{name}`) THEN NULL ELSE `{name}` END,"
+                f" {dp}) + 0.0D) AS `{name}`"
+            )
         else:
-            cols.append(F.col(f.name))
-    return df.select(*cols)
+            exprs.append(f"`{name}`")
+    return df.selectExpr(*exprs)
 
 
 _FD_CACHE: dict[tuple[int, str], DataFrame] = {}

@@ -593,6 +593,20 @@ def _ppr_sql(
     )
 
 
+def _fits_broadcast(n_rows: int, n_fields: int, max_bytes: int) -> bool:
+    """Estimated-bytes broadcast budget for a fixed-width frame:
+    8 B per numeric field + 16 B of row overhead, against ``max_bytes``.
+
+    Row-count thresholds ("broadcast below 2M nodes") silently scale
+    with row WIDTH; a bytes budget is what the executor actually pays
+    (VERDICT r08 item 10). The default 64 MiB budget puts the cutoff
+    for the 2-field label/score frames at 2,097,152 rows — the same
+    regime as the historic 2M-row threshold, so no plan changes on
+    current data.
+    """
+    return n_rows * (8 * n_fields + 16) <= max_bytes
+
+
 def label_propagation(
     edges: DataFrame,
     n_iter: int = 5,
@@ -600,7 +614,7 @@ def label_propagation(
     dst_col: str = "dst",
     weight_col: str | None = None,
     broadcast_labels: bool | None = None,
-    broadcast_max_nodes: int = 2_000_000,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007; the GraphFrames/Pregel LPA): every node starts labeled
@@ -622,7 +636,8 @@ def label_propagation(
     Scale shape (the HITS broadcast discipline, round-8): the static
     2|E| neighbor list is hash-partitioned ONCE and checkpointed; when
     the label frame fits the broadcast budget (``broadcast_labels``;
-    auto below ``broadcast_max_nodes``) it is partitioned by the
+    auto while the estimated (node, label) frame stays under
+    ``broadcast_max_bytes``) it is partitioned by the
     GROUPING key ``node`` and each round is one ZERO-shuffle stage —
     in-memory edge scan + broadcast label lookup + two aggregations
     already clustered by their key (HashPartitioning(node) satisfies
@@ -659,7 +674,8 @@ def label_propagation(
     # hits/pagerank n_nodes contract) — also eagerly materializes it
     n_nodes = nodes.count()
     if broadcast_labels is None:
-        broadcast_labels = n_nodes <= broadcast_max_nodes
+        # (node, label) — two 8-byte fields per row
+        broadcast_labels = _fits_broadcast(n_nodes, 2, broadcast_max_bytes)
     # hash-partition the (big, static) neighbor list ONCE and persist:
     # an InMemoryRelation PRESERVES outputPartitioning into every
     # consumer plan, which localCheckpoint's LogicalRDD does not
@@ -1035,7 +1051,7 @@ def hits(
     checkpoint_every: int = 1,
     renorm_every: int = 8,
     broadcast_scores: bool | None = None,
-    broadcast_max_nodes: int = 2_000_000,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg JACM'99) over a DIRECTED
     edge list — the ranking that separates the two sides PageRank
@@ -1068,8 +1084,9 @@ def hits(
     again; every half-step then joins the |V|-sized score frame and
     aggregates on the endpoint its edge copy is already partitioned by.
     When the score frame is small enough to broadcast
-    (``broadcast_scores``; auto when |V| <= ``broadcast_max_nodes``,
-    the matrix-vector-product regime), each half-step is a single
+    (``broadcast_scores``; auto while the estimated (node, score) frame
+    stays under ``broadcast_max_bytes`` — the matrix-vector-product
+    regime), each half-step is a single
     ZERO-shuffle stage: in-memory edge scan + broadcast hash lookup +
     partial-agg-free final aggregation. On graphs whose score vector
     outgrows the broadcast budget the score frame is shuffle-joined
@@ -1106,7 +1123,8 @@ def hits(
         .persist()
     )
     if broadcast_scores is None:
-        broadcast_scores = nodes.count() <= broadcast_max_nodes
+        # (node, h) — two 8-byte fields per row
+        broadcast_scores = _fits_broadcast(nodes.count(), 2, broadcast_max_bytes)
     bc = F.broadcast if broadcast_scores else (lambda df: df)
     # a-step joins scores on src and groups by dst; h-step the reverse.
     # Broadcast mode uses the copy partitioned by the GROUPING key so

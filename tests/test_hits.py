@@ -78,3 +78,22 @@ def test_hits_rejects_zero_iterations(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     with pytest.raises(ValueError, match="n_iter"):
         hits(df, n_iter=0)
+
+
+def test_broadcast_budget_is_bytes_based(spark):
+    """VERDICT r08 item 10: the broadcast auto-decision must be an
+    estimated-bytes budget, not a row count. The default 64 MiB budget
+    reproduces the historic 2M-row cutoff for 2-field frames (no plan
+    change on current data), and the budget scales with row width."""
+    from alphalens_spark.graph import _fits_broadcast, label_propagation
+
+    assert _fits_broadcast(2_097_152, 2, 64 << 20)          # exactly at budget
+    assert not _fits_broadcast(2_097_153, 2, 64 << 20)      # one row over
+    assert not _fits_broadcast(2_000_000, 4, 64 << 20)      # wider rows, same count
+    # tiny budget forces the shuffle fallback; output must be identical
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    bc = sorted(map(tuple, label_propagation(df, n_iter=2).collect()))
+    sh = sorted(map(tuple, label_propagation(
+        df, n_iter=2, broadcast_max_bytes=1
+    ).collect()))
+    assert bc == sh
