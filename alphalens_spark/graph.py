@@ -668,10 +668,14 @@ def label_propagation(
         F.col("u").alias("node"), F.col("v").alias("nbr"), "w"
     ).unionByName(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
-    )
+    ).persist()  # transient: freed right after nbrs materializes below
     nodes = both.select("node").distinct().persist()
     # bounded-scalar count off the materialized node set (the
-    # hits/pagerank n_nodes contract) — also eagerly materializes it
+    # hits/pagerank n_nodes contract) — also eagerly materializes it,
+    # and fills the transient `both` cache so the nbrs repartition
+    # below reads it instead of re-running the edge canonicalization
+    # (dedup shuffle included) a second time (round-9 paired A/B:
+    # q_copurchase_communities 1.42 -> 1.17 s at sf0.1)
     n_nodes = nodes.count()
     if broadcast_labels is None:
         # (node, label) — two 8-byte fields per row
@@ -689,6 +693,7 @@ def label_propagation(
         F.col("node") if broadcast_labels else F.col("nbr")
     ).persist()
     nbrs.count()
+    both.unpersist()
     bc = F.broadcast if broadcast_labels else (lambda df: df)
     lab = nodes.select("node", F.col("node").alias("label"))
     # self-loop-only vertices: present in the input edge list but absent
@@ -1113,8 +1118,11 @@ def hits(
         .dropDuplicates(["src", "dst"])
         .persist()
     )
-    e_src.count()
     e_dst = e_src.repartition(F.col("dst")).persist()
+    # ONE eager action fills BOTH edge caches: e_dst's plan reads e_src,
+    # and within a single job a shared cached RDD is computed exactly
+    # once — a separate e_src.count() was a redundant job barrier
+    # (round-9 paired A/B: q_purchase_hits 2.25 -> 2.05 s at sf0.1)
     e_dst.count()
     nodes = (
         e_src.select(F.col("src").alias("node"))
