@@ -21,6 +21,30 @@ def get_spark(app_name: str = "alphalens_spark", shuffle_partitions: int | None 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition-count policy, env-parameterised (guide §2.2 /
+        # VERDICT r08 item 6). MEASURED at sf0.1 on local[32]
+        # (OPTIMIZATION_r09.md "Right-size parallelism"): flipping
+        # parallelismFirst=false + advisory 256m so partition counts
+        # derive purely from data size was a geomean +1.5% wash that cut
+        # the small-stage latency entries (langid -0.31 s, hybrid-rrf
+        # -0.22 s) but serialized the CPU-dense small-byte reduce stages
+        # (ingestion +0.8 s, co-purchase pair join +0.7 s, basket_rules
+        # +0.7 s) — at bench SF those stages are compute-bound on KB-MB
+        # of shuffle bytes, exactly the regime Spark's
+        # parallelismFirst=true default exists for. Defaults therefore
+        # stay Spark's; on cluster-scale inputs (where a 256m partition
+        # is thousands of times more rows than a whole local shuffle)
+        # set SPARK_GRAFT_AQE_PARALLELISM_FIRST=false and
+        # SPARK_GRAFT_ADVISORY_PARTITION_BYTES=256m for guide §9's
+        # 100 MB-1 GB post-shuffle partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         # NULL (not error) on div-by-zero / overflow — matches both the
